@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the headline queries and prints ONE JSON line.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default all cores).
+
+Each query is fully materialized via a count-ish action that forces
+every column (``df.write.format("noop")``) so the measurement includes
+the complete plan, not just the first partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from scio_db_spark.plans.registry import all_queries  # noqa: E402
+from scio_db_spark.session import SessionFactory  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = SessionFactory.create("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = {n: s for n, s in sorted(all_queries().items()) if s.headline}
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # execution, not first-touch JIT/IO setup.
+    for spec in specs.values():
+        spec.spark(spark, sf_dir)  # plan only, no action
+
+    timings: dict[str, float] = {}
+    for name, spec in specs.items():
+        t0 = time.perf_counter()
+        df = spec.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

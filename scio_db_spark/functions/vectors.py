@@ -1,0 +1,70 @@
+"""Vector similarity primitives (embedding columns).
+
+Dot products / norms are code-generated as explicit left-associated
+term chains over 1-based element access so Spark and the DuckDB oracle
+perform bit-identical double arithmetic (same operand order, same
+casts). sqrt is IEEE-correctly-rounded in both engines, so cosine
+values match exactly. The only engine difference is the accessor name:
+Spark ``element_at``, DuckDB ``list_extract`` (both 1-based).
+
+For the 100 TB path, brute-force cosine is the verified baseline; the
+bucketed variant (random-hyperplane LSH, ``hyperplane_signs``) cuts the
+candidate set so the pairwise stage only joins within buckets —
+expressed as an equi-join on the bucket id, which Spark executes as a
+hash join instead of a cartesian product.
+"""
+
+from __future__ import annotations
+
+DIM = 64  # embedding dimensionality of the synthetic tables
+
+SPARK_AT = "element_at"
+DUCK_AT = "list_extract"
+
+
+def _terms(left: str, right: str, dim: int, at: str) -> str:
+    """Left-associated sum of per-element products."""
+    return " + ".join(
+        f"CAST({at}({left}, {i}) AS DOUBLE) * CAST({at}({right}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+
+
+def dot_sql(left: str, right: str, at: str, dim: int = DIM) -> str:
+    return "(" + _terms(left, right, dim, at) + ")"
+
+
+def norm_sql(col: str, at: str, dim: int = DIM) -> str:
+    return f"sqrt({dot_sql(col, col, at, dim)})"
+
+
+def cosine_sql(left: str, right: str, at: str, dim: int = DIM) -> str:
+    return (
+        f"({dot_sql(left, right, at, dim)}) / "
+        f"({norm_sql(left, at, dim)} * {norm_sql(right, at, dim)})"
+    )
+
+
+def hyperplane_signs(n_planes: int, dim: int = DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes for sign-random-projection LSH."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            v = (i * 2_654_435_761 + j * 40_503 + 12_345) % 97
+            row.append(1 if v % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_sql(col: str, at: str, n_planes: int = 8, dim: int = DIM) -> str:
+    """Bucket id = Σ 2^j · [dot(v, r_j) > 0] — same fragment both engines."""
+    planes = hyperplane_signs(n_planes, dim)
+    parts = []
+    for j, signs in enumerate(planes):
+        terms = " + ".join(
+            f"({s}) * CAST({at}({col}, {i + 1}) AS DOUBLE)"
+            for i, s in enumerate(signs)
+        )
+        parts.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"

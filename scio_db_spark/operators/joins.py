@@ -1,0 +1,69 @@
+"""Lookup / split joins (J1-J5).
+
+All the reference's joins are broadcast-style lookups against a side
+input. Spark-first mapping:
+
+- J1 dup-vs-new split vs a historical map
+  (``MediationService.scala:163-205``) → left-anti + left-semi joins on
+  a broadcast static DataFrame.
+- J2/J3 enrichment (``MinimalPubSubBQLookup.scala:39-46``,
+  ``JavaMinimalPubSubBQLookup.java:121-132``) → broadcast left-outer
+  join with a default for misses.
+- J4 singleton-map uniqueness contract (``asMapSingletonSideInput``
+  throws on duplicate keys, tested at ``MediationServiceSpec.scala:156-173``)
+  → explicit distributed assertion.
+
+Scale notes: the lookup side is broadcast (must fit in executor memory,
+same constraint the reference documents at mediation/README.md:136-137);
+the big side is never shuffled. For lookup tables too large to
+broadcast, callers fall back to a shuffled join where bucketing the big
+side on the key amortizes the exchange across stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def anti_join_split(
+    stream_df: DataFrame, lookup_df: DataFrame, on: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """J1: returns ``(new, duplicated)`` vs a (broadcast) lookup set."""
+    hinted = F.broadcast(lookup_df.select(*on).dropDuplicates(on))
+    new = stream_df.join(hinted, on=on, how="left_anti")
+    dup = stream_df.join(hinted, on=on, how="left_semi")
+    return new, dup
+
+
+def lookup_join(
+    stream_df: DataFrame,
+    lookup_df: DataFrame,
+    on: list[str],
+    default: dict[str, object] | None = None,
+) -> DataFrame:
+    """J2/J3: broadcast left-outer enrichment; misses get defaults.
+
+    ``default`` maps lookup column -> value used when the key misses
+    (the Java variant's ``getOrDefault(key, "")``).
+    """
+    out = stream_df.join(F.broadcast(lookup_df), on=on, how="left")
+    for col, val in (default or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(val)))
+    return out
+
+
+def assert_unique_keys(df: DataFrame, *key_cols: str) -> DataFrame:
+    """J4: raise if any key occurs more than once (singleton-map contract).
+
+    Distributed check — one aggregation, limit 1; no full collect.
+    """
+    dupes = (
+        df.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dupes:
+        row = dupes[0]
+        raise ValueError(
+            f"duplicate key in singleton lookup: {tuple(row[c] for c in key_cols)}"
+        )
+    return df

@@ -1,0 +1,427 @@
+"""Mediation pipeline surface as batch queries over the ``events`` table.
+
+Each query re-expresses one reference operator (SURVEY.md §2) on the
+driver's synthetic events stream table (event_id, ts, user_id,
+event_type, value, props). The idempotency key here is
+``event_type-user_id`` (standing in for the reference's
+``transactionId-customerId``, MyEventRecordUtils.scala:55), and
+"validity" is ``value >= 0 AND event_type <> 'error'`` (the synthetic
+table has no nulls, so the KO branch routes on the error type instead —
+same routing semantics as MyEventRecordUtils.scala:15-25).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scio_db_spark.operators.dedup import mark_duplicates, ttl_sessionize
+from scio_db_spark.operators.joins import anti_join_split, lookup_join
+from scio_db_spark.operators.keying import with_idempotent_key
+from scio_db_spark.operators.validity import split_ok_ko
+from scio_db_spark.operators.windows import tumbling_window_agg
+from scio_db_spark.plans.catalog import table
+from scio_db_spark.plans.registry import register
+
+_KEY_SQL = "event_type || '-' || CAST(user_id AS VARCHAR)"
+_VALID_SQL = "(value >= 0 AND event_type <> 'error')"
+_HIST_CUTOFF = "2024-01-08 00:00:00"  # first week = "historical"
+
+
+def _events(spark: SparkSession, sf: str) -> DataFrame:
+    return table(spark, sf, "events")
+
+
+def _valid_pred():
+    return (F.col("value") >= 0) & (F.col("event_type") != "error")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_key_extraction",
+    oracle=f"""
+    SELECT event_id, {_KEY_SQL} AS idempotent_key, ts, value
+    FROM events
+    """,
+    doc="P1/P2: idempotency-key extraction + KV mapping.",
+)
+def key_extraction(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    keyed = with_idempotent_key(
+        e, "event_type", F.col("user_id").cast("string")
+    )
+    return keyed.select("event_id", "idempotent_key", "ts", "value")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_validity_ko_routing",
+    oracle=f"""
+    SELECT event_id, event_type, user_id, value FROM events
+    WHERE NOT coalesce({_VALID_SQL}, FALSE)
+    """,
+    doc="F1/F2/K5: KO branch of the validity partition (toxic routing).",
+)
+def ko_routing(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    _ok, ko = split_ok_ko(e, _valid_pred())
+    return ko.select("event_id", "event_type", "user_id", "value")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_validity_ok_count",
+    oracle=f"""
+    SELECT event_type, count(*) AS n FROM events
+    WHERE {_VALID_SQL}
+    GROUP BY event_type
+    """,
+    doc="F1/F2 + G2: OK branch with per-type counts.",
+)
+def ok_count(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    ok, _ko = split_ok_ko(e, _valid_pred())
+    return ok.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_dedup_first_per_key",
+    oracle=f"""
+    SELECT idempotent_key, event_id, ts FROM (
+        SELECT {_KEY_SQL} AS idempotent_key, event_id, ts,
+            row_number() OVER (PARTITION BY {_KEY_SQL}
+                               ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="D1 deterministic: first record per idempotency key.",
+)
+def dedup_first(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.dedup import first_per_key
+
+    e = with_idempotent_key(
+        _events(spark, sf), "event_type", F.col("user_id").cast("string")
+    )
+    return first_per_key(e, ["idempotent_key"], ["ts", "event_id"]).select(
+        "idempotent_key", "event_id", "ts"
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_dedup_mark_duplicates",
+    oracle=f"""
+    SELECT idempotent_key, event_id,
+        CASE WHEN rn = 1 THEN 'SENT' ELSE 'SENT_OR_DUPLICATED' END AS send_status
+    FROM (
+        SELECT {_KEY_SQL} AS idempotent_key, event_id,
+            row_number() OVER (PARTITION BY {_KEY_SQL}
+                               ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    """,
+    doc="D4 contract: duplicates emit SENT_OR_DUPLICATED, not silence.",
+)
+def dedup_mark(spark: SparkSession, sf: str) -> DataFrame:
+    e = with_idempotent_key(
+        _events(spark, sf), "event_type", F.col("user_id").cast("string")
+    )
+    marked = mark_duplicates(e, ["idempotent_key"], ["ts", "event_id"])
+    return marked.select("idempotent_key", "event_id", "send_status")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_dedup_ttl_sessions",
+    oracle=f"""
+    SELECT idempotent_key, event_id, session_id,
+        CASE WHEN new_session = 1 THEN 'SENT' ELSE 'SENT_OR_DUPLICATED' END AS send_status
+    FROM (
+        SELECT idempotent_key, event_id,
+            CAST(sum(new_session) OVER (
+                PARTITION BY idempotent_key ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+            new_session
+        FROM (
+            SELECT {_KEY_SQL} AS idempotent_key, event_id, ts,
+                CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                        PARTITION BY {_KEY_SQL} ORDER BY ts, event_id)
+                     IS NULL THEN 1
+                     WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                        PARTITION BY {_KEY_SQL} ORDER BY ts, event_id)
+                     >= 86400 THEN 1
+                     ELSE 0 END AS new_session
+            FROM events
+        )
+    )
+    """,
+    headline=True,
+    doc="D2 batch analogue: TTL-gap sessionization (1-day TTL).",
+)
+def dedup_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    e = with_idempotent_key(
+        _events(spark, sf), "event_type", F.col("user_id").cast("string")
+    )
+    out = ttl_sessionize(
+        e, ["idempotent_key"], "ts", ttl_seconds=86400, tie_cols=["event_id"]
+    )
+    return out.select("idempotent_key", "event_id", "session_id", "send_status")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_anti_join_historical",
+    oracle=f"""
+    WITH hist AS (
+        SELECT DISTINCT {_KEY_SQL} AS idempotent_key FROM events
+        WHERE ts < TIMESTAMP '{_HIST_CUTOFF}'
+    ),
+    fresh AS (
+        SELECT {_KEY_SQL} AS idempotent_key, event_id, ts FROM events
+        WHERE ts >= TIMESTAMP '{_HIST_CUTOFF}'
+    )
+    SELECT f.idempotent_key, f.event_id, f.ts
+    FROM fresh f LEFT JOIN hist h ON f.idempotent_key = h.idempotent_key
+    WHERE h.idempotent_key IS NULL
+    """,
+    headline=True,
+    doc="J1 'new' branch: stream keys anti-joined vs broadcast historical set.",
+)
+def anti_hist(spark: SparkSession, sf: str) -> DataFrame:
+    e = with_idempotent_key(
+        _events(spark, sf), "event_type", F.col("user_id").cast("string")
+    )
+    cutoff = F.lit(_HIST_CUTOFF).cast("timestamp")
+    hist = e.filter(F.col("ts") < cutoff)
+    fresh = e.filter(F.col("ts") >= cutoff)
+    new, _dup = anti_join_split(fresh, hist, on=["idempotent_key"])
+    return new.select("idempotent_key", "event_id", "ts")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_semi_join_duplicated",
+    oracle=f"""
+    WITH hist AS (
+        SELECT DISTINCT {_KEY_SQL} AS idempotent_key FROM events
+        WHERE ts < TIMESTAMP '{_HIST_CUTOFF}'
+    ),
+    fresh AS (
+        SELECT {_KEY_SQL} AS idempotent_key, event_id FROM events
+        WHERE ts >= TIMESTAMP '{_HIST_CUTOFF}'
+    )
+    SELECT f.idempotent_key, f.event_id
+    FROM fresh f WHERE EXISTS (
+        SELECT 1 FROM hist h WHERE h.idempotent_key = f.idempotent_key)
+    """,
+    doc="J1 'duplicated' branch: semi join vs historical key set.",
+)
+def semi_hist(spark: SparkSession, sf: str) -> DataFrame:
+    e = with_idempotent_key(
+        _events(spark, sf), "event_type", F.col("user_id").cast("string")
+    )
+    cutoff = F.lit(_HIST_CUTOFF).cast("timestamp")
+    hist = e.filter(F.col("ts") < cutoff)
+    fresh = e.filter(F.col("ts") >= cutoff)
+    _new, dup = anti_join_split(fresh, hist, on=["idempotent_key"])
+    return dup.select("idempotent_key", "event_id")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_enrich_user_lookup",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+        coalesce(c.c_name, '') AS user_name,
+        coalesce(c.c_mktsegment, 'UNKNOWN') AS segment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="J2/J3: stream-table enrichment via broadcast lookup with defaults.",
+)
+def enrich_users(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf).select("event_id", "user_id")
+    c = (
+        table(spark, sf, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("user_name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return lookup_join(
+        e, c, on=["user_id"], default={"user_name": "", "segment": "UNKNOWN"}
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_windowed_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+        count(*) AS n,
+        CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+            AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    headline=True,
+    doc="G1/W2: tumbling 1h window aggregation per event type.",
+)
+def windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    agg = tumbling_window_agg(
+        e,
+        "ts",
+        "1 hour",
+        group_cols=["event_type"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "total_value": F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("string")
+            .cast("double"),
+        },
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS INT) AS k_value
+    FROM events
+    """,
+    doc="P11 inverse: JSON payload field extraction (to_json/from_json surface).",
+)
+def json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_csv_parse_toxic",
+    oracle="""
+    SELECT event_id,
+        CASE WHEN strpos(line, ',') = 0
+             THEN 'ToxicRecord-' || CAST(event_id AS VARCHAR)
+             ELSE split_part(line, ',', 1) END AS key,
+        CASE WHEN strpos(line, ',') = 0 THEN ''
+             ELSE split_part(line, ',', 2) END AS value
+    FROM (
+        SELECT event_id,
+            CASE WHEN event_type = 'error' THEN 'garbled payload'
+                 ELSE event_type || ',' || CAST(user_id AS VARCHAR) END AS line
+        FROM events
+    )
+    """,
+    doc="P13: CSV-ish parse with toxic-key fallback for malformed lines.",
+)
+def csv_parse(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    line = F.when(F.col("event_type") == "error", F.lit("garbled payload")).otherwise(
+        F.concat_ws(",", "event_type", F.col("user_id").cast("string"))
+    )
+    d = e.select("event_id", line.alias("line"))
+    has_comma = F.instr("line", ",") > 0
+    return d.select(
+        "event_id",
+        F.when(
+            ~has_comma,
+            F.concat(F.lit("ToxicRecord-"), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.split("line", ",").getItem(0))
+        .alias("key"),
+        F.when(~has_comma, F.lit(""))
+        .otherwise(F.split("line", ",").getItem(1))
+        .alias("value"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_initial_load_tag",
+    oracle="""
+    SELECT 'INITIAL_LOAD_' || CAST(event_id AS VARCHAR) AS tagged_event_id,
+        event_type, user_id
+    FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    """,
+    doc="P3: initial-load tagging (INITIAL_LOAD_ prefix on historical records).",
+)
+def initial_load_tag(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.schemas import INITIAL_LOAD_PREFIX
+
+    e = _events(spark, sf).filter(
+        F.col("ts") < F.lit(_HIST_CUTOFF).cast("timestamp")
+    )
+    return e.select(
+        F.concat(F.lit(INITIAL_LOAD_PREFIX), F.col("event_id").cast("string")).alias(
+            "tagged_event_id"
+        ),
+        "event_type",
+        "user_id",
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_retry_increment",
+    oracle="""
+    SELECT event_id,
+        CASE WHEN retries IS NULL THEN 0 ELSE retries + 1 END AS retries
+    FROM (
+        SELECT event_id,
+            CASE WHEN event_id % 5 = 0 THEN NULL
+                 ELSE CAST(event_id % 3 AS INT) END AS retries
+        FROM events
+    )
+    """,
+    doc="P6: retry counter increment with null → 0 (coalesce).",
+)
+def retry_increment(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    retries = F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("int")).otherwise(
+        (F.col("event_id") % 3).cast("int")
+    )
+    d = e.select("event_id", retries.alias("retries"))
+    return d.select(
+        "event_id",
+        F.coalesce(F.col("retries") + 1, F.lit(0)).alias("retries"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_response_classification",
+    oracle="""
+    SELECT event_id, body,
+        NOT (contains(lower(body), 'error') OR contains(lower(body), 'ko'))
+            AS nhub_success
+    FROM (
+        SELECT event_id,
+            CASE WHEN event_type = 'error' THEN 'ERROR: failed notification'
+                 WHEN value < 10 THEN 'status KO'
+                 ELSE 'created id=' || CAST(event_id AS VARCHAR) END AS body
+        FROM events
+    )
+    """,
+    doc="P8: HTTP-response success classification (body lacks error/ko).",
+)
+def response_classification(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    body = (
+        F.when(F.col("event_type") == "error", F.lit("ERROR: failed notification"))
+        .when(F.col("value") < 10, F.lit("status KO"))
+        .otherwise(F.concat(F.lit("created id="), F.col("event_id").cast("string")))
+    )
+    d = e.select("event_id", body.alias("body"))
+    success = ~(
+        F.lower(F.col("body")).contains("error")
+        | F.lower(F.col("body")).contains("ko")
+    )
+    return d.select("event_id", "body", success.alias("nhub_success"))

@@ -1,0 +1,415 @@
+"""Batch relational surface (SURVEY.md §2.7 note + §7 M1).
+
+The reference gets these "for free" via Beam transforms; here they are
+the standard Spark DataFrame surface, written so Catalyst gets full
+pushdown/pruning and so dimension-sized join sides broadcast.
+
+Float-aggregate determinism: monetary inputs are 2-decimal values, so
+products of price·(1−disc)·(1+tax) have ≤6 true decimals and cast
+EXACTLY to DECIMAL(30,6); sums are exact decimal arithmetic. The final
+decimal→double conversion goes through a string round-trip
+(``CAST(CAST(x AS VARCHAR) AS DOUBLE)``) because decimal-string→double
+parsing is correctly rounded in both Spark and DuckDB, while direct
+decimal→double conversion of >2^53 scaled integers can double-round
+differently per engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scio_db_spark.plans.catalog import table
+from scio_db_spark.plans.registry import register
+
+_CUTOFF = "1998-09-02"
+
+
+def _d2d(col: Column) -> Column:
+    """Exact decimal → double via string round-trip (see module doc)."""
+    return col.cast("string").cast("double")
+
+
+def _d2d_sql(expr: str) -> str:
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
+def _dec(col: str, scale: int = 2) -> Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+        {_d2d_sql("sum(CAST(l_quantity AS DECIMAL(18,2)))")} AS sum_qty,
+        {_d2d_sql("sum(CAST(l_extendedprice AS DECIMAL(18,2)))")} AS sum_base_price,
+        {_d2d_sql("sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))")} AS sum_disc_price,
+        {_d2d_sql("sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6)))")} AS sum_charge,
+        {_d2d_sql("sum(CAST(l_quantity AS DECIMAL(18,2)))")} / count(*) AS avg_qty,
+        {_d2d_sql("sum(CAST(l_discount AS DECIMAL(18,4)))")} / count(*) AS avg_disc,
+        count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    doc="TPC-H Q1 pricing summary: scan + filter + hash aggregate.",
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(30,6)")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _d2d(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _d2d(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _d2d(F.sum(disc_price)).alias("sum_disc_price"),
+            _d2d(F.sum(charge)).alias("sum_charge"),
+            (_d2d(F.sum(_dec("l_quantity"))) / F.count(F.lit(1))).alias("avg_qty"),
+            (
+                _d2d(F.sum(F.col("l_discount").cast("decimal(18,4)")))
+                / F.count(F.lit(1))
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT o.o_orderkey,
+        {_d2d_sql("sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6)))")} AS revenue,
+        o.o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+    doc="TPC-H Q3: selective 3-way join, broadcast dims, top-k.",
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    return (
+        l.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_d2d(F.sum(revenue)).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q05_region_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+        {_d2d_sql("sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6)))")} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    headline=True,
+    doc="TPC-H Q5-style star join across 6 tables; all dims broadcast.",
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    joined = (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(_d2d(F.sum(revenue)).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "agg_orders_by_status",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+        count(*) AS n_orders,
+        {_d2d_sql("sum(CAST(o_totalprice AS DECIMAL(18,2)))")} AS total_price,
+        {_d2d_sql("min(CAST(o_totalprice AS DECIMAL(18,2)))")} AS min_price,
+        {_d2d_sql("max(CAST(o_totalprice AS DECIMAL(18,2)))")} AS max_price
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+    doc="Grouped aggregation with count/sum/min/max (G2 surface).",
+)
+def agg_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _d2d(F.sum(p)).alias("total_price"),
+        _d2d(F.min(p)).alias("min_price"),
+        _d2d(F.max(p)).alias("max_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "topk_customers_by_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+        {_d2d_sql("sum(CAST(o.o_totalprice AS DECIMAL(18,2)))")} AS revenue,
+        count(*) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 25
+    """,
+    doc="Top-k by aggregate with deterministic tie-break (F4 + sort).",
+)
+def topk_customers(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            _d2d(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "distinct_order_dims",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    doc="DISTINCT projection (D1 relational surface).",
+)
+def distinct_dims(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "union_priority_tiers",
+    oracle="""
+    SELECT 'urgent' AS tier, o_orderkey, o_totalprice FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT 'low' AS tier, o_orderkey, o_totalprice FROM orders
+    WHERE o_orderpriority = '5-LOW'
+    """,
+    doc="Union-all of tagged branches (G3).",
+)
+def union_tiers(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("tier"), "o_orderkey", "o_totalprice"
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.lit("low").alias("tier"), "o_orderkey", "o_totalprice"
+    )
+    return urgent.unionByName(low)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "window_rank_orders",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Analytic window function: per-key top-3 (free Spark surface).",
+)
+def window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "semi_join_customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="Left-semi join (J1 'duplicated' branch shape).",
+)
+def semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (J1 'new' branch shape).",
+)
+def anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "broadcast_enrich_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+        coalesce(c.c_name, '') AS c_name,
+        coalesce(c.c_mktsegment, 'UNKNOWN') AS segment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="J2/J3 broadcast left-outer enrichment with miss defaults.",
+)
+def broadcast_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").select("o_orderkey", "o_totalprice", "o_custkey")
+    c = table(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    out = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+    return out.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.coalesce(F.col("c_name"), F.lit("")).alias("c_name"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "rollup_revenue",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+        count(*) AS n,
+        {_d2d_sql("sum(CAST(o_totalprice AS DECIMAL(18,2)))")} AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP grouping sets (free Spark surface).",
+)
+def rollup_rev(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _d2d(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "multi_pattern_timestamp_parse",
+    oracle="""
+    SELECT o_orderkey, parsed FROM (
+        SELECT o_orderkey,
+            coalesce(
+                try_strptime(raw, '%Y/%m/%d %H:%M:%S'),
+                try_strptime(raw, '%d-%m-%Y %H:%M:%S'),
+                try_strptime(raw, '%Y-%m-%d %H:%M:%S')
+            ) AS parsed
+        FROM (
+            SELECT o_orderkey,
+                CASE o_orderkey % 3
+                    WHEN 0 THEN strftime(o_orderdate, '%Y/%m/%d %H:%M:%S')
+                    WHEN 1 THEN strftime(o_orderdate, '%d-%m-%Y %H:%M:%S')
+                    ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                END AS raw
+            FROM orders
+        )
+    )
+    """,
+    doc="TimeUtils multi-pattern timestamp parse ladder (§2.3).",
+)
+def multi_parse(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.functions.timeutils import parse_timestamp_multi
+
+    o = table(spark, sf, "orders")
+    raw = (
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.date_format("o_orderdate", "yyyy/MM/dd HH:mm:ss"),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.date_format("o_orderdate", "dd-MM-yyyy HH:mm:ss"),
+        )
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+    )
+    return o.select(
+        "o_orderkey",
+        parse_timestamp_multi(
+            raw,
+            patterns=(
+                "yyyy/MM/dd HH:mm:ss",
+                "dd-MM-yyyy HH:mm:ss",
+                "yyyy-MM-dd HH:mm:ss",
+            ),
+        ).alias("parsed"),
+    )

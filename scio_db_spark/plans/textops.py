@@ -1,0 +1,376 @@
+"""Training-data text operators over the ``documents`` table.
+
+Deduplication family (exact, MinHash+LSH, SimHash, n-gram Jaccard) and
+text analysis (language-ID, quality scoring, token counting, document
+fingerprinting). Everything compiles to Column expressions + joins —
+no Python UDFs — so at 100 TB these are scans + hash shuffles on
+doc/shingle keys. The pairwise stages join on shingle/band keys (never
+a cartesian product), which is the property that keeps near-dup
+detection feasible at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scio_db_spark.functions.hashing import (
+    MERSENNE_P,
+    minhash_params,
+    perm_hash,
+    perm_hash_sql,
+    str_hash60,
+    str_hash60_sql,
+)
+from scio_db_spark.functions import text as X
+from scio_db_spark.plans.catalog import table
+from scio_db_spark.plans.registry import register
+
+_K = 8  # minhash signature length
+_BANDS = 4  # LSH bands (2 rows per band)
+_SHINGLE_N = 3  # word n-gram size
+
+_TOKS_SQL = X.tokens_sql("text")
+
+# Word-trigram shingles, engine-parallel:
+#  Spark: transform(sequence(1, size-2), i -> concat_ws(' ', slice(toks, i, 3)))
+#  DuckDB: list_transform(generate_series(1, len-2), i -> array_to_string(toks[i:i+2], ' '))
+_SHINGLES_SQL = f"""
+    CASE WHEN len({_TOKS_SQL}) >= {_SHINGLE_N}
+         THEN list_transform(
+                generate_series(1, len({_TOKS_SQL}) - {_SHINGLE_N - 1}),
+                i -> array_to_string(({_TOKS_SQL})[i:i+{_SHINGLE_N - 1}], ' '))
+         ELSE [] END
+"""
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return table(spark, sf, "documents")
+
+
+def _shingles(col):
+    toks = X.tokens(col)
+    return F.when(
+        F.size(toks) >= _SHINGLE_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_SHINGLE_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, _SHINGLE_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _doc_shingle_hashes(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct (doc_id, shingle-hash mod P) pairs."""
+    d = _docs(spark, sf)
+    return (
+        d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+        .distinct()
+        .select(
+            "doc_id", (str_hash60(F.col("shingle")) % MERSENNE_P).alias("h")
+        )
+    )
+
+
+_DOC_SHINGLE_HASHES_SQL = f"""
+    SELECT DISTINCT doc_id,
+        {str_hash60_sql("shingle")} % {MERSENNE_P} AS h
+    FROM (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+@register(
+    "docs_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+        count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on content, canonical = min doc_id.",
+)
+def exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+def _minhash_agg_sql() -> str:
+    cols = ",\n        ".join(
+        f"min({perm_hash_sql('h', a, b)}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_params(_K))
+    )
+    return f"""
+    SELECT doc_id, {cols}
+    FROM ({_DOC_SHINGLE_HASHES_SQL})
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "docs_minhash_signature",
+    oracle=_minhash_agg_sql(),
+    headline=True,
+    doc="MinHash signatures (k=8) over word-trigram shingles.",
+)
+def minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    sh = _doc_shingle_hashes(spark, sf)
+    aggs = [
+        F.min(perm_hash(F.col("h"), a, b)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_params(_K))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+def _lsh_pairs_sql() -> str:
+    band_selects = []
+    for b in range(_BANDS):
+        lo, hi = 2 * b, 2 * b + 1
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, "
+            f"CAST(sig_{lo} AS VARCHAR) || '_' || CAST(sig_{hi} AS VARCHAR) AS band_key "
+            f"FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH sig AS ({_minhash_agg_sql()}),
+    bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "docs_minhash_lsh_pairs",
+    oracle=_lsh_pairs_sql(),
+    doc="MinHash-LSH candidate pairs: band-bucket equi-join (no cartesian).",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    sig = minhash_signature(spark, sf)
+    band_dfs = []
+    for b in range(_BANDS):
+        lo, hi = 2 * b, 2 * b + 1
+        band_dfs.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_",
+                    F.col(f"sig_{lo}").cast("string"),
+                    F.col(f"sig_{hi}").cast("string"),
+                ).alias("band_key"),
+            )
+        )
+    bands = band_dfs[0]
+    for bdf in band_dfs[1:]:
+        bands = bands.unionByName(bdf)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+_H32 = 4_294_967_296  # 2^32
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n        ".join(
+        f"sum(CASE WHEN (h32 // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(32)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {str_hash60_sql("word")} % {_H32} AS h32
+        FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents)
+    ),
+    bits AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id)
+    SELECT doc_id, {combine} AS simhash FROM bits
+    """
+
+
+@register(
+    "docs_simhash",
+    oracle=_simhash_sql(),
+    doc="32-bit SimHash per document over the token multiset.",
+)
+def simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    tok = d.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("word")
+    ).select("doc_id", (str_hash60(F.col("word")) % _H32).alias("h32"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(h32 div {1 << j}) % 2") == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(32)
+    ]
+    bits = tok.groupBy("doc_id").agg(*bit_aggs)
+    combine = None
+    for j in range(32):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        combine = term if combine is None else combine + term
+    return bits.select("doc_id", combine.alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "docs_ngram_jaccard_topk",
+    oracle=f"""
+    WITH ds AS ({_DOC_SHINGLE_HASHES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM ds a JOIN ds b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+        CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+    doc="n-gram Jaccard near-dup: shingle equi-join, top-20 pairs.",
+)
+def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    ds = _doc_shingle_hashes(spark, sf)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "docs_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+        len({_TOKS_SQL}) AS n_tokens,
+        len(list_distinct({_TOKS_SQL})) AS n_distinct_tokens,
+        CASE WHEN len({_TOKS_SQL}) > 0
+             THEN CAST(length(array_to_string({_TOKS_SQL}, '')) AS DOUBLE)
+                  / len({_TOKS_SQL})
+             ELSE 0.0 END AS avg_token_len
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokenizer stats per document.",
+)
+def token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    toks = X.tokens(F.col("text"))
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.when(
+            n > 0,
+            F.length(F.array_join(toks, "")).cast("double") / n,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "docs_quality_score",
+    oracle=f"""
+    SELECT doc_id, {X.quality_score_sql("text")} AS quality
+    FROM documents
+    """,
+    doc="Quality scoring: rational formula over length/punct/stopword ratios.",
+)
+def quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    return d.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "docs_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+        {X.lang_id_sql(_TOKS_SQL)} AS predicted_lang
+    FROM documents
+    """,
+    doc="Language-ID heuristic: argmax of stopword-hit counts.",
+)
+def lang_id_q(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.lang_id(X.tokens(F.col("text"))).alias("predicted_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "docs_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+        {X.fingerprint_sql(
+            f"list_transform({_TOKS_SQL}, w -> {str_hash60_sql('w')} % {MERSENNE_P})"
+        )} AS fingerprint
+    FROM documents
+    """,
+    doc="Order-sensitive rolling document fingerprint (polynomial fold).",
+)
+def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    hashes = F.transform(
+        X.tokens(F.col("text")), lambda w: str_hash60(w) % MERSENNE_P
+    )
+    return d.select("doc_id", X.fingerprint(hashes).alias("fingerprint"))

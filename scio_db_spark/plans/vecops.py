@@ -1,0 +1,170 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Brute-force cosine top-k is the verified baseline; the LSH-bucketed
+variant is the scale path: sign-random-projection buckets turn the
+pairwise stage into an equi-join on the bucket id, so at 100 TB the
+candidate set per query is |bucket| instead of |table|. All arithmetic
+is code-generated element chains (see functions/vectors.py) so the
+DuckDB oracle computes bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scio_db_spark.functions.vectors import (
+    DUCK_AT,
+    SPARK_AT,
+    cosine_sql,
+    dot_sql,
+    lsh_bucket_sql,
+    norm_sql,
+)
+from scio_db_spark.plans.catalog import table
+from scio_db_spark.plans.registry import register
+
+_QUERY_IDS = (0, 1, 2, 3, 4)
+_TOPK = 5
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return table(spark, sf, "embeddings")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "emb_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id IN {_QUERY_IDS}
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+            {cosine_sql("q.q_emb", "e.embedding", DUCK_AT)} AS cos_sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+        SELECT q_id, vec_id, cos_sim,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_TOPK}
+    """,
+    headline=True,
+    doc="Brute-force cosine ANN baseline: top-5 neighbors for 5 queries.",
+)
+def cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = _emb(spark, sf)
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(cosine_sql("q_emb", "embedding", SPARK_AT)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "vec_id", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "emb_lsh_bucket_histogram",
+    oracle=f"""
+    SELECT {lsh_bucket_sql("embedding", DUCK_AT)} AS bucket, count(*) AS n
+    FROM embeddings GROUP BY 1
+    """,
+    doc="Sign-random-projection LSH bucket assignment + histogram.",
+)
+def lsh_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    e = _emb(spark, sf)
+    return (
+        e.select(F.expr(lsh_bucket_sql("embedding", SPARK_AT)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "emb_ann_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+            {lsh_bucket_sql("embedding", DUCK_AT)} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b
+          WHERE vec_id IN {_QUERY_IDS}),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+            {cosine_sql("q.q_emb", "e.embedding", DUCK_AT)} AS cos_sim
+        FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+        SELECT q_id, vec_id, cos_sim,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_TOPK}
+    """,
+    doc="LSH-bucketed ANN: bucket equi-join prunes candidates (scale path).",
+)
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = _emb(spark, sf).withColumn(
+        "bucket", F.expr(lsh_bucket_sql("embedding", SPARK_AT))
+    )
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            e.select("vec_id", "embedding", "bucket"),
+            on=["bucket"],
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(cosine_sql("q_emb", "embedding", SPARK_AT)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "vec_id", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "emb_norms",
+    oracle=f"""
+    SELECT vec_id, label, {norm_sql("embedding", DUCK_AT)} AS l2_norm,
+        {dot_sql("embedding", "embedding", DUCK_AT)} AS sq_norm
+    FROM embeddings
+    """,
+    doc="Per-vector L2 norms (vector scalar surface).",
+)
+def norms(spark: SparkSession, sf: str) -> DataFrame:
+    e = _emb(spark, sf)
+    return e.select(
+        "vec_id",
+        "label",
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("l2_norm"),
+        F.expr(dot_sql("embedding", "embedding", SPARK_AT)).alias("sq_norm"),
+    )

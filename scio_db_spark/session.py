@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+Mirrors the reference's ScioContext construction
+(``/root/reference/src/main/scala/com.db.myproject/mediation/MediationService.scala:75-77``)
+but Spark-first: one place that encodes the scale-oriented defaults we
+want on a real cluster (AQE, skew-join handling, broadcast threshold,
+shuffle partitions) while remaining testable on ``local[N]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the 100 TB design point, still correct locally:
+# - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+#   replaces hand-tuned partition counts.
+# - autoBroadcastJoinThreshold 64m: dimension tables (region/nation/
+#   customer-sized lookups) broadcast instead of shuffling the fact table.
+# - shuffle.partitions: a starting value; AQE coalesces down. On a
+#   1000-executor cluster this should be ~2-3x total cores.
+# - Arrow enabled: every Pandas-UDF boundary is Arrow-batched.
+_SCALE_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": "32",
+    # Streaming state store: RocksDB scales to ~1M+ keys of TTL state
+    # (BASELINE.md) without executor-heap pressure.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
+class SessionFactory:
+    """Builds configured SparkSessions (the engine's single entry point)."""
+
+    @staticmethod
+    def create(
+        app_name: str = "scio-db-spark",
+        master: str | None = None,
+        extra_conf: dict[str, str] | None = None,
+    ) -> SparkSession:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        builder = SparkSession.builder.appName(app_name).master(
+            master or f"local[{cpus}]"
+        )
+        conf = dict(_SCALE_DEFAULTS)
+        if extra_conf:
+            conf.update(extra_conf)
+        for k, v in conf.items():
+            builder = builder.config(k, v)
+        return builder.getOrCreate()
+
+
+def get_spark(app_name: str = "scio-db-spark") -> SparkSession:
+    """Convenience accessor used by tests and bench."""
+    return SessionFactory.create(app_name)

@@ -1,0 +1,95 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB
+against the same sf dir, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted by
+their string representation) — approximating CORRECTNESS_r{N}.json.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+import pandas as pd
+
+from scio_db_spark.plans.catalog import TABLES
+from scio_db_spark.plans.registry import all_queries
+from scio_db_spark.session import SessionFactory
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    d = df[cols].copy()
+    for c in cols:
+        # Render floats with full precision so bit-identical doubles match.
+        d[c] = d[c].map(
+            lambda v: repr(float(v)) if isinstance(v, float) else str(v)
+        )
+    rows = sorted(
+        "\x01".join(str(v) for v in rec) for rec in d.itertuples(index=False)
+    )
+    return hashlib.md5("\x02".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = SessionFactory.create("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    failures = []
+    for name, spec in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = spec.spark(SessionFactory.create("oracle-check"), sf_dir)
+            spark_pd = sdf.toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if spec.oracle is None:
+            print(f"okNA {name}: rows={len(spark_pd)} (no oracle, rows-only)")
+            continue
+        try:
+            duck_pd = con.execute(spec.oracle).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(spark_pd) != len(duck_pd):
+            problems.append(f"rows {len(spark_pd)} != {len(duck_pd)}")
+        if sorted(spark_pd.columns) != sorted(duck_pd.columns):
+            problems.append(
+                f"cols {sorted(spark_pd.columns)} != {sorted(duck_pd.columns)}"
+            )
+        if not problems:
+            h1, h2 = value_hash(spark_pd), value_hash(duck_pd)
+            if h1 != h2:
+                problems.append("value-hash mismatch")
+                # show a hint
+                merged = spark_pd.merge(
+                    duck_pd, how="outer", indicator=True,
+                    on=list(spark_pd.columns),
+                )
+                diff = merged[merged["_merge"] != "both"]
+                print(diff.head(6).to_string())
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            failures.append(name)
+        else:
+            print(f"ok   {name}: rows={len(spark_pd)}")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
