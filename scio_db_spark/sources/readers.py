@@ -1,0 +1,146 @@
+"""Source operators (SURVEY.md §2.1 S1-S8, F5).
+
+Batch reads are plain ``spark.read`` DataFrames so Catalyst keeps
+pushdown/pruning; the date-partitioned historical load (S4) probes
+paths driver-side (F5) then issues ONE multi-path scan — Spark treats a
+multi-path load as an implicit union with a single file index, so at
+100 TB it schedules one scan stage instead of N unioned plans.
+
+Streaming reads (S1/S2) are ``readStream`` facades. The queue source is
+Kafka when available; tests use the file-drop and rate sources, exactly
+as the reference tests swap Pub/Sub for ``testStreamOf``
+(MediationServiceSpec.scala:47-57).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import date, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_files(
+    spark: SparkSession,
+    paths: str | list[str],
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """S3: bounded file read (glob-capable), any Spark batch format.
+
+    Reference: ``sc.avroFile[MyEventRecord](path*)``
+    (MediationService.scala:301,309).
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if options:
+        reader = reader.options(**options)
+    return reader.load(paths if isinstance(paths, str) else list(paths))
+
+
+def _existing_date_paths(
+    base_path: str, days: int, pattern: str, today: date | None = None
+) -> list[str]:
+    """F5: driver-side probing of date-partitioned dirs that exist.
+
+    Reference: ``getOldAvrosFromGCS`` probes ``yyyy/MM/dd`` dirs for the
+    last N days and unions the ones that exist
+    (MediationService.scala:270-315; GCSCommonUtilsInterim.scala:11-40).
+    Local-fs implementation; on object stores swap in the matching
+    lister — the contract (probe, then one multi-path load) is the same.
+    """
+    today = today or date.today()
+    out = []
+    for d in range(days):
+        day = today - timedelta(days=d)
+        sub = day.strftime(pattern)
+        p = os.path.join(base_path, sub)
+        if os.path.isdir(p) and any(
+            not f.startswith((".", "_")) for f in os.listdir(p)
+        ):
+            out.append(p)
+    return out
+
+
+def read_date_partitioned(
+    spark: SparkSession,
+    base_path: str,
+    days: int,
+    fmt: str = "parquet",
+    pattern: str = "%Y/%m/%d",
+    today: date | None = None,
+    schema: StructType | str | None = None,
+) -> DataFrame | None:
+    """S4: historical multi-path union-all load; None when nothing exists.
+
+    One scan over all existing date dirs (implicit union), not N plans.
+    """
+    paths = _existing_date_paths(base_path, days, pattern, today)
+    if not paths:
+        return None
+    return read_files(spark, paths, fmt=fmt, schema=schema)
+
+
+def from_rows(
+    spark: SparkSession, rows: list, schema: StructType | str | None = None
+) -> DataFrame:
+    """S7: in-memory collection source (``sc.parallelize``)."""
+    return spark.createDataFrame(rows, schema)
+
+
+def read_stream_files(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1/S8 test form: unbounded file-drop source with explicit schema.
+
+    ``maxFilesPerTrigger`` is the ingest-rate knob (W11 backpressure
+    analogue of the reference's throttled consumption).
+    """
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def read_stream_rate(
+    spark: SparkSession, rows_per_second: int = 1000
+) -> DataFrame:
+    """S2 stand-in: synthetic unbounded source (``timestamp, value``)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def read_stream_queue(
+    spark: SparkSession,
+    topic: str,
+    bootstrap_servers: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1/S2 production form: Kafka subscription read (binary key/value).
+
+    The Pub/Sub reads of the reference (PubSubConsumer.scala:38-52) map
+    to Kafka in the Spark ecosystem; callers decode ``value`` with
+    ``from_avro``/``cast('string')``. Requires the Kafka connector jars
+    on the cluster — this facade only declares the plan.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load()

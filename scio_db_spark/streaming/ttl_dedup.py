@@ -1,0 +1,153 @@
+"""Stateful TTL deduplication (D2/D3/D4) on Structured Streaming.
+
+Re-expresses the reference's State & Timer pattern
+(``/root/reference/src/main/scala/com.db.myproject/mediation/http/state/StateBaseAsyncDoFn.java:30-34,68-93,156-166``
+and ``http/StateAsyncParDoWithHttpHandler.scala:86-95,105-164``) on
+``applyInPandasWithState`` with a processing-time timeout:
+
+- first occurrence of a key → emitted ``SENT`` and the send time is
+  recorded in per-key state (Beam's ``BagState`` buffered the record,
+  but the duplicate check is key-presence only —
+  StateAsyncParDoWithHttpHandler.scala:116-120 — so first-send time
+  carries the same information);
+- repeats while state is live → emitted ``SENT_OR_DUPLICATED``
+  (the duplicate contract D4 — duplicates are *emitted*, not dropped);
+- the TTL runs from the FIRST send (``ttl.offset(bufferTime).setRelative()``
+  on first buffering, StateAsyncParDoWithHttpHandler.scala:86-95);
+  duplicates do NOT extend it. Since ``GroupStateTimeout`` resets on
+  every invocation, the deadline is re-derived from the stored
+  first-send time each time — after expiry the key sends again;
+- initial-load rows (D3) — marked by ``initial_col`` — seed state
+  without being emitted, mirroring the ``INITIAL_LOAD_`` short-circuit
+  (StateAsyncParDoWithHttpHandler.scala:111-113,133-145).
+
+Note: the preferred Spark 4 API (``transformWithStateInPandas`` with
+state-level TTL) requires protobuf at runtime, unavailable in this
+environment; ``applyInPandasWithState`` is the SURVEY.md §2.5-sanctioned
+fallback with identical observable semantics.
+
+Scale: state is hash-partitioned by key across executors in the
+RocksDB state store — ~1M live keys (BASELINE.md) fits comfortably,
+and the TTL timeout bounds state growth.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from scio_db_spark.schemas import SENT_OR_DUPLICATED
+
+SENT = "SENT"
+
+_STATE_SCHEMA = "first_sent_ms long"
+
+
+def _make_dedup_fn(
+    ttl_ms: int,
+    order_cols: list[str] | None,
+    initial_col: str | None,
+    clock_ms=None,
+    use_timers: bool = True,
+):
+    clock_ms = clock_ms or (lambda: int(time.time() * 1000))
+
+    def dedup_fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # W5/onTtl: the timer fired — clear the key's state so the
+            # next occurrence sends again (StateBaseAsyncDoFn.java:156-166).
+            state.remove()
+            return
+        now = clock_ms()
+        first_sent = state.get[0] if state.exists else None
+        if first_sent is not None and now - first_sent >= ttl_ms:
+            # Deadline passed but the timeout callback hasn't run yet
+            # (timeouts reset on every invocation) — expire inline.
+            first_sent = None
+        for pdf in pdfs:
+            if initial_col is not None and len(pdf):
+                seed = pdf[pdf[initial_col].astype(bool)]
+                pdf = pdf[~pdf[initial_col].astype(bool)]
+                if len(seed) and first_sent is None:
+                    first_sent = now  # D3: seed state, emit nothing
+            if order_cols:
+                pdf = pdf.sort_values(order_cols)
+            statuses = []
+            for _ in range(len(pdf)):
+                if first_sent is None:
+                    statuses.append(SENT)
+                    first_sent = now
+                else:
+                    statuses.append(SENT_OR_DUPLICATED)
+            if len(pdf):
+                out = pdf.copy()
+                if initial_col is not None:
+                    out = out.drop(columns=[initial_col])
+                out["send_status"] = statuses
+                yield out
+        if first_sent is not None:
+            state.update((int(first_sent),))
+            if use_timers:
+                # Re-arm the per-key timer relative to the FIRST send so
+                # duplicates never extend the TTL.
+                remaining = max(1, first_sent + ttl_ms - now)
+                state.setTimeoutDuration(int(remaining))
+        elif state.exists:
+            # Inline-expired with no new send this batch: GC the key now
+            # (the timer would have done this in onTtl).
+            state.remove()
+
+    return dedup_fn
+
+
+def ttl_dedup(
+    keyed_df: DataFrame,
+    ttl_seconds: float,
+    output_schema: str | StructType,
+    key_col: str = "idempotent_key",
+    order_cols: list[str] | None = None,
+    initial_col: str | None = None,
+    output_mode: str = "update",
+    clock_ms=None,
+    use_timers: bool = True,
+) -> DataFrame:
+    """Apply the TTL dedup gate to a streaming keyed DataFrame.
+
+    ``output_schema`` = input columns (minus ``initial_col``) plus
+    ``send_status string``. ``clock_ms`` is injectable for
+    deterministic tests (virtual clock).
+
+    ``use_timers=True`` (production, continuous queries) arms a
+    per-key processing-time timer that garbage-collects expired state
+    (Beam's ``@OnTimer`` clear). Armed timers make Spark schedule
+    timer-check micro-batches, which keeps ``Trigger.AvailableNow``
+    queries alive — so bounded/test harnesses pass ``use_timers=False``:
+    TTL expiry is *also* enforced inline from the stored first-send
+    time, so observable SENT / SENT_OR_DUPLICATED semantics are
+    identical; only the state-GC mechanism differs (inline removal on
+    the key's next visit instead of a background timer).
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if use_timers
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed_df.groupBy(key_col).applyInPandasWithState(
+        func=_make_dedup_fn(
+            int(ttl_seconds * 1000), order_cols, initial_col, clock_ms,
+            use_timers,
+        ),
+        outputStructType=output_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode=output_mode,
+        timeoutConf=timeout,
+    )

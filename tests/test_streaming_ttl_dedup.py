@@ -1,0 +1,125 @@
+"""Streaming TTL-dedup contract tests (SURVEY.md §2.5 D2/D3/D4, §5).
+
+The Spark analogue of MediationServiceSpec.scala:45-83: deterministic
+micro-batches through the file-drop harness, asserting
+
+- 3 duplicates -> 1 SENT + 2 SENT_OR_DUPLICATED (D4: emitted, not dropped);
+- a later batch inside the TTL -> SENT_OR_DUPLICATED;
+- after TTL expiry the key sends again (W5 timer-clear semantics);
+- initial-load rows seed state without being emitted (D3).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from scio_db_spark.streaming.harness import StreamHarness
+from scio_db_spark.streaming.ttl_dedup import ttl_dedup
+
+SCHEMA = StructType(
+    [
+        StructField("idempotent_key", StringType()),
+        StructField("payload", StringType()),
+        StructField("ts", DoubleType()),
+    ]
+)
+
+SEED_SCHEMA = StructType(SCHEMA.fields + [StructField("is_initial", BooleanType())])
+
+OUT = "idempotent_key string, payload string, ts double, send_status string"
+
+
+def _statuses(rows, key):
+    return sorted(
+        (r.ts, r.send_status) for r in rows if r.idempotent_key == key
+    )
+
+
+@pytest.fixture()
+def harness(spark):
+    h = StreamHarness(spark, SCHEMA)
+    yield h
+    h.stop()
+
+
+def test_three_duplicates_one_send(spark, harness):
+    harness.start(
+        lambda s: ttl_dedup(s, ttl_seconds=3600, output_schema=OUT,
+                            order_cols=["ts"], use_timers=False)
+    )
+    harness.add_batch(
+        [
+            Row(idempotent_key="tx1-1", payload="a", ts=1.0),
+            Row(idempotent_key="tx1-1", payload="b", ts=2.0),
+            Row(idempotent_key="tx1-1", payload="c", ts=3.0),
+            Row(idempotent_key="tx2-2", payload="d", ts=1.0),
+        ]
+    )
+    rows = harness.results()
+    assert _statuses(rows, "tx1-1") == [
+        (1.0, "SENT"),
+        (2.0, "SENT_OR_DUPLICATED"),
+        (3.0, "SENT_OR_DUPLICATED"),
+    ]
+    assert _statuses(rows, "tx2-2") == [(1.0, "SENT")]
+
+
+def test_duplicate_across_batches_then_ttl_expiry(spark, harness):
+    ttl = 6.0
+    harness.start(
+        lambda s: ttl_dedup(s, ttl_seconds=ttl, output_schema=OUT,
+                            order_cols=["ts"], use_timers=False)
+    )
+    harness.add_batch([Row(idempotent_key="k", payload="a", ts=1.0)])
+    harness.add_batch([Row(idempotent_key="k", payload="b", ts=2.0)])
+    rows = harness.results()
+    assert _statuses(rows, "k") == [(1.0, "SENT"), (2.0, "SENT_OR_DUPLICATED")]
+
+    # After the TTL elapses the key's state is cleared and it sends again
+    # (StateBaseAsyncDoFn.java:156-166 onTtl -> clear).
+    time.sleep(ttl + 2)
+    harness.add_batch([Row(idempotent_key="k", payload="c", ts=3.0)])
+    rows = harness.results()
+    assert _statuses(rows, "k")[-1] == (3.0, "SENT")
+
+
+def test_initial_load_seeds_state_without_emitting(spark):
+    h = StreamHarness(spark, SEED_SCHEMA)
+    try:
+        h.start(
+            lambda s: ttl_dedup(
+                s,
+                ttl_seconds=3600,
+                output_schema=OUT,
+                order_cols=["ts"],
+                initial_col="is_initial",
+                use_timers=False,
+            )
+        )
+        # Batch 1: historical seed (D3) — must NOT be emitted.
+        h.add_batch(
+            [Row(idempotent_key="h1", payload="hist", ts=0.0, is_initial=True)]
+        )
+        assert h.results() == []
+        # Batch 2: live traffic — seeded key is a duplicate, fresh key sends.
+        h.add_batch(
+            [
+                Row(idempotent_key="h1", payload="live", ts=1.0, is_initial=False),
+                Row(idempotent_key="new", payload="live", ts=1.0, is_initial=False),
+            ]
+        )
+        rows = h.results()
+        assert _statuses(rows, "h1") == [(1.0, "SENT_OR_DUPLICATED")]
+        assert _statuses(rows, "new") == [(1.0, "SENT")]
+    finally:
+        h.stop()
