@@ -1,0 +1,119 @@
+"""File and debug sinks (SURVEY.md §2.2 K1/K2/K5/K6).
+
+All batch writes go through the DataFrame writer so Catalyst controls
+the physical write (dynamic partition overwrite, file sizing via
+``maxRecordsPerFile``). The windowed streaming sink (K1) is
+``foreachBatch`` + ``partitionBy(window_start)`` — at 100 TB that means
+one write job per micro-batch, files co-located per window partition,
+no driver-side file shuffling.
+
+Format note: the reference writes Avro
+(``streaming/utils/SinkUtils.scala:36-71``); Spark's avro connector is
+a separate jar not present in this environment, so the default format
+here is parquet with ``fmt`` overridable — the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    num_shards: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "append",
+    max_records_per_file: int | None = None,
+) -> None:
+    """K2: sharded file write (``saveAsAvroFile(num_shards)``,
+    SinkUtils.scala:58-71).
+
+    ``num_shards=None`` keeps the upstream partitioning (preferred at
+    scale — an explicit ``repartition`` is a full shuffle, so only pass
+    it when the downstream consumer needs exactly-N files).
+    """
+    if num_shards is not None:
+        df = df.repartition(num_shards)
+    writer = df.write.format(fmt).mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.save(path)
+
+
+def write_windowed_batch(
+    batch_df: DataFrame,
+    path: str,
+    ts_col: str = "event_time",
+    window_duration: str = "30 seconds",
+    fmt: str = "parquet",
+) -> None:
+    """K1 batch body: write one partition dir per tumbling window.
+
+    The reference names each Avro file ``<start>_<end>.avro`` per
+    ``IntervalWindow`` (SinkUtils.scala:36-56, TimeUtils.scala:38-57);
+    here every window becomes a ``window_start=.../`` partition dir —
+    same grouping contract, but partition-pruned on read.
+    """
+    out = batch_df.withColumn(
+        "window_start",
+        F.date_format(
+            F.window(F.col(ts_col), window_duration)["start"],
+            "yyyy-MM-dd_HH-mm-ss",
+        ),
+    )
+    out.write.format(fmt).mode("append").partitionBy("window_start").save(path)
+
+
+def windowed_file_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_col: str = "event_time",
+    window_duration: str = "30 seconds",
+    fmt: str = "parquet",
+    trigger: dict | None = None,
+):
+    """K1: streaming windowed file sink (returns the started query)."""
+    writer = stream_df.writeStream.foreachBatch(
+        lambda batch_df, _epoch: write_windowed_batch(
+            batch_df, path, ts_col, window_duration, fmt
+        )
+    ).option("checkpointLocation", checkpoint)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def dead_letter_sink(
+    ko_stream: DataFrame,
+    base_path: str,
+    checkpoint: str,
+    ts_col: str = "event_time",
+    window_duration: str = "30 seconds",
+    fmt: str = "parquet",
+):
+    """K5: toxic/dead-letter routing — K1 under ``<base>/toxic/``.
+
+    Reference: invalid BERs → 30 s windows → Avro under
+    ``gs://bucket/toxic/`` (MediationService.scala:128-131).
+    """
+    return windowed_file_sink(
+        ko_stream,
+        f"{base_path.rstrip('/')}/toxic",
+        checkpoint,
+        ts_col=ts_col,
+        window_duration=window_duration,
+        fmt=fmt,
+    )
+
+
+def debug_sink(stream_df: DataFrame, num_rows: int = 20, truncate: bool = True):
+    """K6: console/debug sink (``.debug()``, PubSubConsumer.scala:34)."""
+    return (
+        stream_df.writeStream.format("console")
+        .option("numRows", str(num_rows))
+        .option("truncate", str(truncate).lower())
+        .start()
+    )

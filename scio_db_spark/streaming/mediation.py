@@ -1,0 +1,158 @@
+"""End-to-end mediation pipeline (SURVEY.md §3.1, MediationService.scala:71-145).
+
+The flagship dataflow of the reference, Spark-first:
+
+```
+readStream (BERs) ──────────────────────────────────────────────┐
+  STEP 2   key by idempotent_key (P1/P2)                        │
+  STEP 2.2 validity partition OK/KO (F1/F2)                     │
+  STEP 2.3 KO → tumbling windows → dead-letter files (K5/W2)    │
+  STEP 2.b OK ⟕ broadcast(historical) anti-join → new vs dup (J1)
+  STEP 3-4 distinctByKey (D1) → stateful TTL dedup (D2/D3/D4)
+  STEP 5   SENT rows → async HTTP POST (K4, W8/W9/W11)
+  STEP 6   (record, response) analytics projection (P9)
+```
+
+Where the reference uses a side-input map of historical keys
+(MediationService.scala:110-117), we broadcast the static DataFrame and
+let the stream-static left-anti join re-resolve per micro-batch —
+Spark re-plans stream-static joins every batch, which also gives the
+J5 "refreshing side input" semantics for free when the underlying
+table changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scio_db_spark.operators.dedup import distinct_by_key
+from scio_db_spark.operators.keying import with_idempotent_key
+from scio_db_spark.operators.validity import split_ok_ko
+from scio_db_spark.schemas import NOT_HTTP_RESPONSE_ID, SENT_OR_DUPLICATED
+from scio_db_spark.sinks.http_sink import send_http_batch, to_http_request
+from scio_db_spark.streaming.ttl_dedup import SENT, ttl_dedup
+
+
+def validity_predicate():
+    """F1: non-null transaction/notification/customer ids
+    (MyEventRecordUtils.scala:15-25) on the flat BER shape."""
+    return (
+        F.col("transaction_id").isNotNull()
+        & F.col("notification_id").isNotNull()
+        & F.col("customer_id").isNotNull()
+    )
+
+
+def build_mediation_core(
+    stream_df: DataFrame,
+    historical_df: DataFrame | None = None,
+    ttl_seconds: float = 259200.0,
+    order_cols: list[str] | None = None,
+    use_timers: bool = True,
+) -> dict[str, DataFrame]:
+    """Build the OK / KO / deduped streaming plans (no sinks attached).
+
+    ``stream_df`` is the flat BER stream (BER_FLAT_SCHEMA columns).
+    Returns ``{"ko": ..., "deduped": ...}`` where ``deduped`` carries
+    ``send_status`` ∈ {SENT, SENT_OR_DUPLICATED}.
+    """
+    keyed = with_idempotent_key(
+        stream_df, "transaction_id", "customer_id"
+    )  # P1/P2: transactionId-customerId, MyEventRecordUtils.scala:55
+    ok, ko = split_ok_ko(keyed, validity_predicate())
+
+    if historical_df is not None:
+        # J1: already-notified keys are dropped from the send path
+        # before state even sees them (dup branch of the reference logs
+        # them; the state layer below re-emits any residual dups).
+        hist_keys = F.broadcast(
+            distinct_by_key(
+                historical_df.select("idempotent_key"), "idempotent_key"
+            )
+        )
+        ok = ok.join(hist_keys, "idempotent_key", "left_anti")
+
+    out_cols = [
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in ok.schema.fields
+    ]
+    deduped = ttl_dedup(
+        ok,
+        ttl_seconds=ttl_seconds,
+        output_schema=", ".join(out_cols) + ", send_status string",
+        order_cols=order_cols,
+        use_timers=use_timers,
+    )
+    return {"ko": ko, "deduped": deduped}
+
+
+def send_deduped_batch(
+    batch_df: DataFrame,
+    url: str,
+    **send_kwargs,
+) -> DataFrame:
+    """STEP 5-6 batch body: POST only SENT rows; duplicates get the
+    constant SENT_OR_DUPLICATED response without a network call (D4,
+    StateAsyncParDoWithHttpHandler.scala:155-164).
+
+    Returns the unioned (record, response) analytics DataFrame (P9).
+    """
+    req = to_http_request(batch_df)
+    sent = send_http_batch(
+        req.filter(F.col("send_status") == SENT).drop("send_status"), url,
+        **send_kwargs,
+    ).withColumn("send_status", F.lit(SENT))
+    dup = req.filter(F.col("send_status") == SENT_OR_DUPLICATED).withColumns(
+        {
+            "resp_id": F.lit(NOT_HTTP_RESPONSE_ID),
+            "resp_title": F.lit(None).cast("string"),
+            "resp_body": F.lit(SENT_OR_DUPLICATED),
+            "resp_user_id": F.col("user_id"),
+            "nhub_success": F.lit(False),
+            "send_latency_ms": F.lit(0).cast("long"),
+        }
+    )
+    return sent.unionByName(dup.select(*sent.columns))
+
+
+def run_mediation_pipeline(
+    stream_df: DataFrame,
+    url: str,
+    checkpoint_dir: str,
+    dead_letter_path: str,
+    analytics_path: str | None = None,
+    historical_df: DataFrame | None = None,
+    ttl_seconds: float = 259200.0,
+    window_duration: str = "30 seconds",
+    trigger: dict | None = None,
+    **send_kwargs,
+) -> dict:
+    """Start the full pipeline; returns the running queries."""
+    from scio_db_spark.sinks.files import dead_letter_sink
+
+    core = build_mediation_core(
+        stream_df, historical_df=historical_df, ttl_seconds=ttl_seconds
+    )
+
+    ko_query = dead_letter_sink(
+        core["ko"],
+        dead_letter_path,
+        f"{checkpoint_dir}/ko",
+        window_duration=window_duration,
+    )
+
+    def _process(batch_df: DataFrame, _epoch: int) -> None:
+        out = send_deduped_batch(batch_df, url, **send_kwargs)
+        if analytics_path is not None:
+            out.write.mode("append").parquet(analytics_path)
+        else:
+            out.foreach(lambda _row: None)
+
+    writer = core["deduped"].writeStream.foreachBatch(_process).option(
+        "checkpointLocation", f"{checkpoint_dir}/send"
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    send_query = writer.start()
+    return {"ko_query": ko_query, "send_query": send_query}

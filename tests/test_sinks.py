@@ -1,0 +1,147 @@
+"""Sink tests (SURVEY.md §2.2): HTTP sink contract against a local stub
+(replacing the reference's live jsonplaceholder dependency,
+MediationServiceSpec.scala:74-79) and the file sinks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+class _StubHandler(BaseHTTPRequestHandler):
+    """Mimics jsonplaceholder POST /posts: echoes body + id=101."""
+
+    def do_POST(self):  # noqa: N802 — http.server API
+        length = int(self.headers.get("Content-Length", 0))
+        payload = json.loads(self.rfile.read(length) or b"{}")
+        self.server.requests.append(payload)
+        if self.server.fail_all:
+            self.send_response(500)
+            self.end_headers()
+            self.wfile.write(b"boom")
+            return
+        body = dict(payload)
+        body["id"] = 101
+        data = json.dumps(body).encode()
+        self.send_response(201)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *args):  # silence
+        pass
+
+
+@pytest.fixture()
+def http_stub():
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _StubHandler)
+    server.requests = []
+    server.fail_all = False
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield server
+    server.shutdown()
+
+
+def _url(server):
+    return f"http://127.0.0.1:{server.server_address[1]}/posts"
+
+
+def test_send_http_batch_appends_responses(spark, http_stub):
+    from scio_db_spark.sinks import send_http_batch, to_http_request
+
+    df = spark.createDataFrame(
+        [
+            Row(notification_id="n1", message="hello", customer_id="7"),
+            Row(notification_id="n2", message="world", customer_id="8"),
+        ]
+    )
+    out = send_http_batch(to_http_request(df), _url(http_stub)).collect()
+    assert len(out) == 2
+    assert all(r.resp_id == 101 for r in out)
+    assert all(r.nhub_success for r in out)
+    assert sorted(q["title"] for q in http_stub.requests) == ["n1", "n2"]
+
+
+def test_send_http_batch_ko_on_failure_no_raise(spark, http_stub):
+    # W9: errors are swallowed into the KO response, never raised.
+    from scio_db_spark.sinks import send_http_batch, to_http_request
+
+    http_stub.fail_all = True
+    df = spark.createDataFrame(
+        [Row(notification_id="n1", message="hello", customer_id="7")]
+    )
+    out = send_http_batch(
+        to_http_request(df), _url(http_stub), retries=2, backoff_s=0.01
+    ).collect()
+    assert len(out) == 1
+    assert out[0].resp_body == "ko"
+    assert out[0].nhub_success is False
+    # W8: 1 initial + 2 retries.
+    assert len(http_stub.requests) == 3
+
+
+def test_classify_success():
+    from scio_db_spark.sinks import classify_success
+
+    assert classify_success("created id=5")
+    assert not classify_success("ERROR: nope")
+    assert not classify_success("status KO")
+    assert not classify_success(None)
+
+
+def test_send_deduped_batch_posts_only_sent(spark, http_stub):
+    # D4 + K4: 3 duplicates -> exactly 1 POST, all 3 rows emitted.
+    from scio_db_spark.streaming.mediation import send_deduped_batch
+
+    df = spark.createDataFrame(
+        [
+            Row(notification_id="n1", message="m", customer_id="7",
+                send_status="SENT"),
+            Row(notification_id="n1", message="m", customer_id="7",
+                send_status="SENT_OR_DUPLICATED"),
+            Row(notification_id="n1", message="m", customer_id="7",
+                send_status="SENT_OR_DUPLICATED"),
+        ]
+    )
+    out = send_deduped_batch(df, _url(http_stub)).collect()
+    assert len(out) == 3
+    assert len(http_stub.requests) == 1
+    statuses = sorted(r.resp_body for r in out)
+    assert statuses.count("SENT_OR_DUPLICATED") == 2
+    sent = [r for r in out if r.send_status == "SENT"]
+    assert sent[0].resp_id == 101 and sent[0].nhub_success
+
+
+def test_write_sharded_and_windowed(spark, tmp_path):
+    from scio_db_spark.sinks import write_sharded, write_windowed_batch
+
+    df = spark.range(100).withColumn(
+        "event_time",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("id").cast("double")),
+    )
+    p1 = str(tmp_path / "sharded")
+    write_sharded(df, p1, num_shards=3)
+    parts = [f for f in os.listdir(p1) if f.startswith("part-")]
+    assert len(parts) == 3
+    assert spark.read.parquet(p1).count() == 100
+
+    p2 = str(tmp_path / "windowed")
+    write_windowed_batch(df, p2, window_duration="30 seconds")
+    dirs = sorted(d for d in os.listdir(p2) if d.startswith("window_start="))
+    assert len(dirs) == 4  # 100 s of data / 30 s windows
+    back = spark.read.parquet(p2)
+    assert back.count() == 100
+    # Partition pruning works on the window column.
+    assert back.filter(
+        F.col("window_start") == "2024-01-01_00-00-00"
+    ).count() == 30
