@@ -1,0 +1,177 @@
+"""Multimodal (binary-column) operators.
+
+Images/audio/video are opaque ``binary`` columns plus a typed metadata
+struct; the heavy per-record work (decode, feature extraction, frame
+sampling) runs as Arrow-batched ``mapInPandas`` — the UDF receives
+whole record batches, operates on raw ``bytes``, and can fan one row
+out to many (frame sampling), which is exactly the shape a real
+image/audio codec step needs at 100 TB: the scan stays columnar, only
+the binary payload crosses into Python, and partitioning/pushdown are
+untouched because everything else remains Column expressions.
+
+The actual codecs (PIL/ffmpeg/soundfile) are NOT in this environment,
+so ``decode`` is a clearly-marked deterministic fake that parses a
+fake header from the real bytes (``codec="fake"``); requesting a real
+codec raises ``NotImplementedError``. The Spark-side plumbing —
+schemas, batch iteration, row fan-out, partition behavior — is real
+and oracle-tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Typed metadata carried alongside every binary payload.
+MEDIA_META_FIELDS = "mime_type string, n_bytes long"
+
+DECODE_META_FIELDS = (
+    "n_bytes long, width int, height int, first_byte int, last_byte int"
+)
+
+
+def with_binary_payload(
+    df: DataFrame, text_col: str = "text", mime: str = "image/fake"
+) -> DataFrame:
+    """Attach an opaque binary payload + metadata struct.
+
+    Test stand-in: the payload is the UTF-8 encoding of ``text_col``
+    (the synthetic tables carry no real media). In production this
+    column comes straight from the source (parquet ``binary``).
+    """
+    return df.withColumns(
+        {
+            "payload": F.encode(F.col(text_col), "UTF-8"),
+            "media_meta": F.struct(
+                F.lit(mime).alias("mime_type"),
+                F.octet_length(F.col(text_col)).alias("n_bytes"),
+            ),
+        }
+    )
+
+
+def _fake_decode(b: bytes) -> tuple[int, int, int, int, int]:
+    """Deterministic fake codec: 'header' = first two bytes.
+
+    width = b[0]*256 + b[1]; height = n_bytes % 4096. A real codec
+    would parse the container header the same way — from the bytes.
+    """
+    n = len(b)
+    first = b[0] if n else 0
+    second = b[1] if n > 1 else 0
+    last = b[-1] if n else 0
+    return n, first * 256 + second, n % 4096, first, last
+
+
+def decode_media_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    codec: str = "fake",
+) -> DataFrame:
+    """Decode step: (id, payload) → typed media dimensions.
+
+    ``codec='fake'`` is the deterministic stub; any other codec name
+    raises until the corresponding library is provisioned.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r} requires an image/audio library not present "
+            "in this environment; only the 'fake' deterministic codec is "
+            "implemented"
+        )
+    out_schema = f"{id_col} long, {DECODE_META_FIELDS}"
+
+    def _decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            rows = [
+                (int(i), *_fake_decode(bytes(b)))
+                for i, b in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_bytes", "width", "height",
+                    "first_byte", "last_byte",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_size: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling: fan each binary out to one row per fixed-size
+    frame (video keyframe / audio chunk analogue).
+
+    Output: (id, frame_idx, frame_len, frame_first_byte). One input
+    Arrow batch yields many output rows — the ``mapInPandas`` contract
+    a real frame extractor needs.
+    """
+    out_schema = (
+        f"{id_col} long, frame_idx int, frame_len int, frame_first_byte int"
+    )
+
+    def _frames(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b)
+                for idx in range(0, max(1, -(-len(b) // frame_size))):
+                    chunk = b[idx * frame_size : (idx + 1) * frame_size]
+                    out.append(
+                        (int(i), idx, len(chunk), chunk[0] if chunk else 0)
+                    )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[id_col, "frame_idx", "frame_len",
+                             "frame_first_byte"],
+                )
+
+    return df.select(id_col, payload_col).mapInPandas(_frames, out_schema)
+
+
+def byte_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-extraction stub: 4 scalar features from the raw bytes
+    (embedding-model stand-in; same batch shape as a real encoder).
+    """
+    out_schema = (
+        f"{id_col} long, f_len long, f_first int, f_last int, f_mod int"
+    )
+
+    def _feats(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b)
+                rows.append(
+                    (
+                        int(i),
+                        len(b),
+                        b[0] if b else 0,
+                        b[-1] if b else 0,
+                        len(b) % 256,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "f_len", "f_first", "f_last", "f_mod"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_feats, out_schema)

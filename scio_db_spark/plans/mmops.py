@@ -1,0 +1,115 @@
+"""Multimodal (binary-column) queries over the ``documents`` table.
+
+The synthetic tables carry no real media, so the binary payload is the
+UTF-8 encoding of ``text`` (deterministic on both engines: Spark
+``encode``, DuckDB ``encode``) and the "codec" is the deterministic
+fake in ``functions/multimodal.py``. What these queries actually
+verify is the 100 TB-relevant plumbing: binary columns flowing through
+Arrow into ``mapInPandas``, per-record byte access, one-to-many frame
+fan-out, and columnar metadata staying in JVM expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scio_db_spark.functions.multimodal import (
+    byte_features,
+    decode_media_meta,
+    sample_frames,
+    with_binary_payload,
+)
+from scio_db_spark.plans.catalog import table
+from scio_db_spark.plans.registry import register
+
+_FRAME = 32  # bytes per sampled frame
+
+
+def _docs_with_payload(spark: SparkSession, sf: str) -> DataFrame:
+    return with_binary_payload(table(spark, sf, "documents"))
+
+
+# n_bytes of the UTF-8 payload, in DuckDB terms (text is ASCII-checked
+# equal to length(text), but octet_length(encode()) is the honest form).
+_NB = "octet_length(encode(text))"
+
+
+# --------------------------------------------------------------------------
+@register(
+    "mm_decode_meta",
+    oracle=f"""
+    SELECT doc_id,
+        CAST({_NB} AS BIGINT) AS n_bytes,
+        CAST(ascii(substr(text, 1, 1)) * 256
+             + ascii(substr(text, 2, 1)) AS INT) AS width,
+        CAST({_NB} % 4096 AS INT) AS height,
+        CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+        CAST(ascii(substr(text, length(text), 1)) AS INT) AS last_byte
+    FROM documents
+    """,
+    doc="Multimodal decode: binary payload → typed media dimensions via "
+    "Arrow-batched mapInPandas (fake codec over real bytes).",
+)
+def mm_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
+    return decode_media_meta(_docs_with_payload(spark, sf))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT d.doc_id,
+        CAST(f.i AS INT) AS frame_idx,
+        CAST(least({_FRAME}, {_NB} - f.i * {_FRAME}) AS INT) AS frame_len,
+        CAST(ascii(substr(text, f.i * {_FRAME} + 1, 1)) AS INT)
+            AS frame_first_byte
+    FROM documents d,
+        unnest(generate_series(
+            0, CAST(ceil({_NB} / {_FRAME}.0) AS INT) - 1)) AS f(i)
+    """,
+    doc="Multimodal frame sampling: one row per fixed-size frame of the "
+    "binary payload (video keyframe / audio chunk analogue), "
+    "one-to-many mapInPandas fan-out.",
+)
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    return sample_frames(_docs_with_payload(spark, sf), frame_size=_FRAME)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "mm_byte_features",
+    oracle=f"""
+    SELECT doc_id,
+        CAST({_NB} AS BIGINT) AS f_len,
+        CAST(ascii(substr(text, 1, 1)) AS INT) AS f_first,
+        CAST(ascii(substr(text, length(text), 1)) AS INT) AS f_last,
+        CAST({_NB} % 256 AS INT) AS f_mod
+    FROM documents
+    """,
+    doc="Multimodal feature extraction stub: scalar features from raw "
+    "bytes (embedding-encoder batch shape) via mapInPandas.",
+)
+def mm_byte_features(spark: SparkSession, sf: str) -> DataFrame:
+    return byte_features(_docs_with_payload(spark, sf))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "mm_payload_metadata",
+    oracle=f"""
+    SELECT doc_id, 'image/fake' AS mime_type,
+        CAST({_NB} AS BIGINT) AS n_bytes, source
+    FROM documents
+    """,
+    doc="Multimodal metadata projection: typed metadata struct stays in "
+    "JVM Column expressions (no Python), only payload bytes ever cross.",
+)
+def mm_payload_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs_with_payload(spark, sf)
+    return d.select(
+        "doc_id",
+        F.col("media_meta.mime_type").alias("mime_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        "source",
+    )

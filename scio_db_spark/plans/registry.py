@@ -43,6 +43,12 @@ def register(
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate REGISTRY.
-    from scio_db_spark.plans import mediation, relational, textops, vecops  # noqa: F401
+    from scio_db_spark.plans import (  # noqa: F401
+        mediation,
+        mmops,
+        relational,
+        textops,
+        vecops,
+    )
 
     return REGISTRY
