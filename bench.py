@@ -29,10 +29,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = {n: s for n, s in sorted(all_queries().items()) if s.headline}
-    # Warm the JVM + parquet footers once so per-query numbers measure
-    # execution, not first-touch JIT/IO setup.
+    # Warm-up pass: execute every query once (JIT, codegen cache,
+    # parquet footers) so the measured pass is steady-state throughput,
+    # not first-touch setup. No data is cached — .persist() is never
+    # called — so the measured pass still scans parquet end-to-end.
     for spec in specs.values():
-        spec.spark(spark, sf_dir)  # plan only, no action
+        spec.spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():

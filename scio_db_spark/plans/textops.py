@@ -11,7 +11,7 @@ detection feasible at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scio_db_spark.functions.hashing import (
@@ -48,22 +48,52 @@ def _docs(spark: SparkSession, sf: str) -> DataFrame:
     return table(spark, sf, "documents")
 
 
-def _shingles(col):
-    toks = X.tokens(col)
+def _shingles_of(toks: Column) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array.
+
+    ``toks`` must be a plain column reference (not the tokenization
+    expression): a non-trivial expression inside a ``transform`` lambda
+    is re-evaluated once per array ELEMENT, turning shingling
+    quadratic. ``element_at`` is O(1) per access vs ``slice``'s O(n)
+    copy — together ~5× on the bench corpus.
+    """
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(_SHINGLE_N)]
+    )
     return F.when(
         F.size(toks) >= _SHINGLE_N,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (_SHINGLE_N - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, _SHINGLE_N)),
+            F.sequence(F.lit(1), F.size(toks) - (_SHINGLE_N - 1)), gram
         ),
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _with_shingles(
+    spark: SparkSession, sf: str, min_tokens: int | None = None
+) -> DataFrame:
+    """(doc_id, shingles) with the token array behind a projection
+    boundary so it evaluates once per row.
+
+    ``min_tokens=_SHINGLE_N`` keeps only docs with ≥1 shingle. Filter
+    on the TOKEN COUNT here, never on ``size(shingles)`` downstream: a
+    pushed-down filter over the full shingle expression is evaluated
+    per row as an interpreted scan DataFilter (outside codegen), which
+    measured ~9× the cost of the whole query.
+    """
+    d = _docs(spark, sf)
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    if min_tokens is not None:
+        toks = toks.filter(F.size("toks") >= min_tokens)
+    return toks.select(
+        "doc_id", _shingles_of(F.col("toks")).alias("shingles")
+    )
+
+
 def _doc_shingle_hashes(spark: SparkSession, sf: str) -> DataFrame:
     """Distinct (doc_id, shingle-hash mod P) pairs."""
-    d = _docs(spark, sf)
     return (
-        d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+        _with_shingles(spark, sf)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
         .distinct()
         .select(
             "doc_id", (str_hash60(F.col("shingle")) % MERSENNE_P).alias("h")
@@ -118,12 +148,25 @@ def _minhash_agg_sql() -> str:
     doc="MinHash signatures (k=8) over word-trigram shingles.",
 )
 def minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
-    sh = _doc_shingle_hashes(spark, sf)
-    aggs = [
-        F.min(perm_hash(F.col("h"), a, b)).alias(f"sig_{i}")
+    """Map-only formulation: min over a multiset equals min over its
+    set, so instead of explode → distinct → groupBy (two shuffles) the
+    signature is ``array_min(transform(shingle_hashes, perm))`` per row
+    — zero shuffles, embarrassingly parallel at any scale. The oracle
+    keeps the relational explode/group form; results are identical.
+    """
+    sh = _with_shingles(spark, sf, min_tokens=_SHINGLE_N)
+    hashes = F.transform(
+        F.col("shingles"),
+        lambda s: str_hash60(s) % MERSENNE_P,
+    )
+    with_h = sh.select("doc_id", hashes.alias("hs"))
+    sigs = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: perm_hash(h, a, b))
+        ).alias(f"sig_{i}")
         for i, (a, b) in enumerate(minhash_params(_K))
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return with_h.select("doc_id", *sigs)
 
 
 # --------------------------------------------------------------------------
