@@ -1,0 +1,87 @@
+"""Config loader tests (SURVEY.md §2.10 — RootPureConfig parity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from scio_db_spark.config import (
+    ConfigEnv,
+    ConfigError,
+    ConfigSource,
+    RootConfig,
+    parse_hocon,
+    read_config,
+    read_config_with_override,
+)
+
+HOCON = """
+// comment
+local {
+  gcs-bucket = "b1" // trailing comment
+  mediation {
+    version = "1.2.3"
+    config-path = "mediation/"${local.mediation.version}"/app.conf"
+    ttl-time = 120
+    retry-notifications = true
+    endpoint {
+      url = host.example
+      full-url = "https://"${local.mediation.endpoint.url}
+    }
+  }
+}
+prod {
+  gcs-bucket = "b2"
+  mediation { ttl-time = 259200 }
+}
+"""
+
+
+def test_parse_hocon_subset():
+    t = parse_hocon(HOCON)
+    med = t["local"]["mediation"]
+    assert t["local"]["gcs-bucket"] == "b1"
+    assert med["ttl-time"] == 120
+    assert med["retry-notifications"] is True
+    # ${} substitution + adjacent-string concatenation.
+    assert med["config-path"] == "mediation/1.2.3/app.conf"
+    assert med["endpoint"]["full-url"] == "https://host.example"
+    assert t["prod"]["mediation"]["ttl-time"] == 259200
+
+
+def test_env_roots_and_typed_tree():
+    cfg = read_config(ConfigEnv.local, ConfigSource.STRING, HOCON)
+    assert cfg.gcs_bucket == "b1"
+    assert cfg.mediation.ttl_time == 120
+    assert cfg.mediation.endpoint.full_url == "https://host.example"
+    prod = read_config("prod", ConfigSource.STRING, HOCON)
+    assert prod.mediation.ttl_time == 259200
+
+
+def test_unknown_env_and_missing_root():
+    with pytest.raises(ConfigError, match="unknown config env"):
+        read_config("staging", ConfigSource.STRING, HOCON)
+    with pytest.raises(ConfigError, match="no 'uat' root"):
+        read_config("uat", ConfigSource.STRING, HOCON)
+
+
+def test_default_resource_loads_all_envs():
+    for env in (ConfigEnv.local, ConfigEnv.test, ConfigEnv.prod):
+        cfg = read_config(env)
+        assert isinstance(cfg, RootConfig)
+        assert cfg.mediation.endpoint.full_url.startswith("http")
+    assert read_config(ConfigEnv.prod).mediation.ttl_time == 259200
+
+
+def test_override_string_beats_default():
+    cfg = read_config_with_override(ConfigEnv.local, HOCON)
+    assert cfg.gcs_bucket == "b1"
+    fallback = read_config_with_override(ConfigEnv.local, None)
+    assert fallback.gcs_bucket == "local_bucket"
+
+
+def test_env_var_source(monkeypatch):
+    monkeypatch.setenv("LOCAL__GCS_BUCKET", "envbucket")
+    monkeypatch.setenv("LOCAL__MEDIATION__TTL_TIME", "42")
+    cfg = read_config(ConfigEnv.local, ConfigSource.ENV)
+    assert cfg.gcs_bucket == "envbucket"
+    assert cfg.mediation.ttl_time == 42
