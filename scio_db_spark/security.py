@@ -1,0 +1,86 @@
+"""Optional TLS plumbing for the HTTP sink (SURVEY.md §2.10).
+
+The reference materializes keystore/truststore files from Secret
+Manager onto workers and builds an SSLContext for the Akka client
+(``streaming/utils/dofn/ssl/SslConfig.scala:10-41``,
+``SslConfigHelper.scala:9-56``,
+``http/clients/akka/AkkaSSLContextFromSecretManager.scala:16-56``,
+``utils/gcp/SecretManagerClient.scala:8-31``).
+
+Spark-first port: a ``secret_provider`` is any ``Callable[[str],
+bytes]`` (cloud secret manager, vault, env, file); the factory writes
+the PEM material to the executor-local filesystem once per Python
+worker and returns a stdlib ``ssl.SSLContext``. JKS/P12 keystores are
+a JVM concept — the Python client consumes PEM; converting is a
+deploy-time step, so requesting one raises with a clear message.
+"""
+
+from __future__ import annotations
+
+import os
+import ssl
+import tempfile
+import threading
+from collections.abc import Callable
+
+_lock = threading.Lock()
+_cached: dict[tuple, ssl.SSLContext] = {}
+
+
+def env_secret_provider(name: str) -> bytes:
+    """Smallest provider: secrets from environment variables."""
+    val = os.environ.get(name)
+    if val is None:
+        raise KeyError(f"secret {name!r} not present in environment")
+    return val.encode()
+
+
+def build_ssl_context(
+    secret_provider: Callable[[str], bytes] | None = None,
+    ca_secret: str | None = None,
+    client_cert_secret: str | None = None,
+    client_key_secret: str | None = None,
+) -> ssl.SSLContext:
+    """SslConfigHelper analogue: per-worker cached SSLContext.
+
+    With no arguments returns the system-default context. Secrets must
+    be PEM; JKS/P12 material (the reference's keystore format) must be
+    converted at deploy time.
+    """
+    key = (ca_secret, client_cert_secret, client_key_secret)
+    with _lock:
+        if key in _cached:
+            return _cached[key]
+        if any(
+            s and s.lower().endswith((".jks", ".p12"))
+            for s in key if s
+        ):
+            raise NotImplementedError(
+                "JKS/P12 keystores are JVM-format; convert to PEM at "
+                "deploy time (openssl pkcs12 ...) and point the secret "
+                "at the PEM"
+            )
+        ctx = ssl.create_default_context()
+        if secret_provider is not None and ca_secret is not None:
+            ctx.load_verify_locations(
+                cadata=secret_provider(ca_secret).decode()
+            )
+        if (
+            secret_provider is not None
+            and client_cert_secret is not None
+            and client_key_secret is not None
+        ):
+            # load_cert_chain requires files: materialize worker-local
+            # (the reference writes keystores to the worker fs the same
+            # way, SslConfigHelper.scala:9-56).
+            d = tempfile.mkdtemp(prefix="sslmat_")
+            cert_p = os.path.join(d, "client.pem")
+            key_p = os.path.join(d, "client.key")
+            with open(cert_p, "wb") as fh:
+                fh.write(secret_provider(client_cert_secret))
+            with open(key_p, "wb") as fh:
+                fh.write(secret_provider(client_key_secret))
+            os.chmod(key_p, 0o600)
+            ctx.load_cert_chain(cert_p, key_p)
+        _cached[key] = ctx
+        return ctx

@@ -1,0 +1,55 @@
+"""Auxiliary plumbing tests: mock generator, queue serializers, SSL."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_mock_bers_shape_and_keys(spark):
+    from scio_db_spark.sources.mockdata import mock_bers
+
+    df = mock_bers(spark, 100, distinct_keys=10)
+    rows = df.collect()
+    assert len(rows) == 100
+    assert {r.customer_id for r in rows} == {str(i) for i in range(10)}
+    # P10: jittered transaction ids are unique even with repeated keys.
+    assert len({r.transaction_id for r in rows}) == 100
+    assert all(r.retries is None for r in rows)
+
+
+def test_stable_mock_bers_deterministic(spark):
+    from scio_db_spark.sources.mockdata import stable_mock_bers
+
+    a = {r.transaction_id for r in stable_mock_bers(spark, 20, 5).collect()}
+    b = {r.transaction_id for r in stable_mock_bers(spark, 20, 5).collect()}
+    assert a == b and len(a) == 5
+
+
+def test_serialize_json_wire_shape(spark):
+    from scio_db_spark.sinks.queue import serialize_json
+
+    df = spark.createDataFrame([(1, "x")], "id int, name string")
+    out = serialize_json(df, key_col="id").collect()[0]
+    assert out.key == "1"
+    assert '"name":"x"' in out.value
+
+
+def test_ssl_context_default_and_jks_gate():
+    from scio_db_spark.security import build_ssl_context
+
+    ctx = build_ssl_context()
+    assert ctx.protocol is not None
+    with pytest.raises(NotImplementedError, match="JKS/P12"):
+        build_ssl_context(
+            secret_provider=lambda n: b"", ca_secret="store.jks"
+        )
+
+
+def test_env_secret_provider(monkeypatch):
+    from scio_db_spark.security import env_secret_provider
+
+    monkeypatch.setenv("MY_SECRET", "s3cr3t")
+    assert env_secret_provider("MY_SECRET") == b"s3cr3t"
+    with pytest.raises(KeyError):
+        env_secret_provider("ABSENT_SECRET")
