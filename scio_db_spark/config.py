@@ -137,27 +137,28 @@ def _parse_object(tokens: list, i: int, closing: bool) -> tuple[dict, int]:
                 obj[key] = nested
             continue
         # value: sequence of scalar/subst parts until newline/rbrace
-        parts: list[Any] = []
+        parts: list[tuple[str, Any]] = []
         while i < len(tokens):
             k3, v3 = tokens[i]
             if k3 in ("newline", "rbrace"):
                 break
             if k3 == "string":
-                parts.append(v3[1:-1].replace('\\"', '"'))
+                parts.append(("string", v3[1:-1].replace('\\"', '"')))
             elif k3 == "subst":
-                parts.append(_Subst(v3[2:-1].strip()))
+                parts.append(("subst", _Subst(v3[2:-1].strip())))
             elif k3 == "bare":
-                parts.append(v3)
+                parts.append(("bare", v3))
             else:
                 raise ConfigError(f"unexpected {v3!r} in value for {key}")
             i += 1
         if len(parts) == 1:
-            v = parts[0]
-            obj[key] = _coerce_scalar(v) if isinstance(v, str) else v
-        elif all(isinstance(p, str) for p in parts):
-            obj[key] = " ".join(parts)
+            kind1, v = parts[0]
+            # Only BARE tokens are type-coerced; quoted stay strings.
+            obj[key] = _coerce_scalar(v) if kind1 == "bare" else v
+        elif all(k in ("string", "bare") for k, _ in parts):
+            obj[key] = " ".join(v for _, v in parts)
         else:
-            obj[key] = parts  # mixed concat, resolved later
+            obj[key] = [v for _, v in parts]  # mixed concat, resolved later
     if closing:
         raise ConfigError("missing '}'")
     return obj, i

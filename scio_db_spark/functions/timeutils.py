@@ -15,6 +15,8 @@ Everything stays JVM-side (whole-stage codegen); no Python UDFs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -78,3 +80,37 @@ def day_list(days_back: int) -> Column:
     return F.sequence(
         F.date_sub(F.current_date(), days_back), F.current_date()
     )
+
+
+def in_months(ts: Column, months: tuple[int, ...]) -> Column:
+    """Seasonal calendar filter (TimeUtils.scala:115-120)."""
+    return F.month(ts).isin(*months)
+
+
+_ISO_DUR = re.compile(
+    r"^P(?:(?P<d>\d+)D)?"
+    r"(?:T(?:(?P<h>\d+)H)?(?:(?P<m>\d+)M)?(?:(?P<s>\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def parse_iso_duration(text: str) -> float:
+    """ISO-8601 duration string → seconds, at PLAN time (driver-side).
+
+    The reference parses ``PT30S``-style durations into (window start,
+    duration) pairs (TimeUtils.scala:86-113); here the parsed seconds
+    feed ``F.window(...)``/trigger configuration. Weeks/months/years
+    are rejected (calendar-dependent), as in java.time.Duration.
+    """
+    m = _ISO_DUR.match(text.strip().upper())
+    if not m or not any(m.groupdict().values()):
+        raise ValueError(f"invalid ISO-8601 duration: {text!r}")
+    days = int(m.group("d") or 0)
+    hours = int(m.group("h") or 0)
+    mins = int(m.group("m") or 0)
+    secs = float(m.group("s") or 0)
+    return days * 86400 + hours * 3600 + mins * 60 + secs
+
+
+def window_from_iso(ts: Column, iso_duration: str) -> Column:
+    """Tumbling window column whose length is an ISO-8601 duration."""
+    return F.window(ts, f"{parse_iso_duration(iso_duration)} seconds")

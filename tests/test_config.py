@@ -46,6 +46,10 @@ def test_parse_hocon_subset():
     assert med["config-path"] == "mediation/1.2.3/app.conf"
     assert med["endpoint"]["full-url"] == "https://host.example"
     assert t["prod"]["mediation"]["ttl-time"] == 259200
+    # Quoted scalars are never type-coerced; bare ones are.
+    t2 = parse_hocon('a { q = "123"\n b = 123\n f = "true"\n g = true }')
+    assert t2["a"]["q"] == "123" and t2["a"]["b"] == 123
+    assert t2["a"]["f"] == "true" and t2["a"]["g"] is True
 
 
 def test_env_roots_and_typed_tree():
