@@ -168,3 +168,57 @@ def norms(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(norm_sql("embedding", SPARK_AT)).alias("l2_norm"),
         F.expr(dot_sql("embedding", "embedding", SPARK_AT)).alias("sq_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+_NEAR_DUP_TAU = 0.3  # synthetic embeddings are near-random; at this
+# threshold ~1% of bucket-co-located pairs qualify, exercising the full path
+
+
+@register(
+    "emb_near_dup_pairs",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+            {lsh_bucket_sql("embedding", DUCK_AT)} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, e.vec_id AS vec_b,
+        {cosine_sql("a.embedding", "e.embedding", DUCK_AT)} AS cos_sim
+    FROM b a JOIN b e
+      ON a.bucket = e.bucket AND a.vec_id < e.vec_id
+    WHERE {cosine_sql("a.embedding", "e.embedding", DUCK_AT)}
+          >= {_NEAR_DUP_TAU}
+    """,
+    doc="Embedding-cosine near-duplicate pairs: LSH bucket equi-join "
+    "prunes candidates, threshold keeps near-dups — the vector member "
+    "of the dedup family (exact/MinHash/SimHash/Jaccard/cosine).",
+)
+def near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale path: candidates come ONLY from the same LSH bucket (an
+    equi-join on bucket id — never a cartesian product), then the exact
+    cosine filters false positives. At 100 TB, recall is tuned by
+    OR-ing multiple independent bucket tables (same pattern as the
+    MinHash bands); one table suffices for the oracle check."""
+    b = _emb(spark, sf).withColumn(
+        "bucket", F.expr(lsh_bucket_sql("embedding", SPARK_AT))
+    ).select("vec_id", "embedding", "bucket")
+    a = b.alias("a")
+    e = b.alias("e")
+    cos = F.expr(cosine_sql("a_emb", "e_emb", SPARK_AT))
+    return (
+        a.join(
+            e,
+            (F.col("a.bucket") == F.col("e.bucket"))
+            & (F.col("a.vec_id") < F.col("e.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("e.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("a_emb"),
+            F.col("e.embedding").alias("e_emb"),
+        )
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= _NEAR_DUP_TAU)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
