@@ -1,0 +1,71 @@
+"""Connected components by min-label propagation (dedup clustering).
+
+The final step of near-duplicate detection: candidate pairs (MinHash
+LSH, SimHash, embedding near-dups) form edges; each connected component
+is one duplicate cluster; the canonical document is the minimum id in
+the component ("keep one per cluster").
+
+Spark-first iterative algorithm (no GraphX/graphframes dependency):
+label(v) starts as v, then each iteration takes the min label over v and
+its neighbors, until a fixpoint. Converges in O(diameter) iterations —
+near-dup clusters are shallow (stars/cliques), so typically 2-4. Each
+iteration is one shuffle join on the edge list; ``localCheckpoint``
+cuts the lineage so plans stay constant-size. This is the standard
+large-graph CC formulation: at 100 TB the edge list is orders of
+magnitude smaller than the corpus (candidates only), and every step is
+an equi-join — no driver-side collection of the graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(src, dst) edge list → (v, label) with label = min id reachable.
+
+    Vertices are those appearing in edges; isolated docs are their own
+    canonical and can be unioned in by the caller.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        nbr = (
+            sym.join(labels, sym["a"] == labels["v"])
+            .select(F.col("b").alias("v"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

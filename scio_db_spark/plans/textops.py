@@ -417,3 +417,39 @@ def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
         X.tokens(F.col("text")), lambda w: str_hash60(w) % MERSENNE_P
     )
     return d.select("doc_id", X.fingerprint(hashes).alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "docs_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM sym),
+    reach(v, u) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.v, s.b FROM reach r JOIN sym s ON s.a = r.u
+    )
+    SELECT v AS doc_id, min(u) AS canonical_doc_id
+    FROM reach GROUP BY v
+    """,
+    doc="Dedup clustering: connected components over MinHash-LSH "
+    "candidate pairs via iterative min-label propagation; canonical = "
+    "min doc_id per cluster (the 'keep one per cluster' step).",
+)
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative-join label propagation (operators/clusters.py) — each
+    iteration one equi-join shuffle, O(cluster diameter) iterations.
+    The oracle expresses the same fixpoint as a recursive CTE."""
+    from scio_db_spark.operators.clusters import connected_components
+
+    pairs = minhash_lsh_pairs(spark, sf)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("canonical_doc_id")
+    )

@@ -1,0 +1,38 @@
+"""Connected-components (dedup clustering) tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from scio_db_spark.operators.clusters import connected_components
+
+
+def test_components_chain_and_star(spark):
+    # Chain 1-2-3-4 (diameter 3, needs >1 iteration) + star 10-(11,12)
+    # + isolated pair 20-21.
+    edges = spark.createDataFrame(
+        [
+            Row(src=2, dst=1),
+            Row(src=3, dst=2),
+            Row(src=4, dst=3),
+            Row(src=10, dst=11),
+            Row(src=10, dst=12),
+            Row(src=21, dst=20),
+        ]
+    )
+    got = {
+        r.v: r.label for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_components_cycle(spark):
+    edges = spark.createDataFrame(
+        [Row(src=5, dst=6), Row(src=6, dst=7), Row(src=7, dst=5)]
+    )
+    got = {r.v: r.label for r in connected_components(edges).collect()}
+    assert got == {5: 5, 6: 5, 7: 5}
