@@ -453,3 +453,45 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return cc.select(
         F.col("v").alias("doc_id"), F.col("label").alias("canonical_doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting: GPT-style pre-tokenization (letter runs,
+# digit runs, punctuation runs) then fixed-width sub-word chunking
+# (ceil(len/4)) as a deterministic stand-in for a learned BPE merge
+# table — the right cost model for LLM-data budgeting without shipping
+# a vocab. Pure regex + arithmetic in both engines.
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+_BPE_CHUNK = 4
+
+
+@register(
+    "docs_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+        CAST(coalesce(list_sum(list_transform(
+            regexp_extract_all(lower(text), '{_BPE_RE}'),
+            x -> CAST(ceil(length(x) / {_BPE_CHUNK}.0) AS BIGINT))), 0)
+        AS BIGINT) AS n_bpe_tokens,
+        CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}'))
+             AS BIGINT) AS n_pieces
+    FROM documents
+    """,
+    doc="BPE-ish token counting: regex pre-tokenization + fixed-width "
+    "sub-word chunking (LLM token-budget estimator).",
+)
+def bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    pieces = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0)
+    with_p = d.select("doc_id", pieces.alias("pieces"))
+    n_bpe = F.aggregate(
+        F.col("pieces"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.ceil(F.length(x) / F.lit(float(_BPE_CHUNK))).cast("long"),
+    )
+    return with_p.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        F.size("pieces").cast("long").alias("n_pieces"),
+    )

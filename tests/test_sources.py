@@ -1,0 +1,43 @@
+"""Source reader tests (SURVEY.md §2.1 S3/S4, §2.4 F5)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import Row
+
+from scio_db_spark.sources.readers import (
+    read_date_partitioned,
+    read_files,
+)
+
+
+def test_date_partitioned_probe_and_union(spark, tmp_path):
+    # Three of the last five date dirs exist; one is empty (skipped —
+    # the F5 contract: only dirs that exist AND contain data files).
+    base = tmp_path / "hist"
+    today = date(2024, 1, 10)
+    for d, n in (("2024/01/10", 2), ("2024/01/09", 3), ("2024/01/07", 1)):
+        p = base / d
+        spark.createDataFrame(
+            [Row(k=f"{d}-{i}") for i in range(n)]
+        ).write.parquet(str(p))
+    (base / "2024" / "01" / "08").mkdir(parents=True)  # exists, empty
+
+    df = read_date_partitioned(
+        spark, str(base), days=5, today=today
+    )
+    assert df is not None
+    assert df.count() == 6  # 2 + 3 + 1, one scan over 3 paths
+    # S4 returns None when nothing exists (caller skips initial load).
+    assert read_date_partitioned(
+        spark, str(tmp_path / "nothing"), days=3, today=today
+    ) is None
+
+
+def test_read_files_glob(spark, tmp_path):
+    p = tmp_path / "glob"
+    spark.createDataFrame([Row(v=1), Row(v=2)]).write.parquet(str(p / "a"))
+    spark.createDataFrame([Row(v=3)]).write.parquet(str(p / "b"))
+    df = read_files(spark, [str(p / "a"), str(p / "b")])
+    assert df.count() == 3
