@@ -222,3 +222,113 @@ def near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("cos_sim") >= _NEAR_DUP_TAU)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+_IVF_CELLS = 16   # coarse centroids (vec_id < 16, deterministic stand-in
+#                   for a trained k-means codebook — the assignment and
+#                   probe machinery is identical to real IVF)
+_IVF_NPROBE = 2   # cells searched per query
+
+
+def _ivf_assign_sql() -> str:
+    """(vec_id, embedding, cid): every vector assigned to its max-dot
+    centroid, ties broken by smallest centroid id."""
+    return f"""
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.vec_id AS cid,
+            row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY {dot_sql("e.embedding", "c.embedding", DUCK_AT)}
+                         DESC, c.vec_id) AS rn
+        FROM embeddings e JOIN embeddings c ON c.vec_id < {_IVF_CELLS}
+    ) WHERE rn = 1
+    """
+
+
+@register(
+    "emb_ann_ivf_topk",
+    oracle=f"""
+    WITH assign AS ({_ivf_assign_sql()}),
+    qprobe AS (
+        SELECT q_id, q_emb, cid FROM (
+            SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+                c.vec_id AS cid,
+                row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {dot_sql("e.embedding", "c.embedding", DUCK_AT)}
+                             DESC, c.vec_id) AS rn
+            FROM embeddings e JOIN embeddings c ON c.vec_id < {_IVF_CELLS}
+            WHERE e.vec_id IN {_QUERY_IDS}
+        ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT q.q_id, a.vec_id,
+            {cosine_sql("q.q_emb", "a.embedding", DUCK_AT)} AS cos_sim
+        FROM qprobe q JOIN assign a
+          ON a.cid = q.cid AND a.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+        SELECT q_id, vec_id, cos_sim,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_TOPK}
+    """,
+    doc="IVF-style ANN: coarse-quantizer cell assignment (argmax dot, "
+    "broadcast centroids), nprobe=2 cell probe per query, exact "
+    "re-rank inside probed cells only.",
+)
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale path: the centroid table is tiny and broadcast; cell
+    assignment is a map-side argmax (one pass over 100 TB, no shuffle
+    of the embedding column beyond its own partition); the search joins
+    queries only against their probed cells. Swapping the deterministic
+    codebook for trained k-means centroids changes no plan shape."""
+    e = _emb(spark, sf)
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < _IVF_CELLS).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+        )
+    )
+    dot = F.expr(dot_sql("embedding", "cemb", SPARK_AT))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("dot"), F.asc("cid")
+    )
+    assign = (
+        e.join(cent)
+        .withColumn("dot", dot)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    qprobe = (
+        e.filter(F.col("vec_id").isin(*_QUERY_IDS))
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        .join(cent)
+        .withColumn("dot", F.expr(dot_sql("q_emb", "cemb", SPARK_AT)))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("q_id", "q_emb", "cid")
+    )
+    scored = (
+        F.broadcast(qprobe)
+        .join(assign, on=["cid"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(cosine_sql("q_emb", "embedding", SPARK_AT)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "vec_id", "cos_sim")
+    )
