@@ -1,0 +1,105 @@
+"""Skew mitigation: salted two-phase aggregation (SURVEY.md scale note).
+
+AQE's skew-join splitting handles skewed JOINs at runtime; skewed
+AGGREGATIONS (one hot key receiving most rows — the null-key flood, the
+celebrity user) still funnel one reducer. The classic fix is salting:
+phase 1 aggregates on (key, salt) spreading the hot key over N
+reducers, phase 2 merges the partials on the key alone. Only algebraic
+aggregates decompose this way; this module implements the standard
+four (+avg via sum/count) with the merge laws applied automatically.
+
+The salt is `rand()`-derived — non-deterministic per row, but the
+merged result is salt-independent, so determinism of the OUTPUT is
+preserved (property-tested against the unsalted plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+#: agg kind → (phase-1 partial, phase-2 merge)
+_MERGE_LAWS = {
+    "sum": (F.sum, F.sum),
+    "count": (lambda c: F.count(c), F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, Column | str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs`` maps output name → (kind, column) with kind in
+    {sum, count, min, max, avg}. Example::
+
+        salted_agg(df, ["user_id"], {
+            "n": ("count", F.lit(1)),
+            "total": ("sum", "value"),
+            "biggest": ("max", "value"),
+            "mean": ("avg", "value"),
+        }, n_salts=32)
+    """
+    phase1_cols: list[Column] = []
+    phase2_cols: list[Column] = []
+    post_cols: list[Column] = []
+
+    for name, (kind, col) in aggs.items():
+        col = F.col(col) if isinstance(col, str) else col
+        if kind == "avg":
+            # avg is not algebraic — decompose into sum + count.
+            phase1_cols.append(F.sum(col).alias(f"__{name}_s"))
+            phase1_cols.append(F.count(col).alias(f"__{name}_c"))
+            phase2_cols.append(F.sum(f"__{name}_s").alias(f"__{name}_s"))
+            phase2_cols.append(F.sum(f"__{name}_c").alias(f"__{name}_c"))
+            post_cols.append(
+                (F.col(f"__{name}_s") / F.col(f"__{name}_c")).alias(name)
+            )
+            continue
+        if kind not in _MERGE_LAWS:
+            raise ValueError(
+                f"unsupported agg kind {kind!r}; algebraic kinds only "
+                f"({sorted(_MERGE_LAWS)} + avg)"
+            )
+        partial, merge = _MERGE_LAWS[kind]
+        phase1_cols.append(partial(col).alias(name))
+        phase2_cols.append(merge(name).alias(name))
+        post_cols.append(F.col(name))
+
+    salted = df.withColumn(
+        _SALT, (F.rand() * n_salts).cast("int")
+    )
+    merged = (
+        salted.groupBy(*keys, _SALT)
+        .agg(*phase1_cols)
+        .groupBy(*keys)
+        .agg(*phase2_cols)
+    )
+    return merged.select(*[F.col(k) for k in keys], *post_cols)
+
+
+def salted_join_key(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 16,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Manual salted equi-join prep (for engines/paths without AQE):
+    the skewed LEFT side gets a random salt, the small RIGHT side is
+    exploded ×n_salts so every salted key finds its match. Returns
+    (left', right', join_cols). Prefer AQE skew-join where available —
+    this is the explicit fallback the operators compose with.
+    """
+    lsalted = left.withColumn(_SALT, (F.rand() * n_salts).cast("int"))
+    rsalted = right.withColumn(
+        _SALT,
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+    )
+    return lsalted, rsalted, [on, _SALT]

@@ -413,3 +413,74 @@ def multi_parse(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ).alias("parsed"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q04_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1997-07-01'
+      AND o.o_orderdate < DATE '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: date-filtered orders semi-joined to returned "
+    "lineitems, counted per priority (semi join + hash agg; the "
+    "synthetic lineitem has no commit/receipt dates, so 'late' is "
+    "modeled by the returnflag).",
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    late = table(spark, sf, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(late, o["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT {_d2d_sql(
+        "sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,4)))"
+    )} AS revenue,
+        count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan-filter-aggregate; every predicate "
+    "reaches the parquet scan as a pushed filter.",
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast(
+        "decimal(30,4)"
+    )
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _d2d(F.sum(rev)).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
