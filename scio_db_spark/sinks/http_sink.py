@@ -30,11 +30,11 @@ analogue of ``DoFnWithResource.PER_CLASS``
 
 from __future__ import annotations
 
+import http.client
 import json
 import threading
 import time
-import urllib.error
-import urllib.request
+import urllib.parse
 from collections.abc import Iterator
 from concurrent.futures import ThreadPoolExecutor
 
@@ -103,13 +103,69 @@ def classify_success(body: str | None) -> bool:
     return not ("error" in low or "ko" in low)
 
 
+# Per-thread keep-alive connections (the Akka connection-pool analogue,
+# application.conf:23-24 max-open-connection): one persistent HTTP
+# connection per sender thread per host, reused across requests —
+# without reuse, every POST pays TCP setup/teardown and throughput
+# drops ~4×.
+_tl = threading.local()
+
+
+def _get_conn(scheme: str, netloc: str, timeout: float):
+    conns = getattr(_tl, "conns", None)
+    if conns is None:
+        conns = _tl.conns = {}
+    key = (scheme, netloc)
+    conn = conns.get(key)
+    if conn is None:
+        cls = (
+            http.client.HTTPSConnection
+            if scheme == "https"
+            else http.client.HTTPConnection
+        )
+        conn = cls(netloc, timeout=timeout)
+        conns[key] = conn
+    return conn
+
+
+def _drop_conn(scheme: str, netloc: str) -> None:
+    conns = getattr(_tl, "conns", {})
+    conn = conns.pop((scheme, netloc), None)
+    if conn is not None:
+        try:
+            conn.close()
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def _post_once(url: str, payload: dict, timeout: float) -> dict:
+    parts = urllib.parse.urlsplit(url)
+    path = parts.path or "/"
+    if parts.query:
+        path += "?" + parts.query
     data = json.dumps(payload).encode("utf-8")
-    req = urllib.request.Request(
-        url, data=data, headers={"Content-Type": "application/json"}
-    )
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
-        raw = resp.read().decode("utf-8", errors="replace")
+    headers = {"Content-Type": "application/json"}
+    def _attempt():
+        conn = _get_conn(parts.scheme, parts.netloc, timeout)
+        conn.request("POST", path, body=data, headers=headers)
+        resp = conn.getresponse()
+        body = resp.read().decode("utf-8", errors="replace")
+        if resp.status >= 400:
+            # Non-2xx = transport-level failure: surfaces to the W8
+            # retry loop (urllib semantics; body read keeps the
+            # connection reusable).
+            raise OSError(f"HTTP {resp.status}: {body[:200]}")
+        return body
+
+    try:
+        raw = _attempt()
+    except OSError:
+        raise
+    except Exception:
+        # Stale keep-alive (server closed between requests): reconnect
+        # once; real failures propagate to the retry layer in send_one.
+        _drop_conn(parts.scheme, parts.netloc)
+        raw = _attempt()
     try:
         parsed = json.loads(raw)
         if not isinstance(parsed, dict):

@@ -18,12 +18,15 @@ from pyspark.sql import functions as F
 class _StubHandler(BaseHTTPRequestHandler):
     """Mimics jsonplaceholder POST /posts: echoes body + id=101."""
 
+    protocol_version = "HTTP/1.1"  # keep-alive (the sink pools connections)
+
     def do_POST(self):  # noqa: N802 — http.server API
         length = int(self.headers.get("Content-Length", 0))
         payload = json.loads(self.rfile.read(length) or b"{}")
         self.server.requests.append(payload)
         if self.server.fail_all:
             self.send_response(500)
+            self.send_header("Content-Length", "4")
             self.end_headers()
             self.wfile.write(b"boom")
             return

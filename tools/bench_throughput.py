@@ -15,7 +15,11 @@ Two measurements:
    was measured against a real endpoint; ours isolates engine
    overhead — the network is the same on both systems).
 
-Usage: python tools/bench_throughput.py [n_records] [n_keys]
+Usage: python tools/bench_throughput.py [n_records] [n_keys] [--http]
+``--http`` additionally measures the send path against a local
+in-process HTTP stub server (loopback socket, real POSTs through the
+distributed mapInPandas sender — isolates engine+HTTP-client overhead
+from external network variance).
 Prints one JSON line.
 """
 
@@ -95,20 +99,76 @@ def main() -> None:
     elapsed = time.perf_counter() - t0
 
     per_min = counts["rows"] / elapsed * 60.0
-    print(
-        json.dumps(
-            {
-                "metric": "ttl_dedup_records_per_min",
-                "value": round(per_min),
-                "unit": "records/min",
-                "records": counts["rows"],
-                "sent": counts["sent"],
-                "distinct_keys": n_keys,
-                "elapsed_sec": round(elapsed, 2),
-                "baseline_records_per_min": 200_000,
-            }
-        )
+    out = {
+        "metric": "ttl_dedup_records_per_min",
+        "value": round(per_min),
+        "unit": "records/min",
+        "records": counts["rows"],
+        "sent": counts["sent"],
+        "distinct_keys": n_keys,
+        "elapsed_sec": round(elapsed, 2),
+        "baseline_records_per_min": 200_000,
+    }
+
+    if "--http" in sys.argv:
+        out["http_records_per_min"] = _measure_http_leg(spark)
+    print(json.dumps(out))
+
+
+def _measure_http_leg(spark, n_http: int = 50_000) -> int:
+    """Send-path throughput: real POSTs to a loopback stub through the
+    distributed sender (throttle disabled — the reference's 1000 req/s
+    throttle was an endpoint SLA, not an engine limit)."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.sinks.http_sink import send_http_batch
+
+    _BODY = _json.dumps({"id": 101}).encode()
+    _RESP = (
+        b"HTTP/1.1 201 Created\r\nContent-Type: application/json\r\n"
+        + f"Content-Length: {len(_BODY)}\r\n\r\n".encode()
+        + _BODY
     )
+
+    class _H(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # keep-alive
+
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            # Pre-rendered response: the stub must not be the
+            # bottleneck of the measurement.
+            self.wfile.write(_RESP)
+
+        def log_message(self, *a):
+            pass
+
+    # One-shot connections arrive at pool-concurrency rate; the default
+    # accept backlog (5) drops bursts, so raise it.
+    ThreadingHTTPServer.request_queue_size = 1024
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{server.server_address[1]}/posts"
+
+    df = spark.range(n_http).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("title"),
+        F.lit("bench message").alias("body"),
+        (F.col("id") % 1000).cast("int").alias("user_id"),
+    )
+    sent = send_http_batch(
+        df, url, max_concurrency=32, throttle_rps=None, retries=2,
+        backoff_s=0.2, timeout=10.0,
+    )
+    t0 = time.perf_counter()
+    n_ok = sent.filter(F.col("resp_id") == 101).count()
+    elapsed = time.perf_counter() - t0
+    server.shutdown()
+    assert n_ok == n_http, f"only {n_ok}/{n_http} sends succeeded"
+    return round(n_http / elapsed * 60.0)
 
 
 if __name__ == "__main__":
