@@ -495,3 +495,74 @@ def bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
         n_bpe.alias("n_bpe_tokens"),
         F.size("pieces").cast("long").alias("n_pieces"),
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs. Pigeonhole banding: a 32-bit simhash split
+# into 4 bytes; hamming(a,b) <= 3 implies at least one byte is equal,
+# so candidates come from an equi-join on (band_idx, byte_value) —
+# never a cartesian product — then the exact hamming filter runs only
+# on candidates. The standard simhash index layout at corpus scale.
+_SIMHASH_HAMMING_MAX = 3
+_SIMHASH_BANDS = 4  # 8-bit bands
+
+
+def _simhash_pairs_sql() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash // {1 << (8 * b)}) % 256 AS byte_val FROM sh"
+        for b in range(_SIMHASH_BANDS)
+    )
+    return f"""
+    WITH sh AS ({_simhash_sql()}),
+    bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.byte_val = b.byte_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAMMING_MAX}
+    """
+
+
+@register(
+    "docs_simhash_near_pairs",
+    oracle=_simhash_pairs_sql(),
+    doc="SimHash near-dup pairs: pigeonhole byte-banding makes "
+    "candidates an equi-join (hamming<=3 guarantees a shared byte), "
+    "exact hamming filters candidates only.",
+)
+def simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    sh = simhash(spark, sf)
+    band_dfs = [
+        sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band_id"),
+            ((F.col("simhash") / (1 << (8 * b))).cast("long") % 256).alias(
+                "byte_val"
+            ),
+        )
+        for b in range(_SIMHASH_BANDS)
+    ]
+    bands = band_dfs[0]
+    for bdf in band_dfs[1:]:
+        bands = bands.unionByName(bdf)
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)").cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.byte_val") == F.col("b.byte_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+        .distinct()
+    )
