@@ -566,3 +566,104 @@ def simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus split: hash-based assignment is reproducible
+# across runs/engines/cluster sizes (unlike rand()-sampling) and
+# stable under corpus growth — a document's split never changes when
+# other documents are added. The standard train/val carve for
+# training-data pipelines.
+_VAL_PCT = 10
+
+
+@register(
+    "docs_train_val_split",
+    oracle=f"""
+    SELECT doc_id,
+        CASE WHEN {str_hash60_sql("CAST(doc_id AS VARCHAR)")} % 100
+                  < {_VAL_PCT}
+             THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+    doc="Deterministic hash-based train/val split (stable under corpus "
+    "growth, identical on any cluster size).",
+)
+def train_val_split(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    bucket = str_hash60(F.col("doc_id").cast("string")) % 100
+    return d.select(
+        "doc_id",
+        F.when(bucket < _VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "docs_token_df_topk",
+    oracle=f"""
+    SELECT token, df FROM (
+        SELECT token, count(DISTINCT doc_id) AS df,
+            row_number() OVER (ORDER BY count(DISTINCT doc_id) DESC,
+                               token) AS rn
+        FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents)
+        GROUP BY token
+    ) WHERE rn <= 20
+    """,
+    doc="Document frequency (IDF numerator) per token, top 20 — the "
+    "vocab/stopword-mining primitive (shuffle on token, count-distinct "
+    "partials map-side).",
+)
+def token_df_topk(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    tok = d.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+    df_counts = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    w = Window.orderBy(F.desc("df"), F.asc("token"))
+    return (
+        df_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("token", "df")
+    )
+
+
+# --------------------------------------------------------------------------
+# The composite the whole pipeline exists for: exact-dedup to canonical
+# docs, then language + quality gates. Each stage is a column predicate
+# or one hash shuffle; the output is the "clean corpus" feeding
+# training.
+_MIN_QUALITY_SQL = "0.5"
+
+
+@register(
+    "docs_clean_corpus",
+    oracle=f"""
+    WITH canon AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+        {X.quality_score_sql("d.text")} AS quality
+    FROM documents d JOIN canon c ON d.doc_id = c.doc_id
+    WHERE d.lang IN ('en', 'de', 'fr', 'es')
+      AND {X.quality_score_sql("d.text")} >= {_MIN_QUALITY_SQL}
+    """,
+    doc="Clean-corpus composite: exact dedup (canonical per content "
+    "hash) + language allowlist + quality threshold — the end-to-end "
+    "training-data filter.",
+)
+def clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    canon = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    quality = X.quality_score(F.col("text"))
+    return (
+        d.join(canon.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.col("lang").isin("en", "de", "fr", "es"))
+        .withColumn("quality", quality)
+        .filter(F.col("quality") >= float(_MIN_QUALITY_SQL))
+        .select("doc_id", "lang", "n_chars", "quality")
+    )
