@@ -208,15 +208,25 @@ class EndpointConfig:
 
 @dataclass
 class SinkThrottleConfig:
-    """Akka pool/throttle analogue (application.conf:22-31) — W11."""
+    """Akka pool/throttle analogue (application.conf:22-31) — W11.
 
-    max_concurrency: int = 20000
+    Field names mirror the conf keys exactly (kebab→snake), so every
+    packaged value binds; ``max_concurrency`` is the derived knob the
+    HTTP sink consumes.
+    """
+
+    max_open_requests: int = 20000
+    max_open_connection: int = 20000
     initial_timeout: int = 30
     completion_timeout: int = 60
     buffer: int = 20000
     throttle_requests: int = 1000
     throttle_per_second: int = 1
     throttle_burst: int = 1000
+
+    @property
+    def max_concurrency(self) -> int:
+        return self.max_open_requests
 
 
 @dataclass

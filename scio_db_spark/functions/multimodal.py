@@ -127,7 +127,9 @@ def sample_frames(
             out = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(b)
-                for idx in range(0, max(1, -(-len(b) // frame_size))):
+                # Empty payload → zero frames (matches the oracle's
+                # generate_series(0, -1) = empty).
+                for idx in range(-(-len(b) // frame_size)):
                     chunk = b[idx * frame_size : (idx + 1) * frame_size]
                     out.append(
                         (int(i), idx, len(chunk), chunk[0] if chunk else 0)

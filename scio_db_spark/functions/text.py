@@ -40,8 +40,16 @@ PUNCT_CLASS_SQL = PUNCT_CLASS.replace("'", "''")
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization, lowercased, empties removed."""
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+    """Whitespace tokenization, lowercased, empties removed.
+
+    The class is spelled out explicitly because Java's ``\\s``
+    includes vertical tab (\\x0B) while DuckDB's RE2 ``\\s`` does not —
+    an implicit-class mismatch would silently diverge tokenization
+    (and everything built on it) between engine and oracle.
+    """
+    return F.filter(
+        F.split(F.lower(col), "[ \t\n\f\r]+"), lambda x: x != ""
+    )
 
 
 def token_count(col: Column) -> Column:
@@ -108,7 +116,11 @@ def fingerprint(token_hashes: Column) -> Column:
 
 
 def tokens_sql(expr: str) -> str:
-    return f"list_filter(regexp_split_to_array(lower({expr}), '\\s+'), x -> x <> '')"
+    # Explicit class matching tokens() — see its docstring.
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), "
+        f"'[ \\t\\n\\f\\r]+'), x -> x <> '')"
+    )
 
 
 def stopword_hits_sql(toks_expr: str, lang: str) -> str:

@@ -76,9 +76,11 @@ def date_partition_suffix(ts: Column, name: str = "date") -> Column:
 
 
 def day_list(days_back: int) -> Column:
-    """Sequence of the last N dates (TimeUtilsInterim.scala:10-14)."""
+    """Exactly the last N dates ending today
+    (TimeUtilsInterim.scala:10-14) — same window as the S4 path probe
+    (``_existing_date_paths(days=N)``)."""
     return F.sequence(
-        F.date_sub(F.current_date(), days_back), F.current_date()
+        F.date_sub(F.current_date(), days_back - 1), F.current_date()
     )
 
 

@@ -47,6 +47,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    converged = False
     for _ in range(max_iterations):
         nbr = (
             sym.join(labels, sym["a"] == labels["v"])
@@ -67,5 +68,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Silently-wrong cluster labels would split duplicate clusters
+        # downstream — fail loudly instead (raise, never truncate).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; raise max_iterations (component diameter "
+            "exceeds it)"
+        )
     return labels

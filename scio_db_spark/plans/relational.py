@@ -114,8 +114,11 @@ def q03(spark: SparkSession, sf: str) -> DataFrame:
         "decimal(30,6)"
     )
     return (
+        # No broadcast hint on the orders-side join: it is fact-scale
+        # (only the BUILDING-customer dim is threshold-broadcastable;
+        # Catalyst/AQE decide from stats).
         l.join(
-            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            o.join(c, o.o_custkey == c.c_custkey),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate")
@@ -159,8 +162,11 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
         "decimal(30,6)"
     )
     joined = (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # orders/customer are fact-scale at high SF — no forced
+        # broadcast (threshold/AQE decide); supplier/nation/region are
+        # true dims, hinted.
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),

@@ -319,8 +319,10 @@ def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        # sizes is per-document (corpus-scale) — a shuffled equi-join,
+        # never a forced broadcast.
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",

@@ -47,13 +47,21 @@ def build_ssl_context(
     be PEM; JKS/P12 material (the reference's keystore format) must be
     converted at deploy time.
     """
-    key = (ca_secret, client_cert_secret, client_key_secret)
+    secrets = (ca_secret, client_cert_secret, client_key_secret)
+    if any(secrets) and secret_provider is None:
+        raise ValueError(
+            "secret names given but no secret_provider — the context "
+            "would silently lack the requested material"
+        )
+    # Cache key includes the provider identity: a different provider
+    # (other vault, rotated material) must not hit a stale context.
+    key = (id(secret_provider) if secret_provider else None, *secrets)
     with _lock:
         if key in _cached:
             return _cached[key]
         if any(
             s and s.lower().endswith((".jks", ".p12"))
-            for s in key if s
+            for s in secrets if s
         ):
             raise NotImplementedError(
                 "JKS/P12 keystores are JVM-format; convert to PEM at "

@@ -76,10 +76,22 @@ def mock_bers(
 def stable_mock_bers(
     spark: SparkSession, n: int, distinct_keys: int | None = None
 ) -> DataFrame:
-    """Fully deterministic variant (no hex jitter) for tests/oracles."""
-    df = mock_bers(spark, n, distinct_keys, seed=42)
+    """Fully deterministic variant for tests/oracles: every column is a
+    pure function of ``id`` (no jitter, no wall clock, no rand() —
+    which is only per-partition-deterministic and shifts with
+    parallelism)."""
+    df = mock_bers(spark, n, distinct_keys)
     key_id = F.split(F.col("transaction_id"), "-").getItem(1)
-    return df.withColumn(
-        "transaction_id",
-        F.concat(F.lit("tx-"), key_id),
+    fixed_ts = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    return df.withColumns(
+        {
+            "transaction_id": F.concat(F.lit("tx-"), key_id),
+            "nhub_timestamp": F.unix_millis(fixed_ts)
+            + F.col("event_id").substr(F.lit(3), F.lit(18)).cast("long"),
+            "event_time": fixed_ts,
+            "amount": (
+                F.col("event_id").substr(F.lit(3), F.lit(18)).cast("long")
+                % 100
+            ).cast("double"),
+        }
     )

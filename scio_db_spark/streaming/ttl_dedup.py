@@ -73,8 +73,16 @@ def _make_dedup_fn(
             # Deadline passed but the timeout callback hasn't run yet
             # (timeouts reset on every invocation) — expire inline.
             first_sent = None
-        for pdf in pdfs:
-            if initial_col is not None and len(pdf):
+        # Materialize ALL chunks for this key before ordering: Arrow
+        # may deliver one key's batch as several DataFrames, and a
+        # chunk-local sort would let a later chunk hold the globally
+        # first-ordered row while an earlier chunk gets the SENT mark.
+        # Memory is bounded by one key's rows in one micro-batch — the
+        # same bound as the reference's per-key BagState.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            if initial_col is not None:
                 seed = pdf[pdf[initial_col].astype(bool)]
                 pdf = pdf[~pdf[initial_col].astype(bool)]
                 if len(seed) and first_sent is None:
