@@ -123,3 +123,35 @@ def test_initial_load_seeds_state_without_emitting(spark):
         assert _statuses(rows, "new") == [(1.0, "SENT")]
     finally:
         h.stop()
+
+
+def test_multichunk_key_sends_globally_first_row(spark):
+    # A key whose micro-batch rows span multiple Arrow chunks must mark
+    # the globally first-ordered row SENT, not the first chunk's first.
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        h = StreamHarness(spark, SCHEMA)
+        h.start(
+            lambda s: ttl_dedup(
+                s, ttl_seconds=3600, output_schema=OUT,
+                order_cols=["ts"], use_timers=False,
+            )
+        )
+        # 10 rows, one key, descending ts — the LAST row (ts=1.0) is
+        # globally first and sits in the final Arrow chunk.
+        h.add_batch(
+            [
+                Row(idempotent_key="k", payload=str(i), ts=float(10 - i))
+                for i in range(10)
+            ]
+        )
+        rows = h.results()
+        sent = [r for r in rows if r.send_status == "SENT"]
+        assert len(sent) == 1 and sent[0].ts == 1.0
+        assert len(rows) == 10
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+        h.stop()
