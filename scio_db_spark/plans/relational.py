@@ -524,3 +524,41 @@ def cube_orders(spark: SparkSession, sf: str) -> DataFrame:
             "total",
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "setop_repeat_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate < DATE '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+    """,
+    doc="INTERSECT: customers ordering in both halves of the history "
+    "(set-op surface; compiles to a distinct + semi-join shape).",
+)
+def setop_repeat_customers(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    early = o.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    late = o.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    return early.intersect(late)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "setop_lapsed_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate < DATE '1997-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+    """,
+    doc="EXCEPT: customers who ordered early but never again "
+    "(set-op surface; distinct + anti-join shape).",
+)
+def setop_lapsed_customers(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    early = o.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    late = o.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    return early.subtract(late)

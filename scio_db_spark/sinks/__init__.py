@@ -1,6 +1,7 @@
 from scio_db_spark.sinks.files import (
     dead_letter_sink,
     debug_sink,
+    idempotent_batch_writer,
     windowed_file_sink,
     write_sharded,
     write_windowed_batch,
@@ -16,6 +17,7 @@ from scio_db_spark.sinks.http_sink import (
 __all__ = [
     "dead_letter_sink",
     "debug_sink",
+    "idempotent_batch_writer",
     "windowed_file_sink",
     "write_sharded",
     "write_windowed_batch",

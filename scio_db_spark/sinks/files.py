@@ -109,6 +109,47 @@ def dead_letter_sink(
     )
 
 
+def idempotent_batch_writer(
+    path: str,
+    fmt: str = "parquet",
+    partition_cols: list[str] | None = None,
+):
+    """Exactly-once ``foreachBatch`` file writer.
+
+    ``foreachBatch`` bodies are AT-LEAST-once: a failure after the
+    write but before the checkpoint commit replays the epoch. Writing
+    each micro-batch to its own ``epoch=N`` partition with
+    per-partition OVERWRITE makes the replay idempotent — the rerun
+    replaces the same directory instead of appending duplicates. This
+    is the standard Spark exactly-once file-sink pattern when the
+    built-in file sink (with its own commit log) can't be used because
+    the batch needs transformation inside foreachBatch.
+
+    Readers scan ``path`` recursively; the epoch column also gives
+    free lineage ("which micro-batch produced this row").
+    """
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        out = batch_df.withColumn("epoch", F.lit(int(epoch_id)))
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                out.write.format(fmt)
+                .mode("overwrite")
+                .partitionBy("epoch", *(partition_cols or []))
+                .save(path)
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+
+    return _write
+
+
 def debug_sink(stream_df: DataFrame, num_rows: int = 20, truncate: bool = True):
     """K6: console/debug sink (``.debug()``, PubSubConsumer.scala:34)."""
     return (

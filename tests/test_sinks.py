@@ -148,3 +148,21 @@ def test_write_sharded_and_windowed(spark, tmp_path):
     assert back.filter(
         F.col("window_start") == "2024-01-01_00-00-00"
     ).count() == 30
+
+
+def test_idempotent_batch_writer_replay_safe(spark, tmp_path):
+    # Replaying the same epoch must overwrite, not duplicate; other
+    # epochs stay intact (dynamic partition overwrite).
+    from scio_db_spark.sinks.files import idempotent_batch_writer
+
+    path = str(tmp_path / "eo")
+    w = idempotent_batch_writer(path)
+    b0 = spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)])
+    b1 = spark.createDataFrame([Row(k="c", v=3)])
+    w(b0, 0)
+    w(b1, 1)
+    w(b0, 0)  # replay of epoch 0 (post-failure rerun)
+    got = spark.read.parquet(path)
+    assert got.count() == 3
+    assert sorted(r.k for r in got.collect()) == ["a", "b", "c"]
+    assert {r.epoch for r in got.select("epoch").collect()} == {0, 1}
