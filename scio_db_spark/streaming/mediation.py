@@ -149,8 +149,11 @@ def run_mediation_pipeline(
         else:
             out.foreach(lambda _row: None)
 
-    writer = core["deduped"].writeStream.foreachBatch(_process).option(
-        "checkpointLocation", f"{checkpoint_dir}/send"
+    writer = (
+        core["deduped"]
+        .writeStream.foreachBatch(_process)
+        .outputMode("update")  # ttl_dedup emits in update mode
+        .option("checkpointLocation", f"{checkpoint_dir}/send")
     )
     if trigger:
         writer = writer.trigger(**trigger)
