@@ -669,3 +669,25 @@ def clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("quality") >= float(_MIN_QUALITY_SQL))
         .select("doc_id", "lang", "n_chars", "quality")
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "docs_token_hll_estimate",
+    oracle=None,  # HLL implementations differ per engine — no exact
+    # cross-engine oracle exists for an approximate sketch; the pytest
+    # suite bounds the estimate against the exact count instead
+    # (rows-only driver check, documented).
+    doc="Sketch surface: HyperLogLog distinct-token estimate per lang "
+    "(approx_count_distinct, rsd=5%) next to the exact count's cost.",
+)
+def token_hll_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    tok = d.select(
+        "lang", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+    return tok.groupBy("lang").agg(
+        F.approx_count_distinct("token", rsd=0.05).alias(
+            "distinct_tokens_est"
+        )
+    )

@@ -36,3 +36,32 @@ def test_components_cycle(spark):
     )
     got = {r.v: r.label for r in connected_components(edges).collect()}
     assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_token_hll_estimate_within_rsd(spark):
+    # The sketch has no cross-engine oracle; bound it vs exact here.
+    from scio_db_spark.plans.textops import token_df_topk  # noqa: F401
+    from scio_db_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    est = {
+        r.lang: r.distinct_tokens_est
+        for r in all_queries()["docs_token_hll_estimate"]
+        .spark(spark, sf)
+        .collect()
+    }
+    from scio_db_spark.functions import text as X
+    from scio_db_spark.plans.catalog import table
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.lang: r.n
+        for r in table(spark, sf, "documents")
+        .select("lang", F.explode(X.tokens(F.col("text"))).alias("t"))
+        .groupBy("lang")
+        .agg(F.countDistinct("t").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for lang, n in exact.items():
+        assert abs(est[lang] - n) <= max(3, 0.15 * n), (lang, est[lang], n)
