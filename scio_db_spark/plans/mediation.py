@@ -425,3 +425,45 @@ def response_classification(spark: SparkSession, sf: str) -> DataFrame:
         | F.lower(F.col("body")).contains("ko")
     )
     return d.select("event_id", "body", success.alias("nhub_success"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_session_windows",
+    oracle="""
+    SELECT event_type, min(ts) AS session_start,
+        max(ts) + INTERVAL 1 HOUR AS session_end,
+        count(*) AS n
+    FROM (
+        SELECT event_type, ts,
+            CAST(sum(new_session) OVER (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM (
+            SELECT event_type, ts, event_id,
+                CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                        PARTITION BY event_type ORDER BY ts, event_id)
+                     >= 3600 OR lag(epoch(ts)) OVER (
+                        PARTITION BY event_type ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS new_session
+            FROM events
+        )
+    )
+    GROUP BY event_type, session_id
+    """,
+    doc="Native session windows (1h gap) per event type — Spark's "
+    "session_window vs the oracle's gaps-and-islands formulation; "
+    "in streaming the same call merges sessions across micro-batches "
+    "with watermark-bounded state.",
+)
+def session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    agg = e.groupBy(
+        F.session_window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return agg.select(
+        "event_type",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n",
+    )

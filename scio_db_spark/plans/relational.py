@@ -562,3 +562,57 @@ def setop_lapsed_customers(spark: SparkSession, sf: str) -> DataFrame:
     early = o.filter(F.col("o_orderdate") < cut).select("o_custkey")
     late = o.filter(F.col("o_orderdate") >= cut).select("o_custkey")
     return early.subtract(late)
+
+
+# --------------------------------------------------------------------------
+_PIVOT_STATUSES = ("O", "F", "P")
+
+
+@register(
+    "pivot_order_counts",
+    oracle=f"""
+    SELECT o_orderpriority,
+        {", ".join(
+            f"count(*) FILTER (o_orderstatus = '{s}') AS status_{s}"
+            for s in _PIVOT_STATUSES
+        )}
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="PIVOT: status columns per priority — compiles to one hash agg "
+    "with conditional counters (no extra scans or shuffles).",
+)
+def pivot_order_counts(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_PIVOT_STATUSES))
+        .agg(F.count(F.lit(1)))
+    )
+    # Pivot leaves null for empty cells; counts must read 0.
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s}")
+            for s in _PIVOT_STATUSES
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "median_order_total",
+    oracle="""
+    SELECT o_orderpriority,
+        quantile_cont(o_totalprice, 0.5) AS median_total,
+        count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact median (linear interpolation) per priority: both engines "
+    "implement the same continuous-quantile definition.",
+)
+def median_order_total(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_total"),
+        F.count(F.lit(1)).alias("n"),
+    )
