@@ -1,0 +1,83 @@
+"""As-of join — a custom operator Spark's join menu lacks.
+
+``asof_join(left, right)`` attaches, to every left row, the LATEST
+right row of the same key with ``right.time <= left.time`` (the
+time-series "most recent fact as of this moment" join).
+
+Spark-first formulation (no inequality join): union both sides tagged,
+then one pass of ``last(ignorenulls=True)`` over a per-key window
+ordered by (time, side) carries the most recent right payload forward
+onto each left row. Cost = ONE hash shuffle on the key + a per-key
+sort — the same shape as any windowed aggregation, with none of the
+range-join blow-up (an inequality join materializes |L|×|R| candidate
+pairs per key before filtering; this materializes |L|+|R| rows total).
+That property is what makes it the scale path at 100 TB.
+
+Ties: a right row at exactly left.time matches (<=). Multiple right
+rows at the same (key, time) are resolved deterministically by
+``tie_col`` (max wins) BEFORE the merge — callers get one defined
+answer, same as deduping the build side of any join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Left as-of join; right ``payload_cols`` appended (null = no match)."""
+    if tie_col is not None:
+        w_dedup = Window.partitionBy(key, right_time).orderBy(
+            F.desc(tie_col)
+        )
+        right = (
+            right.withColumn("__rn", F.row_number().over(w_dedup))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),  # events sort AFTER same-instant facts
+        F.struct(*left.columns).alias("__left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c)
+          for c in payload_cols],
+    )
+    r_tag = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            l_tag.schema["__left"].dataType.simpleString()
+        ).alias("__left"),
+        *payload_cols,
+    )
+    merged = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "__side",
+        "__left",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in payload_cols
+        ],
+    )
+    out = filled.filter(F.col("__side") == 1).select(
+        *[F.col(f"__left.{c}").alias(c) for c in left.columns],
+        *payload_cols,
+    )
+    return out

@@ -467,3 +467,94 @@ def session_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.col("w.end").alias("session_end"),
         "n",
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_asof_latest_order",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                   ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+        r.o_orderkey AS last_order_key,
+        r.o_totalprice AS last_order_total
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    doc="As-of join (custom operator): latest order at-or-before each "
+    "event, via union + last-value window (one shuffle, |L|+|R| rows "
+    "— no inequality-join blow-up); oracle = DuckDB native ASOF JOIN.",
+)
+def asof_latest_order(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.asof import asof_join
+
+    e = _events(spark, sf).select("event_id", "user_id", "ts")
+    o = table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        F.col("o_orderkey").alias("last_order_key"),
+        F.col("o_totalprice").alias("last_order_total"),
+    )
+    return asof_join(
+        e,
+        o,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["last_order_key", "last_order_total"],
+        tie_col="last_order_key",
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_orders_range_count",
+    oracle="""
+    SELECT e.event_id,
+        count(o.o_orderkey) AS n_orders_30d,
+        coalesce(CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                 AS VARCHAR) AS DOUBLE), 0.0) AS total_30d
+    FROM events e LEFT JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND o.o_orderdate > e.ts - INTERVAL 30 DAY
+     AND o.o_orderdate <= e.ts
+    WHERE e.user_id <= 200
+    GROUP BY e.event_id
+    """,
+    doc="Range join (custom operator): orders within a 30-day window "
+    "before each event. The equi-key (user) carries the shuffle — the "
+    "range is a residual filter per key group, so candidates are "
+    "bounded by per-user order counts, never |L|x|R|. For key-free "
+    "range joins, bucket both sides by coarse time bin and join on "
+    "(bin, bin-1) — same residual-filter shape.",
+)
+def range_count(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf).filter(F.col("user_id") <= 200).select(
+        "event_id", "user_id", "ts"
+    )
+    o = table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate",
+        "o_orderkey", "o_totalprice",
+    )
+    joined = e.join(
+        o,
+        (e["user_id"] == o["user_id"])
+        & (F.col("o_orderdate") > F.col("ts") - F.expr("INTERVAL 30 DAYS"))
+        & (F.col("o_orderdate") <= F.col("ts")),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("o_orderkey").alias("n_orders_30d"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("string")
+            .cast("double"),
+            F.lit(0.0),
+        ).alias("total_30d"),
+    )
