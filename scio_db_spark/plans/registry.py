@@ -48,6 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
         mmops,
         relational,
         textops,
+        tpch_more,
         vecops,
     )
 

@@ -1,0 +1,390 @@
+"""Additional TPC-H join/subquery shapes (free relational surface).
+
+The reference (albertols/scio-db) has no relational optimizer surface
+of its own (SURVEY.md §2.7 note) — these queries exercise the Spark
+planner shapes a user of the engine gets for free, each chosen for a
+distinct physical pattern the 100 TB design cares about:
+
+- q07: fact-fact join with dims applied twice (supplier/customer
+  nation) and a disjunctive pair filter — dims broadcast once each.
+- q13: outer join + two-level aggregation (count distribution).
+- q15: reused subplan + scalar-subquery max (decimal-exact equality).
+- q17: correlated per-group average via self-aggregation + join-back
+  (no per-row subquery execution; one shuffle on the part key).
+- q18: HAVING-gated semi-join into a wide top-k.
+- q19: disjunctive multi-column predicate — stays inside one join's
+  residual condition, no union-of-scans.
+- q22: anti join against a date-gated order set + a scalar average
+  threshold (exact decimal cross-multiply, no double boundary).
+
+Float determinism follows plans/relational.py: exact decimal sums,
+double conversion only via string round-trip (`_d2d`), and avg-style
+thresholds compared as `value * count (cmp) sum` so no division ever
+happens at a comparison boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scio_db_spark.plans.catalog import table
+from scio_db_spark.plans.registry import register
+from scio_db_spark.plans.relational import _d2d, _d2d_sql, _dec
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q07_nation_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+        {_d2d_sql(
+            "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))"
+        )} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            year(l.l_shipdate) AS l_year,
+            l.l_extendedprice, l.l_discount
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: lineitem-orders fact join with nation dims "
+    "joined twice under a disjunctive pair filter; both nation copies "
+    "broadcast, so the only shuffle is the orderkey join + final agg.",
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount",
+        "l_shipdate",
+    )
+    n1 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        # supplier/nation are true dim-scale at any SF — broadcast.
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(_d2d(F.sum(revenue)).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: outer join with a join-side (not WHERE-side) "
+    "predicate, then a two-level aggregation — customers with zero "
+    "matching orders must survive as c_count=0.",
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").select("c_custkey")
+    o = table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+_Q15_START, _Q15_END = "1997-01-01", "1997-04-01"
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+            sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= DATE '{_Q15_START}'
+          AND l_shipdate < DATE '{_Q15_END}'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+        {_d2d_sql("r.total_rev")} AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: reused aggregated subplan + scalar-subquery "
+    "max. The max comparison happens on exact decimals (ties all "
+    "surface); double conversion only on output.",
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q15_END).cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,6)"
+            )
+        ).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev.total_rev == top.max_rev)
+        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", _d2d(F.col("total_rev")).alias("total_revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH pl AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+    ), t AS (
+        SELECT l_partkey,
+            sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+            count(*) AS cnt
+        FROM pl GROUP BY l_partkey
+    )
+    SELECT coalesce({_d2d_sql(
+        "sum(CAST(pl.l_extendedprice AS DECIMAL(18,2)))"
+    )} / 7.0, 0.0) AS avg_yearly,
+        count(*) AS n_lines
+    FROM pl JOIN t ON pl.l_partkey = t.l_partkey
+    WHERE CAST(pl.l_quantity AS DECIMAL(18,2)) * 5 * t.cnt < t.sum_qty
+    """,
+    doc="TPC-H Q17 shape: correlated per-part average decorrelated into "
+    "aggregate + join-back (one shuffle on partkey, no per-row "
+    "subquery). The `qty < 0.2*avg` boundary is evaluated as "
+    "`qty*5*cnt < sum` in exact decimals — no double division at the "
+    "comparison, so Spark and DuckDB agree bit-for-bit.",
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    p = table(spark, sf, "part").filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    l = table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    # Brand filter first: only ~1/25 of parts survive, so downstream
+    # aggregation runs on the pruned line set, not all of lineitem.
+    pl = l.join(p, l.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    t = pl.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    small = pl.join(t, pl.l_partkey == t.t_partkey).filter(
+        _dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.coalesce(
+            _d2d(F.sum(_dec("l_extendedprice"))) / F.lit(7.0), F.lit(0.0)
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+_Q18_QTY = 300
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        o.o_totalprice,
+        {_d2d_sql("sum(CAST(l.l_quantity AS DECIMAL(18,2)))")} AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_QTY}
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: HAVING-gated aggregate feeding a semi-join "
+    "into a wide join + top-k. The gate aggregates lineitem once; the "
+    "qualifying key set is tiny and semi-joins orders before the "
+    "customer join, so the wide join runs only on qualifying rows.",
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > _Q18_QTY)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    o = table(spark, sf, "orders").join(
+        big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi"
+    )
+    c = table(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_d2d(F.sum(_dec("l_quantity"))).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT coalesce({_d2d_sql(
+        "sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6)))"
+    )}, 0.0) AS revenue,
+        count(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunction of multi-column conjunct groups "
+    "spanning both join sides — one join with a residual OR filter "
+    "(no union of three scans); the per-side prefilters "
+    "(brand IN .., size <= 15, quantity <= 30) are implied and pushed.",
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    # Implied single-side prefilters, pushed to the scans so the join
+    # only sees candidate rows (Catalyst cannot infer these from an OR
+    # across both sides).
+    p = table(spark, sf, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    l = table(spark, sf, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.coalesce(_d2d(F.sum(revenue)), F.lit(0.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+_Q22_CUTOFF = "2001-01-01"
+
+
+@register(
+    "q22_dormant_rich_customers",
+    oracle=f"""
+    WITH stats AS (
+        SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey, count(*) AS numcust,
+        {_d2d_sql("sum(CAST(c.c_acctbal AS DECIMAL(18,2)))")} AS totacctbal
+    FROM customer c, stats
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * stats.n > stats.s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= DATE '{_Q22_CUTOFF}')
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape: scalar average threshold + anti join. "
+    "`acctbal > avg(positive acctbals)` is evaluated as "
+    "`acctbal * n > sum` in exact decimals (no double division at the "
+    "boundary); the dormancy anti-join probes only date-gated orders. "
+    "(The synthetic data has no order-less customers, so dormancy = "
+    "no orders after {_Q22_CUTOFF!r} replaces Q22's no-orders test.)",
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    stats = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_dec("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    recent = table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    rich = c.join(F.broadcast(stats)).filter(
+        _dec("c_acctbal") * F.col("n") > F.col("s")
+    )
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        _d2d(F.sum(_dec("c_acctbal"))).alias("totacctbal"),
+    )
