@@ -53,6 +53,51 @@ def lookup_join(
     return out
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "0 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join (beyond the reference's surface).
+
+    Matches right rows whose ``right_time`` falls inside
+    ``[left_time - lower, left_time + upper]`` for equal keys — the
+    impression/click correlation shape. The reference has no
+    stream-stream join (its only joins are side-input lookups, J1-J5);
+    this exposes Spark's native one so the engine's streaming surface
+    is complete.
+
+    Both sides get ``withWatermark`` (a no-op under batch execution, so
+    the same plan is unit-testable on static frames): the watermark plus
+    the time-range condition is what lets Spark BOUND the join state —
+    buffered rows are evicted once the other side's watermark passes
+    their eligibility window, so state size is O(rows within the
+    interval + lateness horizon) per key, not O(stream). At 100 TB/day
+    that eviction is the difference between a working join and an
+    unbounded state store; keep ``upper`` as tight as the semantics
+    allow.
+
+    Column names must not collide across sides (rename before joining);
+    keys stay separate columns so outer-join null-padding remains
+    distinguishable.
+    """
+    left = left.withWatermark(left_time, watermark)
+    right = right.withWatermark(right_time, watermark)
+    cond = (
+        (left[left_key] == right[right_key])
+        & (right[right_time] >= left[left_time] - F.expr(f"INTERVAL {lower}"))
+        & (right[right_time] <= left[left_time] + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.join(right, cond, how)
+
+
 def assert_unique_keys(df: DataFrame, *key_cols: str) -> DataFrame:
     """J4: raise if any key occurs more than once (singleton-map contract).
 
