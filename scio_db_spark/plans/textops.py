@@ -691,3 +691,108 @@ def token_hll_estimate(spark: SparkSession, sf: str) -> DataFrame:
             "distinct_tokens_est"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition quality signals: highly repetitive documents
+# (boilerplate, keyword stuffing, generation loops) are poor training
+# data. Two standard signals per document: the fraction of words that
+# are repeats of an earlier word, and the share of all bigrams taken
+# by the single most frequent bigram. Ratios are exact integer counts
+# divided once at the end (IEEE-identical across engines).
+@register(
+    "docs_repetition_signals",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    b AS (
+        SELECT doc_id,
+            unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM t WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT doc_id, count(*) AS cnt FROM b GROUP BY doc_id, bigram),
+    ba AS (SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot
+           FROM bc GROUP BY doc_id)
+    SELECT t.doc_id,
+        CASE WHEN len(t.toks) = 0 THEN 0.0
+             ELSE (len(t.toks) - len(list_distinct(t.toks))) / len(t.toks)
+        END AS word_rep_ratio,
+        coalesce(ba.mx / ba.tot, 0.0) AS top_bigram_frac
+    FROM t LEFT JOIN ba ON t.doc_id = ba.doc_id
+    """,
+    doc="Repetition quality signals (Gopher-style): repeated-word "
+    "ratio is map-only (array ops per row); top-bigram share is one "
+    "explode + two keyed aggs on doc_id — partial aggregation shrinks "
+    "each doc to its bigram histogram map-side, so the shuffle carries "
+    "histograms, not token streams.",
+)
+def repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    # Materialize tokens behind a projection boundary (lambda
+    # re-evaluation gotcha — see _shingles_of).
+    t = d.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    word_rep = F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct("toks"))) / n
+    )
+    bigrams = t.filter(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                ),
+            )
+        ).alias("bigram"),
+    )
+    ba = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("mx"), F.sum("cnt").alias("tot"))
+    )
+    return (
+        t.join(ba, "doc_id", "left")
+        .select(
+            "doc_id",
+            word_rep.alias("word_rep_ratio"),
+            F.coalesce(F.col("mx") / F.col("tot"), F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling: rebalance a corpus by downsampling
+# the dominant language. Hash-gated like the train/val split (stable
+# under corpus growth, identical on any cluster size, no rand()), with
+# a salt so sampling and split decisions are independent.
+_SAMPLE_RATES = {"en": 20}  # percent kept; unlisted languages keep 50
+_DEFAULT_RATE = 50
+
+
+@register(
+    "docs_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {str_hash60_sql("'smp:' || CAST(doc_id AS VARCHAR)")} % 100
+          < CASE lang WHEN 'en' THEN {_SAMPLE_RATES["en"]}
+                      ELSE {_DEFAULT_RATE} END
+    """,
+    doc="Stratified (per-language) deterministic sample — map-only "
+    "hash gate, no shuffle, no rand(); a document's keep/drop decision "
+    "never changes as the corpus grows.",
+)
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    bucket = str_hash60(
+        F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))
+    ) % 100
+    rate = F.when(
+        F.col("lang") == "en", F.lit(_SAMPLE_RATES["en"])
+    ).otherwise(F.lit(_DEFAULT_RATE))
+    return d.filter(bucket < rate).select("doc_id", "lang")
