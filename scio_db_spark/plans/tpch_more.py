@@ -388,3 +388,35 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         _d2d(F.sum(_dec("c_acctbal"))).alias("totacctbal"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "global_rank_customers",
+    oracle=f"""
+    SELECT c_custkey, revenue,
+        row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank
+    FROM (
+        SELECT o_custkey AS c_custkey,
+            {_d2d_sql("sum(CAST(o_totalprice AS DECIMAL(18,2)))")}
+                AS revenue
+        FROM orders GROUP BY o_custkey
+    )
+    """,
+    doc="Global total-order rank of every customer by revenue via "
+    "operators/rank.py::global_rank — range partitioning + local "
+    "row_number + broadcast prefix offsets, so NO full-data "
+    "single-partition exchange (the naive global window's plan). "
+    "Oracle = the naive form, which DuckDB can afford single-node.",
+)
+def global_rank_customers(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.rank import global_rank
+
+    o = table(spark, sf, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        _d2d(F.sum(_dec("o_totalprice"))).alias("revenue")
+    )
+    ranked = global_rank(
+        rev, [F.desc("revenue"), F.asc("c_custkey")], rank_col="rank"
+    )
+    return ranked.select("c_custkey", "revenue", "rank")
