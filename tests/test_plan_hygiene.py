@@ -1,0 +1,48 @@
+"""Plan-hygiene regression tests (tools/explain_audit.py as a gate).
+
+Runs the anti-pattern audit over a representative subset of the
+registry at sf0.001 — cartesian products, full-data single-partition
+exchanges, and row-at-a-time Python UDFs must not appear in these
+plans. The full sweep is `python tools/explain_audit.py`.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+)
+
+from explain_audit import FLAGS, WHITELIST  # noqa: E402
+
+from scio_db_spark.plans.registry import all_queries  # noqa: E402
+
+SUBSET = [
+    "q01_pricing_summary",
+    "q05_region_revenue",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "global_rank_customers",
+    "docs_minhash_lsh_pairs",
+    "docs_repetition_signals",
+    "events_asof_latest_order",
+    "emb_ann_lsh_topk",
+]
+
+
+def test_plans_free_of_scale_antipatterns(spark, sf_dir):
+    qs = all_queries()
+    bad = []
+    for name in SUBSET:
+        df = qs[name].spark(spark, sf_dir)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        bad.extend(
+            (name, f)
+            for f in FLAGS
+            if f in plan and (name, f) not in WHITELIST
+        )
+    assert bad == []
