@@ -88,3 +88,50 @@ def test_interval_join_buffers_across_micro_batches(spark):
     got = {(r.ik, r.cv) for r in h.results()}
     assert got == {("a", 7.0)}
     h.stop()
+
+
+def test_interval_left_outer_null_pads_after_watermark(spark):
+    # Left-outer stream-stream join: an impression with no click emits
+    # null-padded ONLY once the watermark passes its match window
+    # (before that, a matching click could still arrive).
+    def transform(s):
+        imps = s.filter(F.col("side") == "L").select(
+            F.col("k").alias("ik"),
+            F.col("event_time").alias("itime"),
+        )
+        clicks = s.filter(F.col("side") == "R").select(
+            F.col("k").alias("ck"),
+            F.col("v").alias("cv"),
+            F.col("event_time").alias("ctime"),
+        )
+        return interval_join(
+            imps, clicks,
+            left_key="ik", right_key="ck",
+            left_time="itime", right_time="ctime",
+            lower="0 seconds", upper="1 minute",
+            how="left_outer",
+        )
+
+    h = StreamHarness(spark, SCHEMA)
+    h.start(transform, output_mode="append")
+    h.add_batch(
+        [
+            _row("L", "a", 1.0, "2024-01-01 00:00:10"),  # gets a click
+            _row("L", "b", 2.0, "2024-01-01 00:00:10"),  # never clicked
+            _row("R", "a", 9.0, "2024-01-01 00:00:30"),
+        ]
+    )
+    got = {(r.ik, r.cv) for r in h.results()}
+    assert ("a", 9.0) in got
+    assert not any(k == "b" for k, _ in got)  # window still open
+    # Advance both sides' watermarks far past b's match window.
+    h.add_batch(
+        [
+            _row("L", "z", 0.0, "2024-01-01 01:00:00"),
+            _row("R", "z", 0.0, "2024-01-01 01:00:00"),
+        ]
+    )
+    h.process_pending()
+    got = {(r.ik, r.cv) for r in h.results()}
+    assert ("b", None) in got  # null-padded once unmatched is certain
+    h.stop()
