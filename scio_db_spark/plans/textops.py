@@ -796,3 +796,77 @@ def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.col("lang") == "en", F.lit(_SAMPLE_RATES["en"])
     ).otherwise(F.lit(_DEFAULT_RATE))
     return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+# The whole training-data pipeline as ONE composed query: exact dedup →
+# language allowlist → quality gate → stratified sample → train/val
+# split → per-stratum corpus stats. Demonstrates that every stage is a
+# column predicate or one keyed shuffle, so the composition's plan is
+# scan → dedup agg+semi-join → map-side gates → final agg. Stats are
+# counts / integer sums / a double MIN — all order-insensitive, so the
+# oracle matches bit-for-bit without decimal gymnastics.
+@register(
+    "docs_pipeline_corpus_stats",
+    oracle=f"""
+    WITH canon AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    gated AS (
+        SELECT d.doc_id, d.lang, d.text,
+            {X.quality_score_sql("d.text")} AS quality
+        FROM documents d JOIN canon USING (doc_id)
+        WHERE d.lang IN ('en', 'de', 'fr', 'es')
+          AND {X.quality_score_sql("d.text")} >= {_MIN_QUALITY_SQL}
+          AND {str_hash60_sql("'smp:' || CAST(d.doc_id AS VARCHAR)")} % 100
+              < CASE d.lang WHEN 'en' THEN {_SAMPLE_RATES["en"]}
+                            ELSE {_DEFAULT_RATE} END
+    )
+    SELECT lang,
+        CASE WHEN {str_hash60_sql("CAST(doc_id AS VARCHAR)")} % 100
+                  < {_VAL_PCT}
+             THEN 'val' ELSE 'train' END AS split,
+        count(*) AS n_docs,
+        CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS total_tokens,
+        min(quality) AS min_quality
+    FROM gated
+    GROUP BY lang, split
+    """,
+    doc="End-to-end corpus pipeline composed from the individual "
+    "stages (exact dedup, language+quality gates, stratified sample, "
+    "train/val split) into one plan: the dedup agg + semi-join is the "
+    "only data-sized shuffle; every gate is map-side; final agg is "
+    "(lang, split)-keyed over ~10 groups.",
+)
+def pipeline_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    canon = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    smp_bucket = str_hash60(
+        F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))
+    ) % 100
+    smp_rate = F.when(
+        F.col("lang") == "en", F.lit(_SAMPLE_RATES["en"])
+    ).otherwise(F.lit(_DEFAULT_RATE))
+    split_bucket = str_hash60(F.col("doc_id").cast("string")) % 100
+    gated = (
+        d.join(canon.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.col("lang").isin("en", "de", "fr", "es"))
+        .withColumn("quality", X.quality_score(F.col("text")))
+        .filter(F.col("quality") >= float(_MIN_QUALITY_SQL))
+        .filter(smp_bucket < smp_rate)
+    )
+    return (
+        gated.withColumn(
+            "split",
+            F.when(split_bucket < _VAL_PCT, F.lit("val")).otherwise(
+                F.lit("train")
+            ),
+        )
+        .withColumn("toks", X.tokens(F.col("text")))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("toks")).alias("total_tokens"),
+            F.min("quality").alias("min_quality"),
+        )
+    )
