@@ -472,6 +472,7 @@ def session_windows(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_asof_latest_order",
+    headline=True,
     oracle="""
     WITH r AS (
         SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (

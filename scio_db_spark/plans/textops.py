@@ -808,6 +808,7 @@ def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 # oracle matches bit-for-bit without decimal gymnastics.
 @register(
     "docs_pipeline_corpus_stats",
+    headline=True,
     oracle=f"""
     WITH canon AS (
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)

@@ -233,6 +233,7 @@ _Q18_QTY = 300
 
 @register(
     "q18_large_volume_customers",
+    headline=True,
     oracle=f"""
     SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
         o.o_totalprice,
@@ -251,9 +252,10 @@ _Q18_QTY = 300
     LIMIT 100
     """,
     doc="TPC-H Q18 shape: HAVING-gated aggregate feeding a semi-join "
-    "into a wide join + top-k. The gate aggregates lineitem once; the "
-    "qualifying key set is tiny and semi-joins orders before the "
-    "customer join, so the wide join runs only on qualifying rows.",
+    "into a wide join + top-k. ONE lineitem aggregation serves both "
+    "the gate and the output sum (the SQL's second per-order sum over "
+    "qualifying rows equals the gate's sum, so the plan scans lineitem "
+    "once); the tiny qualifying set then joins orders and customer.",
 )
 def q18(spark: SparkSession, sf: str) -> DataFrame:
     l = table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
@@ -261,17 +263,19 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
         l.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("sq"))
         .filter(F.col("sq") > _Q18_QTY)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
+        .select("l_orderkey", _d2d(F.col("sq")).alias("sum_qty"))
     )
-    o = table(spark, sf, "orders").join(
-        big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi"
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     c = table(spark, sf, "customer").select("c_custkey", "c_name")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(_d2d(F.sum(_dec("l_quantity"))).alias("sum_qty"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
@@ -393,6 +397,7 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "global_rank_customers",
+    headline=True,
     oracle=f"""
     SELECT c_custkey, revenue,
         row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank
@@ -420,3 +425,41 @@ def global_rank_customers(spark: SparkSession, sf: str) -> DataFrame:
         rev, [F.desc("revenue"), F.asc("c_custkey")], rank_col="rank"
     )
     return ranked.select("c_custkey", "revenue", "rank")
+
+
+# --------------------------------------------------------------------------
+_SQL_SURFACE = """
+    SELECT n.n_name,
+        count(*) AS n_orders,
+        CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS STRING)
+             AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY n.n_name
+"""
+
+
+@register(
+    "sql_surface_nation_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+        count(*) AS n_orders,
+        {_d2d_sql("sum(CAST(o.o_totalprice AS DECIMAL(18,2)))")} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY n.n_name
+    """,
+    doc="Raw ANSI-SQL surface: the engine registers the catalog as "
+    "temp views and executes spark.sql() text directly — same Catalyst "
+    "plan (pushdown, broadcast dims) as the DataFrame form, proving "
+    "users can bring plain SQL to this engine.",
+)
+def sql_surface_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.plans.catalog import register_temp_views
+
+    register_temp_views(spark, sf)
+    return spark.sql(_SQL_SURFACE)
