@@ -57,9 +57,20 @@ def hyperplane_signs(n_planes: int, dim: int = DIM) -> list[list[int]]:
     return planes
 
 
-def lsh_bucket_sql(col: str, at: str, n_planes: int = 8, dim: int = DIM) -> str:
-    """Bucket id = Σ 2^j · [dot(v, r_j) > 0] — same fragment both engines."""
-    planes = hyperplane_signs(n_planes, dim)
+def lsh_bucket_sql(
+    col: str,
+    at: str,
+    n_planes: int = 8,
+    dim: int = DIM,
+    plane_offset: int = 0,
+) -> str:
+    """Bucket id = Σ 2^j · [dot(v, r_j) > 0] — same fragment both engines.
+
+    ``plane_offset`` selects a disjoint plane block, giving INDEPENDENT
+    hash tables for OR-amplified multi-table LSH (recall grows with the
+    number of tables while each table keeps its pruning power).
+    """
+    planes = hyperplane_signs(plane_offset + n_planes, dim)[plane_offset:]
     parts = []
     for j, signs in enumerate(planes):
         terms = " + ".join(

@@ -96,20 +96,36 @@ def lsh_histogram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+_LSH_TABLES = 8   # OR-amplification: independent hash tables unioned
+_LSH_PLANES = 4   # planes per table (16 buckets each)
+
+
+def _lsh_bands_sql() -> str:
+    selects = [
+        f"SELECT vec_id, embedding, {t} AS table_id, "
+        f"{lsh_bucket_sql('embedding', DUCK_AT, _LSH_PLANES, plane_offset=t * _LSH_PLANES)} AS bucket "
+        f"FROM embeddings"
+        for t in range(_LSH_TABLES)
+    ]
+    return " UNION ALL ".join(selects)
+
+
 @register(
     "emb_ann_lsh_topk",
     oracle=f"""
-    WITH b AS (
-        SELECT vec_id, embedding,
-            {lsh_bucket_sql("embedding", DUCK_AT)} AS bucket
-        FROM embeddings
+    WITH bands AS ({_lsh_bands_sql()}),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, table_id, bucket
+          FROM bands WHERE vec_id IN {_QUERY_IDS}),
+    cand AS (
+        SELECT DISTINCT q.q_id, q.q_emb, e.vec_id, e.embedding
+        FROM q JOIN bands e
+          ON e.table_id = q.table_id AND e.bucket = q.bucket
+         AND e.vec_id <> q.q_id
     ),
-    q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b
-          WHERE vec_id IN {_QUERY_IDS}),
     scored AS (
-        SELECT q.q_id, e.vec_id,
-            {cosine_sql("q.q_emb", "e.embedding", DUCK_AT)} AS cos_sim
-        FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+        SELECT q_id, vec_id,
+            {cosine_sql("q_emb", "embedding", DUCK_AT)} AS cos_sim
+        FROM cand
     )
     SELECT q_id, vec_id, cos_sim FROM (
         SELECT q_id, vec_id, cos_sim,
@@ -118,29 +134,54 @@ def lsh_histogram(spark: SparkSession, sf: str) -> DataFrame:
         FROM scored
     ) WHERE rn <= {_TOPK}
     """,
-    doc="LSH-bucketed ANN: bucket equi-join prunes candidates (scale path).",
+    doc="Multi-table LSH ANN (OR-amplification): 8 independent "
+    "sign-projection tables of 4 planes each; candidates = union of "
+    "same-bucket vectors over tables (the MinHash-banding pattern), "
+    "deduped, then exact cosine + per-query top-k. One table at 8 "
+    "planes gave ~0 recall on 500 vectors (256 buckets ≈ empty); the "
+    "banded form measures mean recall@5 ≈ 0.45-0.55 at ~50% candidate "
+    "fraction on the synthetic NEAR-RANDOM embeddings — LSH's "
+    "worst-case data (no cluster structure to hash; clustered real "
+    "embeddings fare far better, and emb_ann_ivf_topk measures "
+    "0.9-1.0 here). Table count tunes the recall/candidate tradeoff "
+    "at any scale; recall floors pinned in tests/test_ann_recall.py.",
 )
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    e = _emb(spark, sf).withColumn(
-        "bucket", F.expr(lsh_bucket_sql("embedding", SPARK_AT))
-    )
-    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+    e = _emb(spark, sf)
+    band_dfs = [
+        e.select(
+            "vec_id",
+            "embedding",
+            F.lit(t).alias("table_id"),
+            F.expr(
+                lsh_bucket_sql(
+                    "embedding", SPARK_AT, _LSH_PLANES,
+                    plane_offset=t * _LSH_PLANES,
+                )
+            ).alias("bucket"),
+        )
+        for t in range(_LSH_TABLES)
+    ]
+    bands = band_dfs[0]
+    for bdf in band_dfs[1:]:
+        bands = bands.unionByName(bdf)
+    q = bands.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
+        "table_id",
         "bucket",
     )
-    scored = (
+    cand = (
         F.broadcast(q)
-        .join(
-            e.select("vec_id", "embedding", "bucket"),
-            on=["bucket"],
-        )
+        .join(bands, on=["table_id", "bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            F.expr(cosine_sql("q_emb", "embedding", SPARK_AT)).alias("cos_sim"),
-        )
+        .select("q_id", "q_emb", "vec_id", "embedding")
+        .distinct()
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.expr(cosine_sql("q_emb", "embedding", SPARK_AT)).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (

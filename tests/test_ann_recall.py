@@ -1,0 +1,36 @@
+"""ANN quality tests: the approximate variants must actually find
+neighbors, measured as recall@k against the brute-force baseline.
+
+The synthetic embeddings are near-random — LSH's worst case (no
+cluster structure for hyperplanes to respect), so its floor is modest;
+IVF assigns by exact dot product to coarse centroids and stays high.
+"""
+
+from __future__ import annotations
+
+from scio_db_spark.plans.registry import all_queries
+
+
+def _topk_sets(spark, sf_dir, name):
+    out = {}
+    for r in all_queries()[name].spark(spark, sf_dir).collect():
+        out.setdefault(r.q_id, set()).add(r.vec_id)
+    return out
+
+
+def _mean_recall(got, truth):
+    recalls = [
+        len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+    ]
+    return sum(recalls) / len(recalls)
+
+
+def test_ann_recall_floors(spark, sf_dir):
+    truth = _topk_sets(spark, sf_dir, "emb_cosine_topk")
+    assert truth, "brute-force baseline returned nothing"
+    lsh = _mean_recall(_topk_sets(spark, sf_dir, "emb_ann_lsh_topk"), truth)
+    ivf = _mean_recall(_topk_sets(spark, sf_dir, "emb_ann_ivf_topk"), truth)
+    # Measured 0.56 (LSH) / 0.92 (IVF) at sf0.001; floors leave margin
+    # for plane-seed changes but catch a broken bucketing outright.
+    assert lsh >= 0.3, f"LSH mean recall@5 collapsed: {lsh:.2f}"
+    assert ivf >= 0.8, f"IVF mean recall@5 collapsed: {ivf:.2f}"
