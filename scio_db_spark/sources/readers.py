@@ -144,3 +144,41 @@ def read_stream_queue(
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return reader.load()
+
+
+def read_table_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options,
+) -> DataFrame:
+    """S5/S6 lookup-table read as a JDBC scan (driver jar on classpath).
+
+    The reference reads BigQuery tables as side inputs
+    (``MinimalPubSubBQLookup.scala:37``, ``JavaMinimalPubSubBQLookup.java:81-83``);
+    the catalog's parquet stand-in covers the oracle checks, and this
+    facade covers real warehouse tables. The four partitioned-read
+    options are the scale lever: without them Spark reads the WHOLE
+    table through one connection on one task; with a numeric/date
+    ``partition_column`` and bounds it issues ``num_partitions``
+    range-sliced queries in parallel. Size ``num_partitions`` to what
+    the database can serve concurrently, not to Spark's core count —
+    the database is the bottleneck.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", table
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
