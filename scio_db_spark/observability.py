@@ -41,9 +41,15 @@ def observed_batch(
 
 
 def validity_metrics(valid_col: str = "is_valid") -> dict[str, Column]:
-    """The mediation pipeline's standard gate metrics (OK/KO counts)."""
+    """The mediation pipeline's standard gate metrics (OK/KO counts).
+
+    A NULL validity flag counts as KO (a gate that cannot prove a row
+    valid must not pass it), so ``n_ok + n_ko == n_total`` always —
+    the reconciliation these metrics exist for.
+    """
+    ok = F.coalesce(F.col(valid_col), F.lit(False))
     return {
         "n_total": F.count(F.lit(1)),
-        "n_ok": F.sum(F.when(F.col(valid_col), 1).otherwise(0)),
-        "n_ko": F.sum(F.when(~F.col(valid_col), 1).otherwise(0)),
+        "n_ok": F.sum(F.when(ok, 1).otherwise(0)),
+        "n_ko": F.sum(F.when(~ok, 1).otherwise(0)),
     }

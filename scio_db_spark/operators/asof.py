@@ -45,13 +45,20 @@ def asof_join(
             .drop("__rn")
         )
 
+    # The payload travels as ONE struct so last(ignorenulls) carries the
+    # entire latest right ROW forward atomically — per-column fills
+    # would mix values from different right rows whenever the latest
+    # row holds a NULL in one payload column but not another.
     l_tag = left.select(
         F.col(key).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),  # events sort AFTER same-instant facts
         F.struct(*left.columns).alias("__left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c)
-          for c in payload_cols],
+        F.lit(None).cast(
+            "struct<" + ", ".join(
+                f"{c}: {dict(right.dtypes)[c]}" for c in payload_cols
+            ) + ">"
+        ).alias("__payload"),
     )
     r_tag = right.select(
         F.col(key).alias("__k"),
@@ -60,7 +67,7 @@ def asof_join(
         F.lit(None).cast(
             l_tag.schema["__left"].dataType.simpleString()
         ).alias("__left"),
-        *payload_cols,
+        F.struct(*payload_cols).alias("__payload"),
     )
     merged = l_tag.unionByName(r_tag)
     w = (
@@ -71,13 +78,10 @@ def asof_join(
     filled = merged.select(
         "__side",
         "__left",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(c)
-            for c in payload_cols
-        ],
+        F.last("__payload", ignorenulls=True).over(w).alias("__payload"),
     )
     out = filled.filter(F.col("__side") == 1).select(
         *[F.col(f"__left.{c}").alias(c) for c in left.columns],
-        *payload_cols,
+        *[F.col(f"__payload.{c}").alias(c) for c in payload_cols],
     )
     return out

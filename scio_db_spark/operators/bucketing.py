@@ -22,7 +22,7 @@ mismatched counts fall back to a shuffle on one side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 
 def write_bucketed_table(
@@ -41,9 +41,7 @@ def write_bucketed_table(
     writer.saveAsTable(name)
 
 
-def bucketed_join_plan_is_shuffle_free(
-    spark: SparkSession, joined: DataFrame
-) -> bool:
+def bucketed_join_plan_is_shuffle_free(joined: DataFrame) -> bool:
     """True iff the physical plan contains no shuffle Exchange.
 
     The verification hook for bucket layouts: after writing two tables
@@ -52,7 +50,7 @@ def bucketed_join_plan_is_shuffle_free(
     absent-by-design here — bucketing exists for the case where BOTH
     sides are too big to broadcast).
     """
-    plan = spark._jvm.PythonSQLUtils.explainString(
-        joined._jdf.queryExecution(), "formatted"
-    )
+    from scio_db_spark.plans.explain import plan_string
+
+    plan = plan_string(joined)
     return "Exchange" not in plan

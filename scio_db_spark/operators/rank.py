@@ -3,18 +3,22 @@
 ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY is the
 classic 100 TB trap: Spark plans it as ``Exchange SinglePartition`` —
 every row moves to ONE task. ``global_rank`` computes the identical
-ranks with the two-phase layout Spark's own ``sortBy``/``zipWithIndex``
-lineage uses, expressed purely in DataFrame ops:
+ranks with ONE data-sized shuffle:
 
 1. ``repartitionByRange`` on the order columns — rows land in range
    partitions that follow the global order (partition 0 holds the
-   smallest keys, etc.); the sampler bounds skew.
-2. per-partition ``row_number`` (window partitioned by
-   ``spark_partition_id()`` — a within-partition sort, never a global
-   one),
-3. per-partition counts → prefix-sum offsets (one row PER PARTITION,
-   thousands at most — the only single-partition step runs on that
-   tiny frame), broadcast back, ``rank = offset + local_row_number``.
+   smallest keys, etc.); the range sampler bounds skew.
+2. per-partition counts (map-side partial agg over the reused range
+   exchange — the exchange carries one row per partition) → prefix-sum
+   offsets, broadcast back.
+3. ``sortWithinPartitions`` (in-place, no exchange) + an Arrow-batched
+   ``mapInPandas`` that enumerates rows per partition; final rank =
+   partition offset + local position.
+
+A window ``partitionBy(spark_partition_id())`` would be simpler but
+Catalyst cannot know rows are already co-located by partition id, so
+it inserts a SECOND full-data hash exchange — the mapInPandas
+enumeration keeps the range shuffle as the only full-data movement.
 
 The order spec must be TOTAL (include a tiebreaker column): ties that
 straddle a range boundary would otherwise get nondeterministic ranks.
@@ -22,8 +26,28 @@ straddle a range boundary would otherwise get nondeterministic ranks.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark import TaskContext
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _number_partitions(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    pid = TaskContext.get().partitionId()
+    base = 0
+    for pdf in batches:
+        n = len(pdf)
+        pdf = pdf.copy()
+        pdf["__pid"] = pid
+        pdf["__lrn"] = range(base + 1, base + n + 1)
+        base += n
+        yield pdf
 
 
 def global_rank(
@@ -38,21 +62,33 @@ def global_rank(
         if num_partitions
         else df.repartitionByRange(*order_by)
     )
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-    w_local = Window.partitionBy("__pid").orderBy(*order_by)
-    local = with_pid.withColumn("__lrn", F.row_number().over(w_local))
-    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    # Prefix sum over one row per partition — tiny by construction.
-    w_off = (
-        Window.orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # Branch A: one count per partition (tiny; shares the range
+    # exchange with branch B via ReusedExchange in the joined plan).
+    counts = (
+        ranged.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
     offsets = counts.select(
         "__pid",
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
     )
+    # Branch B: in-partition sort (no exchange) + Arrow enumeration.
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("__pid", LongType()),
+            StructField("__lrn", LongType()),
+        ]
+    )
+    numbered = ranged.sortWithinPartitions(*order_by).mapInPandas(
+        _number_partitions, out_schema
+    )
     return (
-        local.join(F.broadcast(offsets), "__pid")
+        numbered.join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, (F.col("__off") + F.col("__lrn")).cast("long"))
         .drop("__pid", "__lrn", "__off")
     )

@@ -370,7 +370,7 @@ _Q22_CUTOFF = "2001-01-01"
     "`acctbal * n > sum` in exact decimals (no double division at the "
     "boundary); the dormancy anti-join probes only date-gated orders. "
     "(The synthetic data has no order-less customers, so dormancy = "
-    "no orders after {_Q22_CUTOFF!r} replaces Q22's no-orders test.)",
+    f"no orders after {_Q22_CUTOFF} replaces Q22's no-orders test.)",
 )
 def q22(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer").select(

@@ -147,41 +147,59 @@ def _lsh_bands_sql() -> str:
     "at any scale; recall floors pinned in tests/test_ann_recall.py.",
 )
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # ONE scan: the 8 bucket ids are computed as plain COLUMNS behind a
+    # projection boundary, then unpivoted to long form with stack() —
+    # the Generate sees only column references. (Putting the 8
+    # heavyweight bucket expressions inside the exploded array itself
+    # blew the driver heap: generator codegen inlines the full
+    # expression tree per accessed field. A per-table union would
+    # instead scan the source 8 times.) Bands carry only ids, never
+    # the 64-dim arrays.
     e = _emb(spark, sf)
-    band_dfs = [
-        e.select(
-            "vec_id",
-            "embedding",
-            F.lit(t).alias("table_id"),
+    with_buckets = e.select(
+        "vec_id",
+        *[
             F.expr(
                 lsh_bucket_sql(
                     "embedding", SPARK_AT, _LSH_PLANES,
                     plane_offset=t * _LSH_PLANES,
                 )
-            ).alias("bucket"),
-        )
-        for t in range(_LSH_TABLES)
-    ]
-    bands = band_dfs[0]
-    for bdf in band_dfs[1:]:
-        bands = bands.unionByName(bdf)
-    q = bands.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        "table_id",
-        "bucket",
+            ).alias(f"__b{t}")
+            for t in range(_LSH_TABLES)
+        ],
     )
+    stack_args = ", ".join(f"{t}, __b{t}" for t in range(_LSH_TABLES))
+    bands = with_buckets.select(
+        "vec_id",
+        F.expr(
+            f"stack({_LSH_TABLES}, {stack_args}) AS (table_id, bucket)"
+        ),
+    )
+    q_bands = bands.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), "table_id", "bucket"
+    )
+    # Dedup candidates on (q_id, vec_id) BEFORE touching embeddings —
+    # the distinct shuffles 16-byte id pairs, not vector payloads.
     cand = (
-        F.broadcast(q)
+        F.broadcast(q_bands)
         .join(bands, on=["table_id", "bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "q_emb", "vec_id", "embedding")
+        .select("q_id", "vec_id")
         .distinct()
     )
-    scored = cand.select(
-        "q_id",
-        "vec_id",
-        F.expr(cosine_sql("q_emb", "embedding", SPARK_AT)).alias("cos_sim"),
+    q_embs = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        cand.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q_embs), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(cosine_sql("q_emb", "embedding", SPARK_AT)).alias(
+                "cos_sim"
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (

@@ -169,6 +169,13 @@ def read_table_jdbc(
     the database can serve concurrently, not to Spark's core count —
     the database is the bottleneck.
     """
+    if partition_column is not None and (
+        lower_bound is None or upper_bound is None
+    ):
+        raise ValueError(
+            "partition_column requires both lower_bound and upper_bound "
+            "(Spark slices [lower, upper) into numPartitions range queries)"
+        )
     reader = spark.read.format("jdbc").option("url", url).option(
         "dbtable", table
     )

@@ -49,3 +49,22 @@ def test_asof_keys_do_not_leak(spark):
         [Row("a", 1.0, 100)],
     )
     assert got == {1: 100, 2: None}
+
+
+def test_asof_null_payload_in_latest_row_not_backfilled(spark):
+    # Regression: the latest right row's NULL payload must surface as
+    # NULL, not be backfilled per-column from an OLDER right row
+    # (which would fabricate a mixed row that never existed).
+    left = spark.createDataFrame(
+        [Row(k="a", t=10.0, eid=1)], "k string, t double, eid int"
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rt=1.0, fact=100, other=7),
+         Row(k="a", rt=5.0, fact=None, other=8)],
+        "k string, rt double, fact int, other int",
+    )
+    out = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        payload_cols=["fact", "other"],
+    ).collect()[0]
+    assert (out.fact, out.other) == (None, 8)  # the t=5 row, verbatim

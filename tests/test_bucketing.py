@@ -43,7 +43,7 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = spark.table(facts_t).join(spark.table(labels_t), "k")
-        assert bucketed_join_plan_is_shuffle_free(spark, joined)
+        assert bucketed_join_plan_is_shuffle_free(joined)
         assert joined.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
@@ -54,7 +54,7 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_pair):
     from pyspark.sql import functions as F
 
     agg = spark.table(facts_t).groupBy("k").agg(F.sum("v").alias("s"))
-    assert bucketed_join_plan_is_shuffle_free(spark, agg)
+    assert bucketed_join_plan_is_shuffle_free(agg)
     got = {r.k: r.s for r in agg.collect()}
     assert got[0] == sum(float(i) for i in range(1000) if i % 50 == 0)
 
@@ -71,6 +71,6 @@ def test_unbucketed_join_does_shuffle(spark, bucketed_pair):
             [Row(k=i, label=f"L{i}") for i in range(50)]
         )
         joined = plain.join(other, "k")
-        assert not bucketed_join_plan_is_shuffle_free(spark, joined)
+        assert not bucketed_join_plan_is_shuffle_free(joined)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -17,6 +17,7 @@ sys.path.insert(
 
 from explain_audit import FLAGS, WHITELIST  # noqa: E402
 
+from scio_db_spark.plans.explain import plan_string  # noqa: E402
 from scio_db_spark.plans.registry import all_queries  # noqa: E402
 
 SUBSET = [
@@ -37,9 +38,7 @@ def test_plans_free_of_scale_antipatterns(spark, sf_dir):
     bad = []
     for name in SUBSET:
         df = qs[name].spark(spark, sf_dir)
-        plan = spark._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        plan = plan_string(df)
         bad.extend(
             (name, f)
             for f in FLAGS

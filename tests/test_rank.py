@@ -43,18 +43,20 @@ def test_global_rank_dense_duplicates_total_with_tiebreak(spark):
     assert got == {i: i + 1 for i in range(100)}
 
 
-def test_global_rank_no_singlepartition_on_main_path(spark):
-    # The ONLY single-partition exchange allowed is the one feeding the
-    # per-partition offsets (a few rows); the naive global window has
-    # one on the full data path instead.
+def test_global_rank_single_data_shuffle(spark):
+    from scio_db_spark.plans.explain import plan_string
+
     df = spark.createDataFrame(
         [Row(id=i, v=float(i)) for i in range(100)], "id long, v double"
     )
     out = global_rank(df, [F.asc("v"), F.asc("id")], num_partitions=4)
-    plan = spark._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
-    )
-    # At most the tiny offsets frame may pass through a single
-    # partition (observed: zero — it rides the broadcast exchange).
+    plan = plan_string(out)
+    # Main path: range shuffle + in-partition sort + Arrow enumeration.
+    assert "rangepartitioning" in plan
+    assert "MapInPandas" in plan
+    # Exactly ONE window — the prefix sum over one count per partition.
+    # (A partitionBy(spark_partition_id()) formulation would need a
+    # second Window plus a full-data hash exchange feeding it.)
+    assert plan.count(") Window") == 1
+    # Any single-partition exchange serves only that tiny offsets frame.
     assert plan.count("Exchange SinglePartition") <= 1
-    assert "rangepartitioning" in plan.lower()  # main path is ranged

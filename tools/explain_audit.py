@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import sys
 
+from scio_db_spark.plans.explain import plan_string
 from scio_db_spark.plans.registry import all_queries
 from scio_db_spark.session import SessionFactory
 
@@ -69,9 +70,7 @@ def audit(sf_dir: str, only: set[str]) -> int:
             continue
         try:
             df = spec.spark(spark, sf_dir)
-            plan = spark._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            plan = plan_string(df)
         except Exception as e:  # build errors surface in the oracle gate
             print(f"SKIP {name}: {e}")
             continue

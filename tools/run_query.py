@@ -42,11 +42,9 @@ def main() -> int:
     spark = SessionFactory.create("run-query")
     df = qs[args.query].spark(spark, args.sf)
     if args.explain:
-        print(
-            spark._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-        )
+        from scio_db_spark.plans.explain import plan_string
+
+        print(plan_string(df))
     df.show(args.show, truncate=False)
     return 0
 
