@@ -879,3 +879,45 @@ def pipeline_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.min("quality").alias("min_quality"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Substring-level dedup signal: word spans shared verbatim ACROSS
+# documents (the boilerplate/license-header detector — the shingle
+# analogue of exact-substring dedup). A span counts once per document
+# (DISTINCT) so within-doc repetition doesn't inflate cross-doc counts.
+_SPAN_MIN_DOCS = 3
+
+
+@register(
+    "docs_duplicate_spans",
+    oracle=f"""
+    SELECT shingle AS span, count(*) AS n_docs,
+        min(doc_id) AS first_doc
+    FROM (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+            FROM documents
+        )
+    )
+    GROUP BY shingle HAVING count(*) >= {_SPAN_MIN_DOCS}
+    """,
+    doc="Cross-document duplicate spans: word-trigram shingles present "
+    "verbatim in >= 3 documents (boilerplate detector). Distinct "
+    "(doc, span) pairs shrink map-side; the shuffle key is the span "
+    "hash — uniform, skew-free; HAVING prunes before any output.",
+)
+def duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    spans = (
+        _with_shingles(spark, sf, min_tokens=_SHINGLE_N)
+        .select("doc_id", F.explode("shingles").alias("span"))
+        .distinct()
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= _SPAN_MIN_DOCS)
+    )
