@@ -559,3 +559,73 @@ def range_count(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(0.0),
         ).alias("total_30d"),
     )
+
+
+# --------------------------------------------------------------------------
+_GRID_START, _GRID_END = "2024-01-01 00:00:00", "2024-01-30 23:00:00"
+_GRID_MAX_USER = 20
+
+
+@register(
+    "events_resample_hourly_ffill",
+    oracle=f"""
+    WITH users AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id <= {_GRID_MAX_USER}
+    ),
+    grid AS (
+        SELECT user_id,
+            unnest(generate_series(TIMESTAMP '{_GRID_START}',
+                                   TIMESTAMP '{_GRID_END}',
+                                   INTERVAL 1 HOUR)) AS grid_ts
+        FROM users
+    ),
+    r AS (
+        SELECT user_id, ts, last_value, last_event_id FROM (
+            SELECT user_id, ts, value AS last_value,
+                event_id AS last_event_id,
+                row_number() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_id DESC) AS rn
+            FROM events WHERE user_id <= {_GRID_MAX_USER}
+        ) WHERE rn = 1
+    )
+    SELECT g.user_id, g.grid_ts, r.last_value, r.last_event_id
+    FROM grid g ASOF LEFT JOIN r
+      ON g.user_id = r.user_id AND g.grid_ts >= r.ts
+    """,
+    doc="Time-series resample: hourly grid per user, forward-filled "
+    "with the latest event at-or-before each grid point (gap-fill). "
+    "Built ON the as-of join operator — grid rows are the left side, "
+    "so the whole resample is one keyed shuffle of |grid|+|events| "
+    "rows; NULL before a user's first event. Oracle = DuckDB native "
+    "ASOF JOIN over the same generated grid.",
+)
+def resample_hourly_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf).filter(F.col("user_id") <= _GRID_MAX_USER)
+    users = ev.select("user_id").distinct()
+    grid = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit(_GRID_START).cast("timestamp"),
+                F.lit(_GRID_END).cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("grid_ts"),
+    )
+    right = ev.select(
+        "user_id",
+        "ts",
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_event_id"),
+    )
+    return asof_join(
+        grid,
+        right,
+        key="user_id",
+        left_time="grid_ts",
+        right_time="ts",
+        payload_cols=["last_value", "last_event_id"],
+        tie_col="last_event_id",
+    )
