@@ -629,3 +629,43 @@ def resample_hourly_ffill(spark: SparkSession, sf: str) -> DataFrame:
         payload_cols=["last_value", "last_event_id"],
         tie_col="last_event_id",
     )
+
+
+# --------------------------------------------------------------------------
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "events_moving_hour_stats",
+    oracle=f"""
+    SELECT event_id,
+        count(*) OVER w AS n_1h,
+        CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR)
+             AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW)
+    """,
+    doc="Moving one-hour window per user (RANGE frame over event-time "
+    "micros): trailing count and exact-decimal sum for every event. "
+    "The frame surface (rows/range windows) the rank queries don't "
+    "touch; one hash shuffle on user_id, per-partition sort, frames "
+    "evaluated in a single pass.",
+)
+def moving_hour_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("__s"),
+    ).select(
+        "event_id", "n_1h",
+        F.col("__s").cast("string").cast("double").alias("sum_1h"),
+    )
