@@ -616,3 +616,44 @@ def median_order_total(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.5)").alias("median_total"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+_HIST_W, _HIST_LO, _HIST_BUCKETS = 25000.0, 0.0, 20
+
+
+@register(
+    "histogram_order_totals",
+    oracle=f"""
+    SELECT bucket,
+        {_HIST_LO} + bucket * {_HIST_W} AS lo,
+        {_HIST_LO} + (bucket + 1) * {_HIST_W} AS hi,
+        count(*) AS n
+    FROM (
+        SELECT CAST(least(floor((o_totalprice - {_HIST_LO}) / {_HIST_W}),
+                          {_HIST_BUCKETS - 1}) AS BIGINT) AS bucket
+        FROM orders
+    )
+    GROUP BY bucket
+    """,
+    doc="Fixed-width histogram of order totals (20 buckets, top bucket "
+    "clamps the tail): one map-side bucket expression + one tiny "
+    "keyed agg — the distributed histogram shape at any scale.",
+)
+def histogram_order_totals(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - _HIST_LO) / _HIST_W),
+        F.lit(_HIST_BUCKETS - 1),
+    ).cast("long")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(_HIST_LO) + F.col("bucket") * _HIST_W).alias("lo"),
+            (F.lit(_HIST_LO) + (F.col("bucket") + 1) * _HIST_W).alias("hi"),
+            "n",
+        )
+    )
