@@ -18,6 +18,10 @@ from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+def _aliased(metrics: dict[str, Column]) -> list[Column]:
+    return [col.alias(alias) for alias, col in metrics.items()]
+
+
 def observe_metrics(
     df: DataFrame, name: str, metrics: dict[str, Column]
 ) -> DataFrame:
@@ -26,8 +30,7 @@ def observe_metrics(
     Each micro-batch reports ``{name: {metric: value}}`` in
     ``query.lastProgress["observedMetrics"]`` / ``recentProgress``.
     """
-    cols = [col.alias(alias) for alias, col in metrics.items()]
-    return df.observe(name, *cols)
+    return df.observe(name, *_aliased(metrics))
 
 
 def observed_batch(
@@ -36,8 +39,7 @@ def observed_batch(
     """Batch form: returns (df, observation); read ``observation.get``
     AFTER an action on the returned df has completed."""
     obs = Observation(name)
-    cols = [col.alias(alias) for alias, col in metrics.items()]
-    return df.observe(obs, *cols), obs
+    return df.observe(obs, *_aliased(metrics)), obs
 
 
 def validity_metrics(valid_col: str = "is_valid") -> dict[str, Column]:

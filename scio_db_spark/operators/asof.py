@@ -49,23 +49,22 @@ def asof_join(
     # entire latest right ROW forward atomically — per-column fills
     # would mix values from different right rows whenever the latest
     # row holds a NULL in one payload column but not another.
+    payload_type = right.select(
+        F.struct(*payload_cols).alias("__payload")
+    ).schema["__payload"].dataType
     l_tag = left.select(
         F.col(key).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),  # events sort AFTER same-instant facts
         F.struct(*left.columns).alias("__left"),
-        F.lit(None).cast(
-            "struct<" + ", ".join(
-                f"{c}: {dict(right.dtypes)[c]}" for c in payload_cols
-            ) + ">"
-        ).alias("__payload"),
+        F.lit(None).cast(payload_type).alias("__payload"),
     )
     r_tag = right.select(
         F.col(key).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(
-            l_tag.schema["__left"].dataType.simpleString()
+            l_tag.schema["__left"].dataType
         ).alias("__left"),
         F.struct(*payload_cols).alias("__payload"),
     )
