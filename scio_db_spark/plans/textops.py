@@ -196,24 +196,21 @@ def _lsh_pairs_sql() -> str:
     doc="MinHash-LSH candidate pairs: band-bucket equi-join (no cartesian).",
 )
 def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # stack() unpivots all bands from ONE evaluation of the signature
+    # subplan — a per-band union would re-run the scan + signature
+    # expressions once per band (and the self-join doubles that).
     sig = minhash_signature(spark, sf)
-    band_dfs = []
-    for b in range(_BANDS):
-        lo, hi = 2 * b, 2 * b + 1
-        band_dfs.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    "_",
-                    F.col(f"sig_{lo}").cast("string"),
-                    F.col(f"sig_{hi}").cast("string"),
-                ).alias("band_key"),
-            )
-        )
-    bands = band_dfs[0]
-    for bdf in band_dfs[1:]:
-        bands = bands.unionByName(bdf)
+    stack_args = ", ".join(
+        f"{b}, concat_ws('_', CAST(sig_{2 * b} AS STRING), "
+        f"CAST(sig_{2 * b + 1} AS STRING))"
+        for b in range(_BANDS)
+    )
+    bands = sig.select(
+        "doc_id",
+        F.expr(
+            f"stack({_BANDS}, {stack_args}) AS (band_id, band_key)"
+        ),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
