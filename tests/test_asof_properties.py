@@ -80,3 +80,48 @@ def test_global_rank_matches_sorted_positions(spark, vals, nparts):
         )
     }
     assert got == expected
+
+
+_iv_left = st.lists(st.tuples(_keys, _times), min_size=1, max_size=10)
+_iv_right = st.lists(
+    st.tuples(_keys, _times, st.integers(0, 99)), min_size=0, max_size=10
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_iv_left, right=_iv_right)
+def test_interval_join_matches_bruteforce_model(spark, left, right):
+    # Batch execution of the streaming helper (watermarks are no-ops):
+    # every (left, right) pair with equal keys and right_time within
+    # [left_time, left_time + 5] must appear, nothing else.
+    from scio_db_spark.operators.joins import interval_join
+
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    to_ts = lambda s: base + datetime.timedelta(seconds=s)  # noqa: E731
+    ldf = spark.createDataFrame(
+        [Row(ik=k, itime=to_ts(t), lid=i) for i, (k, t) in enumerate(left)],
+        "ik string, itime timestamp, lid int",
+    )
+    rdf = spark.createDataFrame(
+        [Row(ck=k, ctime=to_ts(t), rid=r) for k, t, r in right],
+        "ck string, ctime timestamp, rid int",
+    )
+    out = interval_join(
+        ldf, rdf, left_key="ik", right_key="ck",
+        left_time="itime", right_time="ctime",
+        lower="0 seconds", upper="5 seconds",
+    )
+    got = {(r.lid, r.rid) for r in out.collect()}
+    expected = {
+        (i, rid)
+        for i, (lk, lt) in enumerate(left)
+        for (rk, rt, rid) in right
+        if lk == rk and lt <= rt <= lt + 5
+    }
+    assert got == expected
