@@ -918,3 +918,43 @@ def duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= _SPAN_MIN_DOCS)
     )
+
+
+# --------------------------------------------------------------------------
+# Mixture rebalancing with DATA-DERIVED rates: downsample every
+# language to the size of the smallest one. Unlike the static-rate
+# stratified sample, the keep decision depends on counts computed from
+# the data itself — and stays EXACT integer arithmetic:
+# keep iff hash(doc) mod lang_count < min_count, which keeps
+# ~min_count docs per language with a deterministic, growth-stable
+# assignment (no floating-point rate ever exists).
+@register(
+    "docs_lang_rebalance",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS mn FROM c)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN c ON d.lang = c.lang, m
+    WHERE {str_hash60_sql("'mix:' || CAST(d.doc_id AS VARCHAR)")} % c.n
+          < m.mn
+    """,
+    doc="Mixture rebalance: every language downsampled to the "
+    "smallest language's size via an exact integer hash gate "
+    "(hash mod lang_count < min_count) — rates derived from the data "
+    "by a broadcast join of per-language counts, no floats, "
+    "deterministic under reruns. One count agg + map-side gate.",
+)
+def lang_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = c.agg(F.min("n").alias("mn"))
+    gate = (
+        str_hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+        % F.col("n")
+    )
+    return (
+        d.join(F.broadcast(c), "lang")
+        .join(F.broadcast(m))
+        .filter(gate < F.col("mn"))
+        .select("doc_id", "lang")
+    )
