@@ -669,3 +669,37 @@ def moving_hour_stats(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "n_1h",
         F.col("__s").cast("string").cast("double").alias("sum_1h"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_type_transition_matrix",
+    oracle="""
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM (
+        SELECT event_type,
+            lag(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+    doc="Event-type transition matrix per user stream (lag window + "
+    "pair counts) — the Markov-ish session analytics shape: one "
+    "shuffle on user_id for the lag, then a tiny keyed agg.",
+)
+def type_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -657,3 +657,44 @@ def histogram_order_totals(spark: SparkSession, sf: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "decile_customer_revenue",
+    oracle=f"""
+    SELECT decile,
+        count(*) AS n_customers,
+        {_d2d_sql("sum(revenue)")} AS decile_revenue
+    FROM (
+        SELECT ntile(10) OVER (ORDER BY revenue DESC, c_custkey) AS decile,
+            revenue
+        FROM (
+            SELECT o_custkey AS c_custkey,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY o_custkey
+        )
+    )
+    GROUP BY decile
+    """,
+    doc="Customer revenue deciles (ntile over a total order) + "
+    "per-decile totals. ntile needs the global order, but its input "
+    "here is the pre-aggregated per-customer frame — orders of "
+    "magnitude smaller than the fact table — so the single-partition "
+    "step touches |customers| rows, not |orders|. Exact decimal sums "
+    "convert to double only at the edge.",
+)
+def decile_customer_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(_dec("o_totalprice")).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.select("revenue", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _d2d(F.sum("revenue")).alias("decile_revenue"),
+        )
+    )
