@@ -60,7 +60,17 @@ def build_mediation_core(
     keyed = with_idempotent_key(
         stream_df, "transaction_id", "customer_id"
     )  # P1/P2: transactionId-customerId, MyEventRecordUtils.scala:55
-    ok, ko = split_ok_ko(keyed, validity_predicate())
+    # G2 metrics ride the job (no count branch): every query built on
+    # either output reports n_total/n_ok/n_ko per micro-batch under
+    # observedMetrics["mediation_gate"].
+    from scio_db_spark.observability import observe_metrics, validity_metrics
+
+    flagged = keyed.withColumn("__is_valid", validity_predicate())
+    observed = observe_metrics(
+        flagged, "mediation_gate", validity_metrics("__is_valid")
+    )
+    ok, ko = split_ok_ko(observed, F.col("__is_valid"))
+    ok, ko = ok.drop("__is_valid"), ko.drop("__is_valid")
 
     if historical_df is not None:
         # J1: already-notified keys are dropped from the send path
