@@ -42,8 +42,9 @@ from scio_db_spark.streaming.ttl_dedup import ttl_dedup  # noqa: E402
 
 
 def main() -> None:
-    n_records = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    n_keys = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_records = int(pos[0]) if len(pos) > 0 else 1_000_000
+    n_keys = int(pos[1]) if len(pos) > 1 else 1_000_000
 
     spark = SessionFactory.create("bench-throughput")
     spark.sparkContext.setLogLevel("ERROR")
