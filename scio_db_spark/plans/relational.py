@@ -162,13 +162,13 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
         "decimal(30,6)"
     )
     joined = (
-        # orders/customer are fact-scale at high SF — no forced
-        # broadcast (threshold/AQE decide); supplier/nation/region are
-        # true dims, hinted.
+        # orders/customer/supplier all scale with SF — no forced
+        # broadcast (threshold/AQE decide); nation/region are fixed
+        # 25/5-row dims, hinted.
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -218,8 +218,10 @@ def agg_orders(spark: SparkSession, sf: str) -> DataFrame:
 def topk_customers(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer")
     o = table(spark, sf, "orders")
+    # No broadcast hint: customer scales with SF (~15M rows at SF100);
+    # autoBroadcastJoinThreshold + AQE pick the strategy per scale.
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             _d2d(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).alias("revenue"),
@@ -340,7 +342,9 @@ def anti_join(spark: SparkSession, sf: str) -> DataFrame:
 def broadcast_enrich(spark: SparkSession, sf: str) -> DataFrame:
     o = table(spark, sf, "orders").select("o_orderkey", "o_totalprice", "o_custkey")
     c = table(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment")
-    out = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+    # customer is fact-scale (SF x 150k rows) — no forced broadcast;
+    # the threshold/AQE decide per actual size.
+    out = o.join(c, o.o_custkey == c.c_custkey, "left")
     return out.select(
         "o_orderkey",
         "o_totalprice",

@@ -948,13 +948,21 @@ def lang_rebalance(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     m = c.agg(F.min("n").alias("mn"))
+    # Fold the one-row min frame onto the tiny per-lang counts frame via
+    # a constant-key equi-join (plans BroadcastHashJoin, not BNLJ — the
+    # joined frames are |langs| x 1 rows), so the only join touching
+    # `documents` is ONE broadcast equi-join on lang.
+    rates = (
+        c.withColumn("__k", F.lit(1))
+        .join(m.withColumn("__k", F.lit(1)), "__k")
+        .drop("__k")
+    )
     gate = (
         str_hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
         % F.col("n")
     )
     return (
-        d.join(F.broadcast(c), "lang")
-        .join(F.broadcast(m))
+        d.join(F.broadcast(rates), "lang")
         .filter(gate < F.col("mn"))
         .select("doc_id", "lang")
     )

@@ -85,8 +85,9 @@ def q07(spark: SparkSession, sf: str) -> DataFrame:
     joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        # supplier/nation are true dim-scale at any SF — broadcast.
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        # supplier scales with SF (SF x 10k rows) — no forced broadcast
+        # (threshold/AQE decide); nation is a fixed 25-row dim — hint it.
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -167,8 +168,10 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
     top = rev.agg(F.max("total_rev").alias("max_rev"))
     s = table(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
+        # After the scalar-max filter `rev` is ~1 row; broadcast THAT
+        # side implicitly via AQE rather than hinting SF-scaled supplier.
         rev.join(F.broadcast(top), rev.total_rev == top.max_rev)
-        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        .join(s, rev.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", _d2d(F.col("total_rev")).alias("total_revenue"))
     )
 

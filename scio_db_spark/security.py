@@ -53,9 +53,10 @@ def build_ssl_context(
             "secret names given but no secret_provider — the context "
             "would silently lack the requested material"
         )
-    # Cache key includes the provider identity: a different provider
-    # (other vault, rotated material) must not hit a stale context.
-    key = (id(secret_provider) if secret_provider else None, *secrets)
+    # Cache key holds the provider OBJECT (not id()): the dict's strong
+    # reference keeps it alive, so a collected provider's id can never
+    # be recycled onto a different provider and serve a stale context.
+    key = (secret_provider, *secrets)
     with _lock:
         if key in _cached:
             return _cached[key]

@@ -44,18 +44,34 @@ def validity_predicate():
     )
 
 
+#: Above this many historical rows the distinct key set is no longer
+#: hinted for broadcast — the stream-static anti-join falls back to a
+#: shuffle join instead of shipping the set to every executor. The
+#: reference's side-input carries the same constraint ("must fit in
+#: worker memory", mediation/README.md:136-137) but only documents it;
+#: here it is enforced. ~10M 64-char keys ≈ 1 GiB broadcast — the cap.
+HISTORICAL_BROADCAST_MAX_ROWS = 10_000_000
+
+
 def build_mediation_core(
     stream_df: DataFrame,
     historical_df: DataFrame | None = None,
     ttl_seconds: float = 259200.0,
     order_cols: list[str] | None = None,
     use_timers: bool = True,
+    historical_broadcast_max_rows: int = HISTORICAL_BROADCAST_MAX_ROWS,
 ) -> dict[str, DataFrame]:
     """Build the OK / KO / deduped streaming plans (no sinks attached).
 
     ``stream_df`` is the flat BER stream (BER_FLAT_SCHEMA columns).
     Returns ``{"ko": ..., "deduped": ...}`` where ``deduped`` carries
     ``send_status`` ∈ {SENT, SENT_OR_DUPLICATED}.
+
+    Memory bound: the historical key set is broadcast to executors only
+    when ``historical_df`` holds at most ``historical_broadcast_max_rows``
+    rows (one cheap metadata-friendly count at plan-build time — the
+    frame is static). Larger retention windows fall back to a shuffle
+    left-anti join, which stream-static joins support at any size.
     """
     keyed = with_idempotent_key(
         stream_df, "transaction_id", "customer_id"
@@ -76,11 +92,14 @@ def build_mediation_core(
         # J1: already-notified keys are dropped from the send path
         # before state even sees them (dup branch of the reference logs
         # them; the state layer below re-emits any residual dups).
-        hist_keys = F.broadcast(
-            distinct_by_key(
-                historical_df.select("idempotent_key"), "idempotent_key"
-            )
+        hist_keys = distinct_by_key(
+            historical_df.select("idempotent_key"), "idempotent_key"
         )
+        # Size guard: row count upper-bounds the distinct key count, so
+        # one count() (static frame, parquet metadata where possible)
+        # decides broadcast vs shuffle — no unbounded broadcast.
+        if historical_df.count() <= historical_broadcast_max_rows:
+            hist_keys = F.broadcast(hist_keys)
         ok = ok.join(hist_keys, "idempotent_key", "left_anti")
 
     out_cols = [
