@@ -85,7 +85,10 @@ def ttl_sessionize(
     when timestamps collide).
     """
     w = Window.partitionBy(*key_cols).orderBy(ts_col, *(tie_cols or []))
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    # NTZ-proof: TIMESTAMP_NTZ can't cast straight to double, but
+    # NTZ→TIMESTAMP is legal (and a no-op on an ltz column).
+    secs = F.col(ts_col).cast("timestamp").cast("double")
+    gap = secs - F.lag(secs).over(w)
     is_new = F.when(gap.isNull() | (gap >= ttl_seconds), 1).otherwise(0)
     out = df.withColumn("__new_session", is_new)
     out = out.withColumn(

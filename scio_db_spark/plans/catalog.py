@@ -28,22 +28,43 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-TZ TIMESTAMP.
+
+    The driver's parquet stores timestamps as ``timestamp[us]`` with
+    ``isAdjustedToUTC=false``, which Spark 4.x reads as TIMESTAMP_NTZ.
+    Downstream plans rely on TIMESTAMP(ltz) semantics (``unix_micros``,
+    ``cast(... as double)``), which NTZ rejects. The session timezone is
+    pinned to UTC (session.py), so the NTZ→LTZ cast is value-preserving.
+    """
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which
+        # Older driver drops stored ts as parquet TIMESTAMP(NANOS), which
         # Spark's vectorized reader rejects. Read nanos as long
         # (runtime conf, safe on any session) and truncate to micros —
-        # exactly what DuckDB does when it reads TIMESTAMP_NS.
+        # exactly what DuckDB does when it reads TIMESTAMP_NS. Newer
+        # drops store timestamp[us] (NTZ); _normalize_timestamps handles
+        # those uniformly for every table.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return _normalize_timestamps(df)
+    return _normalize_timestamps(
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -658,7 +658,7 @@ def moving_hour_stats(spark: SparkSession, sf: str) -> DataFrame:
     ev = _events(spark, sf)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-_HOUR_US, 0)
     )
     return ev.select(

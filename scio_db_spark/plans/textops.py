@@ -947,15 +947,16 @@ def duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
 def lang_rebalance(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    m = c.agg(F.min("n").alias("mn"))
-    # Fold the one-row min frame onto the tiny per-lang counts frame via
-    # a constant-key equi-join (plans BroadcastHashJoin, not BNLJ — the
-    # joined frames are |langs| x 1 rows), so the only join touching
-    # `documents` is ONE broadcast equi-join on lang.
-    rates = (
-        c.withColumn("__k", F.lit(1))
-        .join(m.withColumn("__k", F.lit(1)), "__k")
-        .drop("__k")
+    # Fold the global min onto the tiny per-lang counts frame with a
+    # window aggregate (min over an unpartitioned frame). The counts
+    # frame is |langs| rows (~5), so the single-partition window is
+    # free, and no join is planned at all — the only join touching
+    # `documents` is ONE broadcast equi-join on lang. (A constant-key
+    # equi-join here folds back into a BroadcastNestedLoopJoin under
+    # Catalyst's trivially-true-condition elimination.)
+    rates = c.withColumn(
+        "mn",
+        F.min("n").over(Window.partitionBy(F.lit(1))),
     )
     gate = (
         str_hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))

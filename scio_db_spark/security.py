@@ -21,10 +21,15 @@ import os
 import ssl
 import tempfile
 import threading
+from collections import OrderedDict
 from collections.abc import Callable
 
 _lock = threading.Lock()
-_cached: dict[tuple, ssl.SSLContext] = {}
+#: FIFO-bounded: one entry per (provider, secret-names) combination; a
+#: rotation scheme that builds a fresh provider per rotation evicts its
+#: predecessors instead of growing without bound.
+_CACHE_MAX = 32
+_cached: OrderedDict[tuple, ssl.SSLContext] = OrderedDict()
 
 
 def env_secret_provider(name: str) -> bytes:
@@ -56,9 +61,18 @@ def build_ssl_context(
     # Cache key holds the provider OBJECT (not id()): the dict's strong
     # reference keeps it alive, so a collected provider's id can never
     # be recycled onto a different provider and serve a stale context.
-    key = (secret_provider, *secrets)
+    # The cache is FIFO-bounded (_CACHE_MAX) so per-rotation providers
+    # can't accumulate contexts forever; an unhashable provider (e.g. a
+    # class defining __eq__ without __hash__) skips the cache entirely
+    # and gets a freshly built context each call.
+    key: tuple | None = (secret_provider, *secrets)
+    try:
+        hash(key)
+    except TypeError:
+        key = None
     with _lock:
-        if key in _cached:
+        if key is not None and key in _cached:
+            _cached.move_to_end(key)
             return _cached[key]
         if any(
             s and s.lower().endswith((".jks", ".p12"))
@@ -91,5 +105,8 @@ def build_ssl_context(
                 fh.write(secret_provider(client_key_secret))
             os.chmod(key_p, 0o600)
             ctx.load_cert_chain(cert_p, key_p)
-        _cached[key] = ctx
+        if key is not None:
+            _cached[key] = ctx
+            while len(_cached) > _CACHE_MAX:
+                _cached.popitem(last=False)
         return ctx

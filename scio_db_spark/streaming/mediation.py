@@ -7,18 +7,21 @@ readStream (BERs) â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”
   STEP 2   key by idempotent_key (P1/P2)                        â”‚
   STEP 2.2 validity partition OK/KO (F1/F2)                     â”‚
   STEP 2.3 KO â†’ tumbling windows â†’ dead-letter files (K5/W2)    â”‚
-  STEP 2.b OK âŸ• broadcast(historical) anti-join â†’ new vs dup (J1)
+  STEP 2.b OK âŸ• historical anti-join â†’ new vs dup (J1)
+           (broadcast only under HISTORICAL_BROADCAST_MAX_ROWS,
+            else shuffle anti-join)
   STEP 3-4 distinctByKey (D1) â†’ stateful TTL dedup (D2/D3/D4)
   STEP 5   SENT rows â†’ async HTTP POST (K4, W8/W9/W11)
   STEP 6   (record, response) analytics projection (P9)
 ```
 
 Where the reference uses a side-input map of historical keys
-(MediationService.scala:110-117), we broadcast the static DataFrame and
-let the stream-static left-anti join re-resolve per micro-batch â€”
-Spark re-plans stream-static joins every batch, which also gives the
-J5 "refreshing side input" semantics for free when the underlying
-table changes.
+(MediationService.scala:110-117), we anti-join the static DataFrame â€”
+broadcast-hinted only while it stays under
+``HISTORICAL_BROADCAST_MAX_ROWS``, else a shuffle anti-join â€” and let
+the stream-static join re-resolve per micro-batch: Spark re-plans
+stream-static joins every batch, which also gives the J5 "refreshing
+side input" semantics for free when the underlying table changes.
 """
 
 from __future__ import annotations
@@ -95,10 +98,19 @@ def build_mediation_core(
         hist_keys = distinct_by_key(
             historical_df.select("idempotent_key"), "idempotent_key"
         )
-        # Size guard: row count upper-bounds the distinct key count, so
-        # one count() (static frame, parquet metadata where possible)
-        # decides broadcast vs shuffle â€” no unbounded broadcast.
-        if historical_df.count() <= historical_broadcast_max_rows:
+        # Size guard: row count upper-bounds the distinct key count.
+        # The probe is limit(cap+1).count(), not count(): CollectLimit
+        # short-circuits after enough partitions, so deciding "bigger
+        # than the cap" on a 100-TB table touches a handful of splits
+        # instead of scanning it end-to-end. Decided once at plan-build
+        # time â€” the table is treated as static for the run even though
+        # the stream-static join re-reads it per micro-batch; a table
+        # that outgrows the cap mid-run keeps its broadcast hint until
+        # the pipeline is rebuilt.
+        probe = historical_df.select("idempotent_key").limit(
+            historical_broadcast_max_rows + 1
+        )
+        if probe.count() <= historical_broadcast_max_rows:
             hist_keys = F.broadcast(hist_keys)
         ok = ok.join(hist_keys, "idempotent_key", "left_anti")
 

@@ -46,6 +46,35 @@ def test_ssl_context_default_and_jks_gate():
         )
 
 
+def test_ssl_context_cache_is_bounded():
+    """Per-rotation providers must evict, not accumulate (security.py)."""
+    from scio_db_spark import security
+
+    start = len(security._cached)
+    for _ in range(security._CACHE_MAX + 10):
+        security.build_ssl_context(secret_provider=lambda n: b"")
+    assert len(security._cached) <= security._CACHE_MAX
+    assert len(security._cached) >= min(start + 1, security._CACHE_MAX)
+
+
+def test_ssl_context_unhashable_provider_skips_cache():
+    from scio_db_spark import security
+
+    class EqNoHash:
+        __hash__ = None  # defining __eq__ without __hash__ does this
+
+        def __eq__(self, other):
+            return True
+
+        def __call__(self, name):
+            return b""
+
+    before = len(security._cached)
+    ctx = security.build_ssl_context(secret_provider=EqNoHash())
+    assert ctx is not None
+    assert len(security._cached) == before
+
+
 def test_env_secret_provider(monkeypatch):
     from scio_db_spark.security import env_secret_provider
 

@@ -42,8 +42,9 @@ def test_oracle_keys_subset_of_queries():
 def test_spot_oracle_match(spark, sf_dir, name):
     from scio_db_spark.plans.catalog import TABLES
 
-    q = entry_mod.queries()[name]
-    sql = entry_mod.oracle_sql()[name]
+    key = entry_mod._driver_key(name)
+    q = entry_mod.queries()[key]
+    sql = entry_mod.oracle_sql()[key]
     spark_pd = q(spark, sf_dir).toPandas()
     con = duckdb.connect()
     for t in TABLES:

@@ -30,7 +30,21 @@ SUBSET = [
     "docs_repetition_signals",
     "events_asof_latest_order",
     "emb_ann_lsh_topk",
+    "docs_lang_rebalance",
 ]
+
+
+def test_lang_rebalance_plans_single_broadcast_join(spark, sf_dir):
+    """docs_lang_rebalance must plan exactly one join touching the data:
+    a BroadcastHashJoin on lang. The global-min fold is a window
+    aggregate over the ~|langs|-row counts frame, never a nested-loop
+    join (a constant-key equi-join folds back into BNLJ)."""
+    df = all_queries()["docs_lang_rebalance"].spark(spark, sf_dir)
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_plans_free_of_scale_antipatterns(spark, sf_dir):

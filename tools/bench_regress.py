@@ -1,0 +1,98 @@
+"""Per-query bench regression gate.
+
+Compares two bench results (either a raw bench.py JSON line or a
+driver-written BENCH_r{N}.json with a ``parsed`` field) and flags any
+headline query that got more than ``THRESHOLD``× slower. Exits 1 on
+regression (or when the new result is unparseable — a crashed bench is
+the worst regression of all, as round 2 proved), so this can gate CI.
+
+Usage:
+    python tools/bench_regress.py NEW.json [OLD.json]
+
+With no OLD given, the newest rc==0 BENCH_r*.json in the repo root is
+used as the reference. Queries present on only one side are reported
+but don't fail the gate (headline sets may grow between rounds).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+THRESHOLD = 1.3  # flag a query slower than 1.3x its reference timing
+MIN_SECONDS = 0.2  # ignore ratio noise below this absolute timing
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load(path: str) -> dict | None:
+    """Extract {'value': float, 'queries': {...}} from either format."""
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc:  # raw bench.py line
+        return doc
+    return doc.get("parsed")  # driver BENCH_r{N}.json (None if crashed)
+
+
+def latest_good_reference(exclude: str) -> str | None:
+    cands = sorted(
+        glob.glob(os.path.join(_REPO_ROOT, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        reverse=True,
+    )
+    for p in cands:
+        if os.path.abspath(p) == os.path.abspath(exclude):
+            continue
+        if load(p) is not None:
+            return p
+    return None
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    new_path = sys.argv[1]
+    new = load(new_path)
+    if new is None:
+        print(f"FAIL {new_path}: bench produced no parseable result (crash?)")
+        return 1
+    old_path = sys.argv[2] if len(sys.argv) > 2 else latest_good_reference(new_path)
+    if old_path is None:
+        print("no reference bench found; nothing to compare")
+        return 0
+    old = load(old_path)
+    if old is None:
+        print(f"reference {old_path} unparseable; nothing to compare")
+        return 0
+
+    print(f"reference: {old_path}  (total {old['value']}s)")
+    print(f"new:       {new_path}  (total {new['value']}s)")
+    print(f"{'query':<34} {'old':>8} {'new':>8} {'ratio':>7}")
+    regressions = []
+    for q in sorted(set(old["queries"]) | set(new["queries"])):
+        o, n = old["queries"].get(q), new["queries"].get(q)
+        if o is None or n is None:
+            print(f"{q:<34} {o or '-':>8} {n or '-':>8}    only-one-side")
+            continue
+        ratio = n / o if o else float("inf")
+        flag = ""
+        if ratio > THRESHOLD and n > MIN_SECONDS:
+            flag = "  << REGRESSION"
+            regressions.append((q, o, n, ratio))
+        print(f"{q:<34} {o:>8.3f} {n:>8.3f} {ratio:>6.2f}x{flag}")
+    total_ratio = new["value"] / old["value"] if old["value"] else float("inf")
+    print(f"{'TOTAL':<34} {old['value']:>8.3f} {new['value']:>8.3f} "
+          f"{total_ratio:>6.2f}x")
+    if regressions:
+        print(f"\n{len(regressions)} per-query regression(s) > {THRESHOLD}x")
+        return 1
+    print("\nno regressions")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
