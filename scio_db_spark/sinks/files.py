@@ -36,6 +36,15 @@ def write_sharded(
     """
     if num_shards is not None:
         df = df.repartition(num_shards)
+    if fmt == "avro":
+        from scio_db_spark.functions.avroio import write_avro
+        from scio_db_spark.sources.readers import has_avro_jar
+
+        if not has_avro_jar(df.sparkSession):
+            # Connector jar absent: pure-Python OCF writer, one shard
+            # per partition (functions/avroio.py).
+            write_avro(df, path)
+            return
     writer = df.write.format(fmt).mode(mode)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
@@ -55,7 +64,19 @@ def write_windowed_batch(
     ``IntervalWindow`` (SinkUtils.scala:36-56, TimeUtils.scala:38-57);
     here every window becomes a ``window_start=.../`` partition dir —
     same grouping contract, but partition-pruned on read.
+    ``fmt="avro"`` without the connector jar reproduces the exact
+    ``<start>_<end>`` file-naming contract via the pure-Python writer.
     """
+    if fmt == "avro":
+        from scio_db_spark.functions.avroio import write_windowed_avro
+        from scio_db_spark.sources.readers import has_avro_jar
+
+        if not has_avro_jar(batch_df.sparkSession):
+            write_windowed_avro(
+                batch_df, path, ts_col=ts_col,
+                window_duration=window_duration,
+            )
+            return
     out = batch_df.withColumn(
         "window_start",
         F.date_format(

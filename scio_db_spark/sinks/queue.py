@@ -29,14 +29,93 @@ def serialize_json(df: DataFrame, key_col: str | None = None) -> DataFrame:
 
 def serialize_avro(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """P12 analogue (``avroToBytes``, AvroUtils.scala:40-62): rows to
-    Avro-encoded bytes via ``to_avro``. Requires the spark-avro
-    connector jar (cluster-provided)."""
-    from pyspark.sql.avro.functions import to_avro  # jar-gated import
+    Avro-encoded bytes. Uses the spark-avro jar's ``to_avro`` when
+    present; otherwise an Arrow-batched pandas UDF running the
+    pure-Python codec (functions/avroio.py) — identical wire bytes
+    (Avro single-record binary body, no container framing)."""
+    from scio_db_spark.sources.readers import has_avro_jar
 
-    value = to_avro(F.struct(*df.columns)).alias("value")
+    if has_avro_jar(df.sparkSession):
+        from pyspark.sql.avro.functions import to_avro
+
+        value = to_avro(F.struct(*df.columns)).alias("value")
+    else:
+        value = _py_avro_encoder(df).alias("value")
     if key_col is None:
         return df.select(value)
     return df.select(F.col(key_col).cast("string").alias("key"), value)
+
+
+def _py_avro_encoder(df: DataFrame):
+    """Column of Avro-encoded bytes for the whole row (jar-less path)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from scio_db_spark.functions.avroio import (
+        _py,
+        avro_schema_of,
+        encode_record,
+    )
+
+    avsc = avro_schema_of(df.schema)
+    cols = list(df.columns)
+
+    # No type hints: a struct input arrives as pd.DataFrame, and the
+    # hint-based signature resolver only accepts Series-shaped hints —
+    # the untyped form selects the scalar eval type directly.
+    def enc(rows):
+        return pd.Series(
+            [
+                encode_record(
+                    avsc, {c: _py(rec[c]) for c in cols}
+                )
+                for rec in rows.to_dict("records")
+            ],
+            dtype=object,
+        )
+
+    return pandas_udf(enc, "binary")(F.struct(*df.columns))
+
+
+def deserialize_avro(
+    df: DataFrame, avro_schema, value_col: str = "value"
+) -> DataFrame:
+    """Inverse of :func:`serialize_avro` for queue reads (S1): decode
+    the binary ``value`` column into typed columns. ``avro_schema`` is
+    the writer schema (JSON string or dict)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from scio_db_spark.functions.avroio import (
+        decode_record,
+        parse_schema,
+        spark_schema_of,
+    )
+
+    schema = parse_schema(avro_schema)
+    out_schema = spark_schema_of(schema)
+    names = [f.name for f in out_schema.fields]
+
+    def dec(vals):
+        recs = [decode_record(schema, bytes(b)) for b in vals]
+        return pd.DataFrame({n: [r.get(n) for r in recs] for n in names})
+
+    dec_udf = pandas_udf(dec, out_schema)
+    other = [c for c in df.columns if c != value_col]
+    return df.select(*other, dec_udf(F.col(value_col)).alias("record"))
+
+
+def queue_writer_options(
+    topic: str, bootstrap_servers: str, checkpoint: str | None = None
+) -> dict[str, str]:
+    """Kafka writer option contract, testable without a broker."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+    }
+    if checkpoint is not None:
+        opts["checkpointLocation"] = checkpoint
+    return opts
 
 
 def write_stream_queue(
@@ -48,11 +127,8 @@ def write_stream_queue(
 ):
     """K3: streaming queue write. ``wire_df`` must already be in the
     (key?, value) wire shape (see the serializers above)."""
-    writer = (
-        wire_df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
+    writer = wire_df.writeStream.format("kafka").options(
+        **queue_writer_options(topic, bootstrap_servers, checkpoint)
     )
     if trigger:
         writer = writer.trigger(**trigger)
@@ -65,7 +141,6 @@ def write_batch_queue(
     """K3 batch form (the reference's PubSubProducer bulk publish)."""
     (
         wire_df.write.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
+        .options(**queue_writer_options(topic, bootstrap_servers))
         .save()
     )

@@ -22,6 +22,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def has_avro_jar(spark: SparkSession) -> bool:
+    """True when the spark-avro connector jar is on the classpath."""
+    try:
+        jvm = spark._jvm  # type: ignore[attr-defined]
+        # AvroFileFormat exists core-side as an error-message stub;
+        # AvroDataToCatalyst only ships in the real connector jar.
+        jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroDataToCatalyst"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def read_files(
     spark: SparkSession,
     paths: str | list[str],
@@ -32,8 +46,14 @@ def read_files(
     """S3: bounded file read (glob-capable), any Spark batch format.
 
     Reference: ``sc.avroFile[MyEventRecord](path*)``
-    (MediationService.scala:301,309).
+    (MediationService.scala:301,309). ``fmt="avro"`` uses the
+    connector jar when present, else the pure-Python OCF reader
+    (functions/avroio.py) — same bytes, same resulting DataFrame.
     """
+    if fmt == "avro" and not has_avro_jar(spark):
+        from scio_db_spark.functions.avroio import read_avro
+
+        return read_avro(spark, paths)
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
@@ -121,6 +141,27 @@ def read_stream_rate(
     )
 
 
+def queue_reader_options(
+    topic: str,
+    bootstrap_servers: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Kafka reader option contract, testable without a broker.
+
+    ``maxOffsetsPerTrigger`` is the W11 ingest-throttle analogue of
+    the reference's RateLimit (PubSubConsumer.scala:47-50).
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def read_stream_queue(
     spark: SparkSession,
     topic: str,
@@ -132,17 +173,15 @@ def read_stream_queue(
 
     The Pub/Sub reads of the reference (PubSubConsumer.scala:38-52) map
     to Kafka in the Spark ecosystem; callers decode ``value`` with
-    ``from_avro``/``cast('string')``. Requires the Kafka connector jars
-    on the cluster — this facade only declares the plan.
+    ``deserialize_avro``/``cast('string')``. Requires the Kafka
+    connector jars on the cluster — this facade only declares the plan.
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+    reader = spark.readStream.format("kafka").options(
+        **queue_reader_options(
+            topic, bootstrap_servers, starting_offsets,
+            max_offsets_per_trigger,
+        )
     )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return reader.load()
 
 

@@ -1,0 +1,183 @@
+"""Avro end-to-end: pure-Python OCF codec, Spark read/write, wire
+serialization, and the windowed ``<start>_<end>`` sink naming contract
+(S1/S3/K1/K2/P12 — SinkUtils.scala:36-71, AvroUtils.scala:40-62).
+
+No spark-avro jar and no Python avro library exist in this
+environment, so every assertion here exercises the stdlib codec in
+functions/avroio.py against the public Avro 1.11 spec.
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import os
+from datetime import datetime
+
+import pytest
+
+from scio_db_spark.functions import avroio as A
+
+SCHEMA = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"], "default": None},
+        {"name": "score", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+        {
+            "name": "ts",
+            "type": {"type": "long", "logicalType": "timestamp-micros"},
+        },
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "meta", "type": {"type": "map", "values": "long"}},
+        {"name": "blob", "type": "bytes"},
+        {
+            "name": "color",
+            "type": {"type": "enum", "name": "c", "symbols": ["R", "G", "B"]},
+        },
+    ],
+}
+
+ROWS = [
+    {
+        "id": 1, "name": "a", "score": 1.5, "flag": True,
+        "ts": datetime(2024, 1, 2, 3, 4, 5, 123456),
+        "tags": ["x", "y"], "meta": {"k": 2}, "blob": b"\x00\x01",
+        "color": "G",
+    },
+    {
+        "id": 2, "name": None, "score": -2.25, "flag": False,
+        "ts": datetime(1970, 1, 1),
+        "tags": [], "meta": {}, "blob": b"", "color": "B",
+    },
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_round_trip(codec):
+    buf = io.BytesIO()
+    w = A.ContainerWriter(buf, SCHEMA, codec=codec)
+    w.write_rows(ROWS)
+    w.close()
+    schema, recs = A.read_container(buf.getvalue())
+    assert recs == ROWS
+    assert schema["name"] == "t"
+
+
+def test_wire_round_trip():
+    body = A.encode_record(SCHEMA, ROWS[0])
+    assert A.decode_record(SCHEMA, body) == ROWS[0]
+    # zig-zag sanity pins the binary format, not just self-consistency:
+    # long(1) == 0x02, long(-1) == 0x01, long(64) == 0x80 0x01 per spec
+    enc = A.BinaryEncoder()
+    enc.write_long(1)
+    enc.write_long(-1)
+    enc.write_long(64)
+    assert enc.getvalue() == b"\x02\x01\x80\x01"
+
+
+def test_reads_java_written_container():
+    """Interop: a container produced by the Java Avro library (the
+    reference repo's mock data) must decode — proves spec conformance
+    against an independent implementation, not just round-tripping."""
+    p = (
+        "/root/reference/src/main/resources/mock/avro/"
+        "null_nhub_debit_abuela-00000-of-00001.avro"
+    )
+    if not os.path.exists(p):
+        pytest.skip("reference mock avro not present")
+    with open(p, "rb") as fh:
+        schema, recs = A.read_container(fh.read())
+    assert schema["name"] == "MyEventRecord"
+    assert len(recs) == 1
+    assert {"Event", "Customer", "Notification"} <= set(recs[0])
+
+
+def test_spark_write_read_round_trip(spark, sf_dir, tmp_path):
+    """write_avro → read_avro over the events table (timestamps, longs,
+    doubles, strings) must reproduce the original rows."""
+    from scio_db_spark.plans.catalog import table
+    from scio_db_spark.sources.readers import read_files
+
+    ev = table(spark, sf_dir, "events").limit(500)
+    out = str(tmp_path / "events_avro")
+    written = A.write_avro(ev, out, codec="deflate")
+    assert sum(n for _, n in written) == 500
+    back = read_files(spark, out, fmt="avro")
+    assert back.schema == ev.schema
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_windowed_avro_naming_contract(spark, tmp_path):
+    """K1 Avro leg: every file is named <start>_<end>-p<NNNNN>.avro and
+    holds only rows of its window (SinkUtils.scala:36-56)."""
+    from scio_db_spark.sinks.files import write_windowed_batch
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 10)),
+            (2, datetime(2024, 1, 1, 0, 0, 20)),
+            (3, datetime(2024, 1, 1, 0, 0, 40)),
+        ],
+        "id long, event_time timestamp",
+    )
+    out = str(tmp_path / "win")
+    write_windowed_batch(df, out, window_duration="30 seconds", fmt="avro")
+    files = sorted(glob.glob(os.path.join(out, "*.avro")))
+    assert files, "no avro files written"
+    names = [os.path.basename(f) for f in files]
+    starts = {n.split("_", 1)[0] for n in names}
+    assert any("2024-01-01T00-00-00" in n for n in names)
+    assert any("2024-01-01T00-00-30" in n for n in names)
+    total = 0
+    for f in files:
+        with open(f, "rb") as fh:
+            _, recs = A.read_container(fh.read())
+        total += len(recs)
+        # rows inside a file belong to the window its name declares
+        start = os.path.basename(f).split("_")[0]
+        for r in recs:
+            bucket = r["event_time"].strftime("%Y-%m-%dT%H-%M-")
+            lo = (r["event_time"].second // 30) * 30
+            assert f"{bucket}{lo:02d}" == start
+    assert total == 3
+    assert len(starts) == 2
+
+
+def test_serialize_deserialize_avro_wire(spark):
+    """P12 wire shape without the jar: (key, value-bytes) out,
+    typed columns back."""
+    from scio_db_spark.sinks.queue import deserialize_avro, serialize_avro
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.5), (2, None, -1.0)], "id long, name string, v double"
+    )
+    wire = serialize_avro(df, key_col="id")
+    assert [f.name for f in wire.schema.fields] == ["key", "value"]
+    assert wire.schema["value"].dataType.simpleString() == "binary"
+    rows = wire.collect()
+    assert sorted(r.key for r in rows) == ["1", "2"]
+
+    avsc = A.avro_schema_of(df.schema)
+    back = deserialize_avro(wire, avsc).select("record.*")
+    got = sorted(map(tuple, back.collect()))
+    assert got == sorted(map(tuple, df.collect()))
+
+
+def test_sharded_avro_write(spark, tmp_path):
+    """K2 Avro leg: num_shards controls the file count."""
+    from scio_db_spark.sinks.files import write_sharded
+    from scio_db_spark.sources.readers import read_files
+
+    df = spark.range(1000).selectExpr("id", "id * 2 as v")
+    out = str(tmp_path / "sharded")
+    write_sharded(df, out, num_shards=4, fmt="avro")
+    files = glob.glob(os.path.join(out, "*.avro"))
+    assert len(files) == 4
+    back = read_files(spark, out, fmt="avro")
+    assert back.count() == 1000
+    assert back.selectExpr("sum(v)").first()[0] == 999 * 1000
