@@ -703,3 +703,68 @@ def type_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_daily_retention",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT CAST(a.day AS VARCHAR) AS day,
+        count(*) AS n_active,
+        count(b.user_id) AS n_retained
+    FROM act a
+    LEFT JOIN act b
+      ON b.user_id = a.user_id AND b.day = a.day + 1
+    GROUP BY a.day
+    """,
+    doc="Next-day retention: distinct (user, day) activity set "
+    "self-joined one day forward. The activity set is "
+    "distinct-reduced before the join (bounded by users x days, not "
+    "event volume); the self-join is an equi-join on (user, day) — "
+    "both sides share the same shuffle partitioning, so AQE reuses "
+    "the exchange at scale.",
+)
+def daily_retention(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events(spark, sf)
+    act = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    nxt = act.select(
+        F.col("user_id").alias("user_id"),
+        F.date_sub(F.col("day"), 1).alias("day"),
+        F.lit(1).alias("__ret"),
+    )
+    return (
+        act.join(nxt, ["user_id", "day"], "left")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count("__ret").alias("n_retained"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_type_hour_profile",
+    oracle="""
+    SELECT event_type, hour(ts) AS hr,
+        count(*) AS n, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type, hr
+    """,
+    doc="Traffic profile: event counts and distinct users per "
+    "(type, hour-of-day). One aggregate; the distinct count shuffles "
+    "on (type, hr, user) — swap for approx_count_distinct at 100 TB "
+    "if a 2% error is acceptable.",
+)
+def type_hour_profile(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -967,3 +967,199 @@ def lang_rebalance(spark: SparkSession, sf: str) -> DataFrame:
         .filter(gate < F.col("mn"))
         .select("doc_id", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-3 corpus additions: type-token ratio, contamination screen,
+# sequence packing plan, length histogram.
+# --------------------------------------------------------------------------
+@register(
+    "docs_type_token_ratio",
+    oracle=r"""
+    SELECT lang,
+        count(DISTINCT doc_id) AS n_docs,
+        count(*) AS n_tokens,
+        count(DISTINCT tok) AS n_types,
+        count(DISTINCT tok) / count(*) AS ttr
+    FROM (
+        SELECT lang, doc_id,
+            unnest(regexp_split_to_array(text, '\s+')) AS tok
+        FROM documents
+    )
+    WHERE tok <> ''
+    GROUP BY lang
+    """,
+    doc="Vocabulary richness per language: type-token ratio over "
+    "whitespace tokens. One explode + one hash aggregate; the distinct "
+    "counts shuffle on (lang, tok) — at 100 TB swap count(DISTINCT) "
+    "for approx_count_distinct or the HLL sketch (docs_token_hll) and "
+    "keep the same plan shape.",
+)
+def type_token_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    toks = d.select(
+        "lang", "doc_id",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_types"),
+        (F.countDistinct("tok") / F.count(F.lit(1))).alias("ttr"),
+    )
+
+
+_SHINGLE_LEN = 20
+_SHINGLE_STRIDE = 10
+_BENCH_SOURCE = "src0"
+
+
+@register(
+    "docs_contamination_screen",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source,
+            substr(text, CAST(i AS INT), {_SHINGLE_LEN}) AS sh
+        FROM (
+            SELECT doc_id, source, text,
+                unnest(generate_series(
+                    1, greatest(length(text) - {_SHINGLE_LEN - 1}, 1),
+                    {_SHINGLE_STRIDE}
+                )) AS i
+            FROM documents
+        )
+    ),
+    bench AS (
+        SELECT DISTINCT sh FROM sh WHERE source = '{_BENCH_SOURCE}'
+    ),
+    cand AS (
+        SELECT DISTINCT doc_id, sh FROM sh
+        WHERE source <> '{_BENCH_SOURCE}'
+    )
+    SELECT c.doc_id,
+        count(*) AS n_shingles,
+        count(b.sh) AS n_hit
+    FROM cand c LEFT JOIN bench b ON b.sh = c.sh
+    GROUP BY c.doc_id
+    """,
+    doc="Benchmark-contamination screen: strided char-20-gram shingles "
+    "of every candidate doc probed against the distinct shingle set of "
+    "the benchmark corpus (source=src0 stands in). Equi-join on the "
+    "shingle string — at 100 TB hash the shingle to a long first and "
+    "the same plan holds; never an all-pairs comparison. The benchmark "
+    "side is distinct-reduced before the join, so its size is bounded "
+    "by benchmark vocabulary, not corpus size.",
+)
+def contamination_screen(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    sh = d.select(
+        "doc_id", "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - "
+                f"{_SHINGLE_LEN - 1}, 1), {_SHINGLE_STRIDE}), "
+                f"i -> substring(text, i, {_SHINGLE_LEN}))"
+            )
+        ).alias("sh"),
+    )
+    bench = (
+        sh.filter(F.col("source") == _BENCH_SOURCE).select("sh").distinct()
+    )
+    cand = (
+        sh.filter(F.col("source") != _BENCH_SOURCE)
+        .select("doc_id", "sh")
+        .distinct()
+    )
+    return (
+        cand.join(bench.withColumn("__hit", F.lit(1)), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_hit"),
+        )
+    )
+
+
+_PACK_BUDGET = 2048
+
+
+@register(
+    "docs_pack_plan",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, doc_id,
+            len(regexp_split_to_array(text, '\\s+')) AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, doc_id, toks,
+            coalesce(sum(toks) OVER (
+                PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS cum_before
+        FROM t
+    )
+    SELECT lang,
+        CAST(floor(cum_before / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+        count(*) AS n_docs,
+        CAST(sum(toks) AS BIGINT) AS total_toks
+    FROM c
+    GROUP BY lang, pack_id
+    """,
+    doc="Sequence-packing plan: docs assigned to fixed token-budget "
+    "packs per language by cumulative token count in doc_id order "
+    "(the deterministic streaming-packer a training pipeline shards "
+    "by). One window cumsum per language partition + one aggregate; "
+    "at 100 TB the partitionBy(lang) window needs a salt on the "
+    "dominant language or a range-partitioned pack assignment — the "
+    "global_rank_customers operator shows that scale path.",
+)
+def pack_plan(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    t = d.select(
+        "lang", "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("toks"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("toks").over(w), F.lit(0))
+    )
+    return (
+        c.withColumn(
+            "pack_id",
+            F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long"),
+        )
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("total_toks"),
+        )
+    )
+
+
+@register(
+    "docs_len_histogram",
+    oracle="""
+    SELECT lang,
+        CAST(floor(n_chars / 250) AS BIGINT) AS bucket,
+        count(*) AS n
+    FROM documents
+    GROUP BY lang, bucket
+    """,
+    doc="Document-length histogram per language (250-char buckets): "
+    "metadata-only scan (text column pruned away) + one aggregate.",
+)
+def len_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    return (
+        d.select(
+            "lang",
+            F.floor(F.col("n_chars") / 250).cast("long").alias("bucket"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -466,3 +466,179 @@ def sql_surface_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
     register_temp_views(spark, sf)
     return spark.sql(_SQL_SURFACE)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q08_market_share",
+    oracle=f"""
+    SELECT o_year,
+        {_d2d_sql(
+            "sum(CASE WHEN nation = 'NATION_1' THEN volume "
+            "ELSE CAST(0 AS DECIMAL(30,6)) END)"
+        )} / {_d2d_sql("sum(volume)")} AS mkt_share
+    FROM (
+        SELECT year(o.o_orderdate) AS o_year,
+            CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(30,6)) AS volume,
+            n2.n_name AS nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+    )
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (adapted to the trimmed schema — no partsupp): "
+    "seven-way star join, supplier nation share of one region's "
+    "STANDARD-part revenue per year. Dims stay under the broadcast "
+    "threshold and AQE decides; no forced hints on SF-scaling tables. "
+    "The share divides two exact decimal sums only after the "
+    "string→double round-trip, so both sides divide identical doubles.",
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    s = table(spark, sf, "supplier")
+    p = table(spark, sf, "part").filter(F.col("p_type") == "STANDARD")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    joined = (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n.alias("n1"), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(r, F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n.alias("n2"), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(30,6)")
+    return joined.groupBy("o_year").agg(
+        (
+            _d2d(F.sum(
+                F.when(F.col("nation") == "NATION_1", F.col("volume"))
+                .otherwise(zero)
+            ))
+            / _d2d(F.sum("volume"))
+        ).alias("mkt_share")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+        {_d2d_sql(
+            "sum(CAST(l.l_extendedprice * (1 - l.l_discount)"
+            " AS DECIMAL(30,6)))"
+        )} AS revenue,
+        c.c_acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue ranking — date-pruned "
+    "fact-fact join, wide grouping keys, top-20 with a deterministic "
+    "custkey tiebreak. The quarter filter reaches the orders scan "
+    "(PushedFilters) and prunes before the join.",
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    l = table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_d2d(F.sum(rev)).alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue", "c_acctbal",
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT year(l.l_shipdate) * 100 + month(l.l_shipdate) AS ym,
+        100.0 * {_d2d_sql(
+            "sum(CASE WHEN p.p_type = 'PROMO' THEN "
+            "CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6)) "
+            "ELSE CAST(0 AS DECIMAL(30,6)) END)"
+        )} / {_d2d_sql(
+            "sum(CAST(l.l_extendedprice * (1 - l.l_discount)"
+            " AS DECIMAL(30,6)))"
+        )} AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q14 shape: promo revenue share per month — one "
+    "fact-dim equi-join under a pushed year filter, conditional "
+    "aggregation, division after exact-decimal sums round-trip to "
+    "identical doubles.",
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = table(spark, sf, "part")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    zero = F.lit(0).cast("decimal(30,6)")
+    return (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ym"),
+            vol.alias("volume"),
+            F.col("p_type"),
+        )
+        .groupBy("ym")
+        .agg(
+            (
+                F.lit(100.0)
+                * _d2d(F.sum(
+                    F.when(F.col("p_type") == "PROMO", F.col("volume"))
+                    .otherwise(zero)
+                ))
+                / _d2d(F.sum("volume"))
+            ).alias("promo_pct")
+        )
+    )

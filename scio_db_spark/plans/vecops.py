@@ -391,3 +391,63 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= _TOPK)
         .select("q_id", "vec_id", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+_KMEANS_K = 8
+
+
+@register(
+    "emb_kmeans_assign",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < {_KMEANS_K}
+    ),
+    scored AS (
+        SELECT e.vec_id, cent.c_id,
+            {cosine_sql("e.embedding", "cent.c_emb", DUCK_AT)} AS cos_sim
+        FROM embeddings e, cent
+    ),
+    best AS (
+        SELECT vec_id, c_id, cos_sim FROM (
+            SELECT vec_id, c_id, cos_sim,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, c_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT c_id AS centroid, count(*) AS n_assigned,
+        min(cos_sim) AS min_sim, max(cos_sim) AS max_sim
+    FROM best GROUP BY c_id
+    """,
+    doc="K-means assignment step (one Lloyd half-iteration): every "
+    "vector scored against k=8 fixed seed centroids, argmax cosine "
+    "with a deterministic centroid tiebreak, per-centroid census. "
+    "The centroid side is k rows — constant, not SF-scaling — so at "
+    "100 TB it broadcasts and the whole step is one map-side pass "
+    "plus one k-row aggregate; min/max (order-insensitive) avoid any "
+    "float-summation ordering hazard.",
+)
+def kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    e = _emb(spark, sf)
+    cent = (
+        e.filter(F.col("vec_id") < _KMEANS_K)
+        .select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        )
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "c_id",
+        F.expr(cosine_sql("embedding", "c_emb", SPARK_AT)).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return best.groupBy(F.col("c_id").alias("centroid")).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.min("cos_sim").alias("min_sim"),
+        F.max("cos_sim").alias("max_sim"),
+    )

@@ -43,6 +43,10 @@ WHITELIST: set[tuple[str, str]] = {
     # IVF assignment: the broadcast side is the tiny coarse-centroid /
     # probe-cell frame; each row scans centroids, never other rows.
     ("emb_ann_ivf_topk", "BroadcastNestedLoopJoin"),
+    # K-means assignment: the broadcast side is the k=8 seed-centroid
+    # frame (constant, not SF-scaling); every vector scans 8 centroid
+    # rows map-side — the correct plan for a constant build side.
+    ("emb_kmeans_assign", "BroadcastNestedLoopJoin"),
     # Final ordered LIMIT: rows after limit pushdown = k.
     ("q03_shipping_priority", "Exchange SinglePartition"),
     ("q18_large_volume_customers", "Exchange SinglePartition"),
