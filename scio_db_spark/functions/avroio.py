@@ -501,15 +501,24 @@ def avro_schema_of(spark_schema: T.StructType, name: str = "row") -> dict:
         if isinstance(dt, T.MapType):
             return {"type": "map", "values": field_schema(dt.valueType)}
         if isinstance(dt, T.StructType):
-            return avro_schema_of(dt, name=f"{name}_nested")
+            # Unique record name per field path — the Avro spec forbids
+            # redefining a named type, so two sibling structs must not
+            # both be "<name>_nested".
+            return avro_schema_of(dt, name=f"{name}_{fname}")
         raise ValueError(f"no Avro mapping for Spark type {dt}")
 
     fields = []
     for f in spark_schema.fields:
+        fname = f.name
         fs = field_schema(f.dataType)
         if f.nullable:
-            fs = ["null", fs]
-        fields.append({"name": f.name, "type": fs, "default": None})
+            # Type first, null second — matching spark-avro's
+            # SchemaConverters union order so jar-written and
+            # codec-written bytes interoperate (the union branch INDEX
+            # is on the wire). No "default" is set: a null default
+            # would be invalid against a type-first union per the spec.
+            fs = [fs, "null"]
+        fields.append({"name": f.name, "type": fs})
     return {"type": "record", "name": name, "fields": fields}
 
 
@@ -599,15 +608,26 @@ def read_avro(spark: SparkSession, path: str | list) -> DataFrame:
     import glob as _glob
 
     paths = [path] if isinstance(path, str) else list(path)
-    bin_df = spark.read.format("binaryFile").load(paths)
+    # pathGlobFilter keeps _SUCCESS / .crc markers (jar-written dirs)
+    # out of the distributed read; the driver-side probe applies the
+    # same filter.
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(paths)
+    )
     candidates: list[str] = []
     for p in paths:
         if any(c in p for c in "*?["):
-            candidates.extend(_glob.glob(p))
+            candidates.extend(
+                c for c in _glob.glob(p) if c.endswith(".avro")
+            )
         elif os.path.isdir(p):
             candidates.extend(_glob.glob(os.path.join(p, "*.avro")))
-        else:
+        elif p.endswith(".avro"):
             candidates.append(p)
+    if not candidates:
+        raise FileNotFoundError(f"no .avro files under {paths!r}")
     first = sorted(candidates)[0]
     with open(first, "rb") as fh:
         header = fh.read(1 << 20)
@@ -691,11 +711,18 @@ def write_windowed_avro(
     ts_col: str = "event_time",
     window_duration: str = "30 seconds",
     codec: str = "deflate",
+    file_tag: str = "",
 ) -> list:
     """K1 Avro leg with the reference's ``<start>_<end>`` file-naming
-    contract (SinkUtils.scala:36-56, TimeUtils.scala:38-57): every
+    contract (SinkUtils.scala:36-56, TimeUtils.scala:36-57): every
     tumbling window's rows land in files named
-    ``<start>_<end>-p<partition>.avro``.
+    ``<start>_<end>[-<file_tag>]-p<partition>.avro``.
+
+    ``file_tag`` must be unique per invocation when the same window can
+    be written more than once (e.g. the micro-batch epoch id in a
+    streaming foreachBatch): files are opened with truncation, so
+    identical names across invocations would silently replace earlier
+    rows of the window.
 
     ``repartition(window)`` co-locates each window in one task (two
     windows may share a task; the writer splits per window), so a
@@ -717,6 +744,7 @@ def write_windowed_avro(
     data_cols = [c for c in batch_df.columns]
     avsc = avro_schema_of(batch_df.schema)
     os.makedirs(path, exist_ok=True)
+    tag = f"-{file_tag}" if file_tag else ""
 
     def write_part(batches):
         import pandas as pd
@@ -729,7 +757,9 @@ def write_windowed_avro(
         for pdf in batches:
             for wname, grp in pdf.groupby("__win"):
                 if wname not in writers:
-                    fname = os.path.join(path, f"{wname}-p{pid:05d}.avro")
+                    fname = os.path.join(
+                        path, f"{wname}{tag}-p{pid:05d}.avro"
+                    )
                     writers[wname] = ContainerWriter(
                         open(fname, "wb"), avsc, codec
                     )

@@ -25,9 +25,10 @@ from collections import OrderedDict
 from collections.abc import Callable
 
 _lock = threading.Lock()
-#: FIFO-bounded: one entry per (provider, secret-names) combination; a
-#: rotation scheme that builds a fresh provider per rotation evicts its
-#: predecessors instead of growing without bound.
+#: LRU-bounded (hits refresh recency): one entry per (provider,
+#: secret-names) combination; a rotation scheme that builds a fresh
+#: provider per rotation evicts the least-recently-used predecessors
+#: instead of growing without bound.
 _CACHE_MAX = 32
 _cached: OrderedDict[tuple, ssl.SSLContext] = OrderedDict()
 

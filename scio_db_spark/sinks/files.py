@@ -42,8 +42,28 @@ def write_sharded(
 
         if not has_avro_jar(df.sparkSession):
             # Connector jar absent: pure-Python OCF writer, one shard
-            # per partition (functions/avroio.py).
-            write_avro(df, path)
+            # per partition (functions/avroio.py). Honor the writer
+            # mode: overwrite clears previous shards (else a run with
+            # fewer partitions would leave stale ones behind); append
+            # writes under a unique prefix so reruns never clobber
+            # earlier shards. max_records_per_file is a JVM-writer
+            # knob; shard size here is bounded by partition size.
+            import glob as _glob
+            import os as _os
+            import uuid as _uuid
+
+            if mode == "overwrite":
+                for old in _glob.glob(_os.path.join(path, "*.avro")):
+                    _os.remove(old)
+                prefix = "part"
+            elif mode == "append":
+                prefix = f"part-{_uuid.uuid4().hex[:8]}"
+            else:
+                raise ValueError(
+                    f"jar-less avro write supports mode append/"
+                    f"overwrite, got {mode!r}"
+                )
+            write_avro(df, path, name_prefix=prefix)
             return
     writer = df.write.format(fmt).mode(mode)
     if max_records_per_file is not None:
@@ -57,6 +77,7 @@ def write_windowed_batch(
     ts_col: str = "event_time",
     window_duration: str = "30 seconds",
     fmt: str = "parquet",
+    epoch_id: int | None = None,
 ) -> None:
     """K1 batch body: write one partition dir per tumbling window.
 
@@ -72,9 +93,12 @@ def write_windowed_batch(
         from scio_db_spark.sources.readers import has_avro_jar
 
         if not has_avro_jar(batch_df.sparkSession):
+            # epoch_id in the file tag keeps successive micro-batches
+            # of the same window from truncating each other's shards.
             write_windowed_avro(
                 batch_df, path, ts_col=ts_col,
                 window_duration=window_duration,
+                file_tag="" if epoch_id is None else f"e{epoch_id}",
             )
             return
     out = batch_df.withColumn(
@@ -98,8 +122,8 @@ def windowed_file_sink(
 ):
     """K1: streaming windowed file sink (returns the started query)."""
     writer = stream_df.writeStream.foreachBatch(
-        lambda batch_df, _epoch: write_windowed_batch(
-            batch_df, path, ts_col, window_duration, fmt
+        lambda batch_df, epoch: write_windowed_batch(
+            batch_df, path, ts_col, window_duration, fmt, epoch_id=epoch
         )
     ).option("checkpointLocation", checkpoint)
     if trigger:

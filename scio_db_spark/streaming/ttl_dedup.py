@@ -186,17 +186,24 @@ class TTLDedupProcessor(StatefulProcessor):
         self._handle = handle
         self._state = handle.getValueState("first_sent", _STATE_SCHEMA)
 
+    def _now_ms(self, timerValues) -> int:
+        if self._clock_ms is not None:
+            return self._clock_ms()
+        now = timerValues.getCurrentProcessingTimeInMs()
+        if now <= 0:
+            # timeMode="none" (use_timers=False) reports -1 — fall back
+            # to the wall clock so inline TTL expiry still works.
+            now = int(time.time() * 1000)
+        return now
+
     def handleInputRows(self, key, rows, timerValues):
-        now = (
-            self._clock_ms()
-            if self._clock_ms is not None
-            else timerValues.getCurrentProcessingTimeInMs()
-        )
+        now = self._now_ms(timerValues)
         cur = self._state.get()
         first_sent = cur[0] if cur is not None else None
         had_state = first_sent is not None
         if first_sent is not None and now - first_sent >= self._ttl_ms:
             first_sent = None  # timer not yet fired — expire inline
+        live_before = first_sent is not None
         chunks = [pdf for pdf in rows if len(pdf)]
         out, first_sent = _apply_ttl_gate(
             chunks, first_sent, now, self._order_cols, self._initial_col
@@ -204,16 +211,26 @@ class TTLDedupProcessor(StatefulProcessor):
         if out is not None:
             yield out
         if first_sent is not None:
-            if not had_state and self._use_timers:
-                # Timer relative to the FIRST send only; duplicates
-                # arrive with had_state=True and never re-arm it.
+            if not live_before and self._use_timers:
+                # A NEW epoch started (no live state on entry — either
+                # a fresh key or an inline expiry): arm the timer
+                # relative to this epoch's FIRST send. Duplicates
+                # arrive with live_before=True and never re-arm it.
                 self._handle.registerTimer(int(first_sent) + self._ttl_ms)
             self._state.update((int(first_sent),))
         elif had_state:
             self._state.clear()
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        self._state.clear()
+        # A stale timer from a previous epoch may fire after an inline
+        # expiry already started a new epoch — only clear state whose
+        # TTL has genuinely elapsed (cf. the hasTimedOut path of the
+        # fallback API, which re-derives the deadline the same way).
+        cur = self._state.get()
+        if cur is not None:
+            now = self._now_ms(timerValues)
+            if now - cur[0] >= self._ttl_ms:
+                self._state.clear()
         return iter(())
 
     def close(self) -> None:

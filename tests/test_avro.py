@@ -181,3 +181,83 @@ def test_sharded_avro_write(spark, tmp_path):
     back = read_files(spark, out, fmt="avro")
     assert back.count() == 1000
     assert back.selectExpr("sum(v)").first()[0] == 999 * 1000
+
+
+def test_nullable_union_order_matches_connector():
+    """spark-avro's SchemaConverters emits [T, 'null'] (type first) —
+    the union branch index is on the wire, so our schema generator
+    must agree for jar/jar-less interop."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("a", T.LongType(), True),
+        T.StructField("b", T.StringType(), False),
+    ])
+    avsc = A.avro_schema_of(schema)
+    assert avsc["fields"][0]["type"] == ["long", "null"]
+    assert avsc["fields"][1]["type"] == "string"
+    # no default on a type-first union (null default would violate the
+    # spec's first-branch rule)
+    assert "default" not in avsc["fields"][0]
+    # round-trip still works for null and non-null
+    body = A.encode_record(avsc, {"a": 7, "b": "x"})
+    assert A.decode_record(avsc, body) == {"a": 7, "b": "x"}
+    body = A.encode_record(avsc, {"a": None, "b": "y"})
+    assert A.decode_record(avsc, body) == {"a": None, "b": "y"}
+
+
+def test_nested_struct_names_unique():
+    from pyspark.sql import types as T
+
+    inner = T.StructType([T.StructField("x", T.LongType(), False)])
+    schema = T.StructType([
+        T.StructField("s1", inner, False),
+        T.StructField("s2", inner, False),
+    ])
+    avsc = A.avro_schema_of(schema)
+    names = [f["type"]["name"] for f in avsc["fields"]]
+    assert len(set(names)) == 2  # Avro forbids redefining a named type
+
+
+def test_windowed_avro_epoch_tag_no_clobber(spark, tmp_path):
+    """Two micro-batches of the SAME window must not truncate each
+    other's shards — the epoch tag keys the filenames."""
+    from scio_db_spark.sinks.files import write_windowed_batch
+
+    out = str(tmp_path / "win")
+    rows1 = [(1, datetime(2024, 1, 1, 0, 0, 5))]
+    rows2 = [(2, datetime(2024, 1, 1, 0, 0, 25))]
+    sch = "id long, event_time timestamp"
+    write_windowed_batch(spark.createDataFrame(rows1, sch), out,
+                         window_duration="30 seconds", fmt="avro",
+                         epoch_id=0)
+    write_windowed_batch(spark.createDataFrame(rows2, sch), out,
+                         window_duration="30 seconds", fmt="avro",
+                         epoch_id=1)
+    total = 0
+    for f in glob.glob(os.path.join(out, "*.avro")):
+        with open(f, "rb") as fh:
+            total += len(A.read_container(fh.read())[1])
+    assert total == 2  # both epochs' rows survive
+
+
+def test_sharded_avro_append_and_overwrite(spark, tmp_path):
+    from scio_db_spark.sinks.files import write_sharded
+    from scio_db_spark.sources.readers import read_files
+
+    out = str(tmp_path / "sh")
+    df = spark.range(10).selectExpr("id")
+    write_sharded(df, out, num_shards=1, fmt="avro", mode="append")
+    write_sharded(df, out, num_shards=1, fmt="avro", mode="append")
+    assert read_files(spark, out, fmt="avro").count() == 20
+    write_sharded(df, out, num_shards=1, fmt="avro", mode="overwrite")
+    assert read_files(spark, out, fmt="avro").count() == 10
+
+
+def test_read_avro_empty_dir_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with _pytest.raises(FileNotFoundError, match="no .avro files"):
+        A.read_avro(spark, empty)

@@ -265,9 +265,44 @@ def test_twsp_processor_timer_and_state_choreography():
     assert h.timers == [1100, 2300]
 
     # inline-expiry path: deadline passed but the timer callback hasn't
-    # run yet — the row must still send
+    # run yet — the row must still send AND a fresh timer must be
+    # armed for the new epoch (live_before=False even though state
+    # existed on entry)
     out4 = list(
         p.handleInputRows(("k",), iter([batch(["f"], [6.0])]),
                           _FakeTimerValues(9000))
     )
     assert list(out4[0]["send_status"]) == ["SENT"]
+    assert h.state.v == (9000,)
+    assert h.timers == [1100, 2300, 10000]
+
+    # a STALE timer from the pre-expiry epoch firing now must NOT wipe
+    # the live new epoch's state (its TTL hasn't elapsed)
+    assert list(p.handleExpiredTimer(("k",), _FakeTimerValues(9100), None)) \
+        == []
+    assert h.state.v == (9000,)
+    # ...but once the new epoch's TTL genuinely elapses, it clears
+    assert list(p.handleExpiredTimer(("k",), _FakeTimerValues(10000), None)) \
+        == []
+    assert h.state.v is None
+
+
+def test_twsp_processor_timemode_none_uses_wall_clock():
+    """timeMode='none' reports -1 from getCurrentProcessingTimeInMs;
+    the processor must fall back to the wall clock so inline TTL
+    expiry still works with use_timers=False."""
+    import pandas as pd
+
+    p = TTLDedupProcessor(ttl_ms=10, use_timers=False)
+    h = _FakeHandle()
+    p.init(h)
+    pdf = pd.DataFrame({"idempotent_key": ["k"], "payload": ["a"]})
+    out = list(p.handleInputRows(("k",), iter([pdf]), _FakeTimerValues(-1)))
+    assert list(out[0]["send_status"]) == ["SENT"]
+    assert h.state.v is not None and h.state.v[0] > 0
+    assert h.timers == []  # use_timers=False never arms
+    import time as _t
+
+    _t.sleep(0.05)  # > ttl_ms
+    out2 = list(p.handleInputRows(("k",), iter([pdf]), _FakeTimerValues(-1)))
+    assert list(out2[0]["send_status"]) == ["SENT"]  # inline expiry fired

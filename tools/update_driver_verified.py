@@ -53,6 +53,14 @@ def verified_names() -> set[str]:
     return {n for n, ok in latest.items() if ok}
 
 
+def _artifact_names() -> set[str]:
+    out: set[str] = set()
+    for p in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        with open(p) as f:
+            out.update(canonical(n) for n in json.load(f))
+    return out
+
+
 def main() -> int:
     names = sorted(verified_names())
     if "--check" in sys.argv:
@@ -61,9 +69,18 @@ def main() -> int:
 
         current = set(entry._DRIVER_VERIFIED)
         missing = set(names) - current
-        if missing:
-            print(f"STALE: {len(missing)} newly verified queries not in "
-                  f"_DRIVER_VERIFIED: {sorted(missing)}")
+        # Stale the other way too: a query whose LATEST driver row is
+        # no longer green must come back into the window — keeping its
+        # canonical name would let a regression escape re-verification
+        # forever.
+        regressed = (current & _artifact_names()) - set(names)
+        if missing or regressed:
+            if missing:
+                print(f"STALE: {len(missing)} newly verified queries "
+                      f"not in _DRIVER_VERIFIED: {sorted(missing)}")
+            if regressed:
+                print(f"STALE: {len(regressed)} entries whose latest "
+                      f"driver row is not green: {sorted(regressed)}")
             return 1
         print("current")
         return 0
