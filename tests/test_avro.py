@@ -261,3 +261,38 @@ def test_read_avro_empty_dir_raises(spark, tmp_path):
     os.makedirs(empty)
     with _pytest.raises(FileNotFoundError, match="no .avro files"):
         A.read_avro(spark, empty)
+
+
+def test_dead_letter_sink_streaming_avro(spark, tmp_path):
+    """K5 through the real streaming path with fmt='avro': KO rows land
+    under <base>/toxic/ as windowed, epoch-tagged container files."""
+    from scio_db_spark.sinks.files import dead_letter_sink
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    sch = "id long, event_time timestamp"
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0, 5)),
+         (2, datetime(2024, 1, 1, 0, 0, 45))], sch
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(sch).parquet(in_dir)
+    q = dead_letter_sink(
+        stream, str(tmp_path / "dead"), str(tmp_path / "ck"),
+        ts_col="event_time", window_duration="30 seconds", fmt="avro",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    files = glob.glob(os.path.join(str(tmp_path / "dead"), "toxic", "*.avro"))
+    assert files, "no dead-letter avro files"
+    names = [os.path.basename(f) for f in files]
+    assert all("-e" in n for n in names)  # epoch tag present
+    rows = []
+    for f in files:
+        with open(f, "rb") as fh:
+            rows += A.read_container(fh.read())[1]
+    assert sorted(r["id"] for r in rows) == [1, 2]
+    # two distinct 30s windows
+    assert len({os.path.basename(f).split("-e")[0] for f in files}) == 2
