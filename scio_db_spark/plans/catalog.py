@@ -48,6 +48,11 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The NTZ→LTZ normalization below is value-preserving ONLY under a
+    # UTC session. SessionFactory pins this, but the driver gate runs a
+    # BARE SparkSession — pin it here too (runtime-settable conf) so
+    # the oracle comparison never shifts timestamps on a non-UTC host.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Older driver drops stored ts as parquet TIMESTAMP(NANOS), which
         # Spark's vectorized reader rejects. Read nanos as long

@@ -41,3 +41,19 @@ def test_read_files_glob(spark, tmp_path):
     spark.createDataFrame([Row(v=3)]).write.parquet(str(p / "b"))
     df = read_files(spark, [str(p / "a"), str(p / "b")])
     assert df.count() == 3
+
+
+def test_catalog_pins_utc_session(spark, sf_dir):
+    """The NTZ→LTZ normalization in catalog.table is value-preserving
+    only under UTC — table() must re-pin it even if the session (e.g.
+    the driver's bare one) was configured otherwise."""
+    from scio_db_spark.plans.catalog import table
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = table(spark, sf_dir, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert dict(df.dtypes)["ts"] == "timestamp"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
