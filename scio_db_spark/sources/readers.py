@@ -130,6 +130,79 @@ def read_stream_files(
     return reader.load(path)
 
 
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_stream_avro(
+    spark: SparkSession,
+    path: str,
+    avro_schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1 Avro leg as a real streaming source, no connector jar.
+
+    A streaming ``binaryFile`` scan (explicit schema — streaming
+    sources can't infer) ships each newly-arrived ``.avro`` shard as
+    one row; a mapInPandas stage decodes containers executor-side with
+    the pure-Python codec. Parallelism = files per micro-batch, the
+    contract sharded Avro producers (the reference's windowed sinks)
+    already provide. ``avro_schema`` (JSON/dict) can pin the writer
+    schema; otherwise it is probed from a file already in ``path``
+    (the directory must be non-empty in that case).
+
+    With the connector jar present, prefer
+    ``spark.readStream.format("avro")`` — this is the jar-less path.
+    """
+    from scio_db_spark.functions.avroio import (
+        parse_schema,
+        read_container,
+        spark_schema_of,
+    )
+
+    if avro_schema is None:
+        import glob as _glob
+
+        candidates = sorted(_glob.glob(os.path.join(path, "*.avro")))
+        if not candidates:
+            raise FileNotFoundError(
+                f"no .avro files under {path!r} to probe the schema from; "
+                "pass avro_schema= explicitly for an initially-empty dir"
+            )
+        with open(candidates[0], "rb") as fh:
+            header = fh.read(1 << 20)
+        from scio_db_spark.functions.avroio import _read_header_schema
+
+        avro_schema, _ = _read_header_schema(header)
+    schema = parse_schema(avro_schema)
+    out_schema = spark_schema_of(schema)
+    cols = [f.name for f in out_schema.fields]
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.avro")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    bin_df = reader.load(path)
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, records = read_container(bytes(content))
+                yield pd.DataFrame(
+                    {c: [r.get(c) for r in records] for c in cols}
+                )
+
+    return bin_df.select("content").mapInPandas(decode, out_schema)
+
+
 def read_stream_rate(
     spark: SparkSession, rows_per_second: int = 1000
 ) -> DataFrame:

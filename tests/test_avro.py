@@ -296,3 +296,52 @@ def test_dead_letter_sink_streaming_avro(spark, tmp_path):
     assert sorted(r["id"] for r in rows) == [1, 2]
     # two distinct 30s windows
     assert len({os.path.basename(f).split("-e")[0] for f in files}) == 2
+
+
+def test_streaming_avro_source_picks_up_new_files(spark, tmp_path):
+    """S1 Avro leg jar-less: binaryFile streaming + mapInPandas decode;
+    a shard dropped mid-stream arrives in a later micro-batch."""
+    from scio_db_spark.sources.readers import read_stream_avro
+
+    d = str(tmp_path / "drop")
+    os.makedirs(d)
+    sch = {"type": "record", "name": "r",
+           "fields": [{"name": "id", "type": "long"}]}
+
+    def drop(name, ids):
+        w = A.ContainerWriter(open(os.path.join(d, name), "wb"), sch)
+        for i in ids:
+            w.write({"id": i})
+        w.close()
+        w._fh.close()
+
+    drop("a.avro", [1, 2])
+    out = read_stream_avro(spark, d)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("avro_stream_tt")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        drop("b.avro", [3])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [r.id for r in
+           spark.sql("select * from avro_stream_tt order by id").collect()]
+    assert got == [1, 2, 3]
+
+
+def test_streaming_avro_source_empty_dir_needs_schema(spark, tmp_path):
+    from scio_db_spark.sources.readers import read_stream_avro
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError, match="avro_schema"):
+        read_stream_avro(spark, empty)
+    # explicit schema works on an initially-empty dir
+    sch = {"type": "record", "name": "r",
+           "fields": [{"name": "id", "type": "long"}]}
+    df = read_stream_avro(spark, empty, avro_schema=sch)
+    assert df.isStreaming and df.columns == ["id"]
