@@ -104,3 +104,45 @@ def test_stream_static_broadcast_enrichment(spark):
     got = {r.k: r.name for r in h.results()}
     assert got == {"a": "alpha", "z": "UNKNOWN"}
     h.stop()
+
+
+def test_streaming_session_windows_merge_across_batches(spark):
+    """W2 session form: rows inside the gap merge into ONE session even
+    when they arrive in different micro-batches; the session is emitted
+    (append mode) only after the watermark passes its close."""
+    h = StreamHarness(spark, SCHEMA)
+    try:
+        h.start(
+            lambda s: (
+                s.withWatermark("event_time", "0 seconds")
+                .groupBy(
+                    F.session_window("event_time", "15 minutes").alias("w"),
+                    "k",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("v").alias("total"),
+                )
+                .select(
+                    "k", "n", "total",
+                    F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"),
+                )
+            ),
+            output_mode="append",
+        )
+        # two rows 10 min apart (< 15 min gap) in separate micro-batches
+        h.add_batch([_row("u1", 1.0, "2024-01-01T10:00:00")])
+        h.add_batch([_row("u1", 2.0, "2024-01-01T10:10:00")])
+        # advance the watermark far past the session close
+        h.add_batch([_row("u2", 9.0, "2024-01-01T12:00:00")])
+        h.add_batch([_row("u2", 1.0, "2024-01-01T14:00:00")])
+        rows = [r for r in h.results() if r.k == "u1"]
+        assert len(rows) == 1  # ONE merged session, not two
+        (r,) = rows
+        assert r.n == 2 and r.total == 3.0
+        assert r.w_start.isoformat() == "2024-01-01T10:00:00"
+        # session end = last event + gap
+        assert r.w_end.isoformat() == "2024-01-01T10:25:00"
+    finally:
+        h.stop()
