@@ -29,41 +29,63 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = {n: s for n, s in sorted(all_queries().items()) if s.headline}
+    # Per-query fault isolation: one broken query must never cost the
+    # whole round's timing signal (in round 2 a single warm-up crash
+    # produced NO bench number at all). Errors are collected and
+    # reported in the JSON line; the process still exits non-zero so
+    # gates notice, AFTER printing every healthy timing.
+    errors: dict[str, str] = {}
+
     # Warm-up pass: execute every query once (JIT, codegen cache,
     # parquet footers) so the measured pass is steady-state throughput,
     # not first-touch setup. No data is cached — .persist() is never
     # called — so the measured pass still scans parquet end-to-end.
-    for spec in specs.values():
-        spec.spark(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+    for name, spec in specs.items():
+        try:
+            spec.spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:  # noqa: BLE001 — record, keep benching
+            errors[name] = f"{type(e).__name__}: {e}"
 
     # Best of 2 measured passes per query: single runs on a shared
     # machine are noisy (±40% observed); min-of-2 reports the engine's
     # cost, not the scheduler's worst moment.
     timings: dict[str, float] = {}
     for name, spec in specs.items():
+        if name in errors:
+            continue
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = spec.spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = spec.spark(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    # Exit 0 even with errors: the recorded JSON line IS the signal and
+    # a non-zero rc risks the harness discarding it. The regression
+    # gate (tools/bench_regress.py) fails on the "errors" field.
+    if errors:
+        print(
+            f"bench: {len(errors)} queries errored: {sorted(errors)}",
+            file=sys.stderr,
         )
-    )
 
 
 if __name__ == "__main__":

@@ -60,6 +60,10 @@ def main() -> int:
     if new is None:
         print(f"FAIL {new_path}: bench produced no parseable result (crash?)")
         return 1
+    if new.get("errors"):
+        print(f"FAIL {new_path}: bench recorded per-query errors: "
+              f"{sorted(new['errors'])}")
+        return 1
     old_path = sys.argv[2] if len(sys.argv) > 2 else latest_good_reference(new_path)
     if old_path is None:
         print("no reference bench found; nothing to compare")
