@@ -92,11 +92,15 @@ def quality_score(text_col: Column) -> Column:
     )
     stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(all_stop, x)))
     stop_ratio = F.when(n > 0, stop_hits.cast("double") / n).otherwise(F.lit(0.0))
-    return (
+    score = (
         F.least(n, F.lit(100.0)) / F.lit(100.0) * F.lit(0.5)
         + (F.lit(1.0) - punct_ratio) * F.lit(0.3)
         + stop_ratio * F.lit(0.2)
     )
+    # NULL text must score NULL, matching the DuckDB oracle (len(NULL)
+    # is NULL there). Without this, least(NULL, 100) ignores the null
+    # and a NULL document scores 0.8 — above most real documents.
+    return F.when(text_col.isNotNull(), score)
 
 
 def fingerprint(token_hashes: Column) -> Column:

@@ -35,6 +35,15 @@ def asof_join(
     tie_col: str | None = None,
 ) -> DataFrame:
     """Left as-of join; right ``payload_cols`` appended (null = no match)."""
+    # NULL-time or NULL-key right rows can never satisfy
+    # "right.time <= left.time on the same key" — drop them BEFORE the
+    # merge: nulls sort first in the window, so a null-time payload
+    # would otherwise be carried onto every left row preceding the
+    # first real fact (and null keys would "match" null-key left rows,
+    # which no SQL join does).
+    right = right.filter(
+        F.col(right_time).isNotNull() & F.col(key).isNotNull()
+    )
     if tie_col is not None:
         w_dedup = Window.partitionBy(key, right_time).orderBy(
             F.desc(tie_col)

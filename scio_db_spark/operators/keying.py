@@ -15,8 +15,21 @@ KEY_COL = "idempotent_key"
 
 
 def idempotent_key(*parts: str | Column) -> Column:
-    """``concat_ws("-", part1, part2, ...)`` — the reference's key shape."""
-    cols = [F.col(p) if isinstance(p, str) else p for p in parts]
+    """``"part1-part2-..."`` — the reference's key shape.
+
+    Null parts render as the literal ``"null"`` (Scala string
+    interpolation semantics: ``s"${null}-x"`` is ``"null-x"``). A bare
+    ``concat_ws`` would SKIP nulls, collapsing ``(null, "x")`` and
+    ``("x", null)`` onto the same key and silently deduplicating
+    distinct records.
+    """
+    cols = [
+        F.coalesce(
+            (F.col(p) if isinstance(p, str) else p).cast("string"),
+            F.lit("null"),
+        )
+        for p in parts
+    ]
     return F.concat_ws("-", *cols)
 
 

@@ -73,8 +73,14 @@ def salted_agg(
         phase2_cols.append(merge(name).alias(name))
         post_cols.append(F.col(name))
 
+    # Deterministic row-content salt, NOT rand(): a recomputed task
+    # (executor loss) must route every row to the SAME reducer as the
+    # lost attempt, or phase-2 merges a mix of old and new partials —
+    # the SPARK-23207 silent-corruption class. Content-hashing keeps
+    # retries idempotent; fully duplicate rows share a salt, which only
+    # costs balance, never correctness.
     salted = df.withColumn(
-        _SALT, (F.rand() * n_salts).cast("int")
+        _SALT, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
     )
     merged = (
         salted.groupBy(*keys, _SALT)
@@ -97,7 +103,10 @@ def salted_join_key(
     (left', right', join_cols). Prefer AQE skew-join where available —
     this is the explicit fallback the operators compose with.
     """
-    lsalted = left.withColumn(_SALT, (F.rand() * n_salts).cast("int"))
+    # Deterministic for the same retry-idempotence reason as salted_agg.
+    lsalted = left.withColumn(
+        _SALT, F.pmod(F.xxhash64(*left.columns), F.lit(n_salts)).cast("int")
+    )
     rsalted = right.withColumn(
         _SALT,
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),

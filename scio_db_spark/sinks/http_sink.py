@@ -14,7 +14,10 @@ swallowing ``http/state/StateBaseAsyncDoFn.java:118-135``, throttle
   scales with executors instead of funneling through the driver;
 - per-worker token bucket + bounded pool ≈ Akka's
   ``throttle-requests``/``max-open-requests`` (W11). The budget is
-  per executor process; divide the global SLA by executor count;
+  per PYTHON WORKER, and Spark forks one worker per concurrently
+  running task — so the cluster-wide rate is
+  ``throttle_rps × (executors × cores-per-executor)``; divide the
+  global SLA by TOTAL CONCURRENT TASKS, not executor count;
 - fixed-backoff retry ×N (W8, ZIO ``Schedule.fixed(10s) && recurs(3)``);
 - any exhausted/failed send maps to the KO response and the stream
   stays alive (W9 — "REMOVED for avoiding stalling");
@@ -54,6 +57,11 @@ RESPONSE_FIELDS = (
 _KO_BODY = "ko"  # koNotificationResponse, MyHttpResponse.scala:13-14
 
 
+class _HttpStatusError(OSError):
+    """HTTP >= 400 — distinct from transport errors so the stale
+    keep-alive reconnect path can tell them apart."""
+
+
 class TokenBucket:
     """Thread-safe token bucket: ``rate`` tokens/s, ``burst`` capacity."""
 
@@ -89,6 +97,14 @@ def _bucket_for(rate: float, burst: float | None) -> TokenBucket:
         if key not in _buckets:
             _buckets[key] = TokenBucket(rate, burst)
         return _buckets[key]
+
+
+def _as_int(v) -> int | None:
+    """Best-effort int coercion; None for missing or malformed values."""
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return None
 
 
 def classify_success(body: str | None) -> bool:
@@ -151,25 +167,31 @@ def _post_once(url: str, payload: dict, timeout: float) -> dict:
         resp = conn.getresponse()
         body = resp.read().decode("utf-8", errors="replace")
         if resp.status >= 400:
-            # Non-2xx = transport-level failure: surfaces to the W8
-            # retry loop (urllib semantics; body read keeps the
-            # connection reusable).
-            raise OSError(f"HTTP {resp.status}: {body[:200]}")
+            # Non-2xx = application-level failure: surfaces to the W8
+            # retry loop (body read keeps the connection reusable).
+            raise _HttpStatusError(f"HTTP {resp.status}: {body[:200]}")
         return body
 
     try:
         raw = _attempt()
-    except OSError:
-        raise
+    except _HttpStatusError:
+        raise  # real HTTP status — no point reconnecting
     except Exception:
-        # Stale keep-alive (server closed between requests): reconnect
-        # once; real failures propagate to the retry layer in send_one.
+        # Transport error — including RemoteDisconnected/ConnectionReset
+        # from a stale keep-alive the server closed between requests:
+        # drop the pooled connection and re-attempt once on a fresh one;
+        # failures of the fresh attempt propagate to send_one's retry.
         _drop_conn(parts.scheme, parts.netloc)
         raw = _attempt()
     try:
         parsed = json.loads(raw)
         if not isinstance(parsed, dict):
             parsed = {"body": raw}
+        elif "body" not in parsed:
+            # A 2xx JSON object without the reference's DTO shape:
+            # record the raw text as the body so classification and
+            # analytics see the actual response instead of a null.
+            parsed = {**parsed, "body": raw}
     except ValueError:
         parsed = {"body": raw}
     return parsed
@@ -267,13 +289,19 @@ def send_http_batch(
             )
             latency_ms = int((time.time() - t0) * 1000)
             body = resp.get("body")
-            rid = resp.get("id")
-            uid = resp.get("userId")
+            # Defensive int coercion: a server replying with non-integer
+            # id/userId must classify as a malformed response (null
+            # column), never crash the task — W9's never-stall contract
+            # covers the parsing layer too.
+            rid = _as_int(resp.get("id"))
+            uid = _as_int(resp.get("userId"))
             return (
-                int(rid) if rid is not None else NOT_HTTP_RESPONSE_ID,
+                rid if rid is not None else (
+                    NOT_HTTP_RESPONSE_ID if resp.get("id") is None else None
+                ),
                 resp.get("title"),
                 body,
-                int(uid) if uid is not None else None,
+                uid,
                 classify_success(body),
                 latency_ms,
             )

@@ -130,3 +130,34 @@ def test_tumbling_window_agg(spark):
     out = tumbling_window_agg(df, "ts", "1 minute", aggs={"n": F.count(F.lit(1))})
     got = sorted((r.window.start.isoformat(), r.n) for r in out.collect())
     assert got == [("2024-01-01T00:00:00", 2), ("2024-01-01T00:01:00", 1)]
+
+
+def test_idempotent_key_null_parts_render_as_null_literal(spark):
+    """concat_ws skips nulls; the key must not — (null, x) and (x, null)
+    are different records (Scala interpolation renders 'null')."""
+    from scio_db_spark.operators.keying import idempotent_key
+
+    df = spark.createDataFrame(
+        [("a", None), (None, "a")], "t string, c string"
+    ).select(idempotent_key("t", "c").alias("k"))
+    assert sorted(r.k for r in df.collect()) == ["a-null", "null-a"]
+
+
+def test_asof_join_ignores_null_time_and_key_right_rows(spark):
+    from scio_db_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10.0), (None, 10.0)], "key string, t double"
+    )
+    right = spark.createDataFrame(
+        [("k", None, "null-time"), (None, 5.0, "null-key"),
+         ("k", 5.0, "real")],
+        "key string, rt double, payload string",
+    )
+    out = asof_join(
+        left, right, key="key", left_time="t", right_time="rt",
+        payload_cols=["payload"],
+    ).collect()
+    by_key = {r.key: r.payload for r in out}
+    assert by_key["k"] == "real"      # not the null-time row
+    assert by_key[None] is None       # null keys never match

@@ -30,6 +30,16 @@ class _StubHandler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(b"boom")
             return
+        if self.server.weird_mode:
+            # Non-DTO 2xx: string id, no "body" field — the parsing
+            # layer must degrade gracefully, never crash the task.
+            data = json.dumps({"id": "a1b2", "status": "accepted"}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return
         body = dict(payload)
         body["id"] = 101
         data = json.dumps(body).encode()
@@ -48,6 +58,7 @@ def http_stub():
     server = ThreadingHTTPServer(("127.0.0.1", 0), _StubHandler)
     server.requests = []
     server.fail_all = False
+    server.weird_mode = False
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     yield server
@@ -166,3 +177,23 @@ def test_idempotent_batch_writer_replay_safe(spark, tmp_path):
     assert got.count() == 3
     assert sorted(r.k for r in got.collect()) == ["a", "b", "c"]
     assert {r.epoch for r in got.select("epoch").collect()} == {0, 1}
+
+
+def test_send_http_batch_survives_non_dto_response(spark, http_stub):
+    """W9 extends to the parsing layer: a 2xx JSON reply with a string
+    id and no body must not crash the task; the raw text becomes the
+    body and the malformed id maps to a null column."""
+    from scio_db_spark.sinks.http_sink import send_http_batch
+
+    http_stub.weird_mode = True
+    df = spark.createDataFrame(
+        [("n1", "hello", 7)], "title string, body string, user_id int"
+    )
+    out = send_http_batch(
+        df, f"http://127.0.0.1:{http_stub.server_address[1]}/posts",
+        retries=0, backoff_s=0.0,
+    ).collect()
+    (r,) = out
+    assert r.resp_id is None  # "a1b2" is not an int — null, not a crash
+    assert "accepted" in r.resp_body  # raw JSON recorded as body
+    assert r.nhub_success  # no "error"/"ko" in the raw body
