@@ -61,8 +61,9 @@ _TOKEN_RE = re.compile(
   | (?P<subst>\$\{[^}]+\})
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<newline>\n)
+  | (?P<comma>,)
   | (?P<ws>[ \t\r]+)
-  | (?P<bare>[^\s={}:"\#]+)
+  | (?P<bare>[^\s={},:"\#]+)
     """,
     re.VERBOSE,
 )
@@ -86,6 +87,13 @@ def _tokenize(text: str) -> list:
         kind = m.lastgroup
         if kind in ("comment", "ws"):
             continue
+        if kind == "comma":
+            # HOCON: comma is an element separator equivalent to a
+            # newline. Folding it into bare tokens would silently turn
+            # `a = 1,` into the string "1," (and reject inline
+            # `{ a = 1, b = 2 }` objects).
+            out.append(("newline", "\n"))
+            continue
         out.append((kind, m.group()))
     return out
 
@@ -106,6 +114,18 @@ def _coerce_scalar(raw: str) -> Any:
     except ValueError:
         pass
     return raw
+
+
+def _deep_merge(base: dict, new: dict) -> dict:
+    """HOCON duplicate-key semantics: objects merge field-wise at every
+    depth; a shallow ``dict.update`` would let a re-opened block (the
+    STRING-source override use case) wipe sibling nested objects."""
+    for k, v in new.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            _deep_merge(base[k], v)
+        else:
+            base[k] = v
+    return base
 
 
 def _parse_object(tokens: list, i: int, closing: bool) -> tuple[dict, int]:
@@ -132,7 +152,7 @@ def _parse_object(tokens: list, i: int, closing: bool) -> tuple[dict, int]:
             nested, i = _parse_object(tokens, i + 1, True)
             base = obj.get(key)
             if isinstance(base, dict):
-                base.update(nested)  # HOCON object merge
+                _deep_merge(base, nested)  # HOCON object merge is RECURSIVE
             else:
                 obj[key] = nested
             continue

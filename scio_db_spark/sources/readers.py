@@ -53,7 +53,32 @@ def read_files(
     if fmt == "avro" and not has_avro_jar(spark):
         from scio_db_spark.functions.avroio import read_avro
 
-        return read_avro(spark, paths)
+        if options:
+            raise ValueError(
+                f"jar-less avro read supports no reader options, got "
+                f"{sorted(options)}; install the spark-avro connector "
+                "for option support"
+            )
+        df = read_avro(spark, paths)
+        if schema is not None:
+            # Honor a caller-pinned schema by aligning the decoded
+            # frame to it (column order + types) — silently returning
+            # the writer schema instead would hand callers mis-typed
+            # columns.
+            from pyspark.sql.types import _parse_datatype_string
+
+            target = (
+                _parse_datatype_string(schema)
+                if isinstance(schema, str)
+                else schema
+            )
+            df = df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in target.fields
+                ]
+            )
+        return df
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)

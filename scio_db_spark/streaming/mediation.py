@@ -39,12 +39,11 @@ from scio_db_spark.streaming.ttl_dedup import SENT, ttl_dedup
 
 def validity_predicate():
     """F1: non-null transaction/notification/customer ids
-    (MyEventRecordUtils.scala:15-25) on the flat BER shape."""
-    return (
-        F.col("transaction_id").isNotNull()
-        & F.col("notification_id").isNotNull()
-        & F.col("customer_id").isNotNull()
-    )
+    (MyEventRecordUtils.scala:15-25) on the flat BER shape — the single
+    source of truth lives in operators/validity.py."""
+    from scio_db_spark.operators.validity import is_valid_ber
+
+    return is_valid_ber()
 
 
 #: Above this many historical rows the distinct key set is no longer
@@ -140,6 +139,15 @@ def send_deduped_batch(
     Returns the unioned (record, response) analytics DataFrame (P9).
     """
     req = to_http_request(batch_df)
+    # BER_FLAT input already carries pre-send placeholders for some
+    # response fields (the reference mutates them in place); the send's
+    # appended response columns supersede them — drop the clashes or
+    # send_http_batch's output schema would declare a duplicate column.
+    resp_names = {
+        "resp_id", "resp_title", "resp_body", "resp_user_id",
+        "nhub_success", "send_latency_ms",
+    }
+    req = req.drop(*[c for c in req.columns if c in resp_names])
     sent = send_http_batch(
         req.filter(F.col("send_status") == SENT).drop("send_status"), url,
         **send_kwargs,
@@ -150,7 +158,11 @@ def send_deduped_batch(
             "resp_title": F.lit(None).cast("string"),
             "resp_body": F.lit(SENT_OR_DUPLICATED),
             "resp_user_id": F.col("user_id"),
-            "nhub_success": F.lit(False),
+            # The reference classifies the SENT_OR_DUPLICATED response
+            # as SUCCESS (its body contains neither "error" nor "ko",
+            # MyHttpResponse.scala:19-27) — a duplicate is a correctly
+            # handled record, not a failed send.
+            "nhub_success": F.lit(True),
             "send_latency_ms": F.lit(0).cast("long"),
         }
     )

@@ -345,3 +345,20 @@ def test_streaming_avro_source_empty_dir_needs_schema(spark, tmp_path):
            "fields": [{"name": "id", "type": "long"}]}
     df = read_stream_avro(spark, empty, avro_schema=sch)
     assert df.isStreaming and df.columns == ["id"]
+
+
+def test_read_files_avro_honors_pinned_schema(spark, tmp_path):
+    """A caller-pinned schema must be applied (column order + types) on
+    the jar-less path, and reader options must fail loudly."""
+    from scio_db_spark.sources.readers import read_files
+
+    df = spark.range(3).selectExpr("id", "cast(id as double) as v")
+    out = str(tmp_path / "s")
+    A.write_avro(df, out)
+    pinned = "v double, id int"  # reordered + narrowed
+    back = read_files(spark, out, fmt="avro", schema=pinned)
+    assert [(f.name, f.dataType.simpleString()) for f in back.schema.fields] \
+        == [("v", "double"), ("id", "int")]
+    assert back.count() == 3
+    with pytest.raises(ValueError, match="no reader options"):
+        read_files(spark, out, fmt="avro", mergeSchema="true")

@@ -89,3 +89,27 @@ def test_env_var_source(monkeypatch):
     cfg = read_config(ConfigEnv.local, ConfigSource.ENV)
     assert cfg.gcs_bucket == "envbucket"
     assert cfg.mediation.ttl_time == 42
+
+
+def test_duplicate_key_object_merge_is_recursive():
+    """HOCON: re-opening a block merges field-wise at every depth; the
+    override use case must not wipe sibling nested objects."""
+    from scio_db_spark.config import parse_hocon
+
+    text = (
+        'prod { mediation { endpoint { url = "a"\n username = "u" } } }\n'
+        "prod { mediation { ttl-time = 5 } }"
+    )
+    cfg = parse_hocon(text)
+    assert cfg["prod"]["mediation"]["endpoint"]["url"] == "a"
+    assert cfg["prod"]["mediation"]["endpoint"]["username"] == "u"
+    assert cfg["prod"]["mediation"]["ttl-time"] == 5
+
+
+def test_commas_separate_elements():
+    """Comma = newline in HOCON; it must not corrupt scalars or reject
+    inline objects."""
+    from scio_db_spark.config import parse_hocon
+
+    assert parse_hocon("a = 1,\nb = 2") == {"a": 1, "b": 2}
+    assert parse_hocon("x { a = 1, b = 2 }") == {"x": {"a": 1, "b": 2}}

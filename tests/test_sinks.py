@@ -197,3 +197,36 @@ def test_send_http_batch_survives_non_dto_response(spark, http_stub):
     assert r.resp_id is None  # "a1b2" is not an int — null, not a crash
     assert "accepted" in r.resp_body  # raw JSON recorded as body
     assert r.nhub_success  # no "error"/"ko" in the raw body
+
+
+def test_send_deduped_batch_full_ber_flat_schema(spark, http_stub):
+    """The documented BER_FLAT input carries a pre-send nhub_success
+    placeholder; the send must supersede it, not crash with a duplicate
+    column — and duplicates classify as SUCCESS (the reference's
+    SENT_OR_DUPLICATED response contains neither 'error' nor 'ko')."""
+    import datetime
+
+    from scio_db_spark.schemas import BER_FLAT_SCHEMA
+    from scio_db_spark.streaming.mediation import send_deduped_batch
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("e1", "tx1", 0, "7", "A", "n1", "m1", 0, False, 1.0, None, ts,
+         "SENT"),
+        ("e2", "tx1", 0, "7", "A", "n1", "m1", 0, False, 1.0, None, ts,
+         "SENT_OR_DUPLICATED"),
+    ]
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        BER_FLAT_SCHEMA.fields
+        + [T.StructField("send_status", T.StringType())]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = send_deduped_batch(
+        df, _url(http_stub), retries=0, backoff_s=0.0
+    ).collect()
+    by_status = {r.send_status: r for r in out}
+    assert by_status["SENT"].nhub_success
+    assert by_status["SENT_OR_DUPLICATED"].nhub_success  # dup = handled OK
+    assert by_status["SENT_OR_DUPLICATED"].resp_body == "SENT_OR_DUPLICATED"
