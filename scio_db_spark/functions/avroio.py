@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 
 MAGIC = b"Obj\x01"
 SYNC_SIZE = 16
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
 # ---------------------------------------------------------------------------
 # Binary encoding (Avro spec "Binary Encoding" section)
@@ -221,7 +222,12 @@ def _to_long(schema, v) -> int:
         if isinstance(v, datetime):
             if v.tzinfo is None:
                 v = v.replace(tzinfo=timezone.utc)
-            us = int(v.timestamp() * 1_000_000)
+            # Exact integer micros via timedelta division —
+            # int(v.timestamp() * 1e6) truncates a FLOAT product and
+            # mis-encodes ~8% of microsecond values by 1us.
+            from datetime import timedelta
+
+            us = (v - _EPOCH) // timedelta(microseconds=1)
             return us if logical == "timestamp-micros" else us // 1000
         v = int(v)
     if logical == "date" and hasattr(v, "toordinal"):
@@ -423,11 +429,8 @@ class ContainerWriter:
         self._fh.flush()
 
 
-def read_container(data: bytes) -> tuple[dict | list | str, list[dict]]:
-    """Decode a whole OCF held in memory → (schema, records)."""
-    if data[:4] != MAGIC:
-        raise ValueError("not an Avro object container file (bad magic)")
-    dec = BinaryDecoder(data, pos=4)
+def _parse_header(dec: BinaryDecoder) -> dict[str, bytes]:
+    """Decode the OCF metadata map; ``dec`` must sit past the magic."""
     meta: dict[str, bytes] = {}
     while True:
         n = dec.read_long()
@@ -439,6 +442,15 @@ def read_container(data: bytes) -> tuple[dict | list | str, list[dict]]:
         for _ in range(n):
             k = dec.read_string()
             meta[k] = dec.read_bytes()
+    return meta
+
+
+def read_container(data: bytes) -> tuple[dict | list | str, list[dict]]:
+    """Decode a whole OCF held in memory → (schema, records)."""
+    if data[:4] != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    dec = BinaryDecoder(data, pos=4)
+    meta = _parse_header(dec)
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
     sync = dec.read_fixed(SYNC_SIZE)
@@ -575,13 +587,20 @@ def spark_schema_of(avro_schema) -> T.StructType:
 
 
 def _py(v):
-    """Pandas/numpy cell → plain Python for the encoder."""
+    """Pandas/numpy cell → plain Python for the encoder.
+
+    NaN maps to None: pandas float columns represent Spark NULLs as
+    NaN after Arrow conversion, and the two are indistinguishable at
+    this layer — null fidelity is chosen over NaN fidelity (a genuine
+    NaN payload written through the pandas write path becomes null;
+    the JVM connector jar, which bypasses pandas, preserves it).
+    """
     import numpy as np
     import pandas as pd
 
     if v is None or v is pd.NaT:
         return None
-    if isinstance(v, float) and v != v:  # NaN
+    if isinstance(v, float) and v != v:  # NaN (see docstring)
         return None
     if isinstance(v, np.generic):
         return v.item()
@@ -651,18 +670,7 @@ def read_avro(spark: SparkSession, path: str | list) -> DataFrame:
 def _read_header_schema(data: bytes):
     if data[:4] != MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
-    dec = BinaryDecoder(data, pos=4)
-    meta: dict[str, bytes] = {}
-    while True:
-        n = dec.read_long()
-        if n == 0:
-            break
-        if n < 0:
-            n = -n
-            dec.read_long()
-        for _ in range(n):
-            k = dec.read_string()
-            meta[k] = dec.read_bytes()
+    meta = _parse_header(BinaryDecoder(data, pos=4))
     return json.loads(meta["avro.schema"].decode()), meta
 
 

@@ -78,7 +78,11 @@ def date_partition_suffix(ts: Column, name: str = "date") -> Column:
 def day_list(days_back: int) -> Column:
     """Exactly the last N dates ending today
     (TimeUtilsInterim.scala:10-14) — same window as the S4 path probe
-    (``_existing_date_paths(days=N)``)."""
+    (``_existing_date_paths(days=N)``). ``N <= 0`` is an empty list:
+    Spark's sequence() with start > stop would otherwise auto-step -1
+    and return [tomorrow, today]."""
+    if days_back <= 0:
+        return F.array().cast("array<date>")
     return F.sequence(
         F.date_sub(F.current_date(), days_back - 1), F.current_date()
     )

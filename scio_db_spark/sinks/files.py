@@ -108,6 +108,30 @@ def write_windowed_batch(
             "yyyy-MM-dd_HH-mm-ss",
         ),
     )
+    if epoch_id is not None:
+        # foreachBatch is at-least-once: a replayed epoch must REPLACE
+        # its own partitions, not append duplicates. Same mechanism as
+        # idempotent_batch_writer — epoch partition + dynamic
+        # per-partition overwrite.
+        out = out.withColumn("epoch", F.lit(int(epoch_id)))
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                out.write.format(fmt)
+                .mode("overwrite")
+                .partitionBy("epoch", "window_start")
+                .save(path)
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        return
     out.write.format(fmt).mode("append").partitionBy("window_start").save(path)
 
 
@@ -191,6 +215,12 @@ def idempotent_batch_writer(
                 spark.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", prev
                 )
+            else:
+                # conf.get(key, None) is None when the key was never
+                # SET (not the effective default) — unset, or dynamic
+                # overwrite leaks into the session and later plain
+                # overwrites silently keep stale partitions.
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
     return _write
 

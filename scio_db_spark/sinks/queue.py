@@ -97,8 +97,16 @@ def deserialize_avro(
     names = [f.name for f in out_schema.fields]
 
     def dec(vals):
-        recs = [decode_record(schema, bytes(b)) for b in vals]
-        return pd.DataFrame({n: [r.get(n) for r in recs] for n in names})
+        # Kafka reads routinely contain tombstones (value IS NULL) —
+        # they decode to an all-null record, never a task crash.
+        recs = [
+            None if b is None else decode_record(schema, bytes(b))
+            for b in vals
+        ]
+        return pd.DataFrame(
+            {n: [r.get(n) if r is not None else None for r in recs]
+             for n in names}
+        )
 
     dec_udf = pandas_udf(dec, out_schema)
     other = [c for c in df.columns if c != value_col]

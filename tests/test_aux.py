@@ -82,3 +82,12 @@ def test_env_secret_provider(monkeypatch):
     assert env_secret_provider("MY_SECRET") == b"s3cr3t"
     with pytest.raises(KeyError):
         env_secret_provider("ABSENT_SECRET")
+
+
+def test_day_list_zero_is_empty(spark):
+    from scio_db_spark.functions.timeutils import day_list
+
+    row = spark.range(1).select(day_list(0).alias("d")).first()
+    assert row.d == []
+    row3 = spark.range(1).select(day_list(3).alias("d")).first()
+    assert len(row3.d) == 3

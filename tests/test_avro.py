@@ -362,3 +362,32 @@ def test_read_files_avro_honors_pinned_schema(spark, tmp_path):
     assert back.count() == 3
     with pytest.raises(ValueError, match="no reader options"):
         read_files(spark, out, fmt="avro", mergeSchema="true")
+
+
+def test_timestamp_micros_encode_exact():
+    """int(ts.timestamp() * 1e6) truncates a float product and loses
+    1us on ~8% of values — encoding must be exact integer arithmetic."""
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "ts",
+         "type": {"type": "long", "logicalType": "timestamp-micros"}}]}
+    for us in (46662, 46661, 1, 999999):
+        v = {"ts": datetime(2038, 5, 17, 0, 0, 0, us)}
+        assert A.decode_record(sch, A.encode_record(sch, v)) == v
+
+
+def test_deserialize_avro_tombstones(spark):
+    """Null Kafka values (tombstones) decode to an all-null record."""
+    from scio_db_spark.sinks.queue import deserialize_avro, serialize_avro
+
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    avsc = A.avro_schema_of(df.schema)
+    wire = serialize_avro(df, key_col="id")
+    with_tomb = wire.unionByName(
+        spark.createDataFrame(
+            [("9", None)], "key string, value binary"
+        )
+    )
+    out = deserialize_avro(with_tomb, avsc).select("key", "record.*")
+    rows = {r.key: (r.id, r.name) for r in out.collect()}
+    assert rows["1"] == (1, "x")
+    assert rows["9"] == (None, None)

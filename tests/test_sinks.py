@@ -230,3 +230,24 @@ def test_send_deduped_batch_full_ber_flat_schema(spark, http_stub):
     assert by_status["SENT"].nhub_success
     assert by_status["SENT_OR_DUPLICATED"].nhub_success  # dup = handled OK
     assert by_status["SENT_OR_DUPLICATED"].resp_body == "SENT_OR_DUPLICATED"
+
+
+def test_windowed_batch_epoch_replay_idempotent(spark, tmp_path):
+    """foreachBatch replay (same epoch) must REPLACE the epoch's
+    partitions, not append duplicates."""
+    import datetime as dt
+
+    from scio_db_spark.sinks.files import write_windowed_batch
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0, 5))],
+        "id long, event_time timestamp",
+    )
+    out = str(tmp_path / "win")
+    write_windowed_batch(df, out, window_duration="30 seconds", epoch_id=7)
+    write_windowed_batch(df, out, window_duration="30 seconds", epoch_id=7)
+    assert spark.read.parquet(out).count() == 1  # replay replaced, not appended
+    # conf was restored (unset) — not leaked as 'dynamic'
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", None
+    ) is None
