@@ -768,3 +768,45 @@ def type_hour_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_rollup_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket_start,
+        CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS VARCHAR)
+            AS bucket_end,
+        strftime(date_trunc('hour', ts), '%Y-%m-%d') AS bucket_date,
+        event_type,
+        count(*) AS n,
+        CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+            AS total
+    FROM events GROUP BY 1, 2, 3, 4
+    """,
+    doc="Batch form of the continuous rollup (streaming/rollup.py): "
+    "the SAME rollup_plan that maintains the streaming continuous "
+    "aggregate, run over the bounded table — proving the maintenance "
+    "path computes exactly this oracle-checked aggregate. Buckets "
+    "rendered as strings for a timezone-free compare.",
+)
+def rollup_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.streaming.rollup import rollup_plan
+
+    ev = _events(spark, sf)
+    out = rollup_plan(
+        ev, "ts", "1 hour",
+        aggs={
+            "n": F.count(F.lit(1)),
+            "total": F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("string").cast("double"),
+        },
+        group_cols=("event_type",),
+    )
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_start"),
+        F.date_format("bucket_end", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_end"),
+        "bucket_date", "event_type", "n", "total",
+    )
