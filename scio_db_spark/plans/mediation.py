@@ -810,3 +810,47 @@ def rollup_hourly(spark: SparkSession, sf: str) -> DataFrame:
         .alias("bucket_end"),
         "bucket_date", "event_type", "n", "total",
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_funnel_view_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id,
+        strftime(min(p.ts), '%Y-%m-%d %H:%M:%S.%f') AS first_conversion,
+        count(*) AS n_pairs
+    FROM v JOIN p ON p.user_id = v.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+    doc="Funnel step: view -> purchase within one hour, per user. The "
+    "equi-join on user_id carries the shuffle; the time window is a "
+    "residual range predicate (the events_orders_range_count pattern), "
+    "so no inequality-join blow-up — candidate pairs are bounded per "
+    "user, not global.",
+)
+def funnel_view_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events(spark, sf)
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    pairs = v.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.date_format(F.min("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("first_conversion"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )

@@ -1163,3 +1163,82 @@ def len_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("lang", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_CHUNK_LEN = 500
+_CHUNK_STRIDE = 400
+
+
+@register(
+    "docs_chunk_plan",
+    oracle=f"""
+    SELECT doc_id,
+        CAST((i - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+        CAST(i AS BIGINT) AS chunk_start,
+        CAST(length(substr(text, CAST(i AS INT), {_CHUNK_LEN})) AS BIGINT)
+            AS chunk_len
+    FROM (
+        SELECT doc_id, text,
+            unnest(generate_series(
+                1, greatest(length(text) - {_CHUNK_STRIDE}, 1),
+                {_CHUNK_STRIDE}
+            )) AS i
+        FROM documents
+    )
+    """,
+    doc="Document chunking plan for embedding pipelines: overlapping "
+    "500-char windows at stride 400 (100-char overlap), computed as a "
+    "map-only explode — no shuffle at all; chunk ids derive from the "
+    "start offset so the plan is deterministic under any partitioning.",
+)
+def chunk_plan(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    starts = F.expr(
+        f"sequence(1, greatest(length(text) - {_CHUNK_STRIDE}, 1), "
+        f"{_CHUNK_STRIDE})"
+    )
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.floor((F.col("i") - 1) / _CHUNK_STRIDE).cast("long")
+            .alias("chunk_id"),
+            F.col("i").cast("long").alias("chunk_start"),
+            F.length(F.expr(f"substring(text, i, {_CHUNK_LEN})"))
+            .cast("long").alias("chunk_len"),
+        )
+    )
+
+
+@register(
+    "docs_top_quality_per_source",
+    oracle=f"""
+    SELECT source, doc_id, quality FROM (
+        SELECT source, doc_id,
+            {X.quality_score_sql("text")} AS quality,
+            row_number() OVER (
+                PARTITION BY source
+                ORDER BY {X.quality_score_sql("text")} DESC, doc_id
+            ) AS rn
+        FROM documents
+    ) WHERE rn <= 3
+    """,
+    doc="Curation: top-3 documents by quality per source — one window "
+    "rank per source partition over the already-verified quality "
+    "expression (bit-identical doubles on both engines, so the rank "
+    "order matches exactly).",
+)
+def top_quality_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    scored = d.select(
+        "source", "doc_id",
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "doc_id", "quality")
+    )
