@@ -34,6 +34,28 @@ def distinct_by_key(df: DataFrame, *key_cols: str) -> DataFrame:
     return df.dropDuplicates(list(key_cols))
 
 
+def streaming_distinct_by_key(
+    df: DataFrame,
+    *key_cols: str,
+    watermark_col: str,
+    delay: str,
+) -> DataFrame:
+    """D1 streaming form with BOUNDED state: Spark's native
+    ``dropDuplicatesWithinWatermark``.
+
+    Guarantees dedup for duplicates arriving within ``delay`` of the
+    first occurrence and lets the engine expire key state past the
+    watermark — the same bounded-memory contract as the TTL gate
+    (streaming/ttl_dedup.py) when the caller only needs drop-dup
+    semantics (no SENT_OR_DUPLICATED emission, no per-key timers).
+    Past the watermark a re-arriving key is emitted again, mirroring
+    TTL expiry re-sends with ttl ≈ watermark delay.
+    """
+    return df.withWatermark(
+        watermark_col, delay
+    ).dropDuplicatesWithinWatermark(list(key_cols))
+
+
 def first_per_key(
     df: DataFrame, key_cols: list[str], order_cols: list[str | Column]
 ) -> DataFrame:

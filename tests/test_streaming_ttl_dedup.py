@@ -306,3 +306,44 @@ def test_twsp_processor_timemode_none_uses_wall_clock():
     _t.sleep(0.05)  # > ttl_ms
     out2 = list(p.handleInputRows(("k",), iter([pdf]), _FakeTimerValues(-1)))
     assert list(out2[0]["send_status"]) == ["SENT"]  # inline expiry fired
+
+
+def test_streaming_distinct_by_key_bounded_state(spark):
+    """D1 streaming form: duplicates inside the watermark delay drop
+    (even across micro-batches); once the watermark passes, the key's
+    state expires and it emits again (TTL-expiry analogue)."""
+    import datetime
+
+    from pyspark.sql.types import TimestampType
+
+    from scio_db_spark.operators.dedup import streaming_distinct_by_key
+
+    sch = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("event_time", TimestampType()),
+        ]
+    )
+    h = StreamHarness(spark, sch)
+
+    def ts(s):
+        return datetime.datetime.fromisoformat(s)
+
+    try:
+        h.start(
+            lambda s: streaming_distinct_by_key(
+                s, "k", watermark_col="event_time", delay="10 minutes"
+            ),
+            output_mode="append",
+        )
+        h.add_batch([Row(k="a", event_time=ts("2024-01-01T10:00:00"))])
+        h.add_batch([Row(k="a", event_time=ts("2024-01-01T10:01:00"))])
+        rows = h.results()
+        assert len([r for r in rows if r.k == "a"]) == 1  # dup dropped
+        # advance the watermark far past a's state, then re-send
+        h.add_batch([Row(k="z", event_time=ts("2024-01-01T12:00:00"))])
+        h.add_batch([Row(k="a", event_time=ts("2024-01-01T12:01:00"))])
+        rows = h.results()
+        assert len([r for r in rows if r.k == "a"]) == 2  # re-emitted
+    finally:
+        h.stop()
