@@ -45,22 +45,34 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+def _pin_session(spark: SparkSession) -> None:
+    """Pin the confs every catalog read depends on — on EVERY call.
+
+    - UTC session TZ: the NTZ→LTZ normalization below is
+      value-preserving ONLY under UTC. SessionFactory pins this, but
+      the driver gate runs a BARE SparkSession — pin at the boundary so
+      the oracle comparison never shifts timestamps on a non-UTC host.
+    - legacy nanosAsLong: older testdata drops store TIMESTAMP(NANOS).
+
+    Deliberately NOT cached: a caller flipping the session TZ between
+    reads must be re-corrected, and two conf RPCs per table() call are
+    noise (~0.5 ms each) next to any real scan.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # The NTZ→LTZ normalization below is value-preserving ONLY under a
-    # UTC session. SessionFactory pins this, but the driver gate runs a
-    # BARE SparkSession — pin it here too (runtime-settable conf) so
-    # the oracle comparison never shifts timestamps on a non-UTC host.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_session(spark)
     if name == "events":
-        # Older driver drops stored ts as parquet TIMESTAMP(NANOS), which
-        # Spark's vectorized reader rejects. Read nanos as long
-        # (runtime conf, safe on any session) and truncate to micros —
+        # Older driver drops stored ts as parquet TIMESTAMP(NANOS),
+        # which Spark's vectorized reader rejects; _pin_session set
+        # nanosAsLong so it reads as bigint, truncated to micros here —
         # exactly what DuckDB does when it reads TIMESTAMP_NS. Newer
         # drops store timestamp[us] (NTZ); _normalize_timestamps handles
         # those uniformly for every table.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
