@@ -31,9 +31,10 @@ def main() -> None:
     specs = {n: s for n, s in sorted(all_queries().items()) if s.headline}
     # Per-query fault isolation: one broken query must never cost the
     # whole round's timing signal (in round 2 a single warm-up crash
-    # produced NO bench number at all). Errors are collected and
-    # reported in the JSON line; the process still exits non-zero so
-    # gates notice, AFTER printing every healthy timing.
+    # produced NO bench number at all). Errors are collected into the
+    # JSON line's "errors" field; the process still exits ZERO so the
+    # recorded line survives — gate on tools/bench_regress.py, which
+    # fails when the errors field is present, NOT on this exit code.
     errors: dict[str, str] = {}
 
     # Warm-up pass: execute every query once (JIT, codegen cache,

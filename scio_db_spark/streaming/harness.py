@@ -19,6 +19,7 @@ restored from the checkpoint on every restart.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 from collections.abc import Callable
@@ -94,6 +95,7 @@ class StreamHarness:
             os.path.join(staging, part),
             os.path.join(self.input_dir, f"batch_{uuid.uuid4().hex}.parquet"),
         )
+        shutil.rmtree(staging, ignore_errors=True)
         if wait:
             self._run_pass()
 
@@ -106,3 +108,8 @@ class StreamHarness:
 
     def stop(self) -> None:
         self._transform = None
+        # Remove the per-harness temp dirs (checkpoints include RocksDB
+        # state — dozens of streaming tests would otherwise accumulate
+        # hundreds of dirs per CI run).
+        shutil.rmtree(self.input_dir, ignore_errors=True)
+        shutil.rmtree(self.checkpoint_dir, ignore_errors=True)

@@ -46,7 +46,12 @@ def latest_good_reference(exclude: str) -> str | None:
     for p in cands:
         if os.path.abspath(p) == os.path.abspath(exclude):
             continue
-        if load(p) is not None:
+        doc = load(p)
+        # A bench with per-query errors is not a clean reference: its
+        # errored queries are missing from "queries" (so regressions in
+        # them would print as only-one-side and pass) and its total is
+        # deflated.
+        if doc is not None and not doc.get("errors"):
             return p
     return None
 
@@ -80,7 +85,11 @@ def main() -> int:
     for q in sorted(set(old["queries"]) | set(new["queries"])):
         o, n = old["queries"].get(q), new["queries"].get(q)
         if o is None or n is None:
-            print(f"{q:<34} {o or '-':>8} {n or '-':>8}    only-one-side")
+            # explicit None checks: a legitimate 0.0 timing is present,
+            # not missing
+            o_s = "-" if o is None else f"{o:.3f}"
+            n_s = "-" if n is None else f"{n:.3f}"
+            print(f"{q:<34} {o_s:>8} {n_s:>8}    only-one-side")
             continue
         ratio = n / o if o else float("inf")
         flag = ""

@@ -112,7 +112,13 @@ def main() -> None:
     }
 
     if "--http" in sys.argv:
-        out["http_records_per_min"] = _measure_http_leg(spark)
+        # The dedup-path number above is already measured — an --http
+        # leg failure must degrade to an error field, never discard the
+        # healthy result (the round-2 crash-costs-the-signal lesson).
+        try:
+            out["http_records_per_min"] = _measure_http_leg(spark)
+        except Exception as e:  # noqa: BLE001
+            out["http_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(out))
 
 

@@ -11,7 +11,10 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
@@ -49,7 +52,7 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = spec.spark(SessionFactory.create("oracle-check"), sf_dir)
+            sdf = spec.spark(spark, sf_dir)
             spark_pd = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
@@ -75,13 +78,18 @@ def main() -> int:
             h1, h2 = value_hash(spark_pd), value_hash(duck_pd)
             if h1 != h2:
                 problems.append("value-hash mismatch")
-                # show a hint
-                merged = spark_pd.merge(
-                    duck_pd, how="outer", indicator=True,
-                    on=list(spark_pd.columns),
-                )
-                diff = merged[merged["_merge"] != "both"]
-                print(diff.head(6).to_string())
+                # Best-effort hint only: mixed dtypes (e.g. an all-NULL
+                # object column vs float64) make merge() itself raise —
+                # a hint failure must not kill the remaining queries.
+                try:
+                    merged = spark_pd.merge(
+                        duck_pd, how="outer", indicator=True,
+                        on=list(spark_pd.columns),
+                    )
+                    diff = merged[merged["_merge"] != "both"]
+                    print(diff.head(6).to_string())
+                except Exception as e:  # noqa: BLE001
+                    print(f"(diff hint unavailable: {e})")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures.append(name)

@@ -19,7 +19,10 @@ Exit 1 if any un-whitelisted flag fires, listing query + pattern.
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scio_db_spark.plans.explain import plan_string
 from scio_db_spark.plans.registry import all_queries

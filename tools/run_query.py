@@ -12,6 +12,11 @@ Examples:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 from scio_db_spark.plans.registry import all_queries
 from scio_db_spark.session import SessionFactory
