@@ -1242,3 +1242,39 @@ def top_quality_per_source(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("source", "doc_id", "quality")
     )
+
+
+@register(
+    "docs_ngram_novelty",
+    oracle=f"""
+    WITH h AS ({_DOC_SHINGLE_HASHES_SQL}),
+    firsts AS (
+        SELECT h, min(doc_id) AS first_doc FROM h GROUP BY h
+    )
+    SELECT a.doc_id,
+        count(*) AS n_shingles,
+        CAST(sum(CASE WHEN f.first_doc = a.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel
+    FROM h a JOIN firsts f ON f.h = a.h
+    GROUP BY a.doc_id
+    """,
+    doc="N-gram novelty: per document, how many of its distinct "
+    "word-trigram shingles appear here FIRST (by doc_id order) — the "
+    "incremental-contribution signal a dedup-aware curation pipeline "
+    "ranks by. One shuffle on the shingle hash to find first owners, "
+    "one equi-join back, one aggregate; no pairwise comparison "
+    "anywhere, so it scales like the MinHash family.",
+)
+def ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    h = _doc_shingle_hashes(spark, sf)
+    firsts = h.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        h.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
