@@ -59,3 +59,18 @@ def test_plans_free_of_scale_antipatterns(spark, sf_dir):
             if f in plan and (name, f) not in WHITELIST
         )
     assert bad == []
+
+
+def test_whitelisted_singlepartition_flag_actually_fires(spark, sf_dir):
+    """Pins the detector itself: global_rank_customers' prefix-offset
+    window IS a SinglePartition exchange (one row per partition — the
+    audited-safe form), so the bare "SinglePartition" token must both
+    be a FLAGS member and match the formatted plan. Round 3 shipped a
+    dead "Exchange SinglePartition" two-word flag that never matched
+    formatted-mode output (node name and Arguments render on separate
+    lines); this test fails if the token or Spark's plan rendering
+    drifts so the audit gate can't silently die again."""
+    assert "SinglePartition" in FLAGS
+    assert ("global_rank_customers", "SinglePartition") in WHITELIST
+    df = all_queries()["global_rank_customers"].spark(spark, sf_dir)
+    assert "SinglePartition" in plan_string(df)
