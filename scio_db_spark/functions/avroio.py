@@ -18,7 +18,7 @@ Scale notes:
   sync markers; sharded producers (the reference writes N shards per
   window) give file-level parallelism, which is the same contract the
   reference's sinks rely on.
-- Writes distribute via ``mapInPandas`` — one container file per
+- Writes distribute via ``mapInArrow`` — one container file per
   Spark partition, written executor-side. Paths must be visible to
   executors (local/NFS/fuse mounts); object-store writes are what the
   cluster-provided connector jar is for.
@@ -589,11 +589,15 @@ def spark_schema_of(avro_schema) -> T.StructType:
 def _py(v):
     """Pandas/numpy cell → plain Python for the encoder.
 
-    NaN maps to None: pandas float columns represent Spark NULLs as
-    NaN after Arrow conversion, and the two are indistinguishable at
-    this layer — null fidelity is chosen over NaN fidelity (a genuine
-    NaN payload written through the pandas write path becomes null;
-    the JVM connector jar, which bypasses pandas, preserves it).
+    Only used by pandas-shaped call sites (deserialize_avro's inverse
+    direction and external callers). The write/serialize hot paths now
+    run on ``mapInArrow`` + ``RecordBatch.to_pylist()``, which yields
+    plain-Python values with EXACT null fidelity from the Arrow
+    validity bitmap — a Spark NULL arrives as None and a genuine NaN
+    payload arrives as float('nan'), so NaN doubles survive to the
+    wire exactly like the JVM connector jar writes them. On this
+    legacy pandas path the two are indistinguishable (both NaN), and
+    null fidelity is chosen over NaN fidelity.
     """
     import numpy as np
     import pandas as pd
@@ -620,7 +624,7 @@ def read_avro(spark: SparkSession, path: str | list) -> DataFrame:
 
     ``binaryFile`` lists and ships each shard as one row (one task per
     file — the same parallelism contract the reference's sharded Avro
-    sinks assume); a mapInPandas stage decodes shards executor-side.
+    sinks assume); a mapInArrow stage decodes shards executor-side.
     The schema comes from the first file's header, read driver-side
     (container headers are a few hundred bytes).
     """
@@ -654,17 +658,34 @@ def read_avro(spark: SparkSession, path: str | list) -> DataFrame:
     out_schema = spark_schema_of(schema)
     cols = [f.name for f in out_schema.fields]
 
-    def decode(batches):
-        import pandas as pd
+    # Arrow batches in and out: the decoded values are plain Python
+    # (None for Avro null, float('nan') for a genuine NaN double), and
+    # building the output arrays directly in Arrow preserves that
+    # distinction — the pandas route would fold NaN payloads back into
+    # nulls on the return conversion.
+    import pyarrow as pa
 
-        for pdf in batches:
-            for content in pdf["content"]:
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    arrow_fields = [
+        (f.name, to_arrow_type(f.dataType)) for f in out_schema.fields
+    ]
+
+    def decode(batches):
+        for batch in batches:
+            for content in batch.column("content").to_pylist():
                 _, records = read_container(bytes(content))
-                yield pd.DataFrame(
-                    {c: [r.get(c) for r in records] for c in cols}
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            [r.get(name) for r in records], type=typ
+                        )
+                        for name, typ in arrow_fields
+                    ],
+                    names=cols,
                 )
 
-    return bin_df.select("content").mapInPandas(decode, out_schema)
+    return bin_df.select("content").mapInArrow(decode, out_schema)
 
 
 def _read_header_schema(data: bytes):
@@ -690,7 +711,7 @@ def write_avro(
     os.makedirs(path, exist_ok=True)
 
     def write_part(batches):
-        import pandas as pd
+        import pyarrow as pa
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
@@ -698,19 +719,47 @@ def write_avro(
         fname = os.path.join(path, f"{name_prefix}-{pid:05d}.avro")
         n = 0
         writer = None
-        for pdf in batches:
+        for batch in batches:
             if writer is None:
                 writer = ContainerWriter(open(fname, "wb"), avsc, codec)
-            for rec in pdf[cols].to_dict("records"):
-                writer.write({k: _py(v) for k, v in rec.items()})
+            # to_pylist carries the Arrow validity bitmap: Spark NULL
+            # → None, genuine NaN → float('nan') — NaN payloads hit
+            # the wire exactly as the JVM writer encodes them.
+            for rec in batch.select(cols).to_pylist():
+                writer.write(rec)
                 n += 1
         if writer is not None:
             writer.close()
             writer._fh.close()
-            yield pd.DataFrame({"path": [fname], "rows": [n]})
+            yield pa.RecordBatch.from_pydict(
+                {"path": [fname], "rows": [n]}
+            )
 
-    res = df.mapInPandas(write_part, "path string, rows long")
+    res = df.mapInArrow(write_part, "path string, rows long")
     return [(r["path"], r["rows"]) for r in res.collect()]
+
+
+_DURATION_UNITS = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60 * 1_000_000,
+    "hour": 3600 * 1_000_000,
+    "day": 86400 * 1_000_000,
+    "week": 7 * 86400 * 1_000_000,
+}
+
+
+def _duration_micros(text: str) -> int:
+    """Spark interval string ('30 seconds', '1 hour') → microseconds."""
+    try:
+        n, unit = text.strip().split()
+        return int(n) * _DURATION_UNITS[unit.rstrip("s").lower()]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"unsupported window duration {text!r}; expected "
+            f"'<n> <unit>' with unit in {sorted(_DURATION_UNITS)}"
+        ) from None
 
 
 def write_windowed_avro(
@@ -736,17 +785,36 @@ def write_windowed_avro(
     windows may share a task; the writer splits per window), so a
     window's file count stays bounded by its row volume, not by the
     upstream partitioning.
+
+    Rows with a NULL ``ts_col`` have no window — they are routed to an
+    explicit ``no-window`` dead-letter file (K5 contract) instead of
+    silently landing in a malformed ``''``-named file that a windowed
+    read-back would mis-assign. The dead-letter shards appear in the
+    returned report so callers can alert on them.
     """
     from pyspark.sql import functions as F
 
     fmt = "yyyy-MM-dd'T'HH-mm-ss"
-    win = F.window(F.col(ts_col), window_duration)
+    # The window bounds are derived arithmetically rather than via
+    # F.window: the TimeWindowing rule injects an isnotnull(ts) filter
+    # that silently DROPS null-timestamp rows before any when() can
+    # route them — exactly the data loss the dead-letter contract
+    # exists to prevent. Epoch-aligned tumbling windows are identical:
+    # start = ts - (ts mod duration). pmod keeps the floor correct for
+    # pre-1970 timestamps.
+    dur_us = _duration_micros(window_duration)
+    um = F.unix_micros(F.col(ts_col))
+    start_us = um - F.pmod(um, F.lit(dur_us))
     tagged = batch_df.withColumn(
         "__win",
-        F.concat_ws(
-            "_",
-            F.date_format(win["start"], fmt),
-            F.date_format(win["end"], fmt),
+        F.when(F.col(ts_col).isNull(), F.lit("no-window")).otherwise(
+            F.concat_ws(
+                "_",
+                F.date_format(F.timestamp_micros(start_us), fmt),
+                F.date_format(
+                    F.timestamp_micros(start_us + F.lit(dur_us)), fmt
+                ),
+            )
         ),
     ).repartition("__win")
     data_cols = [c for c in batch_df.columns]
@@ -755,15 +823,18 @@ def write_windowed_avro(
     tag = f"-{file_tag}" if file_tag else ""
 
     def write_part(batches):
-        import pandas as pd
+        import pyarrow as pa
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         writers: dict[str, ContainerWriter] = {}
         counts: dict[str, int] = {}
-        for pdf in batches:
-            for wname, grp in pdf.groupby("__win"):
+        for batch in batches:
+            wins = batch.column("__win").to_pylist()
+            # to_pylist: Arrow validity bitmap → None for NULL, NaN
+            # stays a payload (see write_avro) — same fidelity here.
+            for wname, rec in zip(wins, batch.to_pylist()):
                 if wname not in writers:
                     fname = os.path.join(
                         path, f"{wname}{tag}-p{pid:05d}.avro"
@@ -773,18 +844,15 @@ def write_windowed_avro(
                     )
                     counts[fname] = 0
                     writers[wname]._fname = fname  # type: ignore[attr-defined]
-                for rec in grp[data_cols].to_dict("records"):
-                    writers[wname].write(
-                        {k: _py(v) for k, v in rec.items()}
-                    )
-                    counts[writers[wname]._fname] += 1  # type: ignore
+                writers[wname].write({c: rec[c] for c in data_cols})
+                counts[writers[wname]._fname] += 1  # type: ignore
         for w in writers.values():
             w.close()
             w._fh.close()
         if counts:
-            yield pd.DataFrame(
+            yield pa.RecordBatch.from_pydict(
                 {"path": list(counts), "rows": list(counts.values())}
             )
 
-    res = tagged.mapInPandas(write_part, "path string, rows long")
+    res = tagged.mapInArrow(write_part, "path string, rows long")
     return [(r["path"], r["rows"]) for r in res.collect()]

@@ -43,27 +43,50 @@ def write_sharded(
         if not has_avro_jar(df.sparkSession):
             # Connector jar absent: pure-Python OCF writer, one shard
             # per partition (functions/avroio.py). Honor the writer
-            # mode: overwrite clears previous shards (else a run with
-            # fewer partitions would leave stale ones behind); append
+            # mode: overwrite stages new shards in a hidden temp
+            # subdirectory first (invisible to *.avro globs and to
+            # Spark's file index), then swaps them in — a mid-write
+            # task failure or driver crash leaves the previous data
+            # untouched, mirroring the JVM writer's stage-then-commit.
+            # The final delete-old/rename-new step is not transactional
+            # (plain filesystem), but the destructive part only begins
+            # after the distributed job has fully succeeded. append
             # writes under a unique prefix so reruns never clobber
             # earlier shards. max_records_per_file is a JVM-writer
             # knob; shard size here is bounded by partition size.
             import glob as _glob
             import os as _os
+            import shutil as _shutil
             import uuid as _uuid
 
             if mode == "overwrite":
+                staging = _os.path.join(
+                    path, f"._staging-{_uuid.uuid4().hex[:8]}"
+                )
+                try:
+                    write_avro(df, staging, name_prefix="part")
+                except BaseException:
+                    _shutil.rmtree(staging, ignore_errors=True)
+                    raise
                 for old in _glob.glob(_os.path.join(path, "*.avro")):
                     _os.remove(old)
-                prefix = "part"
+                for f in sorted(_os.listdir(staging)):
+                    _os.replace(
+                        _os.path.join(staging, f),
+                        _os.path.join(path, f),
+                    )
+                _shutil.rmtree(staging, ignore_errors=True)
             elif mode == "append":
-                prefix = f"part-{_uuid.uuid4().hex[:8]}"
+                write_avro(
+                    df,
+                    path,
+                    name_prefix=f"part-{_uuid.uuid4().hex[:8]}",
+                )
             else:
                 raise ValueError(
                     f"jar-less avro write supports mode append/"
                     f"overwrite, got {mode!r}"
                 )
-            write_avro(df, path, name_prefix=prefix)
             return
     writer = df.write.format(fmt).mode(mode)
     if max_records_per_file is not None:

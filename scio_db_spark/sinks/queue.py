@@ -30,29 +30,33 @@ def serialize_json(df: DataFrame, key_col: str | None = None) -> DataFrame:
 def serialize_avro(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """P12 analogue (``avroToBytes``, AvroUtils.scala:40-62): rows to
     Avro-encoded bytes. Uses the spark-avro jar's ``to_avro`` when
-    present; otherwise an Arrow-batched pandas UDF running the
-    pure-Python codec (functions/avroio.py) — identical wire bytes
-    (Avro single-record binary body, no container framing)."""
+    present; otherwise an Arrow-batched stage running the pure-Python
+    codec (functions/avroio.py) — identical wire bytes (Avro
+    single-record binary body, no container framing), including NaN
+    double payloads: the jar-less path reads values off the Arrow
+    validity bitmap, so a Spark NULL encodes as the null branch and a
+    genuine NaN encodes as an IEEE NaN double, same as the jar."""
     from scio_db_spark.sources.readers import has_avro_jar
 
     if has_avro_jar(df.sparkSession):
         from pyspark.sql.avro.functions import to_avro
 
         value = to_avro(F.struct(*df.columns)).alias("value")
-    else:
-        value = _py_avro_encoder(df).alias("value")
-    if key_col is None:
-        return df.select(value)
-    return df.select(F.col(key_col).cast("string").alias("key"), value)
+        if key_col is None:
+            return df.select(value)
+        return df.select(
+            F.col(key_col).cast("string").alias("key"), value
+        )
+    return _py_avro_encode(df, key_col)
 
 
-def _py_avro_encoder(df: DataFrame):
-    """Column of Avro-encoded bytes for the whole row (jar-less path)."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+def _py_avro_encode(df: DataFrame, key_col: str | None) -> DataFrame:
+    """Jar-less wire encode: mapInArrow + RecordBatch.to_pylist, which
+    yields None for Spark NULL and float('nan') for genuine NaN (the
+    pandas route can't tell them apart)."""
+    import pyarrow as pa
 
     from scio_db_spark.functions.avroio import (
-        _py,
         avro_schema_of,
         encode_record,
     )
@@ -60,21 +64,45 @@ def _py_avro_encoder(df: DataFrame):
     avsc = avro_schema_of(df.schema)
     cols = list(df.columns)
 
-    # No type hints: a struct input arrives as pd.DataFrame, and the
-    # hint-based signature resolver only accepts Series-shaped hints —
-    # the untyped form selects the scalar eval type directly.
-    def enc(rows):
-        return pd.Series(
-            [
-                encode_record(
-                    avsc, {c: _py(rec[c]) for c in cols}
-                )
-                for rec in rows.to_dict("records")
-            ],
-            dtype=object,
-        )
+    if key_col is None:
 
-    return pandas_udf(enc, "binary")(F.struct(*df.columns))
+        def enc(batches):
+            for batch in batches:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            [
+                                encode_record(avsc, r)
+                                for r in batch.to_pylist()
+                            ],
+                            type=pa.binary(),
+                        )
+                    ],
+                    names=["value"],
+                )
+
+        return df.mapInArrow(enc, "value binary")
+
+    # Key rendering must keep Spark's cast-to-string semantics, so the
+    # cast happens as a Column op before the Arrow hop.
+    keyed = df.withColumn("__key", F.col(key_col).cast("string"))
+
+    def enc_keyed(batches):
+        for batch in batches:
+            keys = batch.column("__key").to_pylist()
+            recs = batch.select(cols).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(keys, type=pa.string()),
+                    pa.array(
+                        [encode_record(avsc, r) for r in recs],
+                        type=pa.binary(),
+                    ),
+                ],
+                names=["key", "value"],
+            )
+
+    return keyed.mapInArrow(enc_keyed, "key string, value binary")
 
 
 def deserialize_avro(

@@ -391,3 +391,97 @@ def test_deserialize_avro_tombstones(spark):
     rows = {r.key: (r.id, r.name) for r in out.collect()}
     assert rows["1"] == (1, "x")
     assert rows["9"] == (None, None)
+
+
+def test_nan_double_survives_write_and_wire(spark, tmp_path):
+    """NaN fidelity (round-3 ADVICE): a genuine NaN double payload and
+    a Spark NULL are different values and must stay different through
+    (a) the container write/read path and (b) the wire serializer —
+    the same behavior the JVM connector jar has. The jar-less paths
+    now read values off the Arrow validity bitmap (mapInArrow), so
+    NULL encodes as the union's null branch and NaN as an IEEE NaN
+    double."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, None), (3, float("nan"))], "id long, score double"
+    )
+    # (a) container round-trip
+    out = str(tmp_path / "nan")
+    A.write_avro(df, out)
+    back = {r.id: r.score for r in A.read_avro(spark, out).collect()}
+    assert back[1] == 1.5
+    assert back[2] is None
+    assert back[3] is not None and math.isnan(back[3])
+
+    # (b) wire bytes: decode each record with the stdlib codec
+    from scio_db_spark.sinks.queue import serialize_avro
+
+    avsc = A.avro_schema_of(df.schema)
+    wire = {
+        r.key: A.decode_record(avsc, bytes(r.value))
+        for r in serialize_avro(df, key_col="id").collect()
+    }
+    assert wire["1"]["score"] == 1.5
+    assert wire["2"]["score"] is None
+    assert math.isnan(wire["3"]["score"])
+
+
+def test_windowed_avro_null_ts_routes_to_deadletter(spark, tmp_path):
+    """Rows with NULL event_time have no window: they must land in an
+    explicit no-window dead-letter file (K5 contract), never in a
+    malformed ''-named file that violates the <start>_<end> naming
+    scheme (round-3 ADVICE)."""
+    out = str(tmp_path / "win")
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 10)),
+            (2, None),
+        ],
+        "id long, event_time timestamp",
+    )
+    report = A.write_windowed_avro(
+        df, out, ts_col="event_time", window_duration="30 seconds"
+    )
+    names = sorted(os.path.basename(p) for p, _ in report)
+    # no malformed ''-named shard
+    assert not any(n.startswith("-p") for n in names)
+    dead = [n for n in names if n.startswith("no-window")]
+    windowed = [n for n in names if n.startswith("2024-01-01T00-00-00_")]
+    assert len(dead) == 1 and len(windowed) == 1
+    # the dead-letter shard holds exactly the null-ts row
+    dead_path = [p for p, _ in report if "no-window" in p][0]
+    with open(dead_path, "rb") as fh:
+        _, recs = A.read_container(fh.read())
+    assert [r["id"] for r in recs] == [2]
+
+
+def test_sharded_avro_overwrite_is_staged(spark, tmp_path):
+    """A failed overwrite must leave the previous shards untouched:
+    the jar-less writer stages into a hidden temp subdirectory and
+    only deletes/renames after the distributed job succeeds (round-3
+    ADVICE — the old code deleted first and could destroy data on a
+    mid-write failure)."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from scio_db_spark.sinks.files import write_sharded
+    from scio_db_spark.sources.readers import read_files
+
+    out = str(tmp_path / "atomic")
+    good = spark.range(5).selectExpr("id")
+    write_sharded(good, out, num_shards=1, fmt="avro", mode="overwrite")
+    assert read_files(spark, out, fmt="avro").count() == 5
+
+    def explode(batches):
+        for batch in batches:
+            raise RuntimeError("task failure mid-write")
+            yield batch  # pragma: no cover
+
+    bad = good.mapInArrow(explode, "id long")
+    with _pytest.raises(Exception):
+        write_sharded(bad, out, num_shards=1, fmt="avro", mode="overwrite")
+
+    # previous data intact, no staging residue
+    assert read_files(spark, out, fmt="avro").count() == 5
+    assert not [d for d in os.listdir(out) if d.startswith("._staging-")]
