@@ -154,6 +154,26 @@ def queue_writer_options(
     return opts
 
 
+def build_stream_queue_writer(
+    wire_df: DataFrame,
+    topic: str,
+    bootstrap_servers: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+):
+    """K3 writer construction, separated from ``.start()`` so the full
+    readStream→serialize→writeStream DAG is buildable (and therefore
+    analysis-checked: column resolution in every stage happens here)
+    without a broker or the connector jar — only ``.start()`` needs
+    those."""
+    writer = wire_df.writeStream.format("kafka").options(
+        **queue_writer_options(topic, bootstrap_servers, checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer
+
+
 def write_stream_queue(
     wire_df: DataFrame,
     topic: str,
@@ -163,12 +183,9 @@ def write_stream_queue(
 ):
     """K3: streaming queue write. ``wire_df`` must already be in the
     (key?, value) wire shape (see the serializers above)."""
-    writer = wire_df.writeStream.format("kafka").options(
-        **queue_writer_options(topic, bootstrap_servers, checkpoint)
-    )
-    if trigger:
-        writer = writer.trigger(**trigger)
-    return writer.start()
+    return build_stream_queue_writer(
+        wire_df, topic, bootstrap_servers, checkpoint, trigger
+    ).start()
 
 
 def write_batch_queue(

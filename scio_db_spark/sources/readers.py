@@ -36,6 +36,21 @@ def has_avro_jar(spark: SparkSession) -> bool:
         return False
 
 
+def has_kafka_jar(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector jar is on the classpath
+    (mirrors :func:`has_avro_jar`). ``KafkaSourceProvider`` only ships
+    in the connector jar, so its presence means ``format("kafka")``
+    reads/writes can actually resolve and start."""
+    try:
+        jvm = spark._jvm  # type: ignore[attr-defined]
+        jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def read_files(
     spark: SparkSession,
     paths: str | list[str],
