@@ -815,6 +815,7 @@ def rollup_hourly(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_funnel_view_purchase",
+    headline=True,
     oracle="""
     WITH v AS (
         SELECT user_id, ts FROM events WHERE event_type = 'view'

@@ -90,11 +90,19 @@ def _with_shingles(
 
 
 def _doc_shingle_hashes(spark: SparkSession, sf: str) -> DataFrame:
-    """Distinct (doc_id, shingle-hash mod P) pairs."""
+    """Distinct (doc_id, shingle-hash mod P) pairs.
+
+    Distinctness is per-document, so ``array_distinct`` dedups
+    MAP-SIDE inside the shingle array — a global ``.distinct()`` here
+    would shuffle the full exploded pair set just to remove
+    duplicates no other document can contribute.
+    """
     return (
         _with_shingles(spark, sf)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .distinct()
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct("shingles")).alias("shingle"),
+        )
         .select(
             "doc_id", (str_hash60(F.col("shingle")) % MERSENNE_P).alias("h")
         )
@@ -1016,6 +1024,7 @@ _BENCH_SOURCE = "src0"
 
 @register(
     "docs_contamination_screen",
+    headline=True,
     oracle=f"""
     WITH sh AS (
         SELECT doc_id, source,
@@ -1246,6 +1255,7 @@ def top_quality_per_source(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "docs_ngram_novelty",
+    headline=True,
     oracle=f"""
     WITH h AS ({_DOC_SHINGLE_HASHES_SQL}),
     firsts AS (
@@ -1261,15 +1271,19 @@ def top_quality_per_source(spark: SparkSession, sf: str) -> DataFrame:
     doc="N-gram novelty: per document, how many of its distinct "
     "word-trigram shingles appear here FIRST (by doc_id order) — the "
     "incremental-contribution signal a dedup-aware curation pipeline "
-    "ranks by. One shuffle on the shingle hash to find first owners, "
-    "one equi-join back, one aggregate; no pairwise comparison "
-    "anywhere, so it scales like the MinHash family.",
+    "ranks by. First owners come from a window-min over the shingle "
+    "hash, NOT a groupBy+self-join: the join form computes the "
+    "tokenize+shingle+hash pipeline twice and shuffles four times "
+    "(measured 23.5 s at sf0.1); the window form computes it once "
+    "with two data-sized shuffles (hash, then doc_id) and no "
+    "pairwise comparison anywhere, so it scales like the MinHash "
+    "family.",
 )
 def ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     h = _doc_shingle_hashes(spark, sf)
-    firsts = h.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    first_doc = F.min("doc_id").over(Window.partitionBy("h"))
     return (
-        h.join(firsts, "h")
+        h.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

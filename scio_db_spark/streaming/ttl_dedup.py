@@ -86,7 +86,23 @@ def _apply_ttl_gate(
     sort would let a later chunk hold the globally first-ordered row
     while an earlier chunk gets the SENT mark. Memory is bounded by one
     key's rows in one micro-batch — the same bound as the reference's
-    per-key BagState.
+    per-key BagState (MediationService pairs it with a pre-state
+    ``distinctByKey``; see build_mediation_core, which anti-joins
+    historical keys upstream for the same pressure relief).
+
+    Pathological hot key (one key flooding a micro-batch): the bound
+    degrades to that batch's row count for the key. Mitigations, in
+    preference order: (1) cap the per-trigger volume
+    (``maxOffsetsPerTrigger``/``maxFilesPerTrigger``), which caps this
+    bound for EVERY key at once; (2) route the caller through
+    ``streaming_distinct_by_key`` upstream when within-batch duplicate
+    EMISSION (D4) can be traded away — state then sees one row per key
+    per watermark window; (3) salting is NOT applicable here — the TTL
+    contract is per-key (split keys would each send), which is the
+    same reason the reference's BagState carries the identical bound.
+    The per-row work below is vectorized, so a hot key costs pandas
+    concat + sort, never a Python-loop blowup (pinned by
+    test_hot_key_batch_is_bounded_and_correct).
     """
     if not chunks:
         return None, first_sent
@@ -98,15 +114,13 @@ def _apply_ttl_gate(
             first_sent = now  # D3: seed state, emit nothing
     if order_cols:
         pdf = pdf.sort_values(order_cols)
-    statuses = []
-    for _ in range(len(pdf)):
-        if first_sent is None:
-            statuses.append(SENT)
-            first_sent = now
-        else:
-            statuses.append(SENT_OR_DUPLICATED)
     if not len(pdf):
         return None, first_sent
+    if first_sent is None:
+        statuses = [SENT] + [SENT_OR_DUPLICATED] * (len(pdf) - 1)
+        first_sent = now
+    else:
+        statuses = [SENT_OR_DUPLICATED] * len(pdf)
     out = pdf.copy()
     if initial_col is not None:
         out = out.drop(columns=[initial_col])

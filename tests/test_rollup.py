@@ -106,3 +106,47 @@ def test_continuous_rollup_finalizes_once_and_prunes(spark, tmp_path):
         "bucket_date=2024-01-01" in d
         for d, _, _ in os.walk(table)
     )
+
+
+def test_rollup_read_prunes_partitions_at_hourly_grain(spark, tmp_path):
+    """SCALE.md claim, pinned: a date-range predicate on the rollup
+    table reaches the scan as a PartitionFilter on bucket_date — the
+    reader scans one day's partition directories, not the table. Uses
+    a second grain (hourly) than the streaming test (30s) so the
+    bucket_date partitioning is exercised with many buckets per
+    partition."""
+    from scio_db_spark.plans.explain import plan_string
+
+    table = str(tmp_path / "rollup_hourly")
+    rows = [
+        _row(1, 1.0, "2024-01-01T00:10:00"),
+        _row(1, 2.0, "2024-01-01T05:20:00"),
+        _row(2, 4.0, "2024-01-02T03:30:00"),
+        _row(2, 8.0, "2024-01-03T07:40:00"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    plan = rollup_plan(
+        df, "ts", "1 hour",
+        {"n": F.count(F.lit(1)), "total": F.sum("value")},
+        group_cols=("user_id",),
+    )
+    plan.write.partitionBy("bucket_date").parquet(table)
+
+    filtered = read_rollup(spark, table).filter(
+        (F.col("bucket_date") >= "2024-01-02")
+        & (F.col("bucket_date") < "2024-01-03")
+    )
+    txt = plan_string(filtered)
+    pf_lines = [
+        ln for ln in txt.splitlines() if "PartitionFilters" in ln
+    ]
+    assert pf_lines, txt
+    assert any("bucket_date" in ln for ln in pf_lines), pf_lines
+    # the predicate must NOT degrade to a post-scan data filter only:
+    # the partition filter line carries both range bounds
+    assert any(">=" in ln and "<" in ln for ln in pf_lines), pf_lines
+
+    out = filtered.collect()
+    assert len(out) == 1
+    assert (out[0].user_id, out[0].n, out[0].total) == (2, 1, 4.0)
+    assert str(out[0].bucket_start) == "2024-01-02 03:00:00"

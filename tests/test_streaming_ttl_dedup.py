@@ -347,3 +347,61 @@ def test_streaming_distinct_by_key_bounded_state(spark):
         assert len([r for r in rows if r.k == "a"]) == 2  # re-emitted
     finally:
         h.stop()
+
+
+def test_hot_key_batch_is_bounded_and_correct(spark, harness):
+    """Pathological hot key (round-3 VERDICT #9): one key flooding a
+    micro-batch stays within the documented bound — the gate holds
+    that key's batch rows in pandas once (same bound as the
+    reference's BagState), the per-row work is vectorized, and the
+    contract holds: exactly one SENT, every other row
+    SENT_OR_DUPLICATED, all rows EMITTED (D4)."""
+    n = 50_000
+    harness.start(
+        lambda s: ttl_dedup(s, ttl_seconds=3600, output_schema=OUT,
+                            order_cols=["ts"], use_timers=False)
+    )
+    harness.add_batch(
+        [
+            Row(idempotent_key="hot", payload=f"p{i}", ts=float(i))
+            for i in range(n)
+        ]
+        + [Row(idempotent_key="cold", payload="x", ts=1.0)]
+    )
+    rows = harness.results()
+    hot = [r for r in rows if r.idempotent_key == "hot"]
+    assert len(hot) == n  # D4: emitted, never dropped
+    by_status = {}
+    for r in hot:
+        by_status.setdefault(r.send_status, []).append(r.ts)
+    assert by_status["SENT"] == [0.0]  # deterministic first by order_cols
+    assert len(by_status["SENT_OR_DUPLICATED"]) == n - 1
+    assert _statuses(rows, "cold") == [(1.0, "SENT")]
+
+
+def test_apply_ttl_gate_vectorized_hot_key_direct():
+    """Unit form of the hot-key bound: 200k single-key rows through
+    the shared gate core complete in pandas-vectorized time with one
+    SENT and the first-send watermark advanced once."""
+    import pandas as pd
+
+    from scio_db_spark.streaming.ttl_dedup import _apply_ttl_gate
+
+    n = 200_000
+    pdf = pd.DataFrame(
+        {"idempotent_key": ["hot"] * n, "ts": range(n)}
+    )
+    out, first_sent = _apply_ttl_gate(
+        [pdf.iloc[: n // 2], pdf.iloc[n // 2 :]],
+        first_sent=None,
+        now=1_000,
+        order_cols=["ts"],
+        initial_col=None,
+    )
+    assert first_sent == 1_000
+    assert len(out) == n
+    counts = out["send_status"].value_counts()
+    assert counts["SENT"] == 1
+    assert counts["SENT_OR_DUPLICATED"] == n - 1
+    assert out.iloc[0]["ts"] == 0  # SENT goes to the first-ordered row
+    assert out.iloc[0]["send_status"] == "SENT"
