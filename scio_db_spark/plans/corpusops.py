@@ -1,0 +1,266 @@
+"""Corpus-statistics operators: unigram LM scoring, collocations, OOV.
+
+Extends the training-data text family (plans/textops.py) with the
+language-model-flavored curation operators a 100 TB pretraining
+pipeline runs between dedup and packing:
+
+- ``docs_unigram_surprisal``: CCNet/Gopher-style unigram-LM quality
+  gate. True per-token surprisal is ``log2(N/cnt)`` — a transcendental
+  whose last-ulp behavior differs across libm implementations, so the
+  score here is the *integer-quantized* surprisal ``bitlen(N) -
+  bitlen(cnt)`` (= surprisal rounded into its containing power-of-two
+  band). Monotone in 1/cnt, exact integer arithmetic on both engines,
+  and exactly as rankable for filtering thresholds.
+- ``docs_bigram_colloc_topk``: top collocations with their PMI
+  components (pair count + both unigram counts) as exact integers —
+  the caller applies the log off-engine; the engine's job is the
+  counting, which is where the data volume is.
+- ``docs_vocab_coverage``: out-of-vocabulary rate per document against
+  the corpus' own top-k vocabulary — the standard "is this document in
+  the language the corpus thinks it's in" curation signal.
+
+All three follow the textops float rule: no transcendentals, no float
+sums — only integer counts, integer cross-multiplies, and integer
+division, so the DuckDB oracle matches bit-for-bit.
+
+Scale notes: each operator is explode → one hash aggregation on the
+token/bigram key + one equi-join of the exploded stream against a
+vocabulary-sized count table. The count side is pre-aggregated
+(bounded by vocabulary, not corpus size), so the join broadcasts when
+the vocabulary fits and AQE's skew handling covers the Zipf head
+("the" is a hot key on the exploded side, but probe-side skew in a
+broadcast join costs nothing — no shuffle of the exploded stream is
+ever keyed by word).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scio_db_spark.functions import text as X
+from scio_db_spark.plans.catalog import table
+from scio_db_spark.plans.registry import register
+
+_TOKS_SQL = X.tokens_sql("text")
+
+# Engine-parallel word-bigram strings (textops._SHINGLES_SQL with n=2).
+_BIGRAMS_SQL = f"""
+    CASE WHEN len({_TOKS_SQL}) >= 2
+         THEN list_transform(
+                generate_series(1, len({_TOKS_SQL}) - 1),
+                i -> array_to_string(({_TOKS_SQL})[i:i+1], ' '))
+         ELSE [] END
+"""
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return table(spark, sf, "documents")
+
+
+def _exploded(spark: SparkSession, sf: str) -> DataFrame:
+    return _docs(spark, sf).select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("word")
+    )
+
+
+def _bitlen(col: Column) -> Column:
+    """floor(log2(x)) + 1 for positive integers, computed exactly via
+    the binary string length (float log2 would risk cross-engine
+    last-ulp drift at power-of-two boundaries)."""
+    return F.length(F.conv(col.cast("string"), 10, 2))
+
+
+# Plain string (not an f-string), and interpolated values are not
+# re-scanned for braces — so the braces are written single here.
+_BITLEN_SQL = "length(format('{:b}', CAST(%s AS BIGINT)))"
+
+
+# --------------------------------------------------------------------------
+@register(
+    "docs_unigram_surprisal",
+    oracle=f"""
+    WITH e AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+    ),
+    c AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY word
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
+    per_doc AS (
+        SELECT e.doc_id,
+            count(*) AS n_tokens,
+            CAST(sum({_BITLEN_SQL % "t.n_total"}
+                     - {_BITLEN_SQL % "c.cnt"}) AS BIGINT)
+                AS surprisal_bits
+        FROM e JOIN c ON c.word = e.word CROSS JOIN t
+        GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_tokens, surprisal_bits,
+        (surprisal_bits * 1000) // n_tokens AS mean_millibits
+    FROM per_doc
+    """,
+    doc="Unigram-LM quality gate (CCNet/Gopher perplexity filtering, "
+    "integer-quantized): per-document sum of bitlen(N)-bitlen(cnt) "
+    "token surprisal against the corpus' own unigram counts. Two "
+    "aggregations (vocab counts, per-doc roll-up) + one equi-join of "
+    "the token stream against the vocabulary-bounded count table; the "
+    "global total is a one-row broadcast.",
+)
+def unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    e = _exploded(spark, sf)
+    c = e.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy().agg(F.sum("cnt").alias("n_total"))
+    scored = e.join(c, "word").crossJoin(F.broadcast(t))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(_bitlen(F.col("n_total")) - _bitlen(F.col("cnt"))).alias(
+            "surprisal_bits"
+        ),
+    )
+    return per_doc.withColumn(
+        "mean_millibits", F.expr("surprisal_bits * 1000 DIV n_tokens")
+    )
+
+
+# --------------------------------------------------------------------------
+_COLLOC_K = 20
+
+
+@register(
+    "docs_bigram_colloc_topk",
+    oracle=f"""
+    WITH e AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+    ),
+    uni AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY word
+    ),
+    bg AS (
+        SELECT unnest({_BIGRAMS_SQL}) AS bigram FROM documents
+    ),
+    top AS (
+        SELECT bigram, c_xy FROM (
+            SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy,
+                row_number() OVER (ORDER BY count(*) DESC, bigram) AS rn
+            FROM bg GROUP BY bigram
+        ) WHERE rn <= {_COLLOC_K}
+    )
+    SELECT t.bigram, t.c_xy, u1.cnt AS c_x, u2.cnt AS c_y
+    FROM top t
+    JOIN uni u1 ON u1.word = split_part(t.bigram, ' ', 1)
+    JOIN uni u2 ON u2.word = split_part(t.bigram, ' ', 2)
+    """,
+    doc="Top-k collocations with PMI components: bigram counts ranked "
+    "(count desc, bigram asc — deterministic), each joined to its two "
+    "unigram counts. PMI's log is applied off-engine; on-engine "
+    "everything is exact integer counting. The rank-limit window is "
+    "rewritten by Catalyst into a distributed top-k "
+    "(window-group-limit), so no full sort of the bigram table; the "
+    "two unigram joins probe a 20-row broadcast side.",
+)
+def bigram_colloc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _exploded(spark, sf)
+    uni = e.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    toks = X.tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = _docs(spark, sf).select(F.explode(bigrams).alias("bigram"))
+    counted = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
+    w = Window.orderBy(F.desc("c_xy"), F.asc("bigram"))
+    top = (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _COLLOC_K)
+        .select(
+            "bigram",
+            "c_xy",
+            F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+        )
+    )
+    u1 = uni.select(
+        F.col("word").alias("u1_word"), F.col("cnt").alias("c_x")
+    )
+    u2 = uni.select(
+        F.col("word").alias("u2_word"), F.col("cnt").alias("c_y")
+    )
+    return (
+        top.join(u1, top.w1 == u1.u1_word)
+        .join(u2, top.w2 == u2.u2_word)
+        .select("bigram", "c_xy", "c_x", "c_y")
+    )
+
+
+# --------------------------------------------------------------------------
+_VOCAB_K = 15  # top-k corpus vocabulary (test corpus has ~30 distinct
+#                words, so k=15 makes the OOV signal non-degenerate)
+
+
+@register(
+    "docs_vocab_coverage",
+    oracle=f"""
+    WITH e AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+    ),
+    c AS (
+        SELECT word, count(*) AS cnt FROM e GROUP BY word
+    ),
+    v AS (
+        SELECT word FROM (
+            SELECT word, row_number() OVER (ORDER BY cnt DESC, word) AS rn
+            FROM c
+        ) WHERE rn <= {_VOCAB_K}
+    ),
+    per_doc AS (
+        SELECT e.doc_id,
+            count(*) AS n_tokens,
+            CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_oov
+        FROM e LEFT JOIN v ON v.word = e.word
+        GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_tokens, n_oov,
+        (n_oov * 1000) // n_tokens AS oov_permille
+    FROM per_doc
+    """,
+    doc="Out-of-vocabulary rate per document against the corpus' own "
+    "top-k vocabulary — the curation signal for 'document doesn't "
+    "match the corpus register'. The vocabulary is a rank-limited "
+    "aggregate (Catalyst window-group-limit → distributed top-k) "
+    "small enough to broadcast by construction (k rows), so the "
+    "per-token membership test is a map-side left join — the Zipf "
+    "head never keys a shuffle.",
+)
+def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _exploded(spark, sf)
+    c = e.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    v = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _VOCAB_K)
+        .select(F.col("word").alias("v_word"))
+    )
+    per_doc = (
+        e.join(F.broadcast(v), e.word == F.col("v_word"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("v_word").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return per_doc.withColumn(
+        "oov_permille", F.expr("n_oov * 1000 DIV n_tokens")
+    )

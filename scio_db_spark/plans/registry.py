@@ -44,10 +44,12 @@ def register(
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate REGISTRY.
     from scio_db_spark.plans import (  # noqa: F401
+        corpusops,
         mediation,
         mmops,
         relational,
         textops,
+        tpch_fill,
         tpch_more,
         vecops,
     )

@@ -451,3 +451,84 @@ def kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
         F.min("cos_sim").alias("min_sim"),
         F.max("cos_sim").alias("max_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.3  # same threshold as emb_near_dup_pairs: the
+#                      synthetic embeddings are near-random, so ~1% of
+#                      cluster-co-located pairs qualify
+
+
+@register(
+    "emb_semantic_dedup",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < {_KMEANS_K}
+    ),
+    assign AS (
+        SELECT vec_id, embedding, c_id FROM (
+            SELECT e.vec_id, e.embedding, cent.c_id,
+                row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {cosine_sql("e.embedding", "cent.c_emb", DUCK_AT)}
+                             DESC, cent.c_id) AS rn
+            FROM embeddings e, cent
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.c_id AS cluster,
+        {cosine_sql("a.embedding", "b.embedding", DUCK_AT)} AS cos_sim
+    FROM assign a JOIN assign b
+      ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+    WHERE {cosine_sql("a.embedding", "b.embedding", DUCK_AT)}
+          >= {_SEMDEDUP_TAU}
+    """,
+    doc="SemDeDup-style semantic near-duplicate pairs: k-means cell "
+    "assignment (argmax cosine against k broadcast centroids, "
+    "deterministic tiebreak) prunes the pairwise stage to an "
+    "equi-join on the cluster id — the semantic sibling of the LSH "
+    "bucket prune in emb_near_dup_pairs. At 100 TB the cluster count "
+    "scales with data (k ~ sqrt(N)) so per-cell candidate sets stay "
+    "bounded; the assignment itself is one map-side pass.",
+)
+def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    e = _emb(spark, sf)
+    cent = e.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("c_id")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "embedding", "c_id",
+            F.expr(cosine_sql("embedding", "c_emb", SPARK_AT)).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "c_id")
+    )
+    a = assign.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("c_id").alias("cluster"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("c_id").alias("b_cid"),
+    )
+    cos = F.expr(cosine_sql("a_emb", "b_emb", SPARK_AT))
+    return (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("b_cid"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= _SEMDEDUP_TAU)
+        .select("vec_a", "vec_b", "cluster", "cos_sim")
+    )

@@ -74,6 +74,19 @@ WHITELIST: set[tuple[str, str]] = {
     # frame (constant, not SF-scaling); every vector scans 8 centroid
     # rows map-side — the correct plan for a constant build side.
     ("emb_kmeans_assign", "BroadcastNestedLoopJoin"),
+    # Same k=8 centroid broadcast feeds the SemDeDup cell assignment;
+    # the pairwise stage itself is an equi-join on the cell id.
+    ("emb_semantic_dedup", "BroadcastNestedLoopJoin"),
+    # Scalar-total threshold (fraction-of-total HAVING): the ONE-row
+    # global basis-point sum crosses the exchange and is nested-loop
+    # "joined" (condition-free cross with a 1-row build) against the
+    # per-part frame — the q22 pattern.
+    ("q11_important_stock", "SinglePartition"),
+    ("q11_important_stock", "BroadcastNestedLoopJoin"),
+    # Global token-count scalar: one row (the corpus total) crosses
+    # and broadcasts into the per-token surprisal projection.
+    ("docs_unigram_surprisal", "SinglePartition"),
+    ("docs_unigram_surprisal", "BroadcastNestedLoopJoin"),
 }
 
 # NOTE: "SinglePartition" is matched as a bare token, NOT as
