@@ -79,3 +79,36 @@ def connected_components(
             "exceeds it)"
         )
     return labels
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Materialize the deduplicated corpus: from a near-duplicate pair
+    list (any of the MinHash/SimHash/cosine detectors), keep exactly
+    one canonical document per duplicate cluster (the minimum id — the
+    cluster label itself) plus every document in no cluster.
+
+    This is the step that turns pair DETECTION into corpus REDUCTION.
+    Scale shape: connected_components is iterative equi-joins on the
+    (bounded) pair list, then ONE left-anti equi-join of the corpus
+    against the non-canonical ids — the corpus streams through a
+    single hash join keyed by id, and the anti side is at most
+    |pairs| rows, usually a small fraction of the corpus.
+    """
+    labels = connected_components(
+        pairs, src=src, dst=dst, max_iterations=max_iterations
+    )
+    non_canonical = labels.filter(F.col("v") != F.col("label")).select(
+        F.col("v").alias("__dup_id")
+    )
+    return docs.join(
+        non_canonical,
+        docs[id_col] == F.col("__dup_id"),
+        "left_anti",
+    )

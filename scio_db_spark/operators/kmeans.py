@@ -1,0 +1,228 @@
+"""Full Lloyd's k-means (spherical) over an embedding column.
+
+Completes the clustering family: ``plans/vecops.py`` exposes the
+single assignment step (``emb_kmeans_assign``, oracle-checked); this
+module iterates it to convergence — the operator behind SemDeDup-style
+cluster pruning and IVF codebook training at corpus scale.
+
+Distributed design (the part that must survive 100 TB):
+
+- Each iteration is ONE Arrow-batched ``mapInPandas`` pass over the
+  data: every partition assigns its vectors to the nearest centroid
+  (vectorized numpy argmax over a k×dim broadcast matrix — k·dim
+  floats, constant size) and emits at most k partial rows
+  (cid, count, component sums, inertia). No shuffle at all: the
+  per-partition partials (≤ partitions × k rows, data-independent)
+  are collected and combined on the driver, exactly like Spark's own
+  treeAggregate-based MLlib implementation but without the RDD API.
+- The driver state is k×dim floats + the iteration history — never
+  data-sized. Convergence is centroid shift under ``tol`` (early
+  stop) or ``max_iters``.
+- Assignment is cosine (spherical k-means): the update step is the
+  per-cluster mean re-normalized to unit length. Ties break to the
+  smallest centroid id (numpy argmax picks the first maximum), the
+  same deterministic tiebreak the oracle-checked assignment query
+  uses.
+
+Python is the right tool here precisely where the guide says it is:
+the per-dimension mean update has no efficient built-in Column form
+(elementwise array aggregation would explode dim× rows per vector),
+while one vectorized numpy pass per partition is optimal — and the
+driver never touches more than (partitions × k) summary rows.
+
+Reference parity: the reference engine has no clustering operator;
+this extends the LLM-pipeline surface (SURVEY.md §6 extension ops)
+alongside MinHash/SimHash/ANN.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("cid", LongType()),
+        StructField("n", LongType()),
+        StructField("vec_sum", ArrayType(DoubleType())),
+        StructField("sim_sum", DoubleType()),
+    ]
+)
+
+
+@dataclass
+class KMeansModel:
+    centroids: list[list[float]]  # unit-normalized, k × dim
+    inertia_history: list[float] = field(default_factory=list)
+    # mean cosine distance (1 - cos) per iteration, monotone non-increasing
+    iterations: int = 0
+    converged: bool = False
+
+
+def _normalize(vec: list[float]) -> list[float]:
+    n = math.sqrt(sum(x * x for x in vec))
+    return [x / n for x in vec] if n > 0 else list(vec)
+
+
+def _partial_stats_fn(centroids: list[list[float]], vec_col: str):
+    """Per-partition: assign (vectorized argmax cosine) + partial sums."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cents = np.asarray(centroids, dtype=np.float64)  # k × dim, unit rows
+        acc_n: dict[int, int] = {}
+        acc_sum: dict[int, "np.ndarray"] = {}
+        acc_sim: dict[int, float] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )  # n × dim
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            unit = vecs / norms[:, None]
+            sims = unit @ cents.T  # n × k cosine (centroids are unit)
+            cid = np.argmax(sims, axis=1)  # first max → smallest cid
+            best = sims[np.arange(len(sims)), cid]
+            for c in np.unique(cid):
+                m = cid == c
+                key = int(c)
+                acc_n[key] = acc_n.get(key, 0) + int(m.sum())
+                s = unit[m].sum(axis=0)
+                acc_sum[key] = acc_sum.get(key, 0) + s
+                acc_sim[key] = acc_sim.get(key, 0.0) + float(best[m].sum())
+        if acc_n:
+            yield pd.DataFrame(
+                {
+                    "cid": list(acc_n),
+                    "n": [acc_n[c] for c in acc_n],
+                    "vec_sum": [acc_sum[c].tolist() for c in acc_n],
+                    "sim_sum": [acc_sim[c] for c in acc_n],
+                }
+            )
+
+    return fn
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    id_col: str | None = None,
+    max_iters: int = 10,
+    tol: float = 1e-6,
+    init_centroids: list[list[float]] | None = None,
+) -> KMeansModel:
+    """Iterate Lloyd's algorithm to convergence; returns the model.
+
+    Initial centroids default to the vectors of the k smallest
+    ``id_col`` rows (deterministic seed, the same convention as the
+    oracle-checked assignment query); pass ``init_centroids`` to seed
+    from a sample or a previous model instead.
+    """
+    if init_centroids is None:
+        if id_col is None:
+            raise ValueError("need id_col or init_centroids")
+        rows = (
+            df.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(k)
+            .collect()
+        )
+        if len(rows) < k:
+            raise ValueError(f"k={k} but only {len(rows)} rows")
+        init_centroids = [list(r[1]) for r in rows]
+    cents = [_normalize(c) for c in init_centroids]
+    dim = len(cents[0])
+
+    model = KMeansModel(centroids=cents)
+    data = df.select(vec_col)
+    for it in range(max_iters):
+        partials = data.mapInPandas(
+            _partial_stats_fn(model.centroids, vec_col), _PARTIAL_SCHEMA
+        ).collect()
+        # driver combine: ≤ partitions × k rows, sorted for determinism
+        n_by, sum_by, sim_total, n_total = {}, {}, 0.0, 0
+        for r in sorted(partials, key=lambda r: r.cid):
+            n_by[r.cid] = n_by.get(r.cid, 0) + r.n
+            prev = sum_by.get(r.cid, [0.0] * dim)
+            sum_by[r.cid] = [a + b for a, b in zip(prev, r.vec_sum)]
+            sim_total += r.sim_sum
+            n_total += r.n
+        model.inertia_history.append(
+            1.0 - sim_total / n_total if n_total else 0.0
+        )
+        new_cents = [
+            _normalize([x / n_by[c] for x in sum_by[c]])
+            if c in n_by and n_by[c] > 0
+            else model.centroids[c]  # empty cluster keeps its centroid
+            for c in range(len(model.centroids))
+        ]
+        shift = max(
+            math.sqrt(
+                sum((a - b) * (a - b) for a, b in zip(old, new))
+            )
+            for old, new in zip(model.centroids, new_cents)
+        )
+        model.centroids = new_cents
+        model.iterations = it + 1
+        if shift < tol:
+            model.converged = True
+            break
+    return model
+
+
+def assign(
+    df: DataFrame, vec_col: str, model: KMeansModel, out_col: str = "cid"
+) -> DataFrame:
+    """Assignment column from a fitted model — pure Column expression
+    (no Python), so it composes into any downstream plan (SemDeDup
+    pair join, IVF probe) inside whole-stage codegen."""
+    sims = [
+        _dot_with_literal(vec_col, c).alias(f"_sim_{i}")
+        for i, c in enumerate(model.centroids)
+    ]
+    best = F.greatest(*[F.col(f"_sim_{i}") for i in range(len(sims))])
+    expr = F.lit(None).cast("bigint")
+    # reversed so the smallest cid wins ties, matching fit-time argmax
+    for i in reversed(range(len(sims))):
+        expr = F.when(F.col(f"_sim_{i}") == best, F.lit(i)).otherwise(expr)
+    return (
+        df.select("*", *sims)
+        .withColumn(out_col, expr)
+        .drop(*[f"_sim_{i}" for i in range(len(sims))])
+    )
+
+
+def _dot_with_literal(vec_col: str, centroid: list[float]) -> Column:
+    """cos(vec, centroid) for a unit-norm literal centroid: dot product
+    over element_at divided by |vec| (centroid norm is 1)."""
+    dot = None
+    for i, w in enumerate(centroid, start=1):
+        term = F.element_at(F.col(vec_col), i).cast("double") * F.lit(
+            float(w)
+        )
+        dot = term if dot is None else dot + term
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return dot / norm

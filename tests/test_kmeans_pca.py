@@ -1,0 +1,144 @@
+"""Lloyd's k-means, distributed PCA, and dedup materialization tests.
+
+These operators have no SQL-expressible oracle (iterative / eigen
+decompositions), so correctness is pinned by construction: planted
+clusters must be recovered exactly, the distributed partial-Gram PCA
+must agree with a single-node numpy PCA on the same data, and the
+keep-canonical join must keep exactly one doc per planted duplicate
+cluster.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from scio_db_spark.operators.clusters import dedup_keep_canonical
+from scio_db_spark.operators.kmeans import assign, kmeans_fit
+from scio_db_spark.operators.pca import pca_fit, project
+
+
+def _planted_clusters(spark, n_per=40, dim=8):
+    """Three well-separated unit-vector clusters with small deterministic
+    jitter; returns (df, true_label_by_id)."""
+    anchors = [
+        [1.0] + [0.0] * (dim - 1),
+        [0.0, 1.0] + [0.0] * (dim - 2),
+        [0.0, 0.0, 1.0] + [0.0] * (dim - 3),
+    ]
+    rows, truth = [], {}
+    vid = 0
+    for ci, a in enumerate(anchors):
+        for j in range(n_per):
+            jitter = [
+                0.05 * math.sin(0.7 * vid + 1.3 * d) for d in range(dim)
+            ]
+            v = [x + e for x, e in zip(a, jitter)]
+            rows.append((vid, v))
+            truth[vid] = ci
+            vid += 1
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    return df.repartition(4), truth
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    df, truth = _planted_clusters(spark)
+    # seed one centroid inside each planted cluster (ids 0, 40, 80)
+    seeds = [r.vec for r in df.filter(F.col("id").isin(0, 40, 80)).orderBy("id").collect()]
+    model = kmeans_fit(df, "vec", k=3, init_centroids=seeds, max_iters=10)
+    assert model.converged
+    got = {
+        r.id: r.cid for r in assign(df, "vec", model).select("id", "cid").collect()
+    }
+    # cluster ids must induce exactly the planted partition
+    by_true = {}
+    for vid, t in truth.items():
+        by_true.setdefault(t, set()).add(got[vid])
+    assert all(len(s) == 1 for s in by_true.values())
+    assert len({next(iter(s)) for s in by_true.values()}) == 3
+
+
+def test_kmeans_inertia_monotone_and_deterministic(spark):
+    df, _ = _planted_clusters(spark)
+    m1 = kmeans_fit(df, "vec", k=3, id_col="id", max_iters=6)
+    m2 = kmeans_fit(df, "vec", k=3, id_col="id", max_iters=6)
+    assert m1.centroids == m2.centroids  # same partitioning → bitwise equal
+    hist = m1.inertia_history
+    assert all(b <= a + 1e-12 for a, b in zip(hist, hist[1:]))
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    df, _ = _planted_clusters(spark)
+    # Seed two centroids inside cluster 0 and one far corner: one seed
+    # may capture nothing after reassignment; fit must not divide by 0.
+    dim = 8
+    seeds = [
+        [1.0] + [0.0] * (dim - 1),
+        [0.9, 0.1] + [0.0] * (dim - 2),
+        [0.0] * (dim - 1) + [1.0],
+    ]
+    model = kmeans_fit(df, "vec", k=3, init_centroids=seeds, max_iters=5)
+    assert len(model.centroids) == 3
+    for c in model.centroids:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+
+def test_pca_matches_single_node_numpy(spark):
+    np = pytest.importorskip("numpy")
+    df, _ = _planted_clusters(spark, n_per=50)
+    model = pca_fit(df, "vec", n_components=3)
+    x = np.asarray([r.vec for r in df.orderBy("id").collect()])
+    cov = np.cov(x, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    assert model.n_rows == len(x)
+    for got_v, got_l, i in zip(
+        model.components, model.explained_variance, order
+    ):
+        assert abs(got_l - evals[i]) < 1e-8 * max(1.0, abs(evals[i]))
+        v = evecs[:, i]
+        j = int(np.argmax(np.abs(v)))
+        v = v if v[j] >= 0 else -v
+        assert np.allclose(got_v, v, atol=1e-8)
+    # ratios sum to <= 1 and are descending
+    r = model.explained_variance_ratio
+    assert all(b <= a for a, b in zip(r, r[1:]))
+    assert sum(r) <= 1.0 + 1e-12
+
+
+def test_pca_project_is_columnar_and_centered(spark):
+    np = pytest.importorskip("numpy")
+    df, _ = _planted_clusters(spark)
+    model = pca_fit(df, "vec", n_components=2)
+    out = project(df, "vec", model)
+    # no Python stage in the projection plan
+    from scio_db_spark.plans.explain import plan_string
+
+    plan = plan_string(out)
+    assert "mapinpandas" not in plan.lower()
+    assert "BatchEvalPython" not in plan
+    rows = out.select("id", "pc1", "pc2").orderBy("id").collect()
+    x = np.asarray([r.vec for r in df.orderBy("id").collect()])
+    centered = x - np.asarray(model.mean)
+    expect = centered @ np.asarray(model.components).T
+    got = np.asarray([[r.pc1, r.pc2] for r in rows])
+    assert np.allclose(got, expect, atol=1e-9)
+    # scores are centered: column means ~ 0
+    assert np.allclose(got.mean(axis=0), 0.0, atol=1e-9)
+
+
+def test_dedup_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(10)], "doc_id long, text string"
+    )
+    # clusters {0,1,2} and {5,6}; 3,4,7,8,9 isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    kept = {
+        r.doc_id for r in dedup_keep_canonical(docs, pairs).collect()
+    }
+    assert kept == {0, 3, 4, 5, 7, 8, 9}
