@@ -65,3 +65,43 @@ def test_token_hll_estimate_within_rsd(spark):
     assert set(est) == set(exact)
     for lang, n in exact.items():
         assert abs(est[lang] - n) <= max(3, 0.15 * n), (lang, est[lang], n)
+
+
+def test_dedup_keep_canonical_composes_with_minhash_detector(spark, sf_dir):
+    """Detection → reduction e2e: the MinHash-LSH pair detector feeds
+    dedup_keep_canonical; the surviving corpus keeps exactly one
+    canonical (minimum doc_id) per duplicate cluster and all isolated
+    docs — cross-checked against a driver-side union-find on the same
+    pair list."""
+    from scio_db_spark.operators.clusters import dedup_keep_canonical
+    from scio_db_spark.plans.registry import all_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = all_queries()["docs_minhash_lsh_pairs"].spark(spark, sf_dir)
+
+    kept = {
+        r.doc_id
+        for r in dedup_keep_canonical(docs, pairs).select("doc_id").collect()
+    }
+
+    # driver-side union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    plist = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    for a, b in plist:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clustered = set(parent)
+    canon = {x for x in clustered if find(x) == x}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    expect = (all_ids - clustered) | canon
+    assert kept == expect
+    assert plist, "detector found no pairs — test is vacuous"
