@@ -1,0 +1,146 @@
+"""Streaming corpus ingestion e2e (streaming/corpus_ingest.py).
+
+Drives the composed pipeline (enrich → quality/lang gate → bounded
+exact dedup → windowed sinks) through the deterministic harness and a
+real windowed-sink run, pinning: OK/KO routing, in-batch and
+cross-batch content dedup, watermark-bounded state expiry, and the
+dead-letter contract.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import tempfile
+
+from pyspark.sql import Row
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from scio_db_spark.streaming.corpus_ingest import (
+    CorpusIngestConfig,
+    build_ko_stream,
+    build_ok_stream,
+    enrich,
+)
+from scio_db_spark.streaming.harness import StreamHarness
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("text", StringType()),
+        StructField("ingest_ts", TimestampType()),
+    ]
+)
+
+# ~60 tokens incl. English stopwords → quality comfortably over 0.5,
+# lang_id = "en".
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and the dog is not "
+    "amused by the fox in the morning light of a clear day while the "
+    "farmer watches the field and the birds sing in the trees near a "
+    "quiet river that flows to the sea past the old mill and the barn"
+)
+BAD = "!!! ??? ..."  # punctuation-heavy, no stopwords → low quality
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_ok_ko_routing_and_reasons(spark):
+    cfg = CorpusIngestConfig()
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id="g", text=GOOD, ingest_ts=_ts("2024-01-01T10:00:00")),
+            Row(doc_id="b", text=BAD, ingest_ts=_ts("2024-01-01T10:00:01")),
+            Row(doc_id="n", text=None, ingest_ts=_ts("2024-01-01T10:00:02")),
+        ],
+        SCHEMA,
+    )
+    e = enrich(docs, cfg)
+    ok_ids = {r.doc_id for r in e.filter(
+        (e.quality >= cfg.min_quality) & e.lang.isin(*cfg.known_langs)
+    ).collect()}
+    assert ok_ids == {"g"}
+    ko = {r.doc_id: r.reject_reason for r in build_ko_stream(docs, cfg).collect()}
+    assert ko["n"] == "null_text"
+    assert ko["b"] == "low_quality"
+    assert "g" not in ko
+
+
+def test_streaming_dedup_across_batches_and_expiry(spark):
+    h = StreamHarness(spark, SCHEMA)
+    try:
+        h.start(lambda s: build_ok_stream(s), output_mode="append")
+        # batch 1: good doc + same-content copy under another id + junk
+        h.add_batch(
+            [
+                Row(doc_id="a1", text=GOOD, ingest_ts=_ts("2024-01-01T10:00:00")),
+                Row(doc_id="a2", text=GOOD, ingest_ts=_ts("2024-01-01T10:00:30")),
+                Row(doc_id="junk", text=BAD, ingest_ts=_ts("2024-01-01T10:00:40")),
+            ]
+        )
+        # batch 2: cross-batch duplicate inside the 10-minute delay
+        h.add_batch(
+            [Row(doc_id="a3", text=GOOD, ingest_ts=_ts("2024-01-01T10:05:00"))]
+        )
+        rows = h.results()
+        # exactly ONE emission for the GOOD content (which of a1/a2
+        # wins inside batch 1 is not contractual), junk gated out
+        assert len(rows) == 1 and rows[0].doc_id in {"a1", "a2"}
+        assert rows[0].lang == "en" and rows[0].quality >= 0.5
+        # batch 3: advance the watermark far past the content state,
+        # then the same content re-emits (bounded state, not history)
+        h.add_batch(
+            [Row(doc_id="w", text=GOOD + " extra", ingest_ts=_ts("2024-01-01T12:00:00"))]
+        )
+        h.add_batch(
+            [Row(doc_id="a4", text=GOOD, ingest_ts=_ts("2024-01-01T12:01:00"))]
+        )
+        got = [r.doc_id for r in h.results()]
+        assert got.count("a4") == 1
+    finally:
+        h.stop()
+
+
+def test_windowed_sink_run_end_to_end(spark, tmp_path):
+    """start_corpus_ingest against a real file stream: OK docs land in
+    window-partitioned parquet, KO docs under toxic/ with reasons."""
+    from scio_db_spark.streaming.corpus_ingest import start_corpus_ingest
+
+    indir = tempfile.mkdtemp(prefix="ci_in_")
+    spark.createDataFrame(
+        [
+            Row(doc_id="g1", text=GOOD, ingest_ts=_ts("2024-01-01T10:00:00")),
+            Row(doc_id="g2", text=GOOD + " more", ingest_ts=_ts("2024-01-01T10:02:00")),
+            Row(doc_id="b1", text=BAD, ingest_ts=_ts("2024-01-01T10:00:10")),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(indir)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(indir)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    ok_q, ko_q = start_corpus_ingest(
+        stream, out, ck, window_duration="1 minute"
+    )
+    try:
+        ok_q.processAllAvailable()
+        ko_q.processAllAvailable()
+    finally:
+        ok_q.stop()
+        ko_q.stop()
+
+    ok = spark.read.parquet(f"{out}/ok")
+    assert {r.doc_id for r in ok.collect()} == {"g1", "g2"}
+    # two docs, two distinct 1-minute windows → partition dirs
+    assert ok.select("window_start").distinct().count() == 2
+    ko = spark.read.parquet(f"{out}/toxic")
+    assert {(r.doc_id, r.reject_reason) for r in ko.collect()} == {
+        ("b1", "low_quality")
+    }

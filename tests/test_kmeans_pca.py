@@ -142,3 +142,25 @@ def test_dedup_keep_canonical(spark):
         r.doc_id for r in dedup_keep_canonical(docs, pairs).collect()
     }
     assert kept == {0, 3, 4, 5, 7, 8, 9}
+
+
+def test_kmeans_codebook_improves_over_seed_centroids(spark, sf_dir):
+    """Train the IVF-style codebook with Lloyd iterations on the real
+    embeddings table: the trained model's mean assignment similarity
+    (1 - inertia) must be at least as good as the untrained seed
+    census, and assignment must cover every vector exactly once."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    seeds = [
+        list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    m0 = kmeans_fit(emb, "embedding", k=8, init_centroids=seeds, max_iters=1)
+    m = kmeans_fit(emb, "embedding", k=8, init_centroids=seeds, max_iters=8)
+    assert m.inertia_history[-1] <= m0.inertia_history[0] + 1e-12
+    assigned = assign(emb, "embedding", m)
+    assert assigned.count() == n
+    assert assigned.filter(F.col("cid").isNull()).count() == 0
+    # every centroid id in range, unit-norm model centroids
+    cids = {r.cid for r in assigned.select("cid").distinct().collect()}
+    assert cids <= set(range(8))
