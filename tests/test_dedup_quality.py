@@ -52,3 +52,41 @@ def test_minhash_lsh_recalls_true_near_dups(spark, sf_dir):
     # Candidate set must stay far below the quadratic pair space —
     # that pruning is the whole point of banding.
     assert len(cand) < n_docs * (n_docs - 1) // 2 * 0.01
+
+
+def test_library_minhash_fast_hash_finds_planted_dups(spark):
+    """operators/minhash.py (production xxhash64 path): planted
+    near-duplicate pairs must surface as LSH candidates and identical
+    texts must collide on the full signature; unrelated docs must not
+    flood the candidate set (bucket join, not all-pairs)."""
+    from scio_db_spark.operators.minhash import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    rows = [(0, base), (1, base)]  # identical pair
+    # near-dup: one word changed
+    rows.append((2, base.replace("sigma", "sigmaX")))
+    # unrelated fillers
+    for i in range(3, 40):
+        rows.append(
+            (i, " ".join(f"w{i}t{j}" for j in range(25)))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = minhash_signatures(df, "doc_id", "text", k=8)
+    by_id = {r.doc_id: tuple(r)[1:] for r in sigs.collect()}
+    assert by_id[0] == by_id[1]  # identical text → identical signature
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id").collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup caught
+    # all-pairs would be 40*39/2 = 780; the bucket join must prune hard
+    assert len(pairs) < 100
