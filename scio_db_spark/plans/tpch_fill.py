@@ -164,6 +164,7 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q09_product_profit",
+    headline=True,  # round-4 star-join representative in the bench set
     oracle=f"""
     SELECT n_name, o_year,
         {_d2d_sql(
@@ -460,6 +461,7 @@ _Q21_LIMIT = 25
 
 @register(
     "q21_suppliers_kept_waiting",
+    headline=True,  # round-4 multi-level-aggregate representative
     oracle=f"""
     WITH per_supp AS (
         SELECT l.l_orderkey, l.l_suppkey,
@@ -471,27 +473,30 @@ _Q21_LIMIT = 25
          AND o.o_orderstatus = 'F'
         GROUP BY l.l_orderkey, l.l_suppkey
     ),
-    per_order AS (
-        SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
-        FROM per_supp GROUP BY l_orderkey
+    flagged AS (
+        SELECT l_suppkey, late,
+            count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+            sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+        FROM per_supp
     )
     SELECT s.s_name, count(*) AS numwait
-    FROM per_supp ps
-    JOIN per_order po ON po.l_orderkey = ps.l_orderkey
-     AND ps.late = 1 AND po.n_supp > 1 AND po.n_late = 1
-    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    FROM flagged f
+    JOIN supplier s ON s.s_suppkey = f.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
      AND n.n_name = '{_Q21_NATION}'
+    WHERE f.late = 1 AND f.n_supp > 1 AND f.n_late = 1
     GROUP BY s.s_name
     ORDER BY numwait DESC, s_name
     LIMIT {_Q21_LIMIT}
     """,
     doc="TPC-H Q21 shape: suppliers who alone kept a multi-supplier "
-    "order waiting — the exists/not-exists pair folded into two "
-    "grouping levels over the same pre-aggregate ((order, supplier) "
-    "lateness, then per-order supplier/late counts joined back on the "
-    "same key, so the second join is co-partitioned). 'Late' = max "
-    "shipdate > orderdate + 45 days (no commit/receipt dates). "
+    "order waiting — the exists/not-exists pair folded into window "
+    "counts over ONE (order, supplier) lateness pre-aggregate. The "
+    "earlier re-aggregate + join-back form planned the fact-join "
+    "subtree TWICE (0 ReusedExchange — canonicalization missed the "
+    "identical aggregates); the window form re-shuffles only the "
+    "reduced per-(order,supplier) frame on the order key. 'Late' = "
+    "max shipdate > orderdate + 45 days (no commit/receipt dates). "
     "Deterministic top-k: ties broken by unique s_name.",
 )
 def q21(spark: SparkSession, sf: str) -> DataFrame:
@@ -524,21 +529,20 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
             .alias("late")
         )
     )
-    # Renamed key for the same lineage reason as q20's re-aggregate.
-    per_order = per_supp.groupBy(
-        F.col("l_orderkey").alias("o_key")
-    ).agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.select(
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late"),
     )
     waiting = (
-        per_supp.filter(F.col("late") == 1)
-        .join(
-            per_order,
-            (per_supp.l_orderkey == per_order.o_key)
-            & (per_order.n_supp > 1)
-            & (per_order.n_late == 1),
+        flagged.filter(
+            (F.col("late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
         )
-        .join(s, per_supp.l_suppkey == s.s_suppkey)
+        .join(s, flagged.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return (
