@@ -86,14 +86,17 @@ _BITLEN_SQL = "length(format('{:b}', CAST(%s AS BIGINT)))"
     c AS (
         SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY word
     ),
-    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
+    c2 AS (
+        SELECT word, cnt, CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+        FROM c
+    ),
     per_doc AS (
         SELECT e.doc_id,
             count(*) AS n_tokens,
-            CAST(sum({_BITLEN_SQL % "t.n_total"}
-                     - {_BITLEN_SQL % "c.cnt"}) AS BIGINT)
+            CAST(sum({_BITLEN_SQL % "c2.n_total"}
+                     - {_BITLEN_SQL % "c2.cnt"}) AS BIGINT)
                 AS surprisal_bits
-        FROM e JOIN c ON c.word = e.word CROSS JOIN t
+        FROM e JOIN c2 ON c2.word = e.word
         GROUP BY e.doc_id
     )
     SELECT doc_id, n_tokens, surprisal_bits,
@@ -105,13 +108,26 @@ _BITLEN_SQL = "length(format('{:b}', CAST(%s AS BIGINT)))"
     "token surprisal against the corpus' own unigram counts. Two "
     "aggregations (vocab counts, per-doc roll-up) + one equi-join of "
     "the token stream against the vocabulary-bounded count table; the "
-    "global total is a one-row broadcast.",
+    "global total is a window sum over that same vocab-sized frame.",
 )
 def unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
     e = _exploded(spark, sf)
     c = e.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    t = c.groupBy().agg(F.sum("cnt").alias("n_total"))
-    scored = e.join(c, "word").crossJoin(F.broadcast(t))
+    # Corpus total as an unpartitioned window over the VOCAB-sized
+    # count frame — the scalar-subquery cross join would compute the
+    # explode → aggregate subtree a second time (0 ReusedExchange);
+    # the SinglePartition crossing carries only |vocab| rows.
+    c2 = c.withColumn(
+        "n_total",
+        F.sum("cnt").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    scored = e.join(c2, "word")
     per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(_bitlen(F.col("n_total")) - _bitlen(F.col("cnt"))).alias(

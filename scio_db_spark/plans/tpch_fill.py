@@ -241,19 +241,25 @@ _Q11_MULT = 1500  # keep parts with value > total/1500
         SELECT l_partkey, sum(bp) AS value_bp FROM scoped
         GROUP BY l_partkey
     ),
-    total AS (SELECT sum(bp) AS total_bp FROM scoped)
-    SELECT p.l_partkey AS partkey,
-        {_bp_to_double_sql("p.value_bp")} AS part_value
-    FROM per_part p, total t
-    WHERE p.value_bp * {_Q11_MULT} > t.total_bp
+    with_total AS (
+        SELECT l_partkey, value_bp,
+            sum(value_bp) OVER () AS total_bp
+        FROM per_part
+    )
+    SELECT l_partkey AS partkey,
+        {_bp_to_double_sql("value_bp")} AS part_value
+    FROM with_total
+    WHERE value_bp * {_Q11_MULT} > total_bp
     """,
-    doc="TPC-H Q11 shape: fraction-of-total HAVING via a scalar "
-    "subquery — per-part value vs a global total, both exact int64 "
-    "basis-point sums, threshold compared as an integer "
-    "cross-multiply (never a float or a division). The scalar total "
-    "is a one-row broadcast; the per-part aggregate carries the one "
-    "data-sized shuffle. Stock value proxied by shipped revenue per "
-    "part from one nation's suppliers (no partsupp).",
+    doc="TPC-H Q11 shape: fraction-of-total HAVING — per-part value "
+    "vs a global total, both exact int64 basis-point sums, threshold "
+    "compared as an integer cross-multiply (never a float or a "
+    "division). The total is an unpartitioned window over the "
+    "REDUCED per-part frame (one fact pass; a scalar-subquery cross "
+    "join planned the scoped subtree twice); the per-part aggregate "
+    "carries the one data-sized shuffle. Stock value proxied by "
+    "shipped revenue per part from one nation's suppliers (no "
+    "partsupp).",
 )
 def q11(spark: SparkSession, sf: str) -> DataFrame:
     l = table(spark, sf, "lineitem").select(
@@ -273,9 +279,18 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
     per_part = scoped.groupBy("l_partkey").agg(
         F.sum("bp").alias("value_bp")
     )
-    total = scoped.groupBy().agg(F.sum("bp").alias("total_bp"))
+    # Global total as an unpartitioned window over the REDUCED
+    # per-part frame (one fact pass; the scalar-subquery cross join
+    # planned `scoped` twice — 0 ReusedExchange). The SinglePartition
+    # crossing carries only ~|parts| pre-aggregated rows (whitelisted
+    # in tools/explain_audit.py).
+    total = F.sum("value_bp").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
     return (
-        per_part.crossJoin(F.broadcast(total))
+        per_part.withColumn("total_bp", total)
         .filter(F.col("value_bp") * _Q11_MULT > F.col("total_bp"))
         .select(
             F.col("l_partkey").alias("partkey"),
@@ -393,23 +408,25 @@ _Q20_NATION = "NATION_3"
         GROUP BY l_partkey, l_suppkey
     ),
     tot AS (
-        SELECT l_partkey, sum(sq) AS part_total FROM shipped
-        GROUP BY l_partkey
+        SELECT l_suppkey, sq,
+            sum(sq) OVER (PARTITION BY l_partkey) AS part_total
+        FROM shipped
     )
     SELECT DISTINCT s.s_suppkey, s.s_name
-    FROM shipped sh
-    JOIN tot t ON t.l_partkey = sh.l_partkey AND 2 * sh.sq > t.part_total
-    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    FROM tot t
+    JOIN supplier s ON s.s_suppkey = t.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
      AND n.n_name = '{_Q20_NATION}'
+    WHERE 2 * t.sq > t.part_total
     """,
-    doc="TPC-H Q20 shape: nested double-aggregate semi-join chain — "
-    "suppliers in one nation holding an outsized (>50%) share of a "
-    "red-part's 1997 shipped quantity. Two aggregates share the "
-    "l_partkey shuffle key (the second is a re-aggregate of the "
-    "first's output, no second fact scan); quantities are integral "
-    "(verified), so exact bigint sums and an integer cross-multiply "
-    "threshold. DISTINCT stands in for the EXISTS semi join.",
+    doc="TPC-H Q20 shape: fraction-of-group semi-join — suppliers in "
+    "one nation holding an outsized (>50%) share of a red-part's "
+    "1997 shipped quantity. The per-part total is a window sum over "
+    "the SAME (part, supplier) pre-aggregate (one fact pass; a "
+    "re-aggregate + join-back would plan the subtree twice). "
+    "Quantities are integral (verified), so exact bigint sums and an "
+    "integer cross-multiply threshold. DISTINCT stands in for the "
+    "EXISTS semi join.",
 )
 def q20(spark: SparkSession, sf: str) -> DataFrame:
     l = table(spark, sf, "lineitem").select(
@@ -436,18 +453,16 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.round("l_quantity").cast("bigint")).alias("sq"))
     )
-    # Re-aggregate under a renamed key: shipped and tot share lineage,
-    # so an un-renamed join key would resolve trivially-true.
-    tot = shipped.groupBy(
-        F.col("l_partkey").alias("t_partkey")
-    ).agg(F.sum("sq").alias("part_total"))
+    # Per-part total as a window over the SAME pre-aggregate — the
+    # re-aggregate + join-back form planned the fact subtree twice
+    # (0 ReusedExchange); the window re-shuffles only the reduced
+    # (part, supplier) frame on the part key.
+    w = Window.partitionBy("l_partkey")
+    excess = shipped.withColumn(
+        "part_total", F.sum("sq").over(w)
+    ).filter(2 * F.col("sq") > F.col("part_total"))
     return (
-        shipped.join(
-            tot,
-            (shipped.l_partkey == tot.t_partkey)
-            & (2 * shipped.sq > tot.part_total),
-        )
-        .join(s, shipped.l_suppkey == s.s_suppkey)
+        excess.join(s, excess.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name")
         .distinct()

@@ -77,16 +77,14 @@ WHITELIST: set[tuple[str, str]] = {
     # Same k=8 centroid broadcast feeds the SemDeDup cell assignment;
     # the pairwise stage itself is an equi-join on the cell id.
     ("emb_semantic_dedup", "BroadcastNestedLoopJoin"),
-    # Scalar-total threshold (fraction-of-total HAVING): the ONE-row
-    # global basis-point sum crosses the exchange and is nested-loop
-    # "joined" (condition-free cross with a 1-row build) against the
-    # per-part frame — the q22 pattern.
+    # Fraction-of-total threshold: the global sum is an unpartitioned
+    # window over the REDUCED per-part frame — only ~|parts|
+    # pre-aggregated rows cross the SinglePartition exchange (the
+    # docs_lang_rebalance pattern; the fact stream never does).
     ("q11_important_stock", "SinglePartition"),
-    ("q11_important_stock", "BroadcastNestedLoopJoin"),
-    # Global token-count scalar: one row (the corpus total) crosses
-    # and broadcasts into the per-token surprisal projection.
+    # Corpus token total: unpartitioned window over the |vocab|-sized
+    # count frame — same reduced-frame crossing.
     ("docs_unigram_surprisal", "SinglePartition"),
-    ("docs_unigram_surprisal", "BroadcastNestedLoopJoin"),
 }
 
 # NOTE: "SinglePartition" is matched as a bare token, NOT as
