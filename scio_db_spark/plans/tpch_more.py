@@ -25,7 +25,7 @@ happens at a comparison boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scio_db_spark.plans.catalog import table
@@ -144,14 +144,22 @@ _Q15_START, _Q15_END = "1997-01-01", "1997-04-01"
           AND l_shipdate < DATE '{_Q15_END}'
         GROUP BY l_suppkey
     )
+    , m AS (
+        SELECT supplier_no, total_rev,
+            max(total_rev) OVER () AS max_rev
+        FROM revenue
+    )
     SELECT s.s_suppkey, s.s_name,
-        {_d2d_sql("r.total_rev")} AS total_revenue
-    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+        {_d2d_sql("m.total_rev")} AS total_revenue
+    FROM supplier s JOIN m ON s.s_suppkey = m.supplier_no
+    WHERE m.total_rev = m.max_rev
     """,
-    doc="TPC-H Q15 shape: reused aggregated subplan + scalar-subquery "
-    "max. The max comparison happens on exact decimals (ties all "
-    "surface); double conversion only on output.",
+    doc="TPC-H Q15 shape: aggregated subplan + scalar max, the max "
+    "folded into an unpartitioned window over the REDUCED "
+    "per-supplier revenue frame (one lineitem pass; the "
+    "scalar-subquery form planned the revenue subtree twice — 0 "
+    "ReusedExchange). The max comparison happens on exact decimals "
+    "(ties all surface); double conversion only on output.",
 )
 def q15(spark: SparkSession, sf: str) -> DataFrame:
     l = table(spark, sf, "lineitem").filter(
@@ -165,13 +173,20 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("total_rev")
     )
-    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    # Scalar max as an unpartitioned window over the reduced
+    # per-supplier frame: one lineitem pass (the agg + broadcast-join
+    # form recomputed `rev` twice), ~|suppliers| rows crossing the
+    # whitelisted SinglePartition exchange.
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    top = rev.withColumn("max_rev", F.max("total_rev").over(w)).filter(
+        F.col("total_rev") == F.col("max_rev")
+    )
     s = table(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
-        # After the scalar-max filter `rev` is ~1 row; broadcast THAT
-        # side implicitly via AQE rather than hinting SF-scaled supplier.
-        rev.join(F.broadcast(top), rev.total_rev == top.max_rev)
-        .join(s, rev.supplier_no == s.s_suppkey)
+        # After the max filter `top` is ~1 row; AQE broadcasts it.
+        top.join(s, top.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", _d2d(F.col("total_rev")).alias("total_revenue"))
     )
 
@@ -184,24 +199,27 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
         SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         WHERE p.p_brand = 'Brand#23'
-    ), t AS (
-        SELECT l_partkey,
-            sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-            count(*) AS cnt
-        FROM pl GROUP BY l_partkey
+    ), flagged AS (
+        SELECT l_quantity, l_extendedprice,
+            sum(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_partkey) AS sum_qty,
+            count(*) OVER (PARTITION BY l_partkey) AS cnt
+        FROM pl
     )
     SELECT coalesce({_d2d_sql(
-        "sum(CAST(pl.l_extendedprice AS DECIMAL(18,2)))"
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2)))"
     )} / 7.0, 0.0) AS avg_yearly,
         count(*) AS n_lines
-    FROM pl JOIN t ON pl.l_partkey = t.l_partkey
-    WHERE CAST(pl.l_quantity AS DECIMAL(18,2)) * 5 * t.cnt < t.sum_qty
+    FROM flagged
+    WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
     """,
-    doc="TPC-H Q17 shape: correlated per-part average decorrelated into "
-    "aggregate + join-back (one shuffle on partkey, no per-row "
-    "subquery). The `qty < 0.2*avg` boundary is evaluated as "
-    "`qty*5*cnt < sum` in exact decimals — no double division at the "
-    "comparison, so Spark and DuckDB agree bit-for-bit.",
+    doc="TPC-H Q17 shape: correlated per-part average decorrelated "
+    "into WINDOW aggregates over the brand-pruned line set — one "
+    "shuffle on partkey, one fact pass (the aggregate + join-back "
+    "form planned the pruned join subtree twice: 0 ReusedExchange). "
+    "The `qty < 0.2*avg` boundary is evaluated as `qty*5*cnt < sum` "
+    "in exact decimals — no double division at the comparison, so "
+    "Spark and DuckDB agree bit-for-bit.",
 )
 def q17(spark: SparkSession, sf: str) -> DataFrame:
     p = table(spark, sf, "part").filter(F.col("p_brand") == "Brand#23").select(
@@ -215,13 +233,13 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
     pl = l.join(p, l.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    t = pl.groupBy("l_partkey").agg(
-        F.sum(_dec("l_quantity")).alias("sum_qty"),
-        F.count(F.lit(1)).alias("cnt"),
-    ).withColumnRenamed("l_partkey", "t_partkey")
-    small = pl.join(t, pl.l_partkey == t.t_partkey).filter(
-        _dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty")
-    )
+    w = Window.partitionBy("l_partkey")
+    small = pl.select(
+        "l_quantity",
+        "l_extendedprice",
+        F.sum(_dec("l_quantity")).over(w).alias("sum_qty"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    ).filter(_dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
     return small.agg(
         F.coalesce(
             _d2d(F.sum(_dec("l_extendedprice"))) / F.lit(7.0), F.lit(0.0)
