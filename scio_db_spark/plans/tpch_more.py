@@ -397,6 +397,11 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
+    # DELIBERATELY the two-scan scalar form, NOT the window fold used
+    # by q11/q15/q17: those fold totals over REDUCED (post-aggregate)
+    # frames, but here the window would have to run over the RAW
+    # customer frame — a data-sized SinglePartition crossing, worse at
+    # scale than a second map-side scan feeding a one-row stats frame.
     stats = c.filter(F.col("c_acctbal") > 0.0).agg(
         F.sum(_dec("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("n")
     )
