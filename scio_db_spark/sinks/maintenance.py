@@ -1,0 +1,151 @@
+"""Table maintenance: small-file compaction and surgical key deletes.
+
+Streaming windowed sinks (sinks/files.py) produce one file per
+micro-batch per window — operationally correct, but at 100 TB the
+accumulated small files tax every subsequent scan (driver file-listing
+plus one task per tiny file). These utilities are the maintenance jobs
+a production deployment schedules against that layout:
+
+- ``compact``: bin-pack a directory's parquet files toward a target
+  file size. Staged: the compacted output is written to a temp
+  directory first and only swapped in after a row-count check, so a
+  mid-job failure never destroys data (the same stage-then-commit
+  contract the jar-less Avro sharded writer follows).
+- ``delete_keys``: GDPR-style surgical delete — locate ONLY the files
+  containing doomed keys via ``input_file_name()`` + a broadcast semi
+  join, rewrite those files with an anti join, leave every other file
+  untouched. Cost scales with |affected files|, not table size.
+
+Both are plain-filesystem implementations (no transactional table
+format in this environment): readers racing a swap can observe a
+transient mix of old/new files. The docstrings call this out — on a
+deployment with a transactional layer (Delta/Iceberg), these map to
+OPTIMIZE and DELETE and the same planning logic applies.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TARGET_BYTES_DEFAULT = 128 * 1024 * 1024
+
+
+def _parquet_files(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return out
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = _TARGET_BYTES_DEFAULT,
+) -> dict:
+    """Bin-pack ``path``'s parquet files toward ``target_bytes`` each.
+
+    Returns {files_before, files_after, rows}. Skips (and reports)
+    when the directory is already a single adequately-sized file.
+    Partition-dir layouts should be compacted per leaf directory so
+    partition pruning survives; this operates on one leaf.
+    """
+    files = _parquet_files(path)
+    if len(files) <= 1:
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "rows": None,
+            "skipped": True,
+        }
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex}"
+    # repartition (not coalesce): coalesce would chain the upstream
+    # scan tasks 1:1 into few writers and lose read parallelism of the
+    # compaction job itself on big inputs.
+    df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+    check = spark.read.parquet(tmp).count()
+    if check != n_rows:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row-count mismatch ({check} != {n_rows}); "
+            f"original left untouched"
+        )
+    for f in files:
+        os.remove(f)
+    for f in _parquet_files(tmp):
+        os.rename(f, os.path.join(path, os.path.basename(f)))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "files_before": len(files),
+        "files_after": len(_parquet_files(path)),
+        "rows": n_rows,
+        "skipped": False,
+    }
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: DataFrame,
+) -> dict:
+    """Delete rows whose ``key_col`` appears in ``keys`` (a one-column
+    DataFrame), rewriting ONLY the files that contain matches.
+
+    Returns {files_scanned, files_rewritten, rows_deleted}.
+    """
+    key_set = keys.select(F.col(keys.columns[0]).alias("__doomed"))
+    df = spark.read.parquet(path)
+    affected = (
+        df.withColumn("__file", F.input_file_name())
+        .join(
+            F.broadcast(key_set),
+            F.col(key_col) == F.col("__doomed"),
+            "left_semi",
+        )
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    # Row attrs starting with "__" aren't getattr-accessible — index.
+    files = sorted(r[0].replace("file://", "") for r in affected)
+    deleted = 0
+    for f in files:
+        part = spark.read.parquet(f)
+        before = part.count()
+        kept = part.join(
+            F.broadcast(key_set),
+            part[key_col] == F.col("__doomed"),
+            "left_anti",
+        )
+        replacement = os.path.join(
+            os.path.dirname(f), f"part-del-{uuid.uuid4().hex}.parquet"
+        )
+        tmp = replacement + ".__tmp"
+        kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+        written = _parquet_files(tmp)
+        after = spark.read.parquet(tmp).count() if written else 0
+        # stage-then-commit per file: original removed only after the
+        # replacement is fully written and counted
+        if written:
+            os.rename(written[0], replacement)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.remove(f)
+        deleted += before - after
+    return {
+        "files_scanned": len(_parquet_files(path)) + len(files),
+        "files_rewritten": len(files),
+        "rows_deleted": deleted,
+    }

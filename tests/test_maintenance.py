@@ -1,0 +1,72 @@
+"""Compaction + surgical-delete maintenance utilities."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from scio_db_spark.sinks.maintenance import (
+    _parquet_files,
+    compact,
+    delete_keys,
+)
+
+
+def _write_small_files(spark, path, n_files=12, rows_per=50):
+    for i in range(n_files):
+        spark.range(i * rows_per, (i + 1) * rows_per).select(
+            F.col("id"), (F.col("id") % 7).alias("k")
+        ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_compact_merges_small_files_losslessly(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_small_files(spark, path)
+    before_files = len(_parquet_files(path))
+    assert before_files >= 12
+    before = {r.id for r in spark.read.parquet(path).collect()}
+
+    stats = compact(spark, path, target_bytes=10**9)  # everything → 1
+    assert not stats["skipped"]
+    assert stats["files_before"] == before_files
+    assert stats["files_after"] == 1
+    after = {r.id for r in spark.read.parquet(path).collect()}
+    assert after == before
+
+
+def test_compact_skips_single_file(spark, tmp_path):
+    path = str(tmp_path / "one")
+    spark.range(10).coalesce(1).write.parquet(path)
+    stats = compact(spark, path)
+    assert stats["skipped"]
+
+
+def test_delete_keys_rewrites_only_affected_files(spark, tmp_path):
+    path = str(tmp_path / "d")
+    _write_small_files(spark, path, n_files=6, rows_per=100)
+    files_before = set(_parquet_files(path))
+    # ids 10 and 20 live only in the first file (rows 0-99)
+    doomed = spark.createDataFrame([(10,), (20,)], "id long")
+    all_before = {r.id for r in spark.read.parquet(path).collect()}
+
+    stats = delete_keys(spark, path, "id", doomed)
+    assert stats["rows_deleted"] == 2
+    assert stats["files_rewritten"] == 1  # only the file containing 10/20
+
+    after = {r.id for r in spark.read.parquet(path).collect()}
+    assert after == all_before - {10, 20}
+    # untouched files are literally the same paths
+    files_after = set(_parquet_files(path))
+    assert len(files_before & files_after) == len(files_before) - 1
+
+
+def test_delete_keys_noop_when_no_match(spark, tmp_path):
+    path = str(tmp_path / "n")
+    _write_small_files(spark, path, n_files=3, rows_per=10)
+    doomed = spark.createDataFrame([(10**9,)], "id long")
+    before = set(_parquet_files(path))
+    stats = delete_keys(spark, path, "id", doomed)
+    assert stats["files_rewritten"] == 0
+    assert stats["rows_deleted"] == 0
+    assert set(_parquet_files(path)) == before
