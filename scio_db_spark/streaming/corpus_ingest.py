@@ -68,8 +68,26 @@ def _ok_predicate(cfg: CorpusIngestConfig) -> Column:
 def build_ok_stream(
     docs: DataFrame, cfg: CorpusIngestConfig = CorpusIngestConfig()
 ) -> DataFrame:
-    """Quality-gated, exactly-once-per-content stream (bounded state)."""
-    e = enrich(docs, cfg).filter(_ok_predicate(cfg))
+    """Quality-gated, exactly-once-per-content stream (bounded state).
+
+    Gate metrics (n_total / n_ok / n_ko) ride each micro-batch via
+    ``observe()`` under the name ``corpus_gate`` — read them from
+    ``query.recentProgress[*]["observedMetrics"]`` (G2 pattern, no
+    second scan)."""
+    from pyspark.sql import functions as SF
+
+    from scio_db_spark.observability import observe_metrics
+
+    ok = _ok_predicate(cfg)
+    e = observe_metrics(
+        enrich(docs, cfg),
+        "corpus_gate",
+        {
+            "n_total": SF.count(SF.lit(1)),
+            "n_ok": SF.count(SF.when(ok, 1)),
+            "n_ko": SF.count(SF.when(~ok, 1)),
+        },
+    ).filter(ok)
     return streaming_distinct_by_key(
         e,
         "content_hash",

@@ -144,3 +144,38 @@ def test_windowed_sink_run_end_to_end(spark, tmp_path):
     assert {(r.doc_id, r.reject_reason) for r in ko.collect()} == {
         ("b1", "low_quality")
     }
+
+
+def test_gate_metrics_ride_the_ok_stream(spark, tmp_path):
+    """corpus_gate observe() metrics surface per micro-batch with no
+    extra scan: totals must account for every input doc."""
+    import tempfile
+
+    indir = tempfile.mkdtemp(prefix="ci_obs_")
+    spark.createDataFrame(
+        [
+            Row(doc_id="g", text=GOOD, ingest_ts=_ts("2024-01-01T10:00:00")),
+            Row(doc_id="b", text=BAD, ingest_ts=_ts("2024-01-01T10:00:05")),
+            Row(doc_id="n", text=None, ingest_ts=_ts("2024-01-01T10:00:06")),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(indir)
+    stream = spark.readStream.schema(SCHEMA).parquet(indir)
+    q = (
+        build_ok_stream(stream)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    observed = [
+        p["observedMetrics"]["corpus_gate"].asDict()
+        for p in q.recentProgress
+        if p.get("observedMetrics", {}).get("corpus_gate")
+    ]
+    assert observed, "no micro-batch reported corpus_gate"
+    total = {k: sum(m[k] for m in observed) for k in observed[0]}
+    assert total["n_total"] == 3
+    assert total["n_ok"] == 1
+    assert total["n_ko"] == 2
