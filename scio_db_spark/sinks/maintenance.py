@@ -149,3 +149,26 @@ def delete_keys(
         "files_rewritten": len(files),
         "rows_deleted": deleted,
     }
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = _TARGET_BYTES_DEFAULT,
+) -> dict:
+    """Compact every leaf partition directory under ``root`` in place.
+
+    The windowed sinks write ``window_start=.../`` partition dirs;
+    compacting per leaf (instead of rewriting the whole table) keeps
+    the partition layout — and therefore partition pruning — intact,
+    and bounds each job by one partition's data. Returns per-leaf
+    stats keyed by relative path.
+    """
+    leaves = sorted(
+        {os.path.dirname(f) for f in _parquet_files(root)}
+    )
+    out = {}
+    for leaf in leaves:
+        rel = os.path.relpath(leaf, root)
+        out[rel] = compact(spark, leaf, target_bytes=target_bytes)
+    return out

@@ -164,3 +164,91 @@ def test_kmeans_codebook_improves_over_seed_centroids(spark, sf_dir):
     # every centroid id in range, unit-norm model centroids
     cids = {r.cid for r in assigned.select("cid").distinct().collect()}
     assert cids <= set(range(8))
+
+
+def test_full_ann_path_codebook_probe_quantized_rerank(spark, sf_dir):
+    """Capstone: train the codebook (Lloyd), assign cells, probe the
+    2 nearest cells per query, score candidates with int8 quantized
+    dot products — recall vs exact cosine top-10 must clear a floor.
+    This is the production ANN pipeline (kmeans + quantize operators
+    composed), end to end on the real embeddings table."""
+    import math
+
+    from pyspark.sql import Window
+
+    from scio_db_spark.operators.quantize import quantize, quantized_dot
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = [
+        list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    model = kmeans_fit(emb, "embedding", k=8, init_centroids=seeds, max_iters=5)
+    assigned = quantize(assign(emb, "embedding", model), "embedding")
+
+    # exact cosine ground truth (driver-side; 500 x 5 is tiny)
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    q_ids = [0, 1, 2, 3, 4]
+    truth = {
+        q: {
+            v
+            for v, _ in sorted(
+                ((v, cos(vecs[q], x)) for v, x in vecs.items() if v != q),
+                key=lambda t: (-t[1], t[0]),
+            )[:10]
+        }
+        for q in q_ids
+    }
+
+    # probe: 2 nearest cells per query by centroid cosine
+    probes = {}
+    for q in q_ids:
+        sims = sorted(
+            ((cos(vecs[q], c), cid) for cid, c in enumerate(model.centroids)),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probes[q] = {cid for _, cid in sims[:2]}
+
+    qside = assigned.filter(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("codes").alias("q_codes"),
+        F.col("scale").alias("q_scale"),
+    )
+    probe_rows = [(q, cid) for q, cids in probes.items() for cid in cids]
+    probe_df = spark.createDataFrame(probe_rows, "q_id long, cid long")
+    cand = assigned.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("cid").alias("c_cell"),
+        F.col("codes").alias("c_codes"),
+        F.col("scale").alias("c_scale"),
+    )
+    scored = (
+        qside.join(probe_df, "q_id")
+        .join(cand, F.col("cid") == F.col("c_cell"))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "s", quantized_dot("q_codes", "q_scale", "c_codes", "c_scale")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("c_id"))
+    got_rows = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "c_id")
+        .collect()
+    )
+    got = {}
+    for r in got_rows:
+        got.setdefault(r.q_id, set()).add(r.c_id)
+    recalls = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+    mean_recall = sum(recalls) / len(recalls)
+    # IVF nprobe=2 alone measures ~0.9 here; int8 scoring costs a
+    # little more. Floor at 0.5 catches a broken composition outright.
+    assert mean_recall >= 0.5, f"composed ANN recall collapsed: {mean_recall}"

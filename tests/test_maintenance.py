@@ -7,6 +7,7 @@ import os
 from pyspark.sql import functions as F
 
 from scio_db_spark.sinks.maintenance import (
+    compact_partitioned,
     _parquet_files,
     compact,
     delete_keys,
@@ -70,3 +71,23 @@ def test_delete_keys_noop_when_no_match(spark, tmp_path):
     assert stats["files_rewritten"] == 0
     assert stats["rows_deleted"] == 0
     assert set(_parquet_files(path)) == before
+
+
+def test_compact_partitioned_preserves_layout(spark, tmp_path):
+    path = str(tmp_path / "p")
+    # two partition dirs, several small files each
+    for part in ("d=2024-01-01", "d=2024-01-02"):
+        for i in range(4):
+            spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{path}/{part}")
+    before = {r.id for r in spark.read.parquet(path).collect()}
+    stats = compact_partitioned(spark, path, target_bytes=10**9)
+    assert set(stats) == {"d=2024-01-01", "d=2024-01-02"}
+    for leaf_stats in stats.values():
+        assert leaf_stats["files_after"] == 1
+    # layout intact: partition dirs still exist, data lossless
+    after_df = spark.read.option("basePath", path).parquet(
+        f"{path}/d=2024-01-01", f"{path}/d=2024-01-02"
+    )
+    assert {r.id for r in after_df.collect()} == before
