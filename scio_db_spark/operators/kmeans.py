@@ -193,6 +193,10 @@ def assign(
     """Assignment column from a fitted model — pure Column expression
     (no Python), so it composes into any downstream plan (SemDeDup
     pair join, IVF probe) inside whole-stage codegen."""
+    if len(model.centroids) == 1:
+        # degenerate single-cluster model: everything is cluster 0
+        # (F.greatest requires >= 2 columns)
+        return df.withColumn(out_col, F.lit(0).cast("bigint"))
     sims = [
         _dot_with_literal(vec_col, c).alias(f"_sim_{i}")
         for i, c in enumerate(model.centroids)

@@ -28,9 +28,15 @@ from scio_db_spark.functions.hashing import (
 )
 
 
-def shingles(text_col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle strings of a text column (empty below n)."""
-    toks = X.tokens(text_col)
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingle strings from an ALREADY-MATERIALIZED token
+    array column (empty below n).
+
+    Takes the token column, not the text column, on purpose: a
+    non-trivial expression inside a transform lambda is re-evaluated
+    once per array ELEMENT (textops.py documents the ~5× measured
+    cost), so callers must project tokens into a column first —
+    ``minhash_signatures`` below does exactly that."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -55,14 +61,21 @@ def minhash_signatures(
     hasher = str_hash_fast if fast else (
         lambda c: str_hash60(c) % F.lit(MERSENNE_P)
     )
-    hs = F.transform(shingles(F.col(text_col), shingle_n), hasher)
+    # Two projection steps: tokens materialize BEFORE the shingle
+    # transform references them (else tokenization re-runs per array
+    # element — quadratic per doc), then shingle hashes materialize
+    # before the k per-permutation mins reference them.
+    toks = df.select(
+        F.col(id_col), X.tokens(F.col(text_col)).alias("__toks")
+    )
+    hs = F.transform(shingles_of(F.col("__toks"), shingle_n), hasher)
     sigs = [
         F.array_min(
             F.transform(F.col("__hs"), lambda h: perm_hash(h, a, b))
         ).alias(f"sig_{i}")
         for i, (a, b) in enumerate(minhash_params(k))
     ]
-    return df.select(F.col(id_col), hs.alias("__hs")).select(
+    return toks.select(F.col(id_col), hs.alias("__hs")).select(
         id_col, *sigs
     )
 
@@ -76,6 +89,13 @@ def lsh_candidate_pairs(
     """(id_a, id_b) candidate pairs via banded LSH on a signature
     frame from ``minhash_signatures`` — an equi-join on the band key,
     so the pairwise stage is |bucket|-bounded at any scale."""
+    if bands <= 0 or k % bands != 0:
+        # bands > k would make every band key a constant (a full
+        # cross product — the exact blowup banding exists to prevent);
+        # a non-divisor would silently drop trailing signatures.
+        raise ValueError(
+            f"bands must evenly divide k (got k={k}, bands={bands})"
+        )
     rows_per_band = k // bands
     band_keys = [
         F.hash(

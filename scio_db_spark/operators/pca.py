@@ -120,11 +120,14 @@ def pca_fit(
         comps.append((v if v[j] >= 0 else -v).tolist())
     ev = [float(evals[i]) for i in order]
     total = float(evals.sum())
+    # Zero-variance input (all rows identical) has no direction to
+    # explain: ratios are defined as 0 rather than dividing by zero.
+    ratios = [x / total for x in ev] if total > 0 else [0.0] * len(ev)
     return PCAModel(
         mean=mean.tolist(),
         components=comps,
         explained_variance=ev,
-        explained_variance_ratio=[x / total for x in ev],
+        explained_variance_ratio=ratios,
         n_rows=n,
     )
 

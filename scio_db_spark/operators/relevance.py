@@ -52,9 +52,10 @@ def tfidf_top_terms(
     e = _exploded(docs, id_col, text_col)
     n_docs = docs.count()
     tf = e.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = e.groupBy("word").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
-    )
+    # df from the tf frame (one row per (doc, word) ⇒ its per-word row
+    # count IS the document frequency) — avoids a second tokenize +
+    # explode pass over the corpus.
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df_, "word").withColumn(
         "tfidf",
         F.col("tf")
@@ -87,7 +88,13 @@ def bm25_scores(
     ln(1 + (N - df + 0.5)/(df + 0.5))."""
     terms = [t.lower() for t in query_terms]
     e = _exploded(docs, id_col, text_col)
-    lengths = e.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # Lengths come from the docs frame (token_count, no explode), so
+    # zero-token documents COUNT toward N and avgdl — matching
+    # bm25_reference, which iterates every corpus doc. An explode-side
+    # groupBy would silently exclude empty docs and skew idf/avgdl.
+    lengths = docs.select(
+        F.col(id_col), X.token_count(F.col(text_col)).alias("dl")
+    )
     stats = lengths.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).first()

@@ -180,17 +180,27 @@ def bigram_colloc_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     e = _exploded(spark, sf)
     uni = e.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    toks = X.tokens(F.col("text"))
+    # Tokens materialize in their own projection BEFORE the bigram
+    # transform references them: a non-trivial expression inside a
+    # transform lambda re-evaluates once per array ELEMENT (the
+    # quadratic-tokenization trap textops.py documents).
+    toks_col = F.col("__toks")
     bigrams = F.when(
-        F.size(toks) >= 2,
+        F.size(toks_col) >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
+            F.sequence(F.lit(0), F.size(toks_col) - 2),
             lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                " ",
+                F.element_at(toks_col, i + 1),
+                F.element_at(toks_col, i + 2),
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = _docs(spark, sf).select(F.explode(bigrams).alias("bigram"))
+    bg = (
+        _docs(spark, sf)
+        .select(X.tokens(F.col("text")).alias("__toks"))
+        .select(F.explode(bigrams).alias("bigram"))
+    )
     counted = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
     w = Window.orderBy(F.desc("c_xy"), F.asc("bigram"))
     top = (

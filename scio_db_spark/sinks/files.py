@@ -124,11 +124,23 @@ def write_windowed_batch(
                 file_tag="" if epoch_id is None else f"e{epoch_id}",
             )
             return
+    # Window start derived arithmetically, NOT via F.window: the
+    # TimeWindowing rule injects an isnotnull(ts) filter that silently
+    # DROPS null-timestamp rows before any when() could route them —
+    # data loss in the dead-letter leg itself. Null-ts rows land in an
+    # explicit window_start=no-window partition (K5 contract), same as
+    # the jar-less Avro writer.
+    from scio_db_spark.functions.avroio import _duration_micros
+
+    dur_us = _duration_micros(window_duration)
+    um = F.unix_micros(F.col(ts_col))
+    start_us = um - F.pmod(um, F.lit(dur_us))
     out = batch_df.withColumn(
         "window_start",
-        F.date_format(
-            F.window(F.col(ts_col), window_duration)["start"],
-            "yyyy-MM-dd_HH-mm-ss",
+        F.when(F.col(ts_col).isNull(), F.lit("no-window")).otherwise(
+            F.date_format(
+                F.timestamp_micros(start_us), "yyyy-MM-dd_HH-mm-ss"
+            )
         ),
     )
     if epoch_id is not None:

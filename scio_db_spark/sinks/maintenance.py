@@ -120,7 +120,17 @@ def delete_keys(
         .collect()
     )
     # Row attrs starting with "__" aren't getattr-accessible — index.
-    files = sorted(r[0].replace("file://", "") for r in affected)
+    # input_file_name() returns a URI (scheme + percent-encoding):
+    # decode properly or paths with spaces/%-chars rewrite into a
+    # bogus encoded directory while os.remove misses the original.
+    from urllib.parse import unquote, urlparse
+
+    def _to_path(uri: str) -> str:
+        p = urlparse(uri)
+        return unquote(p.path) if p.scheme else unquote(uri)
+
+    files = sorted(_to_path(r[0]) for r in affected)
+    files_scanned = len(_parquet_files(path))
     deleted = 0
     for f in files:
         part = spark.read.parquet(f)
@@ -145,7 +155,7 @@ def delete_keys(
         os.remove(f)
         deleted += before - after
     return {
-        "files_scanned": len(_parquet_files(path)) + len(files),
+        "files_scanned": files_scanned,  # counted BEFORE the rewrite
         "files_rewritten": len(files),
         "rows_deleted": deleted,
     }

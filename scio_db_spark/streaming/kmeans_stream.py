@@ -3,10 +3,15 @@
 Keeps the IVF/SemDeDup codebook (operators/kmeans.py) fresh as the
 corpus streams in: each micro-batch runs the SAME one-pass partial
 assignment (vectorized mapInPandas, ≤ k rows per partition) and blends
-the batch means into the model with exponential decay —
-``c ← normalize((1 − α·w) · c + α·w · batch_mean)`` where ``w`` is the
-batch's share of the cluster's effective history. Clusters absent from
-a batch keep their centroid (no decay toward zero).
+each touched cluster's batch mean into the model with a FIXED
+per-batch decay — ``c ← normalize((1 − α) · c + α · batch_mean)``
+with ``α = 1 − 0.5^(1/half_life_batches)``. The blend weight is
+per-batch, NOT per-row-count: a trickle batch moves a centroid as far
+as a bulk batch (choose the half-life for the expected batch cadence;
+per-count Sculley weighting would instead scale α by the batch's
+share of the cluster's effective history — a caller needing that can
+shorten/lengthen half_life_batches per stream volume). Clusters
+absent from a batch keep their centroid (no decay toward zero).
 
 Driver state is the k×dim model only; the stream itself carries no
 keyed state (the engine-side state stores stay free for the dedup

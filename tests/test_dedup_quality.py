@@ -90,3 +90,19 @@ def test_library_minhash_fast_hash_finds_planted_dups(spark):
     assert (0, 2) in pairs or (1, 2) in pairs  # near-dup caught
     # all-pairs would be 40*39/2 = 780; the bucket join must prune hard
     assert len(pairs) < 100
+
+
+def test_library_minhash_rejects_bad_band_config(spark):
+    import pytest as _pytest
+
+    from scio_db_spark.operators.minhash import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", k=8)
+    with _pytest.raises(ValueError):
+        lsh_candidate_pairs(sigs, "doc_id", k=8, bands=16)  # bands > k
+    with _pytest.raises(ValueError):
+        lsh_candidate_pairs(sigs, "doc_id", k=10, bands=4)  # non-divisor

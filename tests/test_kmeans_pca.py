@@ -252,3 +252,20 @@ def test_full_ann_path_codebook_probe_quantized_rerank(spark, sf_dir):
     # IVF nprobe=2 alone measures ~0.9 here; int8 scoring costs a
     # little more. Floor at 0.5 catches a broken composition outright.
     assert mean_recall >= 0.5, f"composed ANN recall collapsed: {mean_recall}"
+
+
+def test_assign_handles_single_cluster_model(spark):
+    df, _ = _planted_clusters(spark, n_per=10)
+    model = kmeans_fit(df, "vec", k=1, id_col="id", max_iters=2)
+    out = assign(df, "vec", model)
+    assert {r.cid for r in out.select("cid").distinct().collect()} == {0}
+
+
+def test_pca_zero_variance_returns_zero_ratios(spark):
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(5)],
+        "id long, vec array<double>",
+    )
+    model = pca_fit(df, "vec", n_components=2)
+    assert model.explained_variance_ratio == [0.0, 0.0]
+    assert all(abs(v) < 1e-12 for v in model.explained_variance)

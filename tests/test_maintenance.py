@@ -91,3 +91,19 @@ def test_compact_partitioned_preserves_layout(spark, tmp_path):
         f"{path}/d=2024-01-01", f"{path}/d=2024-01-02"
     )
     assert {r.id for r in after_df.collect()} == before
+
+
+def test_delete_keys_handles_paths_with_spaces(spark, tmp_path):
+    path = str(tmp_path / "my table")  # URI-encodes to my%20table
+    _write_small_files(spark, path, n_files=3, rows_per=10)
+    doomed = spark.createDataFrame([(5,)], "id long")
+    stats = delete_keys(spark, path, "id", doomed)
+    assert stats["files_rewritten"] == 1
+    assert stats["rows_deleted"] == 1
+    assert stats["files_scanned"] == 3  # pre-rewrite count
+    remaining = {r.id for r in spark.read.parquet(path).collect()}
+    assert 5 not in remaining and len(remaining) == 29
+    # no bogus percent-encoded sibling directory appeared
+    import os as _os
+    siblings = set(_os.listdir(str(tmp_path)))
+    assert not any("%20" in s for s in siblings)

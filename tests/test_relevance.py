@@ -59,3 +59,14 @@ def test_bm25_matches_reference_and_ranks_sensibly(docs_df):
     assert got["c"] > got["b"] if "b" in got else True
     assert "d" not in got
     assert max(got, key=got.get) in {"a", "c"}
+
+
+def test_bm25_counts_empty_docs_like_the_reference(spark):
+    docs = DOCS + [("e", ""), ("f", "   ")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    q = ["query", "engine"]
+    got = {r.doc_id: r.score for r in bm25_scores(df, q).collect()}
+    expect = bm25_reference({d: t.split() for d, t in docs}, q)
+    assert set(got) == set(expect)
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-9

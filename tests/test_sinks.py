@@ -251,3 +251,26 @@ def test_windowed_batch_epoch_replay_idempotent(spark, tmp_path):
     assert spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", None
     ) is None
+
+
+def test_windowed_parquet_sink_routes_null_ts_to_no_window(spark, tmp_path):
+    """K1 parquet flavor: a null-timestamp row must land in an explicit
+    window_start=no-window partition, not silently vanish (F.window
+    would inject an isnotnull filter — the dead-letter data-loss bug)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from scio_db_spark.sinks.files import write_windowed_batch
+
+    rows = [
+        Row(k="a", event_time=datetime.datetime(2024, 1, 1, 10, 0, 0)),
+        Row(k="b", event_time=None),
+    ]
+    df = spark.createDataFrame(rows, "k string, event_time timestamp")
+    out = str(tmp_path / "w")
+    write_windowed_batch(df, out, window_duration="1 minute")
+    back = spark.read.parquet(out)
+    got = {(r.k, r.window_start) for r in back.select("k", "window_start").collect()}
+    assert ("b", "no-window") in got
+    assert any(k == "a" and w != "no-window" for k, w in got)
