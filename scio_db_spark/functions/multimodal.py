@@ -177,3 +177,53 @@ def byte_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_feats, out_schema)
+
+
+def media_chunk_plan(
+    df,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    chunk_bytes: int = 4096,
+    stride_bytes: int | None = None,
+):
+    """Byte-range chunk plan for large media payloads — the media
+    sibling of docs_chunk_plan (fixed windows, optional overlap).
+
+    Emits (id, chunk_idx, byte_start, byte_len) WITHOUT materializing
+    the chunks: a plan row is 4 scalars, so planning a 100 GB video's
+    chunks costs kilobytes, and the actual byte slicing happens later
+    (``substring`` on the binary column, or a ranged GET against
+    object storage when the payload is a reference, readers.py S4
+    style). Map-only Column expressions — no shuffle, no Python.
+
+    stride_bytes < chunk_bytes gives overlapping windows (transcoder
+    warm-up / boundary-artifact tolerance), mirroring the 500/400
+    char/stride defaults of the text chunker.
+    """
+    from pyspark.sql import functions as F
+
+    stride = stride_bytes or chunk_bytes
+    if stride <= 0 or chunk_bytes <= 0:
+        raise ValueError("chunk_bytes and stride_bytes must be positive")
+    n_bytes = F.octet_length(F.col(payload_col))
+    # chunk starts: 0, stride, 2*stride, … while start < n_bytes
+    n_chunks = F.when(
+        n_bytes > 0, F.floor((n_bytes - 1) / stride) + 1
+    ).otherwise(F.lit(0))
+    idx = F.explode(
+        F.when(
+            n_chunks > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+        ).otherwise(F.array().cast("array<int>"))
+    )
+    out = df.select(
+        F.col(id_col), n_bytes.alias("__nb"), idx.alias("chunk_idx")
+    )
+    start = F.col("chunk_idx").cast("long") * stride
+    return out.select(
+        id_col,
+        "chunk_idx",
+        start.alias("byte_start"),
+        F.least(
+            F.lit(chunk_bytes).cast("long"), F.col("__nb") - start
+        ).alias("byte_len"),
+    )

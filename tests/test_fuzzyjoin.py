@@ -67,3 +67,31 @@ def test_plan_has_no_cross_product(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_edit1_pairs_random_sweep_matches_bruteforce(spark):
+    """Seeded random corpus over a small alphabet (forces collisions):
+    the deletion-neighborhood join must agree with brute force
+    EXACTLY — both directions (no false pairs, no missed pairs)."""
+    import random
+
+    rng = random.Random(1234)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id long, s string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit1_pairs(df, "id", "s").collect()
+    }
+    expect = {}
+    for i, a in enumerate(words):
+        for j in range(i + 1, len(words)):
+            d = _lev(a, words[j])
+            if d <= 1:
+                expect[(i, j)] = d
+    assert got == expect
+    assert len(expect) > 100, "sweep too sparse to be meaningful"

@@ -49,3 +49,67 @@ def test_byte_features_shape(spark):
     out = {r.doc_id: r for r in byte_features(_media(spark)).collect()}
     assert out[1].f_len == 40 and out[1].f_mod == 40
     assert out[2].f_first == out[2].f_last == ord("z")
+
+
+def test_media_chunk_plan_covers_payload_exactly(spark):
+    from scio_db_spark.functions.multimodal import (
+        media_chunk_plan,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "x" * 10000), ("b", "y" * 4096), ("c", "z")],
+        "doc_id string, text string",
+    )
+    plan = media_chunk_plan(
+        with_binary_payload(docs), chunk_bytes=4096, stride_bytes=4096
+    ).collect()
+    by_doc = {}
+    for r in plan:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # non-overlapping chunks tile the payload exactly
+    assert sorted(r.chunk_idx for r in by_doc["a"]) == [0, 1, 2]
+    assert sum(r.byte_len for r in by_doc["a"]) == 10000
+    assert [r.byte_len for r in sorted(by_doc["a"], key=lambda r: r.chunk_idx)] == [4096, 4096, 1808]
+    assert len(by_doc["b"]) == 1 and by_doc["b"][0].byte_len == 4096
+    assert len(by_doc["c"]) == 1 and by_doc["c"][0].byte_len == 1
+    for rows in by_doc.values():
+        for r in rows:
+            assert r.byte_start == r.chunk_idx * 4096
+
+
+def test_media_chunk_plan_overlapping_stride(spark):
+    from scio_db_spark.functions.multimodal import (
+        media_chunk_plan,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "x" * 1000)], "doc_id string, text string"
+    )
+    rows = media_chunk_plan(
+        with_binary_payload(docs), chunk_bytes=500, stride_bytes=400
+    ).collect()
+    starts = sorted(r.byte_start for r in rows)
+    assert starts == [0, 400, 800]
+    # every byte of the payload is covered by at least one chunk
+    covered = set()
+    for r in rows:
+        covered.update(range(r.byte_start, r.byte_start + r.byte_len))
+    assert covered == set(range(1000))
+
+
+def test_media_chunk_plan_is_map_only(spark):
+    from scio_db_spark.functions.multimodal import (
+        media_chunk_plan,
+        with_binary_payload,
+    )
+    from scio_db_spark.plans.explain import plan_string
+
+    docs = spark.createDataFrame(
+        [("a", "x" * 100)], "doc_id string, text string"
+    )
+    plan = plan_string(media_chunk_plan(with_binary_payload(docs)))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "mapinpandas" not in plan.lower()
