@@ -44,7 +44,11 @@ def quantize(
         code_col,
         F.transform(
             v,
-            lambda x: F.round(x.cast("double") / F.col(scale_col)).cast(
+            # try_cast, not cast: a NaN/Inf element must yield a NULL
+            # code, not abort the whole job with an ANSI CAST_OVERFLOW
+            # (non-finite embeddings are a caller bug — emb_norms
+            # surfaces them — but a poison row must stay row-scoped).
+            lambda x: F.round(x.cast("double") / F.col(scale_col)).try_cast(
                 "tinyint"
             ),
         ),

@@ -125,3 +125,23 @@ def test_quantized_topk_recall_floor(spark, sf_dir):
     # int8 on near-random 64-dim vectors: measured ~0.9+; floor at 0.7
     # catches a broken rescale outright without flaking on seed drift.
     assert mean_recall >= 0.7, f"quantized recall collapsed: {mean_recall}"
+
+
+def test_non_finite_elements_yield_null_codes_not_job_abort(spark):
+    """Poison rows must stay row-scoped: NaN/Inf elements produce NULL
+    codes (try_cast) instead of an ANSI CAST_OVERFLOW aborting the
+    whole quantization job; zero vectors quantize to all-zero codes."""
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, float("nan"), 2.0]),
+            (1, [float("inf"), 1.0, 2.0]),
+            (2, [0.0, 0.0, 0.0]),
+            (3, [1.0, -2.0, 0.5]),
+        ],
+        "id long, vec array<double>",
+    )
+    rows = {r.id: r for r in quantize(df, "vec").collect()}
+    assert None in rows[0].codes  # NaN element → NULL code
+    assert None in rows[1].codes  # Inf element → NULL code
+    assert rows[2].codes == [0, 0, 0]  # zero vector well-defined
+    assert None not in rows[3].codes  # healthy row unaffected
