@@ -93,6 +93,15 @@ def _partial_stats_fn(centroids: list[list[float]], vec_col: str):
             vecs = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )  # n × dim
+            # Poison rows stay row-scoped: one NaN/Inf vector would
+            # otherwise flow into a centroid sum and silently corrupt
+            # the whole model (NaN propagates through every later
+            # iteration). Drop non-finite rows from the partials.
+            finite = np.isfinite(vecs).all(axis=1)
+            if not finite.all():
+                vecs = vecs[finite]
+                if not len(vecs):
+                    continue
             norms = np.linalg.norm(vecs, axis=1)
             norms[norms == 0] = 1.0
             unit = vecs / norms[:, None]

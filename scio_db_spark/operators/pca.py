@@ -70,6 +70,14 @@ def _partial_gram_fn(vec_col: str):
             x = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
+            # Drop non-finite rows: one NaN vector would make the Gram
+            # matrix (and then eigh) NaN — poison stays row-scoped,
+            # mirroring kmeans/quantize.
+            finite = np.isfinite(x).all(axis=1)
+            if not finite.all():
+                x = x[finite]
+                if not len(x):
+                    continue
             n += len(x)
             s = x.sum(axis=0) + (0 if s is None else s)
             g = x.T @ x + (0 if g is None else g)

@@ -269,3 +269,31 @@ def test_pca_zero_variance_returns_zero_ratios(spark):
     model = pca_fit(df, "vec", n_components=2)
     assert model.explained_variance_ratio == [0.0, 0.0]
     assert all(abs(v) < 1e-12 for v in model.explained_variance)
+
+
+def test_poison_vectors_do_not_corrupt_fit(spark):
+    """One NaN/Inf vector must not poison centroids or the Gram matrix
+    — non-finite rows are dropped in the partial passes."""
+    import math as _math
+
+    df, _ = _planted_clusters(spark, n_per=20)
+    poison = spark.createDataFrame(
+        [
+            (900, [float("nan")] * 8),
+            (901, [float("inf")] + [0.0] * 7),
+        ],
+        "id long, vec array<double>",
+    )
+    dirty = df.unionByName(poison)
+    m_clean = kmeans_fit(df, "vec", k=3, id_col="id", max_iters=4)
+    m_dirty = kmeans_fit(dirty, "vec", k=3, id_col="id", max_iters=4)
+    for c_clean, c_dirty in zip(m_clean.centroids, m_dirty.centroids):
+        assert all(_math.isfinite(x) for x in c_dirty)
+        assert max(abs(a - b) for a, b in zip(c_clean, c_dirty)) < 1e-12
+
+    p_clean = pca_fit(df, "vec", n_components=2)
+    p_dirty = pca_fit(dirty, "vec", n_components=2)
+    assert p_dirty.n_rows == p_clean.n_rows  # poison rows excluded
+    import numpy as np
+
+    assert np.allclose(p_clean.components, p_dirty.components)
