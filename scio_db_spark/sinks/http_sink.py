@@ -67,7 +67,11 @@ class TokenBucket:
 
     def __init__(self, rate: float, burst: float | None = None):
         self.rate = float(rate)
-        self.capacity = float(burst if burst is not None else rate)
+        # capacity below one token can never satisfy acquire() — every
+        # sender thread would spin forever (silent stall, no error).
+        self.capacity = max(
+            1.0, float(burst if burst is not None else rate)
+        )
         self.tokens = self.capacity
         self.last = time.monotonic()
         self.lock = threading.Lock()
@@ -100,11 +104,18 @@ def _bucket_for(rate: float, burst: float | None) -> TokenBucket:
 
 
 def _as_int(v) -> int | None:
-    """Best-effort int coercion; None for missing or malformed values."""
+    """Best-effort int coercion; None for missing or malformed values.
+
+    Values outside int32 are ALSO None: the response schema declares
+    32-bit ids, and an out-of-range server id must degrade to a
+    missing field (W9 never-crash contract), not overflow the Arrow
+    cast and fail the task.
+    """
     try:
-        return int(v)
+        i = int(v)
     except (TypeError, ValueError):
         return None
+    return i if -2147483648 <= i <= 2147483647 else None
 
 
 def classify_success(body: str | None) -> bool:
@@ -131,7 +142,9 @@ def _get_conn(scheme: str, netloc: str, timeout: float):
     conns = getattr(_tl, "conns", None)
     if conns is None:
         conns = _tl.conns = {}
-    key = (scheme, netloc)
+    # timeout is part of the key: a pooled connection created under one
+    # deadline must not silently serve a later call's tighter deadline.
+    key = (scheme, netloc, timeout)
     conn = conns.get(key)
     if conn is None:
         cls = (
@@ -144,9 +157,9 @@ def _get_conn(scheme: str, netloc: str, timeout: float):
     return conn
 
 
-def _drop_conn(scheme: str, netloc: str) -> None:
+def _drop_conn(scheme: str, netloc: str, timeout: float) -> None:
     conns = getattr(_tl, "conns", {})
-    conn = conns.pop((scheme, netloc), None)
+    conn = conns.pop((scheme, netloc, timeout), None)
     if conn is not None:
         try:
             conn.close()
@@ -181,7 +194,7 @@ def _post_once(url: str, payload: dict, timeout: float) -> dict:
         # from a stale keep-alive the server closed between requests:
         # drop the pooled connection and re-attempt once on a fresh one;
         # failures of the fresh attempt propagate to send_one's retry.
-        _drop_conn(parts.scheme, parts.netloc)
+        _drop_conn(parts.scheme, parts.netloc, timeout)
         raw = _attempt()
     try:
         parsed = json.loads(raw)
@@ -263,6 +276,15 @@ def send_http_batch(
     caller's write/collect action inside ``foreachBatch`` is the bundle
     flush.
     """
+    # Input columns named like a response column (e.g. a BER-flat
+    # stream's pre-send nhub_success placeholder) must be DROPPED, not
+    # declared twice: the pandas assignment overwrites in place, so a
+    # duplicated schema entry would make every non-empty micro-batch
+    # fail with a column-count mismatch.
+    resp_names = {f.split()[0] for f in RESPONSE_FIELDS.split(", ")}
+    clash = [c for c in batch_df.columns if c in resp_names]
+    if clash:
+        batch_df = batch_df.drop(*clash)
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in batch_df.schema.fields
     )
@@ -347,10 +369,21 @@ def http_notification_sink(
     MediationService.scala:137-139).
     """
 
-    def _process(batch_df: DataFrame, _epoch: int) -> None:
+    # Epoch-partitioned overwrite, NOT a plain append: foreachBatch is
+    # at-least-once, and an epoch replay after a post-write failure
+    # would double-count the replayed (record, response) rows.
+    from scio_db_spark.sinks.files import idempotent_batch_writer
+
+    analytics_writer = (
+        idempotent_batch_writer(analytics_path, fmt=analytics_fmt)
+        if analytics_path is not None
+        else None
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
         sent = send_http_batch(batch_df, url, **send_kwargs)
-        if analytics_path is not None:
-            sent.write.format(analytics_fmt).mode("append").save(analytics_path)
+        if analytics_writer is not None:
+            analytics_writer(sent, epoch_id)
         else:
             sent.foreach(lambda _row: None)  # force the sends, discard
 

@@ -179,13 +179,28 @@ def run_mediation_pipeline(
     ttl_seconds: float = 259200.0,
     window_duration: str = "30 seconds",
     trigger: dict | None = None,
+    order_cols: list[str] | None = None,
+    use_timers: bool | None = None,
     **send_kwargs,
 ) -> dict:
-    """Start the full pipeline; returns the running queries."""
-    from scio_db_spark.sinks.files import dead_letter_sink
+    """Start the full pipeline; returns the running queries.
 
+    ``use_timers`` defaults by trigger shape: armed per-key timers keep
+    ``Trigger.AvailableNow`` runs scheduling timer-check batches
+    forever, so bounded runs default to the inline-expiry TTL form
+    (identical observable semantics — see ``ttl_dedup``); continuous
+    runs keep background timer GC.
+    """
+    from scio_db_spark.sinks.files import dead_letter_sink, idempotent_batch_writer
+
+    if use_timers is None:
+        use_timers = not (trigger or {}).get("availableNow", False)
     core = build_mediation_core(
-        stream_df, historical_df=historical_df, ttl_seconds=ttl_seconds
+        stream_df,
+        historical_df=historical_df,
+        ttl_seconds=ttl_seconds,
+        order_cols=order_cols,
+        use_timers=use_timers,
     )
 
     ko_query = dead_letter_sink(
@@ -195,10 +210,19 @@ def run_mediation_pipeline(
         window_duration=window_duration,
     )
 
-    def _process(batch_df: DataFrame, _epoch: int) -> None:
+    # Epoch-partitioned overwrite, NOT a plain append: foreachBatch is
+    # at-least-once, and an epoch replay after a post-write failure
+    # would double-count every (record, response) row in analytics.
+    analytics_writer = (
+        idempotent_batch_writer(analytics_path)
+        if analytics_path is not None
+        else None
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
         out = send_deduped_batch(batch_df, url, **send_kwargs)
-        if analytics_path is not None:
-            out.write.mode("append").parquet(analytics_path)
+        if analytics_writer is not None:
+            analytics_writer(out, epoch_id)
         else:
             out.foreach(lambda _row: None)
 

@@ -108,8 +108,13 @@ def _apply_ttl_gate(
         return None, first_sent
     pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
     if initial_col is not None:
-        seed = pdf[pdf[initial_col].astype(bool)]
-        pdf = pdf[~pdf[initial_col].astype(bool)]
+        # NULL flags arrive as float NaN through Arrow→pandas, and
+        # NaN.astype(bool) is True — which would silently swallow a
+        # live record into the seed branch (never SENT). A null flag
+        # means "not an initial-load row": fill False first.
+        flags = pdf[initial_col].fillna(False).astype(bool)
+        seed = pdf[flags]
+        pdf = pdf[~flags]
         if len(seed) and first_sent is None:
             first_sent = now  # D3: seed state, emit nothing
     if order_cols:

@@ -274,3 +274,43 @@ def test_windowed_parquet_sink_routes_null_ts_to_no_window(spark, tmp_path):
     got = {(r.k, r.window_start) for r in back.select("k", "window_start").collect()}
     assert ("b", "no-window") in got
     assert any(k == "a" and w != "no-window" for k, w in got)
+
+
+def test_send_http_batch_tolerates_response_named_input_columns(
+    spark, http_stub
+):
+    """An input already carrying a response-named column (the BER-flat
+    stream's pre-send nhub_success placeholder) must be dropped and
+    re-appended, not declared twice in the output schema (which made
+    every non-empty micro-batch fail on a column-count mismatch)."""
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.sinks import send_http_batch, to_http_request
+
+    df = to_http_request(
+        spark.createDataFrame(
+            [("n1", "hello", "7")],
+            "notification_id string, message string, customer_id string",
+        )
+    ).withColumn("nhub_success", F.lit(None).cast("boolean"))
+    out = send_http_batch(df, _url(http_stub)).collect()
+    assert len(out) == 1
+    assert out[0].nhub_success is True  # the RESPONSE value, not the input
+
+
+def test_token_bucket_sub_one_burst_cannot_deadlock():
+    from scio_db_spark.sinks.http_sink import TokenBucket
+
+    b = TokenBucket(rate=1000.0, burst=0.25)
+    # capacity clamps to >= 1 token, so acquire returns immediately
+    b.acquire()
+
+
+def test_as_int_rejects_out_of_int32_values():
+    from scio_db_spark.sinks.http_sink import _as_int
+
+    assert _as_int(99999999999) is None  # would overflow the int32 cast
+    assert _as_int(-(2**40)) is None
+    assert _as_int(2147483647) == 2147483647
+    assert _as_int("12") == 12
+    assert _as_int("nope") is None

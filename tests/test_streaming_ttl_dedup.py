@@ -405,3 +405,33 @@ def test_apply_ttl_gate_vectorized_hot_key_direct():
     assert counts["SENT_OR_DUPLICATED"] == n - 1
     assert out.iloc[0]["ts"] == 0  # SENT goes to the first-ordered row
     assert out.iloc[0]["send_status"] == "SENT"
+
+
+def test_null_initial_flag_is_not_a_seed():
+    """A NULL initial-load flag arrives as float NaN via Arrow→pandas;
+    it must mean 'live record' (SENT), not be truthy-swallowed into
+    the seed branch (which would drop the notification forever)."""
+    import pandas as pd
+
+    from scio_db_spark.streaming.ttl_dedup import _apply_ttl_gate
+
+    pdf = pd.DataFrame(
+        {
+            "idempotent_key": ["k1", "k1"],
+            "notification_id": ["n1", "n2"],
+            "is_initial": [float("nan"), 1.0],  # NULL flag + true seed
+        }
+    )
+    out, first_sent = _apply_ttl_gate(
+        [pdf],
+        first_sent=None,
+        now=1_000,
+        order_cols=["notification_id"],
+        initial_col="is_initial",
+    )
+    # the seed row set state but emitted nothing; the NULL-flag row is
+    # a live record — and since the seed seeded state, it must be
+    # marked duplicated rather than dropped or sent twice
+    assert out is not None and len(out) == 1
+    assert out.iloc[0]["notification_id"] == "n1"
+    assert first_sent == 1_000
