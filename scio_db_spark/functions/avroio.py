@@ -250,13 +250,19 @@ def _union_branch(union: list, v) -> tuple[int, dict | str]:
 
 
 def _accepts(schema, v) -> bool:
+    import decimal
+
     t = _schema_type(schema)
     if t in ("int", "long"):
         return isinstance(v, int) or hasattr(v, "timestamp") or hasattr(v, "toordinal")
     if t in ("float", "double"):
         return isinstance(v, (int, float))
     if t == "string":
-        return isinstance(v, str)
+        # DecimalType maps to the string branch in this binding, and
+        # Arrow to_pylist hands decimals over as decimal.Decimal — a
+        # nullable decimal column must resolve here, not crash the
+        # union probe.
+        return isinstance(v, (str, decimal.Decimal))
     if t == "enum":
         return isinstance(v, str) and v in schema["symbols"]
     if t in ("bytes", "fixed"):
@@ -266,7 +272,13 @@ def _accepts(schema, v) -> bool:
     if t == "array":
         return isinstance(v, (list, tuple))
     if t == "map":
-        return isinstance(v, dict)
+        # Arrow's map representation through to_pylist is a list of
+        # (key, value) tuples, not a dict — accept both shapes (the
+        # encoder's dict(v) handles the tuple list).
+        return isinstance(v, dict) or (
+            isinstance(v, list)
+            and all(isinstance(e, tuple) and len(e) == 2 for e in v)
+        )
     if t == "record":
         return isinstance(v, dict)
     return True
@@ -328,15 +340,16 @@ def _decode_value(schema, dec: BinaryDecoder):
 
 
 def _from_long(schema, v: int):
+    # Timestamps decode TZ-AWARE (UTC): a naive datetime is localized
+    # to spark.sql.session.timeZone by the pandas serializer, which
+    # silently shifted every decoded timestamp by the session offset
+    # on non-UTC hosts (deserialize_avro / read_stream_avro); aware
+    # UTC values convert identically on every path.
     logical = isinstance(schema, dict) and schema.get("logicalType")
     if logical == "timestamp-micros":
-        return datetime.fromtimestamp(v / 1_000_000, tz=timezone.utc).replace(
-            tzinfo=None
-        )
+        return datetime.fromtimestamp(v / 1_000_000, tz=timezone.utc)
     if logical == "timestamp-millis":
-        return datetime.fromtimestamp(v / 1_000, tz=timezone.utc).replace(
-            tzinfo=None
-        )
+        return datetime.fromtimestamp(v / 1_000, tz=timezone.utc)
     if logical == "date":
         from datetime import date, timedelta
 
@@ -619,6 +632,39 @@ def _py(v):
     return v
 
 
+def probe_writer_schema(path: str | list) -> dict:
+    """Driver-side writer-schema probe shared by every jar-less Avro
+    reader: resolves explicit files, directories, and globs (including
+    globs whose matches are DIRECTORIES — ``/data/2024/*`` expanding
+    to day dirs must probe inside them, exactly as Spark's own loader
+    reads them), then parses the first file's container header
+    (headers are a few hundred bytes; 1 MB covers any real schema).
+    """
+    import glob as _glob
+
+    paths = [path] if isinstance(path, str) else list(path)
+    candidates: list[str] = []
+    for p in paths:
+        if any(c in p for c in "*?["):
+            for c in _glob.glob(p):
+                if os.path.isdir(c):
+                    candidates.extend(
+                        _glob.glob(os.path.join(c, "*.avro"))
+                    )
+                elif c.endswith(".avro"):
+                    candidates.append(c)
+        elif os.path.isdir(p):
+            candidates.extend(_glob.glob(os.path.join(p, "*.avro")))
+        elif p.endswith(".avro"):
+            candidates.append(p)
+    if not candidates:
+        raise FileNotFoundError(f"no .avro files under {paths!r}")
+    with open(sorted(candidates)[0], "rb") as fh:
+        header = fh.read(1 << 20)
+    schema, _ = _read_header_schema(header)
+    return schema
+
+
 def read_avro(spark: SparkSession, path: str | list) -> DataFrame:
     """S1/S3 Avro leg: distributed OCF read without the connector jar.
 
@@ -628,8 +674,6 @@ def read_avro(spark: SparkSession, path: str | list) -> DataFrame:
     The schema comes from the first file's header, read driver-side
     (container headers are a few hundred bytes).
     """
-    import glob as _glob
-
     paths = [path] if isinstance(path, str) else list(path)
     # pathGlobFilter keeps _SUCCESS / .crc markers (jar-written dirs)
     # out of the distributed read; the driver-side probe applies the
@@ -639,22 +683,7 @@ def read_avro(spark: SparkSession, path: str | list) -> DataFrame:
         .option("pathGlobFilter", "*.avro")
         .load(paths)
     )
-    candidates: list[str] = []
-    for p in paths:
-        if any(c in p for c in "*?["):
-            candidates.extend(
-                c for c in _glob.glob(p) if c.endswith(".avro")
-            )
-        elif os.path.isdir(p):
-            candidates.extend(_glob.glob(os.path.join(p, "*.avro")))
-        elif p.endswith(".avro"):
-            candidates.append(p)
-    if not candidates:
-        raise FileNotFoundError(f"no .avro files under {paths!r}")
-    first = sorted(candidates)[0]
-    with open(first, "rb") as fh:
-        header = fh.read(1 << 20)
-    schema, _ = _read_header_schema(header)
+    schema = probe_writer_schema(paths)
     out_schema = spark_schema_of(schema)
     cols = [f.name for f in out_schema.fields]
 
@@ -711,17 +740,25 @@ def write_avro(
     os.makedirs(path, exist_ok=True)
 
     def write_part(batches):
+        import uuid as _uuid
+
         import pyarrow as pa
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         fname = os.path.join(path, f"{name_prefix}-{pid:05d}.avro")
+        # Attempt-unique temp + atomic rename (the JVM writer's
+        # task-commit contract): a speculative or zombie duplicate
+        # attempt writes its OWN temp file, and whichever rename lands
+        # last installs a COMPLETE container — never interleaved
+        # writes tearing the shard.
+        tmp = f"{fname}.{_uuid.uuid4().hex}.tmp"
         n = 0
         writer = None
         for batch in batches:
             if writer is None:
-                writer = ContainerWriter(open(fname, "wb"), avsc, codec)
+                writer = ContainerWriter(open(tmp, "wb"), avsc, codec)
             # to_pylist carries the Arrow validity bitmap: Spark NULL
             # → None, genuine NaN → float('nan') — NaN payloads hit
             # the wire exactly as the JVM writer encodes them.
@@ -731,6 +768,7 @@ def write_avro(
         if writer is not None:
             writer.close()
             writer._fh.close()
+            os.replace(tmp, fname)
             yield pa.RecordBatch.from_pydict(
                 {"path": [fname], "rows": [n]}
             )
@@ -823,36 +861,75 @@ def write_windowed_avro(
     tag = f"-{file_tag}" if file_tag else ""
 
     def write_part(batches):
+        import uuid as _uuid
+
         import pyarrow as pa
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
+        # Bounded open-writer set: a backfill batch can span thousands
+        # of distinct windows per task; unbounded handles exhaust
+        # ulimit -n mid-write. Past the cap the OLDEST-OPENED window's
+        # shard commits and a later recurrence opens a NEW
+        # sequence-numbered shard (containers can't re-open-append);
+        # repartition('__win') clusters windows, so evictions are rare
+        # outside pathological interleavings.
+        max_open = 64
         writers: dict[str, ContainerWriter] = {}
         counts: dict[str, int] = {}
+        seq: dict[str, int] = {}
+
+        def _commit(wname: str) -> None:
+            w = writers.pop(wname)
+            w.close()
+            w._fh.close()
+            os.replace(w._tmp, w._fname)  # type: ignore[attr-defined]
+
+        def _open(wname: str) -> ContainerWriter:
+            s = seq.get(wname, 0)
+            seq[wname] = s + 1
+            part = f"-s{s}" if s else ""
+            fname = os.path.join(
+                path, f"{wname}{tag}-p{pid:05d}{part}.avro"
+            )
+            # attempt-unique temp + atomic rename: see write_avro.
+            tmp = f"{fname}.{_uuid.uuid4().hex}.tmp"
+            w = ContainerWriter(open(tmp, "wb"), avsc, codec)
+            w._fname = fname  # type: ignore[attr-defined]
+            w._tmp = tmp  # type: ignore[attr-defined]
+            counts[fname] = 0
+            return w
+
         for batch in batches:
             wins = batch.column("__win").to_pylist()
             # to_pylist: Arrow validity bitmap → None for NULL, NaN
             # stays a payload (see write_avro) — same fidelity here.
             for wname, rec in zip(wins, batch.to_pylist()):
                 if wname not in writers:
-                    fname = os.path.join(
-                        path, f"{wname}{tag}-p{pid:05d}.avro"
-                    )
-                    writers[wname] = ContainerWriter(
-                        open(fname, "wb"), avsc, codec
-                    )
-                    counts[fname] = 0
-                    writers[wname]._fname = fname  # type: ignore[attr-defined]
+                    if len(writers) >= max_open:
+                        _commit(next(iter(writers)))
+                    writers[wname] = _open(wname)
                 writers[wname].write({c: rec[c] for c in data_cols})
                 counts[writers[wname]._fname] += 1  # type: ignore
-        for w in writers.values():
-            w.close()
-            w._fh.close()
+        for wname in list(writers):
+            _commit(wname)
         if counts:
             yield pa.RecordBatch.from_pydict(
                 {"path": list(counts), "rows": list(counts.values())}
             )
+
+    # Replay idempotence: a re-run epoch must REPLACE its previous
+    # attempt's shards, not coexist with them — the replay can land
+    # windows on different partition ids (AQE re-coalescing, changed
+    # shuffle settings across restart), so name-collision truncation
+    # alone leaves stale shards behind. Epoch-tagged invocations sweep
+    # their tag's files first.
+    if file_tag:
+        import glob as _glob
+
+        for stale in _glob.glob(os.path.join(path, f"*{tag}-p*.avro")):
+            os.remove(stale)
 
     res = tagged.mapInArrow(write_part, "path string, rows long")
     return [(r["path"], r["rows"]) for r in res.collect()]

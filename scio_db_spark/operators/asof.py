@@ -35,6 +35,17 @@ def asof_join(
     tie_col: str | None = None,
 ) -> DataFrame:
     """Left as-of join; right ``payload_cols`` appended (null = no match)."""
+    # Fail fast on output-name collisions: a payload column named like
+    # a left column would emit two same-named output columns — the
+    # DataFrame builds, but the first downstream reference dies with
+    # an ambiguous-column AnalysisException far from the cause. Alias
+    # the right side (e.g. col('price').alias('right_price')) first.
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload_cols {sorted(clash)} collide with left columns; "
+            "alias the right-side columns before the as-of join"
+        )
     # NULL-time or NULL-key right rows can never satisfy
     # "right.time <= left.time on the same key" — drop them BEFORE the
     # merge: nulls sort first in the window, so a null-time payload

@@ -145,27 +145,10 @@ def write_windowed_batch(
     )
     if epoch_id is not None:
         # foreachBatch is at-least-once: a replayed epoch must REPLACE
-        # its own partitions, not append duplicates. Same mechanism as
-        # idempotent_batch_writer — epoch partition + dynamic
-        # per-partition overwrite.
-        out = out.withColumn("epoch", F.lit(int(epoch_id)))
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                out.write.format(fmt)
-                .mode("overwrite")
-                .partitionBy("epoch", "window_start")
-                .save(path)
-            )
-        finally:
-            if prev is not None:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
-                )
-            else:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        # its own partitions, not append duplicates. One shared body
+        # with idempotent_batch_writer — epoch partition + dynamic
+        # per-partition overwrite (_epoch_overwrite).
+        _epoch_overwrite(out, path, fmt, ["window_start"], epoch_id)
         return
     out.write.format(fmt).mode("append").partitionBy("window_start").save(path)
 
@@ -234,30 +217,44 @@ def idempotent_batch_writer(
     """
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
-        out = batch_df.withColumn("epoch", F.lit(int(epoch_id)))
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                out.write.format(fmt)
-                .mode("overwrite")
-                .partitionBy("epoch", *(partition_cols or []))
-                .save(path)
-            )
-        finally:
-            if prev is not None:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
-                )
-            else:
-                # conf.get(key, None) is None when the key was never
-                # SET (not the effective default) — unset, or dynamic
-                # overwrite leaks into the session and later plain
-                # overwrites silently keep stale partitions.
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        _epoch_overwrite(batch_df, path, fmt, partition_cols or [], epoch_id)
 
     return _write
+
+
+def _epoch_overwrite(
+    batch_df: DataFrame,
+    path: str,
+    fmt: str,
+    partition_cols: list[str],
+    epoch_id: int,
+) -> None:
+    """Shared exactly-once body: epoch column + dynamic per-partition
+    overwrite, with the conf saved and restored (the one copy of the
+    subtle dance both idempotent_batch_writer and the windowed sink's
+    epoch leg rely on)."""
+    out = batch_df.withColumn("epoch", F.lit(int(epoch_id)))
+    spark = batch_df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            out.write.format(fmt)
+            .mode("overwrite")
+            .partitionBy("epoch", *partition_cols)
+            .save(path)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+        else:
+            # conf.get(key, None) is None when the key was never
+            # SET (not the effective default) — unset, or dynamic
+            # overwrite leaks into the session and later plain
+            # overwrites silently keep stale partitions.
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
 
 def debug_sink(stream_df: DataFrame, num_rows: int = 20, truncate: bool = True):

@@ -197,24 +197,19 @@ def read_stream_avro(
     """
     from scio_db_spark.functions.avroio import (
         parse_schema,
+        probe_writer_schema,
         read_container,
         spark_schema_of,
     )
 
     if avro_schema is None:
-        import glob as _glob
-
-        candidates = sorted(_glob.glob(os.path.join(path, "*.avro")))
-        if not candidates:
+        try:
+            avro_schema = probe_writer_schema(path)
+        except FileNotFoundError as e:
             raise FileNotFoundError(
-                f"no .avro files under {path!r} to probe the schema from; "
-                "pass avro_schema= explicitly for an initially-empty dir"
-            )
-        with open(candidates[0], "rb") as fh:
-            header = fh.read(1 << 20)
-        from scio_db_spark.functions.avroio import _read_header_schema
-
-        avro_schema, _ = _read_header_schema(header)
+                f"{e}; pass avro_schema= explicitly for an "
+                "initially-empty dir"
+            ) from None
     schema = parse_schema(avro_schema)
     out_schema = spark_schema_of(schema)
     cols = [f.name for f in out_schema.fields]
@@ -230,17 +225,33 @@ def read_stream_avro(
         )
     bin_df = reader.load(path)
 
-    def decode(batches):
-        import pandas as pd
+    # mapInArrow, NOT mapInPandas: the pandas boundary folds genuine
+    # NaN double payloads into NULLs on the return conversion, so the
+    # streaming read would disagree with the batch read_avro on
+    # NaN-vs-NULL — the wire-fidelity contract both must share.
+    import pyarrow as pa
 
-        for pdf in batches:
-            for content in pdf["content"]:
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    arrow_fields = [
+        (f.name, to_arrow_type(f.dataType)) for f in out_schema.fields
+    ]
+
+    def decode(batches):
+        for batch in batches:
+            for content in batch.column("content").to_pylist():
                 _, records = read_container(bytes(content))
-                yield pd.DataFrame(
-                    {c: [r.get(c) for r in records] for c in cols}
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            [r.get(name) for r in records], type=typ
+                        )
+                        for name, typ in arrow_fields
+                    ],
+                    names=cols,
                 )
 
-    return bin_df.select("content").mapInPandas(decode, out_schema)
+    return bin_df.select("content").mapInArrow(decode, out_schema)
 
 
 def read_stream_rate(

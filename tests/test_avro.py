@@ -55,6 +55,18 @@ ROWS = [
 ]
 
 
+def _aware(row: dict) -> dict:
+    """Expected decode form: the codec returns timestamps TZ-AWARE UTC
+    (naive values are localized by the pandas serializer to the session
+    zone — the silent-shift bug); naive inputs encode as UTC wall."""
+    from datetime import timezone
+
+    out = dict(row)
+    if isinstance(out.get("ts"), datetime) and out["ts"].tzinfo is None:
+        out["ts"] = out["ts"].replace(tzinfo=timezone.utc)
+    return out
+
+
 @pytest.mark.parametrize("codec", ["null", "deflate"])
 def test_container_round_trip(codec):
     buf = io.BytesIO()
@@ -62,13 +74,13 @@ def test_container_round_trip(codec):
     w.write_rows(ROWS)
     w.close()
     schema, recs = A.read_container(buf.getvalue())
-    assert recs == ROWS
+    assert recs == [_aware(r) for r in ROWS]
     assert schema["name"] == "t"
 
 
 def test_wire_round_trip():
     body = A.encode_record(SCHEMA, ROWS[0])
-    assert A.decode_record(SCHEMA, body) == ROWS[0]
+    assert A.decode_record(SCHEMA, body) == _aware(ROWS[0])
     # zig-zag sanity pins the binary format, not just self-consistency:
     # long(1) == 0x02, long(-1) == 0x01, long(64) == 0x80 0x01 per spec
     enc = A.BinaryEncoder()
@@ -372,7 +384,7 @@ def test_timestamp_micros_encode_exact():
          "type": {"type": "long", "logicalType": "timestamp-micros"}}]}
     for us in (46662, 46661, 1, 999999):
         v = {"ts": datetime(2038, 5, 17, 0, 0, 0, us)}
-        assert A.decode_record(sch, A.encode_record(sch, v)) == v
+        assert A.decode_record(sch, A.encode_record(sch, v)) == _aware(v)
 
 
 def test_deserialize_avro_tombstones(spark):
@@ -485,3 +497,126 @@ def test_sharded_avro_overwrite_is_staged(spark, tmp_path):
     # previous data intact, no staging residue
     assert read_files(spark, out, fmt="avro").count() == 5
     assert not [d for d in os.listdir(out) if d.startswith("._staging-")]
+
+
+def test_nullable_decimal_and_map_columns_write(spark, tmp_path):
+    """Union branch probing must accept decimal.Decimal (DecimalType →
+    string branch) and Arrow's list-of-tuples map representation —
+    nullable columns of either type previously crashed every jar-less
+    write with 'matches no branch'."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.col("id"),
+        F.when(F.col("id") > 0, F.col("id").cast("decimal(10,2)"))
+        .alias("price"),  # nullable decimal with a real NULL
+        F.when(
+            F.col("id") > 0, F.create_map(F.lit("k"), F.col("id"))
+        ).alias("attrs"),  # nullable map with a real NULL
+    )
+    out = str(tmp_path / "dec")
+    report = A.write_avro(df, out)
+    assert sum(r for _, r in report) == 3
+    schema, recs = A.read_container(
+        open(sorted(p for p, _ in report)[0], "rb").read()
+    ) if len(report) == 1 else (None, None)
+    back = A.read_avro(spark, out).orderBy("id").collect()
+    assert [r.price for r in back] == [None, 1.00, 2.00] or [
+        str(r.price) for r in back
+    ] == ["None", "1.00", "2.00"]
+    assert back[0].attrs is None and back[1].attrs == {"k": 1}
+
+
+def test_decoded_timestamps_survive_non_utc_session(spark):
+    """serialize → deserialize round-trip must preserve the instant
+    under a non-UTC session timezone (naive decode output used to get
+    localized to the session zone — a silent +offset shift)."""
+    from pyspark.sql import Row, functions as F
+
+    from scio_db_spark.functions.avroio import avro_schema_of
+    from scio_db_spark.sinks.queue import deserialize_avro, serialize_avro
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame(
+            [Row(ts=datetime(2023, 2, 21, 12, 0, 0), k="a")],
+            "ts timestamp, k string",
+        )
+        avsc = avro_schema_of(df.schema)
+        wire = serialize_avro(df)
+        back = deserialize_avro(wire, avsc).select("record.ts").first()
+        assert back.ts == datetime(2023, 2, 21, 12, 0, 0)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_read_avro_glob_of_directories(spark, tmp_path):
+    """A glob whose matches are DIRECTORIES (e.g. /data/2024/*) must
+    probe and read the .avro files inside them."""
+    from pyspark.sql import functions as F
+
+    for day in ("d1", "d2"):
+        df = spark.range(2).select(
+            F.col("id"), F.lit(day).alias("day")
+        )
+        A.write_avro(df, str(tmp_path / "root" / day))
+    back = A.read_avro(spark, str(tmp_path / "root" / "*"))
+    assert back.count() == 4
+    assert {r.day for r in back.collect()} == {"d1", "d2"}
+
+
+def test_windowed_avro_epoch_rerun_replaces_stale_shards(spark, tmp_path):
+    """A replayed epoch must REPLACE its previous attempt's shards even
+    when the replay lands windows on different partitions — the
+    epoch-tag sweep removes stale files first."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    out = str(tmp_path / "w")
+    rows = [
+        Row(k="a", event_time=dt.datetime(2024, 1, 1, 10, 0, 0)),
+        Row(k="b", event_time=dt.datetime(2024, 1, 1, 10, 1, 0)),
+    ]
+    df1 = spark.createDataFrame(rows).repartition(4)
+    A.write_windowed_avro(df1, out, ts_col="event_time",
+                          window_duration="1 minute", file_tag="e7")
+    # replay of the SAME epoch with different partitioning/content
+    df2 = spark.createDataFrame(rows[:1]).coalesce(1)
+    A.write_windowed_avro(df2, out, ts_col="event_time",
+                          window_duration="1 minute", file_tag="e7")
+    names = sorted(os.listdir(out))
+    # only the replay's shards remain for e7 — the first attempt's
+    # second window is gone
+    recs = []
+    for n in names:
+        _, rs = A.read_container(open(os.path.join(out, n), "rb").read())
+        recs.extend(rs)
+    assert len(recs) == 1 and recs[0]["k"] == "a"
+
+
+def test_windowed_avro_backfill_many_windows_bounded_fds(spark, tmp_path):
+    """A 70-window backfill through ONE task must not hold 70 open
+    files: past the cap shards rotate (sequence suffix), and read-back
+    is complete."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(k=f"r{i}", event_time=base + dt.timedelta(minutes=i))
+        for i in range(70)
+    ]
+    df = spark.createDataFrame(rows).coalesce(1)
+    out = str(tmp_path / "bf")
+    report = A.write_windowed_avro(
+        df, out, ts_col="event_time", window_duration="1 minute"
+    )
+    assert sum(r for _, r in report) == 70
+    got = []
+    for n in os.listdir(out):
+        _, rs = A.read_container(open(os.path.join(out, n), "rb").read())
+        got.extend(rs)
+    assert {r["k"] for r in got} == {f"r{i}" for i in range(70)}
