@@ -57,13 +57,15 @@ _TOKEN_RE = re.compile(
     (?P<comment>//[^\n]*|\#[^\n]*)
   | (?P<lbrace>\{)
   | (?P<rbrace>\})
+  | (?P<lbracket>\[)
+  | (?P<rbracket>\])
   | (?P<sep>[=:])
   | (?P<subst>\$\{[^}]+\})
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<newline>\n)
   | (?P<comma>,)
   | (?P<ws>[ \t\r]+)
-  | (?P<bare>[^\s={},:"\#]+)
+  | (?P<bare>[^\s={},:"\#\[\]]+)
     """,
     re.VERBOSE,
 )
@@ -77,6 +79,19 @@ class _Subst:
         return f"${{{self.path}}}"
 
 
+def _unquote(token: str) -> str:
+    """Full JSON-style unescaping of a quoted string token — \\n, \\t,
+    \\\\, \\uXXXX, not just \\\" (a password like "p\\\\wd" must bind
+    to the same bytes pureconfig would produce). Falls back to the
+    minimal form for any sequence json rejects."""
+    import json as _json
+
+    try:
+        return _json.loads(token)
+    except ValueError:
+        return token[1:-1].replace('\\"', '"')
+
+
 def _tokenize(text: str) -> list:
     out, pos = [], 0
     while pos < len(text):
@@ -87,6 +102,15 @@ def _tokenize(text: str) -> list:
         kind = m.lastgroup
         if kind in ("comment", "ws"):
             continue
+        if kind in ("lbracket", "rbracket"):
+            # Arrays are OUTSIDE this HOCON subset (no config field
+            # needs one). Without dedicated tokens, `a = [1, 2]` used
+            # to tokenize into garbage keys ('a'='[1', '2'='') and
+            # ship silently misbound — reject loudly instead.
+            raise ConfigError(
+                "HOCON arrays are not supported by this config subset "
+                f"(offset {m.start()}); use a comma-separated string"
+            )
         if kind == "comma":
             # HOCON: comma is an element separator equivalent to a
             # newline. Folding it into bare tokens would silently turn
@@ -141,7 +165,7 @@ def _parse_object(tokens: list, i: int, closing: bool) -> tuple[dict, int]:
             return obj, i + 1
         if kind not in ("bare", "string"):
             raise ConfigError(f"expected key, got {val!r}")
-        key = val[1:-1] if kind == "string" else val
+        key = _unquote(val) if kind == "string" else val
         i += 1
         # key { ... }  (no separator) or key = value / key : value
         kind2, _val2 = tokens[i] if i < len(tokens) else ("eof", "")
@@ -163,7 +187,7 @@ def _parse_object(tokens: list, i: int, closing: bool) -> tuple[dict, int]:
             if k3 in ("newline", "rbrace"):
                 break
             if k3 == "string":
-                parts.append(("string", v3[1:-1].replace('\\"', '"')))
+                parts.append(("string", _unquote(v3)))
             elif k3 == "subst":
                 parts.append(("subst", _Subst(v3[2:-1].strip())))
             elif k3 == "bare":
@@ -332,7 +356,12 @@ def read_config(
     elif source == ConfigSource.ENV:
         prefix = f"{env_key.upper()}__"
         tree = {env_key: {}}
-        for k, v in os.environ.items():
+        # Sorted for deterministic conflict detection: one var naming
+        # a PREFIX of another (PROD__MEDIATION=x next to
+        # PROD__MEDIATION__TTL=300) is a contradiction — previously it
+        # either crashed with a raw TypeError or silently dropped a
+        # whole subtree depending on os.environ iteration order.
+        for k, v in sorted(os.environ.items()):
             if not k.startswith(prefix):
                 continue
             cur = tree[env_key]
@@ -340,6 +369,16 @@ def read_config(
                      k[len(prefix):].split("__")]
             for p in parts[:-1]:
                 cur = cur.setdefault(p, {})
+                if not isinstance(cur, dict):
+                    raise ConfigError(
+                        f"env var {k} descends into {p!r}, which "
+                        "another env var already set to a scalar"
+                    )
+            if isinstance(cur.get(parts[-1]), dict):
+                raise ConfigError(
+                    f"env var {k} sets a scalar over the object that "
+                    "other env vars built under the same path"
+                )
             cur[parts[-1]] = _coerce_scalar(v)
     else:
         raise ConfigError(f"unknown source {source!r}")

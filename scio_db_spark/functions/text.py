@@ -97,9 +97,10 @@ def quality_score(text_col: Column) -> Column:
         + (F.lit(1.0) - punct_ratio) * F.lit(0.3)
         + stop_ratio * F.lit(0.2)
     )
-    # NULL text must score NULL, matching the DuckDB oracle (len(NULL)
-    # is NULL there). Without this, least(NULL, 100) ignores the null
-    # and a NULL document scores 0.8 — above most real documents.
+    # NULL text must score NULL — matched by an explicit CASE in
+    # quality_score_sql (DuckDB's least() IGNORES NULL operands, so
+    # without the guard a NULL document would score 0.8 there — above
+    # most real documents).
     return F.when(text_col.isNotNull(), score)
 
 
@@ -158,10 +159,16 @@ def quality_score_sql(text_expr: str) -> str:
     punct_ratio = f"CASE WHEN {text_len} > 0 THEN {punct} / {text_len} ELSE 0.0 END"
     stop_hits = f"len(list_filter({toks}, x -> x IN ({all_stop})))"
     stop_ratio = f"CASE WHEN {n} > 0 THEN CAST({stop_hits} AS DOUBLE) / {n} ELSE 0.0 END"
+    # NULL text scores NULL, exactly like the Spark side. The guard is
+    # explicit because DuckDB's least() IGNORES NULL operands
+    # (least(NULL, 100.0) = 100.0), so without it a NULL doc would
+    # score 0.8 here while Spark returns NULL — quality-gated queries
+    # would diverge the moment a corpus contains a NULL document.
     return (
+        f"CASE WHEN {text_expr} IS NULL THEN NULL ELSE "
         f"least({n}, 100.0) / 100.0 * 0.5 "
         f"+ (1.0 - ({punct_ratio})) * 0.3 "
-        f"+ ({stop_ratio}) * 0.2"
+        f"+ ({stop_ratio}) * 0.2 END"
     )
 
 

@@ -50,7 +50,13 @@ def bucketed_join_plan_is_shuffle_free(joined: DataFrame) -> bool:
     absent-by-design here — bucketing exists for the case where BOTH
     sides are too big to broadcast).
     """
+    import re
+
     from scio_db_spark.plans.explain import plan_string
 
     plan = plan_string(joined)
-    return "Exchange" not in plan
+    # Match Exchange as a plan NODE ("(4) Exchange" in formatted mode),
+    # not a bare substring — a column or table literally named
+    # 'ExchangeRate' appears in Output/Arguments lines and would fail
+    # the check for a genuinely shuffle-free plan.
+    return re.search(r"\(\d+\) Exchange\b", plan) is None

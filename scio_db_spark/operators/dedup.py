@@ -31,6 +31,15 @@ SENT = "SENT"
 
 def distinct_by_key(df: DataFrame, *key_cols: str) -> DataFrame:
     """D1: keep one arbitrary row per key (Beam ``distinctByKey``)."""
+    if not key_cols:
+        # dropDuplicates([]) dedups on ZERO columns — the whole frame
+        # collapses to one arbitrary row. The variadic signature makes
+        # forgetting the keys type-check fine; fail loudly instead of
+        # silently discarding a corpus.
+        raise ValueError(
+            "distinct_by_key needs at least one key column (a zero-"
+            "column dropDuplicates keeps exactly one arbitrary row)"
+        )
     return df.dropDuplicates(list(key_cols))
 
 

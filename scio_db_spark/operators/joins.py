@@ -29,7 +29,18 @@ from pyspark.sql import functions as F
 def anti_join_split(
     stream_df: DataFrame, lookup_df: DataFrame, on: list[str]
 ) -> tuple[DataFrame, DataFrame]:
-    """J1: returns ``(new, duplicated)`` vs a (broadcast) lookup set."""
+    """J1: returns ``(new, duplicated)`` vs a (broadcast) lookup set.
+
+    The two returned frames are independently-executed plans: a caller
+    consuming BOTH legs re-scans and re-broadcasts the deduplicated
+    lookup once per action. That is deliberate — every in-repo caller
+    consumes one leg, and pre-materializing (cache/localCheckpoint)
+    a potentially table-sized key set to help the both-legs case would
+    tax the common one. A both-legs caller should materialize the
+    deduped lookup itself before splitting.
+    """
+    if not on:
+        raise ValueError("anti_join_split needs at least one key column")
     hinted = F.broadcast(lookup_df.select(*on).dropDuplicates(on))
     new = stream_df.join(hinted, on=on, how="left_anti")
     dup = stream_df.join(hinted, on=on, how="left_semi")

@@ -66,48 +66,62 @@ def build_ssl_context(
     # can't accumulate contexts forever; an unhashable provider (e.g. a
     # class defining __eq__ without __hash__) skips the cache entirely
     # and gets a freshly built context each call.
+    # Half a client pair is a caller bug, and a context silently built
+    # WITHOUT the requested client auth would attempt mTLS endpoints
+    # unauthenticated — fail loudly, like the secrets-without-provider
+    # guard above.
+    if (client_cert_secret is None) != (client_key_secret is None):
+        raise ValueError(
+            "client_cert_secret and client_key_secret must be given "
+            "together (got only one of the pair)"
+        )
     key: tuple | None = (secret_provider, *secrets)
     try:
         hash(key)
     except TypeError:
         key = None
+    # Cache probe under the lock; the BUILD (secret-provider network
+    # I/O) runs OUTSIDE it — one slow or hung secret-manager call must
+    # not block every thread's cache HITS. The race is benign: two
+    # threads may build the same context once each, last insert wins.
     with _lock:
         if key is not None and key in _cached:
             _cached.move_to_end(key)
             return _cached[key]
-        if any(
-            s and s.lower().endswith((".jks", ".p12"))
-            for s in secrets if s
-        ):
-            raise NotImplementedError(
-                "JKS/P12 keystores are JVM-format; convert to PEM at "
-                "deploy time (openssl pkcs12 ...) and point the secret "
-                "at the PEM"
-            )
-        ctx = ssl.create_default_context()
-        if secret_provider is not None and ca_secret is not None:
-            ctx.load_verify_locations(
-                cadata=secret_provider(ca_secret).decode()
-            )
-        if (
-            secret_provider is not None
-            and client_cert_secret is not None
-            and client_key_secret is not None
-        ):
-            # load_cert_chain requires files: materialize worker-local
-            # (the reference writes keystores to the worker fs the same
-            # way, SslConfigHelper.scala:9-56).
-            d = tempfile.mkdtemp(prefix="sslmat_")
-            cert_p = os.path.join(d, "client.pem")
-            key_p = os.path.join(d, "client.key")
-            with open(cert_p, "wb") as fh:
-                fh.write(secret_provider(client_cert_secret))
-            with open(key_p, "wb") as fh:
-                fh.write(secret_provider(client_key_secret))
-            os.chmod(key_p, 0o600)
-            ctx.load_cert_chain(cert_p, key_p)
-        if key is not None:
+    if any(
+        s and s.lower().endswith((".jks", ".p12"))
+        for s in secrets if s
+    ):
+        raise NotImplementedError(
+            "JKS/P12 keystores are JVM-format; convert to PEM at "
+            "deploy time (openssl pkcs12 ...) and point the secret "
+            "at the PEM"
+        )
+    ctx = ssl.create_default_context()
+    if secret_provider is not None and ca_secret is not None:
+        ctx.load_verify_locations(
+            cadata=secret_provider(ca_secret).decode()
+        )
+    if (
+        secret_provider is not None
+        and client_cert_secret is not None
+        and client_key_secret is not None
+    ):
+        # load_cert_chain requires files: materialize worker-local
+        # (the reference writes keystores to the worker fs the same
+        # way, SslConfigHelper.scala:9-56).
+        d = tempfile.mkdtemp(prefix="sslmat_")
+        cert_p = os.path.join(d, "client.pem")
+        key_p = os.path.join(d, "client.key")
+        with open(cert_p, "wb") as fh:
+            fh.write(secret_provider(client_cert_secret))
+        with open(key_p, "wb") as fh:
+            fh.write(secret_provider(client_key_secret))
+        os.chmod(key_p, 0o600)
+        ctx.load_cert_chain(cert_p, key_p)
+    if key is not None:
+        with _lock:
             _cached[key] = ctx
             while len(_cached) > _CACHE_MAX:
                 _cached.popitem(last=False)
-        return ctx
+    return ctx

@@ -91,3 +91,45 @@ def test_day_list_zero_is_empty(spark):
     assert row.d == []
     row3 = spark.range(1).select(day_list(3).alias("d")).first()
     assert len(row3.d) == 3
+
+
+def test_quality_score_null_text_parity_with_oracle(spark):
+    """NULL text must score NULL on BOTH engines (DuckDB least()
+    ignores NULLs, so the oracle needs its explicit CASE guard —
+    without it a NULL doc scores 0.8 and quality gates diverge)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.functions import text as X
+
+    sdf = spark.createDataFrame(
+        [(0, None), (1, "the quick fox")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.q
+        for r in sdf.select(
+            "doc_id", X.quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    con = duckdb.connect()
+    duck = dict(
+        con.execute(
+            f"SELECT doc_id, {X.quality_score_sql('text')} FROM "
+            "(VALUES (0, NULL), (1, 'the quick fox')) AS t(doc_id, text)"
+        ).fetchall()
+    )
+    assert got[0] is None and duck[0] is None
+    assert abs(got[1] - duck[1]) < 1e-12
+
+
+def test_ssl_context_rejects_half_client_pair():
+    import pytest as _pytest
+
+    from scio_db_spark.security import build_ssl_context
+
+    with _pytest.raises(ValueError, match="together"):
+        build_ssl_context(
+            secret_provider=lambda _s: b"x",
+            client_cert_secret="cert.pem",
+        )

@@ -113,3 +113,36 @@ def test_commas_separate_elements():
 
     assert parse_hocon("a = 1,\nb = 2") == {"a": 1, "b": 2}
     assert parse_hocon("x { a = 1, b = 2 }") == {"x": {"a": 1, "b": 2}}
+
+
+def test_hocon_arrays_rejected_loudly():
+    import pytest as _pytest
+
+    from scio_db_spark.config import ConfigError, parse_hocon
+
+    with _pytest.raises(ConfigError, match="arrays"):
+        parse_hocon('a = [1, 2, 3]')
+
+
+def test_quoted_string_standard_escapes():
+    from scio_db_spark.config import parse_hocon
+
+    t = parse_hocon('p = "a\\nb"\nq = "back\\\\slash"\nr = "say \\"hi\\""')
+    assert t["p"] == "a\nb"
+    assert t["q"] == "back\\slash"
+    assert t["r"] == 'say "hi"'
+
+
+def test_env_prefix_conflict_raises_config_error(monkeypatch):
+    import pytest as _pytest
+
+    from scio_db_spark.config import (
+        ConfigError,
+        ConfigSource,
+        read_config,
+    )
+
+    monkeypatch.setenv("PROD__MEDIATION", "x")
+    monkeypatch.setenv("PROD__MEDIATION__TTL_TIME", "300")
+    with _pytest.raises(ConfigError, match="env var"):
+        read_config("prod", source=ConfigSource.ENV)

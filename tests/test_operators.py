@@ -161,3 +161,13 @@ def test_asof_join_ignores_null_time_and_key_right_rows(spark):
     by_key = {r.key: r.payload for r in out}
     assert by_key["k"] == "real"      # not the null-time row
     assert by_key[None] is None       # null keys never match
+
+
+def test_distinct_by_key_requires_keys(spark):
+    import pytest as _pytest
+
+    from scio_db_spark.operators.dedup import distinct_by_key
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError, match="at least one key"):
+        distinct_by_key(df)
