@@ -90,10 +90,16 @@ def decode_media_meta(
         for pdf in pdfs:
             if not len(pdf):
                 continue
+            # NULL payload/id rows are skipped, not crashed on:
+            # bytes(None)/int(None) raise TypeError, and one poison
+            # record must never abort the whole decode job.
             rows = [
                 (int(i), *_fake_decode(bytes(b)))
                 for i, b in zip(pdf[id_col], pdf[payload_col])
+                if i is not None and b is not None
             ]
+            if not rows:
+                continue
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -118,6 +124,8 @@ def sample_frames(
     Arrow batch yields many output rows — the ``mapInPandas`` contract
     a real frame extractor needs.
     """
+    if frame_size <= 0:
+        raise ValueError("frame_size must be positive")
     out_schema = (
         f"{id_col} long, frame_idx int, frame_len int, frame_first_byte int"
     )
@@ -126,6 +134,8 @@ def sample_frames(
         for pdf in pdfs:
             out = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if i is None or b is None:
+                    continue  # NULL rows: zero frames, never a crash
                 b = bytes(b)
                 # Empty payload → zero frames (matches the oracle's
                 # generate_series(0, -1) = empty).
@@ -162,6 +172,8 @@ def byte_features(
                 continue
             rows = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if i is None or b is None:
+                    continue  # NULL rows skipped, never a crash
                 b = bytes(b)
                 rows.append(
                     (
@@ -199,17 +211,36 @@ def media_chunk_plan(
     stride_bytes < chunk_bytes gives overlapping windows (transcoder
     warm-up / boundary-artifact tolerance), mirroring the 500/400
     char/stride defaults of the text chunker.
-    """
-    from pyspark.sql import functions as F
 
+    Memory note: ``sequence()`` materializes each row's chunk-index
+    array before the explode, so per-payload chunk counts are capped
+    (default 1M ≈ 8 MB per row) — a 100 GB payload at 4 KB chunks
+    would otherwise build a ~26M-element array in executor memory.
+    Past the cap, raise ``chunk_bytes``/``stride_bytes`` (or plan
+    hierarchically: coarse chunks first, re-chunk each coarse piece).
+    """
     stride = stride_bytes or chunk_bytes
     if stride <= 0 or chunk_bytes <= 0:
         raise ValueError("chunk_bytes and stride_bytes must be positive")
+    max_chunks = 1_000_000
     n_bytes = F.octet_length(F.col(payload_col))
     # chunk starts: 0, stride, 2*stride, … while start < n_bytes
     n_chunks = F.when(
         n_bytes > 0, F.floor((n_bytes - 1) / stride) + 1
     ).otherwise(F.lit(0))
+    # runtime guard, row-scoped: a payload exceeding the cap fails
+    # with a clear message instead of an executor OOM
+    n_chunks = F.when(
+        n_chunks <= max_chunks, n_chunks
+    ).otherwise(
+        F.assert_true(
+            F.lit(False),
+            F.concat(
+                F.lit("media_chunk_plan: payload needs more than "
+                      f"{max_chunks} chunks; raise chunk_bytes/stride"),
+            ),
+        ).cast("long"),
+    )
     idx = F.explode(
         F.when(
             n_chunks > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))

@@ -39,9 +39,14 @@ def norm_sql(col: str, at: str, dim: int = DIM) -> str:
 
 
 def cosine_sql(left: str, right: str, at: str, dim: int = DIM) -> str:
+    # nullif guards the zero-norm case UNIFORMLY: Spark (non-ANSI)
+    # returns NULL for x/0.0 while DuckDB IEEE division returns
+    # Inf/NaN — a zero vector would break the bit-identical oracle
+    # contract. With nullif both engines yield NULL. Values for
+    # nonzero norms are unchanged.
     return (
         f"({dot_sql(left, right, at, dim)}) / "
-        f"({norm_sql(left, at, dim)} * {norm_sql(right, at, dim)})"
+        f"nullif({norm_sql(left, at, dim)} * {norm_sql(right, at, dim)}, 0.0)"
     )
 
 

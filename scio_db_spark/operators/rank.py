@@ -74,6 +74,7 @@ def global_rank(
     )
     offsets = counts.select(
         "__pid",
+        "__n",  # carried through for the per-row guard below
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
     )
     # Branch B: in-partition sort (no exchange) + Arrow enumeration.
@@ -87,8 +88,26 @@ def global_rank(
     numbered = ranged.sortWithinPartitions(*order_by).mapInPandas(
         _number_partitions, out_schema
     )
+    # Correctness guard: both branches must observe the SAME range
+    # boundaries (they share the exchange via ReusedExchange). If plan
+    # canonicalization ever stops unifying them (e.g.
+    # spark.sql.exchange.reuse=false), the two branches sample range
+    # bounds independently and partition memberships diverge — by
+    # pigeonhole some partition then numbers MORE rows than its count,
+    # so asserting __lrn <= __n per row turns silent rank corruption
+    # into a loud runtime failure at zero extra actions.
     return (
         numbered.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "__guard",
+            F.assert_true(
+                F.col("__lrn") <= F.col("__n"),
+                F.lit(
+                    "global_rank: range-exchange reuse broke — branch "
+                    "partitioning diverged (see operators/rank.py)"
+                ),
+            ),
+        )
         .withColumn(rank_col, (F.col("__off") + F.col("__lrn")).cast("long"))
-        .drop("__pid", "__lrn", "__off")
+        .drop("__pid", "__lrn", "__off", "__n", "__guard")
     )

@@ -59,7 +59,29 @@ class SessionFactory:
             conf.update(extra_conf)
         for k, v in conf.items():
             builder = builder.config(k, v)
-        return builder.getOrCreate()
+        spark = builder.getOrCreate()
+        # getOrCreate returns an EXISTING session with all builder
+        # confs silently ignored. Re-apply every requested conf at
+        # runtime so callers actually get what they asked for; confs
+        # that are static (can't change post-start) and differ from
+        # the running value are a real conflict — warn loudly instead
+        # of letting streaming code run with heap state / wrong TZ and
+        # no indication.
+        for k, v in conf.items():
+            try:
+                if spark.conf.get(k, None) != str(v):
+                    spark.conf.set(k, v)
+            except Exception:  # noqa: BLE001 — static conf on a live session
+                import warnings
+
+                warnings.warn(
+                    f"SessionFactory: existing SparkSession pins static "
+                    f"conf {k!r}={spark.conf.get(k, None)!r}; requested "
+                    f"{v!r} was NOT applied",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        return spark
 
 
 def get_spark(app_name: str = "scio-db-spark") -> SparkSession:

@@ -41,11 +41,20 @@ def mock_bers(
 
     ``distinct_keys`` caps key cardinality to force duplicates (the
     dedup stress shape); default every record unique. ``seed`` makes
-    the *structure* deterministic; the hex jitter stays random per run,
-    matching the reference's mock mutation.
+    the output deterministic INCLUDING across machines/partitionings:
+    seeded amounts derive from a hash of (id, seed), because
+    ``F.rand(seed)`` is only per-partition deterministic and
+    spark.range partition counts vary with the core count. The hex
+    jitter stays random per run, matching the reference's mock
+    mutation.
     """
     base = spark.range(n)
-    rand = F.rand(seed) if seed is not None else F.rand()
+    rand = (
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(10_000))
+        / 10_000.0
+        if seed is not None
+        else F.rand()
+    )
     key_id = (
         (F.col("id") % distinct_keys) if distinct_keys else F.col("id")
     ).cast("string")

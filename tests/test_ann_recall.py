@@ -34,3 +34,33 @@ def test_ann_recall_floors(spark, sf_dir):
     # for plane-seed changes but catch a broken bucketing outright.
     assert lsh >= 0.3, f"LSH mean recall@5 collapsed: {lsh:.2f}"
     assert ivf >= 0.8, f"IVF mean recall@5 collapsed: {ivf:.2f}"
+
+
+def test_cosine_zero_norm_is_null_on_both_engines(spark):
+    """An all-zero vector must yield NULL cosine on BOTH engines
+    (Spark x/0.0 is NULL; DuckDB IEEE division is Inf/NaN — the
+    nullif guard unifies them)."""
+    import duckdb
+
+    from scio_db_spark.functions.vectors import (
+        DUCK_AT,
+        SPARK_AT,
+        cosine_sql,
+    )
+
+    from pyspark.sql import functions as F
+
+    dim = 4
+    sdf = spark.createDataFrame(
+        [([0.0] * dim, [1.0, 0.0, 0.0, 0.0])], "a array<double>, b array<double>"
+    )
+    got = sdf.select(
+        F.expr(cosine_sql("a", "b", SPARK_AT, dim)).alias("c")
+    ).first()
+    assert got.c is None
+    duck = duckdb.sql(
+        f"SELECT {cosine_sql('a', 'b', DUCK_AT, dim)} FROM "
+        "(SELECT [0.0,0.0,0.0,0.0]::DOUBLE[] a, "
+        "[1.0,0.0,0.0,0.0]::DOUBLE[] b)"
+    ).fetchone()[0]
+    assert duck is None

@@ -113,3 +113,38 @@ def test_media_chunk_plan_is_map_only(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "mapinpandas" not in plan.lower()
+
+
+def test_null_payload_rows_are_skipped_not_crashed(spark):
+    """A NULL text/payload row must not abort decode/frames/features
+    (bytes(None) raised TypeError before) — poison stays row-scoped."""
+    from scio_db_spark.functions.multimodal import (
+        byte_features,
+        decode_media_meta,
+        sample_frames,
+        with_binary_payload,
+    )
+
+    docs = with_binary_payload(
+        spark.createDataFrame(
+            [(0, "hello"), (1, None)], "doc_id long, text string"
+        )
+    )
+    assert {r.doc_id for r in decode_media_meta(docs).collect()} == {0}
+    assert {r.doc_id for r in sample_frames(docs, 2).collect()} == {0}
+    assert {r.doc_id for r in byte_features(docs).collect()} == {0}
+
+
+def test_sample_frames_rejects_nonpositive_frame_size(spark):
+    import pytest as _pytest
+
+    from scio_db_spark.functions.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    docs = with_binary_payload(
+        spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    )
+    with _pytest.raises(ValueError):
+        sample_frames(docs, 0)

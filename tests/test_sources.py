@@ -57,3 +57,33 @@ def test_catalog_pins_utc_session(spark, sf_dir):
         assert dict(df.dtypes)["ts"] == "timestamp"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_mock_bers_seed_is_partitioning_independent(spark):
+    """Seeded amounts must be identical regardless of partition layout
+    (F.rand(seed) is only per-partition deterministic) — compared
+    against the hash formula evaluated on a DIFFERENTLY-partitioned
+    frame, which a rand()-based implementation cannot match."""
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.sources.mockdata import mock_bers
+
+    got = {
+        int(r.notification_id[1:]): r.amount
+        for r in mock_bers(spark, 100, seed=42).collect()
+    }
+    expect = {
+        r.id: r.amount
+        for r in spark.range(100)
+        .repartition(13)  # deliberately different layout
+        .select(
+            "id",
+            (
+                F.pmod(F.xxhash64(F.col("id"), F.lit(42)), F.lit(10_000))
+                / 10_000.0
+                * 100.0
+            ).alias("amount"),
+        )
+        .collect()
+    }
+    assert got == expect
