@@ -52,13 +52,21 @@ def lookup_join(
     lookup_df: DataFrame,
     on: list[str],
     default: dict[str, object] | None = None,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """J2/J3: broadcast left-outer enrichment; misses get defaults.
 
     ``default`` maps lookup column -> value used when the key misses
     (the Java variant's ``getOrDefault(key, "")``).
+
+    ``hint_broadcast=True`` matches the reference's side-input
+    semantics for genuinely dim-sized lookups; pass ``False`` for a
+    fact-scale lookup table (the hint OVERRIDES the size threshold and
+    AQE, so at SF100 a forced broadcast of a 15M-row customer table is
+    a driver OOM — let the planner decide there).
     """
-    out = stream_df.join(F.broadcast(lookup_df), on=on, how="left")
+    hinted = F.broadcast(lookup_df) if hint_broadcast else lookup_df
+    out = stream_df.join(hinted, on=on, how="left")
     for col, val in (default or {}).items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(val)))
     return out

@@ -249,8 +249,16 @@ def enrich_users(spark: SparkSession, sf: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment"),
         )
     )
+    # customer is FACT-scale (SF × 150k rows) — no forced broadcast;
+    # the size threshold / AQE picks broadcast while it fits and falls
+    # back to a shuffle join at real SF (relational.py's
+    # broadcast_enrich makes the same call for the same table).
     return lookup_join(
-        e, c, on=["user_id"], default={"user_name": "", "segment": "UNKNOWN"}
+        e,
+        c,
+        on=["user_id"],
+        default={"user_name": "", "segment": "UNKNOWN"},
+        hint_broadcast=False,
     )
 
 
@@ -289,17 +297,29 @@ def windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_json_extract",
+    # Malformed-input parity: Spark's get_json_object returns NULL on
+    # bad JSON while DuckDB's ->> RAISES, and for a non-integral k
+    # Spark's ANSI int cast throws while DuckDB's CAST rounds ('1.5'
+    # → 2). Both sides therefore gate: JSON validity explicitly on the
+    # DuckDB side, and the cast through an integer-regex guard so a
+    # non-integral value is NULL on BOTH engines.
     oracle="""
-    SELECT event_id, CAST(props->>'$.k' AS INT) AS k_value
+    SELECT event_id,
+        CASE WHEN json_valid(props)
+              AND regexp_full_match(
+                    coalesce(props->>'$.k', ''), '-?[0-9]+')
+             THEN CAST(props->>'$.k' AS INT) END AS k_value
     FROM events
     """,
-    doc="P11 inverse: JSON payload field extraction (to_json/from_json surface).",
+    doc="P11 inverse: JSON payload field extraction (to_json/from_json "
+    "surface), malformed-input-safe on both engines.",
 )
 def json_extract(spark: SparkSession, sf: str) -> DataFrame:
     e = _events(spark, sf)
+    raw = F.get_json_object("props", "$.k")
     return e.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.when(raw.rlike("^-?[0-9]+$"), raw.cast("int")).alias("k_value"),
     )
 
 
@@ -441,9 +461,14 @@ def response_classification(spark: SparkSession, sf: str) -> DataFrame:
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM (
             SELECT event_type, ts, event_id,
+                -- STRICTLY greater: Spark's session_window MERGES two
+                -- events exactly one gap apart (verified: ts and
+                -- ts+3600s form ONE session), so the islands boundary
+                -- is gap > 3600, not >=. An exact-3600 pair in the
+                -- data would otherwise split here and hash-mismatch.
                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
                         PARTITION BY event_type ORDER BY ts, event_id)
-                     >= 3600 OR lag(epoch(ts)) OVER (
+                     > 3600 OR lag(epoch(ts)) OVER (
                         PARTITION BY event_type ORDER BY ts, event_id)
                      IS NULL THEN 1 ELSE 0 END AS new_session
             FROM events

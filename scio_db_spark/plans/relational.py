@@ -100,14 +100,28 @@ def q01(spark: SparkSession, sf: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # these sums stay < 2^53, so one double division is exact
+            # these sums stay < 2^53 (≈9e15; cents sums reach ~1.5e15
+            # at SF100), so one double division is exact
             (F.sum(qty_c) / 100).alias("sum_qty"),
             (F.sum(price_c) / 100).alias("sum_base_price"),
-            _scaled_to_double(F.sum(price_c * (100 - disc_c)), 4).alias(
-                "sum_disc_price"
-            ),
+            # PRODUCT sums accumulate in decimal(38,0): the per-row
+            # product stays exact int64 (fast multiply, ≤1.2e11), but
+            # a long SUM would overflow ~2^63 at SF≈50-100 per group —
+            # Spark would abort under ANSI while DuckDB silently
+            # widens to HUGEINT. Measured cost of the wider buffers:
+            # q01 0.80s vs 0.59s at sf0.1 (still 0.6x of the r03
+            # decimal(30,6) pipeline) — overflow-correctness at real
+            # SF is worth the 0.2s local delta.
             _scaled_to_double(
-                F.sum(price_c * (100 - disc_c) * (100 + tax_c)), 6
+                F.sum((price_c * (100 - disc_c)).cast("decimal(38,0)")), 4
+            ).alias("sum_disc_price"),
+            _scaled_to_double(
+                F.sum(
+                    (price_c * (100 - disc_c) * (100 + tax_c)).cast(
+                        "decimal(38,0)"
+                    )
+                ),
+                6,
             ).alias("sum_charge"),
             ((F.sum(qty_c) / 100) / n).alias("avg_qty"),
             ((F.sum(disc_bp) / 10000) / n).alias("avg_disc"),
@@ -645,7 +659,13 @@ def pivot_order_counts(spark: SparkSession, sf: str) -> DataFrame:
     FROM orders GROUP BY o_orderpriority
     """,
     doc="Exact median (linear interpolation) per priority: both engines "
-    "implement the same continuous-quantile definition.",
+    "implement the same continuous-quantile definition. SCALE NOTE: "
+    "exact percentile keeps a per-group value buffer proportional to "
+    "distinct values (near row count for continuous doubles) in ONE "
+    "reducer per group — the only unbounded-state aggregate in this "
+    "file, kept exact for the oracle. At 100 TB use "
+    "approx_percentile(col, 0.5, accuracy) (fixed-size sketch, "
+    "mergeable map-side) and accept the documented error bound.",
 )
 def median_order_total(spark: SparkSession, sf: str) -> DataFrame:
     o = table(spark, sf, "orders")

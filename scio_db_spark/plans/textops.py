@@ -93,19 +93,23 @@ def _doc_shingle_hashes(spark: SparkSession, sf: str) -> DataFrame:
     """Distinct (doc_id, shingle-hash mod P) pairs.
 
     Distinctness is per-document, so ``array_distinct`` dedups
-    MAP-SIDE inside the shingle array — a global ``.distinct()`` here
-    would shuffle the full exploded pair set just to remove
-    duplicates no other document can contribute.
+    MAP-SIDE inside the array — a global ``.distinct()`` here would
+    shuffle the full exploded pair set just to remove duplicates no
+    other document can contribute.
+
+    The distinct runs on the HASHED values (hash → array_distinct →
+    explode), matching the oracle's ``SELECT DISTINCT doc_id, h``
+    domain exactly: two distinct shingles colliding mod P must yield
+    ONE row on both engines (dedup-before-hash would keep two Spark
+    rows vs one oracle row — a latent hash-collision divergence).
     """
+    hashes = F.transform(
+        F.col("shingles"), lambda s: str_hash60(s) % MERSENNE_P
+    )
     return (
         _with_shingles(spark, sf)
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct("shingles")).alias("shingle"),
-        )
-        .select(
-            "doc_id", (str_hash60(F.col("shingle")) % MERSENNE_P).alias("h")
-        )
+        .select("doc_id", F.array_distinct(hashes).alias("__hs"))
+        .select("doc_id", F.explode("__hs").alias("h"))
     )
 
 
@@ -507,7 +511,10 @@ def bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
     )
     return with_p.select(
         "doc_id",
-        n_bpe.alias("n_bpe_tokens"),
+        # coalesce mirrors the oracle's coalesce(list_sum(...), 0):
+        # NULL text → NULL pieces → the aggregate is NULL on Spark but
+        # the oracle folds it to 0 — align to 0 on both engines.
+        F.coalesce(n_bpe, F.lit(0).cast("long")).alias("n_bpe_tokens"),
         F.size("pieces").cast("long").alias("n_pieces"),
     )
 
@@ -991,7 +998,7 @@ def lang_rebalance(spark: SparkSession, sf: str) -> DataFrame:
         count(DISTINCT tok) / count(*) AS ttr
     FROM (
         SELECT lang, doc_id,
-            unnest(regexp_split_to_array(text, '\s+')) AS tok
+            unnest(regexp_split_to_array(text, '[ \t\n\f\r]+')) AS tok
         FROM documents
     )
     WHERE tok <> ''
@@ -1007,7 +1014,7 @@ def type_token_ratio(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     toks = d.select(
         "lang", "doc_id",
-        F.explode(F.split(F.col("text"), r"\s+")).alias("tok"),
+        F.explode(F.split(F.col("text"), "[ \\t\\n\\f\\r]+")).alias("tok"),
     ).filter(F.col("tok") != "")
     return toks.groupBy("lang").agg(
         F.countDistinct("doc_id").alias("n_docs"),
@@ -1097,7 +1104,7 @@ _PACK_BUDGET = 2048
     oracle=f"""
     WITH t AS (
         SELECT lang, doc_id,
-            len(regexp_split_to_array(text, '\\s+')) AS toks
+            len(regexp_split_to_array(text, '[ \t\n\f\r]+')) AS toks
         FROM documents
     ),
     c AS (
@@ -1127,7 +1134,7 @@ def pack_plan(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     t = d.select(
         "lang", "doc_id",
-        F.size(F.split(F.col("text"), r"\s+")).alias("toks"),
+        F.size(F.split(F.col("text"), "[ \\t\\n\\f\\r]+")).alias("toks"),
     )
     w = (
         Window.partitionBy("lang")

@@ -49,11 +49,14 @@ def _bp(price_col: str, disc_col: str) -> Column:
 
     Monetary inputs sit on a 2-decimal grid (verified in
     BENCH_LOCAL_r04_q01.txt: max drift 1e-9, no rounding ties), so
-    ``round(x*100)`` recovers exact cents and the product is exact
-    long arithmetic — the same q01 hot path. int64 headroom: ~9e18 /
-    (1e9 per row) leaves ~1e9 rows per aggregation group before a
-    wider type is needed; at 100 TB swap the sum buffer to
-    decimal(38,0) (documented, not needed at bench SF).
+    ``round(x*100)`` recovers exact cents and the PRODUCT is exact
+    long arithmetic — the same q01 hot path. Callers must accumulate
+    the products in decimal(38,0) (``F.sum(bp.cast("decimal(38,0)"))``):
+    a long SUM overflows ~2^63 within reach of real scale factors,
+    where Spark aborts under ANSI while DuckDB silently widens to
+    HUGEINT. Measured cost of the wider sum buffer on q01: 0.80s vs
+    0.59s at sf0.1 — still 0.6x of the full-decimal pipeline, and
+    overflow-correct at every SF.
     """
     cents = F.round(F.col(price_col) * 100).cast("bigint")
     disc = F.round(F.col(disc_col) * 100).cast("bigint")
@@ -277,7 +280,9 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
         .select("l_partkey", _bp("l_extendedprice", "l_discount").alias("bp"))
     )
     per_part = scoped.groupBy("l_partkey").agg(
-        F.sum("bp").alias("value_bp")
+        # decimal(38,0) accumulation of the exact int64 products —
+        # see _bp: a long sum overflows within real-SF reach.
+        F.sum(F.col("bp").cast("decimal(38,0)")).alias("value_bp")
     )
     # Global total as an unpartitioned window over the REDUCED
     # per-part frame (one fact pass; the scalar-subquery cross join
