@@ -48,13 +48,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/update_driver_verified.py regenerates this set after each
 # round (latest-round-wins) and `--check` fails when it drifts.
 _DRIVER_VERIFIED = frozenset({
-    # green rows across CORRECTNESS_r01..r03 (latest round wins)
     "agg_orders_by_status",
     "anti_join_customers_without_orders",
     "broadcast_enrich_orders",
     "cube_order_status_priority",
     "decile_customer_revenue",
     "distinct_order_dims",
+    "docs_bigram_colloc_topk",
     "docs_bpe_token_count",
     "docs_chunk_plan",
     "docs_clean_corpus",
@@ -78,14 +78,13 @@ _DRIVER_VERIFIED = frozenset({
     "docs_simhash_near_pairs",
     "docs_stratified_sample",
     "docs_token_df_topk",
-    # rows-only by design (no SQL-expressible oracle); the weaker
-    # check passed in r01-r03 and can never upgrade, so it keeps no
-    # window slot
     "docs_token_hll_estimate",
     "docs_token_stats",
     "docs_top_quality_per_source",
     "docs_train_val_split",
     "docs_type_token_ratio",
+    "docs_unigram_surprisal",
+    "docs_vocab_coverage",
     "emb_ann_ivf_topk",
     "emb_ann_lsh_topk",
     "emb_cosine_topk",
@@ -93,6 +92,7 @@ _DRIVER_VERIFIED = frozenset({
     "emb_lsh_bucket_histogram",
     "emb_near_dup_pairs",
     "emb_norms",
+    "emb_semantic_dedup",
     "events_anti_join_historical",
     "events_asof_latest_order",
     "events_csv_parse_toxic",
@@ -105,12 +105,58 @@ _DRIVER_VERIFIED = frozenset({
     "events_initial_load_tag",
     "events_json_extract",
     "events_key_extraction",
+    "events_moving_hour_stats",
     "events_orders_range_count",
     "events_resample_hourly_ffill",
     "events_response_classification",
     "events_retry_increment",
+    "events_rollup_hourly",
     "events_semi_join_duplicated",
     "events_session_windows",
+    "events_type_hour_profile",
+    "events_type_transition_matrix",
+    "events_validity_ko_routing",
+    "events_validity_ok_count",
+    "events_windowed_counts",
+    "global_rank_customers",
+    "histogram_order_totals",
+    "median_order_total",
+    "mm_byte_features",
+    "mm_decode_meta",
+    "mm_frame_sample",
+    "mm_payload_metadata",
+    "multi_pattern_timestamp_parse",
+    "pivot_order_counts",
+    "q01_pricing_summary",
+    "q02_min_cost_supplier",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q07_nation_volume",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_lines_by_status",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_share_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_rich_customers",
+    "rollup_revenue",
+    "semi_join_customers_with_urgent_orders",
+    "setop_lapsed_customers",
+    "setop_repeat_customers",
+    "sql_surface_nation_revenue",
+    "topk_customers_by_revenue",
+    "union_priority_tiers",
+    "window_rank_orders",
 })
 
 

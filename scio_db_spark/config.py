@@ -109,7 +109,9 @@ def _tokenize(text: str) -> list:
             # ship silently misbound — reject loudly instead.
             raise ConfigError(
                 "HOCON arrays are not supported by this config subset "
-                f"(offset {m.start()}); use a comma-separated string"
+                f"(offset {m.start()}); use a comma-separated string — "
+                "and quote any bare value that merely CONTAINS '[' or "
+                "']' (e.g. a regex: pattern = \"[a-z]+\")"
             )
         if kind == "comma":
             # HOCON: comma is an element separator equivalent to a

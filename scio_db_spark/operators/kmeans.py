@@ -88,6 +88,10 @@ def _partial_stats_fn(centroids: list[list[float]], vec_col: str):
         acc_sum: dict[int, "np.ndarray"] = {}
         acc_sim: dict[int, float] = {}
         for pdf in batches:
+            # NULL vectors first: np.asarray over a list containing
+            # None yields an object/ragged array and np.isfinite then
+            # raises — a NULL row must stay row-scoped like NaN rows.
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             vecs = np.asarray(

@@ -65,6 +65,10 @@ def _partial_gram_fn(vec_col: str):
 
         n, s, g = 0, None, None
         for pdf in batches:
+            # NULL vectors would make np.asarray build an object array
+            # and np.isfinite raise — drop them row-scoped (same rule
+            # as the NaN filter below).
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             x = np.asarray(

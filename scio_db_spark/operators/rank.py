@@ -96,18 +96,25 @@ def global_rank(
     # pigeonhole some partition then numbers MORE rows than its count,
     # so asserting __lrn <= __n per row turns silent rank corruption
     # into a loud runtime failure at zero extra actions.
+    # The assert is folded INTO the rank expression (assert_true
+    # returns NULL on success, so coalesce(..., 0) adds nothing) — a
+    # dropped side-column would be pruned by Catalyst and never
+    # evaluate, making the guard dead code.
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("__lrn") <= F.col("__n"),
+            F.lit(
+                "global_rank: range-exchange reuse broke — branch "
+                "partitioning diverged (see operators/rank.py)"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
     return (
         numbered.join(F.broadcast(offsets), "__pid")
         .withColumn(
-            "__guard",
-            F.assert_true(
-                F.col("__lrn") <= F.col("__n"),
-                F.lit(
-                    "global_rank: range-exchange reuse broke — branch "
-                    "partitioning diverged (see operators/rank.py)"
-                ),
-            ),
+            rank_col,
+            (F.col("__off") + F.col("__lrn") + guard).cast("long"),
         )
-        .withColumn(rank_col, (F.col("__off") + F.col("__lrn")).cast("long"))
-        .drop("__pid", "__lrn", "__off", "__n", "__guard")
+        .drop("__pid", "__lrn", "__off", "__n")
     )

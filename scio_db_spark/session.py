@@ -67,11 +67,21 @@ class SessionFactory:
         # the running value are a real conflict — warn loudly instead
         # of letting streaming code run with heap state / wrong TZ and
         # no indication.
+        def _norm(x: object) -> str:
+            # Compare normalized forms: Python True vs Spark's 'true',
+            # stray whitespace, etc. — naive str(v) inequality triggers
+            # redundant sets and spurious static-conf warnings for
+            # semantically-equal values.
+            s = str(x).strip()
+            return s.lower() if s.lower() in ("true", "false") else s
+
         for k, v in conf.items():
             try:
-                if spark.conf.get(k, None) != str(v):
+                if _norm(spark.conf.get(k, None)) != _norm(v):
                     spark.conf.set(k, v)
             except Exception:  # noqa: BLE001 — static conf on a live session
+                if _norm(spark.conf.get(k, None)) == _norm(v):
+                    continue  # effective value already matches — no conflict
                 import warnings
 
                 warnings.warn(

@@ -82,10 +82,16 @@ def compact(
             f"compaction row-count mismatch ({check} != {n_rows}); "
             f"original left untouched"
         )
-    for f in files:
-        os.remove(f)
+    # Move the new files IN before removing the old ones (Spark's
+    # part-<uuid> names cannot collide with the existing files): every
+    # crash point then leaves the directory a readable superset — a
+    # remove-first ordering would strand all data in the tmp sibling if
+    # the job died between the two loops. Transient duplicate rows
+    # during the swap window are the price of never losing data.
     for f in _parquet_files(tmp):
         os.rename(f, os.path.join(path, os.path.basename(f)))
+    for f in files:
+        os.remove(f)
     shutil.rmtree(tmp, ignore_errors=True)
     return {
         "files_before": len(files),

@@ -61,3 +61,37 @@ def test_spot_oracle_match(spark, sf_dir, name):
         )
 
     assert canon(spark_pd) == canon(duck_pd)
+
+
+def test_driver_verified_set_current():
+    """_DRIVER_VERIFIED must be regenerated after each round.
+
+    The driver's correctness gate records only the first 50 of
+    sorted(queries()); stale aliases ("a_" prefixes on already-green
+    queries) evict genuinely-new queries from the window. This makes
+    committing a round without running tools/update_driver_verified.py
+    a hard suite failure instead of a tool warning (round-4 verdict
+    item #5).
+    """
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "update_driver_verified",
+        os.path.join(_REPO_ROOT, "tools", "update_driver_verified.py"),
+    )
+    tool = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    names = tool.verified_names()
+    current = set(entry_mod._DRIVER_VERIFIED)
+    missing = names - current
+    regressed = (current & tool._artifact_names()) - names
+    assert not missing, (
+        f"stale _DRIVER_VERIFIED: run tools/update_driver_verified.py "
+        f"and paste the output into __spark_entry__.py; missing "
+        f"{sorted(missing)}"
+    )
+    assert not regressed, (
+        f"_DRIVER_VERIFIED contains entries whose latest driver row is "
+        f"not green: {sorted(regressed)}"
+    )
