@@ -49,21 +49,31 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — record, keep benching
             errors[name] = f"{type(e).__name__}: {e}"
 
-    # Best of 2 measured passes per query: single runs on a shared
-    # machine are noisy (±40% observed); min-of-2 reports the engine's
-    # cost, not the scheduler's worst moment.
+    # Best of 3 measured passes per query: single runs on a shared
+    # machine are noisy (±40% observed; round 4's driver artifact
+    # flagged 3 phantom regressions that re-measured at 0.94-1.01× on
+    # an idle box). min-of-N reports the engine's cost, not the
+    # scheduler's worst moment; the recorded per-run matrix + loadavg
+    # make a loaded run self-diagnosing without a re-run.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    load_start = os.getloadavg()[0]
+    wall_start = time.perf_counter()
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name, spec in specs.items():
         if name in errors:
             continue
         best = float("inf")
         try:
-            for _ in range(2):
+            per_run: list[float] = []
+            for _ in range(passes):
                 t0 = time.perf_counter()
                 df = spec.spark(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
+                per_run.append(round(time.perf_counter() - t0, 4))
+                best = min(best, per_run[-1])
             timings[name] = round(best, 4)
+            runs[name] = per_run
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"
 
@@ -75,6 +85,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "passes": passes,
+        "runs": runs,
+        "load_1m": [round(load_start, 2), round(os.getloadavg()[0], 2)],
+        "measure_wall_sec": round(time.perf_counter() - wall_start, 2),
     }
     if errors:
         out["errors"] = errors

@@ -58,16 +58,30 @@ def _emb(spark: SparkSession, sf: str) -> DataFrame:
 def cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     e = _emb(spark, sf)
     q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("q_norm"),
+    )
+    # Norms are hoisted into per-ROW projections below the join, so the
+    # per-PAIR expression is dot + one divide — computing both 64-term
+    # norms (and their sqrts) inside the join tripled the pairwise work
+    # (the round-4 1.3× regression). Values are bit-identical to the
+    # oracle's per-pair form: dot/(nullif(q_norm*e_norm, 0)) is the same
+    # expression tree, norm is deterministic per row, and Catalyst keeps
+    # the Project below the join (it feeds join output attributes).
+    e_n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("e_norm"),
+    )
+    pair_cos = (
+        f"({dot_sql('q_emb', 'embedding', SPARK_AT)}) / "
+        f"nullif(q_norm * e_norm, 0.0)"
     )
     scored = (
         F.broadcast(q)
-        .join(e, F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            F.expr(cosine_sql("q_emb", "embedding", SPARK_AT)).alias("cos_sim"),
-        )
+        .join(e_n, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.expr(pair_cos).alias("cos_sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -188,18 +202,26 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     q_embs = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("q_nrm"),
+    )
+    # Norms hoisted per row below the candidate join (cosine_topk
+    # rewrite): per-candidate work is dot + one divide; values stay
+    # bit-identical to the oracle's per-pair cosine_sql.
+    e_n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("e_nrm"),
+    )
+    pair_cos = F.expr(
+        f"({dot_sql('q_emb', 'embedding', SPARK_AT)}) / "
+        f"nullif(q_nrm * e_nrm, 0.0)"
     )
     scored = (
-        cand.join(e.select("vec_id", "embedding"), "vec_id")
+        cand.join(e_n, "vec_id")
         .join(F.broadcast(q_embs), "q_id")
-        .select(
-            "q_id",
-            "vec_id",
-            F.expr(cosine_sql("q_emb", "embedding", SPARK_AT)).alias(
-                "cos_sim"
-            ),
-        )
+        .select("q_id", "vec_id", pair_cos.alias("cos_sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -259,12 +281,23 @@ def near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     cosine filters false positives. At 100 TB, recall is tuned by
     OR-ing multiple independent bucket tables (same pattern as the
     MinHash bands); one table suffices for the oracle check."""
-    b = _emb(spark, sf).withColumn(
-        "bucket", F.expr(lsh_bucket_sql("embedding", SPARK_AT))
-    ).select("vec_id", "embedding", "bucket")
+    # Norm hoisted per ROW below the self-join (same rewrite as
+    # cosine_topk): the per-PAIR expression is dot + one divide, not
+    # dot + two 64-term norms + two sqrts. Values are bit-identical to
+    # the oracle's per-pair cosine_sql — same expression tree, norm is
+    # deterministic per row.
+    b = _emb(spark, sf).select(
+        "vec_id",
+        "embedding",
+        F.expr(lsh_bucket_sql("embedding", SPARK_AT)).alias("bucket"),
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("nrm"),
+    )
     a = b.alias("a")
     e = b.alias("e")
-    cos = F.expr(cosine_sql("a_emb", "e_emb", SPARK_AT))
+    cos = F.expr(
+        f"({dot_sql('a_emb', 'e_emb', SPARK_AT)}) / "
+        f"nullif(a_nrm * e_nrm, 0.0)"
+    )
     return (
         a.join(
             e,
@@ -276,6 +309,8 @@ def near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
             F.col("e.vec_id").alias("vec_b"),
             F.col("a.embedding").alias("a_emb"),
             F.col("e.embedding").alias("e_emb"),
+            F.col("a.nrm").alias("a_nrm"),
+            F.col("e.nrm").alias("e_nrm"),
         )
         .withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= _NEAR_DUP_TAU)
@@ -354,12 +389,15 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("dot"), F.asc("cid")
     )
+    # Row norm hoisted once per vector and carried through the argmax
+    # (cosine_topk rewrite) so the re-rank stage is dot + one divide.
     assign = (
-        e.join(cent)
+        e.withColumn("e_nrm", F.expr(norm_sql("embedding", SPARK_AT)))
+        .join(cent)
         .withColumn("dot", dot)
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
+        .select("vec_id", "embedding", "e_nrm", "cid")
     )
     qprobe = (
         e.filter(F.col("vec_id").isin(*_QUERY_IDS))
@@ -373,17 +411,22 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
         .filter(F.col("rn") <= _IVF_NPROBE)
-        .select("q_id", "q_emb", "cid")
+        .select(
+            "q_id",
+            "q_emb",
+            F.expr(norm_sql("q_emb", SPARK_AT)).alias("q_nrm"),
+            "cid",
+        )
+    )
+    pair_cos = F.expr(
+        f"({dot_sql('q_emb', 'embedding', SPARK_AT)}) / "
+        f"nullif(q_nrm * e_nrm, 0.0)"
     )
     scored = (
         F.broadcast(qprobe)
         .join(assign, on=["cid"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            F.expr(cosine_sql("q_emb", "embedding", SPARK_AT)).alias("cos_sim"),
-        )
+        .select("q_id", "vec_id", pair_cos.alias("cos_sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -434,12 +477,23 @@ def kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     cent = (
         e.filter(F.col("vec_id") < _KMEANS_K)
         .select(
-            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_emb"),
+            F.expr(norm_sql("embedding", SPARK_AT)).alias("c_nrm"),
         )
     )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "c_id",
-        F.expr(cosine_sql("embedding", "c_emb", SPARK_AT)).alias("cos_sim"),
+    # Row norm once per vector, centroid norm once per centroid: the
+    # k-way expansion evaluates dot + one divide per candidate. Same
+    # expression tree as the oracle's cosine_sql → min/max outputs
+    # stay bit-identical.
+    pair_cos = F.expr(
+        f"({dot_sql('embedding', 'c_emb', SPARK_AT)}) / "
+        f"nullif(e_nrm * c_nrm, 0.0)"
+    )
+    scored = (
+        e.withColumn("e_nrm", F.expr(norm_sql("embedding", SPARK_AT)))
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "c_id", pair_cos.alias("cos_sim"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     best = (
@@ -492,36 +546,52 @@ _SEMDEDUP_TAU = 0.3  # same threshold as emb_near_dup_pairs: the
     "bounded; the assignment itself is one map-side pass.",
 )
 def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    e = _emb(spark, sf)
+    # Norms hoisted per row / per centroid (cosine_topk rewrite): the
+    # k-way assignment expansion and the within-cell pairwise stage
+    # each evaluate dot + one divide instead of recomputing two 64-term
+    # norms per candidate. dot/nullif(nl*nr, 0) is the oracle's exact
+    # expression tree, so values — and therefore the argmax ordering —
+    # stay bit-identical.
+    e = _emb(spark, sf).select(
+        "vec_id",
+        "embedding",
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("nrm"),
+    )
     cent = e.filter(F.col("vec_id") < _KMEANS_K).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_sim"), F.asc("c_id")
     )
+    assign_cos = F.expr(
+        f"({dot_sql('embedding', 'c_emb', SPARK_AT)}) / "
+        f"nullif(nrm * c_nrm, 0.0)"
+    )
     assign = (
         e.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "embedding", "c_id",
-            F.expr(cosine_sql("embedding", "c_emb", SPARK_AT)).alias(
-                "cos_sim"
-            ),
-        )
+        .select("vec_id", "embedding", "nrm", "c_id", assign_cos.alias("cos_sim"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "c_id")
+        .select("vec_id", "embedding", "nrm", "c_id")
     )
     a = assign.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
         F.col("c_id").alias("cluster"),
     )
     b = assign.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
         F.col("c_id").alias("b_cid"),
     )
-    cos = F.expr(cosine_sql("a_emb", "b_emb", SPARK_AT))
+    cos = F.expr(
+        f"({dot_sql('a_emb', 'b_emb', SPARK_AT)}) / "
+        f"nullif(a_nrm * b_nrm, 0.0)"
+    )
     return (
         a.join(
             b,
