@@ -1,0 +1,573 @@
+"""Oracle rows for the library-operator surface.
+
+Round 4 shipped TF-IDF/BM25 (operators/relevance.py), the edit-1 fuzzy
+join (operators/fuzzyjoin.py), int8 quantization (operators/
+quantize.py), Lloyd k-means + PCA (operators/kmeans.py, pca.py), and
+table maintenance (sinks/maintenance.py) verified only by pytest.
+This module puts each behind a driver-gate oracle row by registering
+queries that CALL the library operators and compare against a DuckDB
+twin.
+
+Float policy (the gate hashes exact double bits):
+
+- Per-row arithmetic (quantization, dot-with-literal projections,
+  cosine) is written as identical expression trees in both engines —
+  raw doubles hash-match (verified: scale/code/err/qdot columns are
+  bit-exact cross-engine).
+- ``ln``-based scores (TF-IDF, BM25) CANNOT hash raw: Java Math.log
+  and libm log differ by 1 ulp on ~10% of inputs (measured). Those
+  scores are quantized with CAST(floor(score*1e4) AS BIGINT) on both
+  sides; a 1-ulp input wiggle flips the floor only within ~1e-12 of a
+  boundary — deterministic per dataset and verified empirically at
+  sf0.001/sf0.01 (the gate's fixed inputs).
+- Trained models (k-means centroids, PCA mean/components) come from
+  COMMITTED literals (resources/vector_models.json, produced once by
+  tools/train_vector_models.py): a live fit's floats depend on
+  partition-collect order, so both engines must read the same frozen
+  model for bit-equality. This also closes the round-4 verdict item
+  on `emb_semantic_dedup`'s scale claim: the trained-centroid variant
+  is the registered form here, with k a real parameter.
+
+Reference parity: the reference engine (scio-db) has no
+relevance/ANN/maintenance surface — these are the LLM-pipeline
+extensions the brief asks for; file:line cites are to this repo's
+operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scio_db_spark.functions.text import tokens_sql
+from scio_db_spark.functions.vectors import (
+    DIM,
+    DUCK_AT,
+    SPARK_AT,
+    dot_sql,
+    norm_sql,
+)
+from scio_db_spark.plans.catalog import table
+from scio_db_spark.plans.registry import register
+
+_RES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources",
+    "vector_models.json",
+)
+with open(_RES) as _f:
+    _MODELS = json.load(_f)
+
+_KM_CENTROIDS: list[list[float]] = _MODELS["kmeans_k16"]["centroids"]
+_PCA_MEAN: list[float] = _MODELS["pca_2"]["mean"]
+_PCA_COMPONENTS: list[list[float]] = _MODELS["pca_2"]["components"]
+
+_TOKS_SQL = tokens_sql("text")
+
+
+# --------------------------------------------------------------- relevance
+_TFIDF_K = 3
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "docs_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word
+    ),
+    dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    scored AS (
+        SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+            tf.tf * (ln(CAST((SELECT count(*) FROM documents) + 1 AS DOUBLE)
+                        / (dfq.df + 1)) + 1.0) AS tfidf
+        FROM tf JOIN dfq USING (word)
+    )
+    SELECT doc_id, word AS term, tf, df,
+        CAST(floor(tfidf * 10000.0) AS BIGINT) AS tfidf_q4
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, word) AS rn
+        FROM scored
+    ) WHERE rn <= {_TFIDF_K}
+    """,
+    doc="TF-IDF top terms per document via operators/relevance.py "
+    "(sklearn smooth idf); score quantized to 1e-4 — ln() is 1-ulp "
+    "engine-dependent, integers absorb it.",
+)
+def tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.relevance import tfidf_top_terms
+
+    out = tfidf_top_terms(
+        table(spark, sf, "documents"), id_col="doc_id", text_col="text",
+        k=_TFIDF_K,
+    )
+    return out.select(
+        "doc_id", "term", "tf", "df",
+        F.floor(F.col("tfidf") * 10000.0).cast("bigint").alias("tfidf_q4"),
+    )
+
+
+@register(
+    "docs_bm25_scores",
+    oracle=f"""
+    WITH lengths AS (
+        SELECT doc_id, len({_TOKS_SQL}) AS dl FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl FROM lengths
+    ),
+    hits AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+        ) WHERE word IN {_BM25_TERMS}
+    ),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM hits GROUP BY doc_id, word
+    ),
+    dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    idf AS (
+        SELECT word, ln(1.0 + ((CAST((SELECT n FROM stats) AS DOUBLE) - df)
+                               + 0.5) / (df + 0.5)) AS idf
+        FROM dfq
+    ),
+    per_term AS (
+        SELECT tf.doc_id,
+            idf.idf * tf.tf * CAST('{(_BM25_K1 + 1)!r}' AS DOUBLE)
+            / (tf.tf + CAST('{_BM25_K1!r}' AS DOUBLE)
+               * (CAST('{(1 - _BM25_B)!r}' AS DOUBLE)
+                  + (CAST('{_BM25_B!r}' AS DOUBLE) * lengths.dl)
+                    / (SELECT avgdl FROM stats))) AS contrib
+        FROM tf
+        JOIN idf USING (word)
+        JOIN lengths USING (doc_id)
+    )
+    SELECT doc_id,
+        CAST(floor(sum(contrib) * 10000.0) AS BIGINT) AS score_q4
+    FROM per_term GROUP BY doc_id
+    """,
+    doc="BM25 ad-hoc search scores via operators/relevance.py "
+    "(Robertson idf, k1=1.2 b=0.75), fixed 3-term query; score "
+    "quantized to 1e-4 (ln + small-sum order are sub-1e-12 wiggle).",
+)
+def bm25(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.relevance import bm25_scores
+
+    out = bm25_scores(
+        table(spark, sf, "documents"), list(_BM25_TERMS),
+        id_col="doc_id", text_col="text", k1=_BM25_K1, b=_BM25_B,
+    )
+    return out.select(
+        "doc_id",
+        F.floor(F.col("score") * 10000.0).cast("bigint").alias("score_q4"),
+    )
+
+
+# --------------------------------------------------------------- fuzzy join
+@register(
+    "cust_fuzzy_edit1_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="Edit-distance-1 fuzzy self-join on customer names via "
+    "operators/fuzzyjoin.py (FastSS deletion-neighborhood equi-join + "
+    "exact levenshtein residual); the oracle brute-forces all pairs — "
+    "feasible only at gate SF, which is the point of the bucketed plan.",
+)
+def fuzzy_edit1(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.fuzzyjoin import edit1_pairs
+
+    cust = table(spark, sf, "customer").select("c_custkey", "c_name")
+    return edit1_pairs(cust, id_col="c_custkey", str_col="c_name").select(
+        F.col("id_a"), F.col("id_b"), F.col("dist")
+    )
+
+
+# --------------------------------------------------------------- quantize
+@register(
+    "emb_quantize_roundtrip",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+            greatest(list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale,
+            embedding
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id, scale,
+            list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS TINYINT))
+            AS codes,
+            embedding
+        FROM q
+    )
+    SELECT vec_id, scale,
+        CAST(list_sum(list_transform(codes, x -> CAST(x AS BIGINT)))
+             AS BIGINT) AS code_sum,
+        list_max(list_transform(range(1, len(codes) + 1),
+            i -> abs(CAST(list_extract(codes, i) AS DOUBLE) * scale
+                     - CAST(list_extract(embedding, i) AS DOUBLE))))
+        AS max_abs_err,
+        CAST(list_sum(list_transform(codes,
+            x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS DOUBLE)
+            * scale * scale AS self_qdot
+    FROM c
+    """,
+    doc="Int8 quantization round-trip census via operators/quantize.py "
+    "(quantize + dequantize + quantized_dot): per-vector scale, code "
+    "checksum, max reconstruction error, self quantized-dot. Pure "
+    "per-row arithmetic — doubles hash bit-exact across engines.",
+)
+def quantize_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.quantize import (
+        dequantize,
+        quantize,
+        quantized_dot,
+    )
+
+    q = quantize(table(spark, sf, "embeddings"), "embedding")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ).alias("code_sum"),
+        F.array_max(
+            F.zip_with(
+                dequantize("codes", "scale"),
+                F.col("embedding"),
+                lambda d, x: F.abs(d - x.cast("double")),
+            )
+        ).alias("max_abs_err"),
+        quantized_dot("codes", "scale", "codes", "scale").alias("self_qdot"),
+    )
+
+
+# ----------------------------------------------------- trained k-means / PCA
+def _lit_d(v: float) -> str:
+    """Exact double literal for DuckDB: repr round-trips, and the
+    string cast avoids DECIMAL inference on long literals."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _dot_lit_sql(vec: str, weights: list[float]) -> str:
+    """DuckDB twin of kmeans._dot_with_literal's numerator: Σ e_i·w_i,
+    left-associated, elements cast to double."""
+    return "(" + " + ".join(
+        f"CAST({DUCK_AT}({vec}, {i}) AS DOUBLE) * {_lit_d(w)}"
+        for i, w in enumerate(weights, start=1)
+    ) + ")"
+
+
+def _center_dot_lit_sql(
+    vec: str, weights: list[float], mean: list[float]
+) -> str:
+    """DuckDB twin of pca.project's component score: Σ (e_i − m_i)·w_i."""
+    return "(" + " + ".join(
+        f"(CAST({DUCK_AT}({vec}, {i}) AS DOUBLE) - {_lit_d(m)}) * {_lit_d(w)}"
+        for i, (w, m) in enumerate(zip(weights, mean), start=1)
+    ) + ")"
+
+
+def _km_model():
+    from scio_db_spark.operators.kmeans import KMeansModel
+
+    return KMeansModel(centroids=[list(c) for c in _KM_CENTROIDS])
+
+
+def _km_scored_sql() -> str:
+    """(vec_id, c_id, sim): every vector scored against every committed
+    centroid — sim mirrors _dot_with_literal (dot / |vec|, centroids
+    are unit-norm)."""
+    selects = [
+        f"SELECT vec_id, {cid} AS c_id, "
+        f"{_dot_lit_sql('embedding', c)} / {norm_sql('embedding', DUCK_AT)} "
+        f"AS sim FROM embeddings"
+        for cid, c in enumerate(_KM_CENTROIDS)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "emb_kmeans_trained_census",
+    oracle=f"""
+    WITH scored AS ({_km_scored_sql()}),
+    best AS (
+        SELECT vec_id, c_id, sim FROM (
+            SELECT vec_id, c_id, sim,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, c_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT c_id AS cid, count(*) AS n_assigned,
+        min(sim) AS min_sim, max(sim) AS max_sim
+    FROM best GROUP BY c_id
+    """,
+    doc="Assignment census under the TRAINED k=16 Lloyd model "
+    "(operators/kmeans.py fit, centroids committed in "
+    "resources/vector_models.json): operators/kmeans.assign() is the "
+    "plan under test — pure dot-with-literal columns, map-side argmax.",
+)
+def kmeans_trained_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.kmeans import _dot_with_literal, assign
+
+    e = table(spark, sf, "embeddings")
+    assigned = assign(e, "embedding", _km_model(), out_col="cid")
+    # Recompute the winning sim for the census min/max: same
+    # _dot_with_literal expression the assignment used, selected by the
+    # assigned cid (a CASE over k literals — no join, stays map-side).
+    sim = F.lit(None).cast("double")
+    for i in reversed(range(len(_KM_CENTROIDS))):
+        sim = F.when(
+            F.col("cid") == i,
+            _dot_with_literal("embedding", _KM_CENTROIDS[i]),
+        ).otherwise(sim)
+    return (
+        assigned.withColumn("sim", sim)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.min("sim").alias("min_sim"),
+            F.max("sim").alias("max_sim"),
+        )
+    )
+
+
+_SEMDEDUP_TRAINED_TAU = 0.18
+
+
+@register(
+    "emb_semantic_dedup_trained",
+    oracle=f"""
+    WITH scored AS ({_km_scored_sql()}),
+    assign AS (
+        SELECT s.vec_id, e.embedding, s.c_id FROM (
+            SELECT vec_id, c_id,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, c_id) AS rn
+            FROM scored
+        ) s JOIN embeddings e ON e.vec_id = s.vec_id
+        WHERE s.rn = 1
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.c_id AS cluster,
+        ({dot_sql("a.embedding", "b.embedding", DUCK_AT)}) /
+        nullif({norm_sql("a.embedding", DUCK_AT)}
+               * {norm_sql("b.embedding", DUCK_AT)}, 0.0) AS cos_sim
+    FROM assign a JOIN assign b
+      ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+    WHERE ({dot_sql("a.embedding", "b.embedding", DUCK_AT)}) /
+          nullif({norm_sql("a.embedding", DUCK_AT)}
+                 * {norm_sql("b.embedding", DUCK_AT)}, 0.0)
+          >= {_SEMDEDUP_TRAINED_TAU}
+    """,
+    doc="SemDeDup with TRAINED centroids (k=16 from "
+    "operators/kmeans.py, committed literals): library assign() "
+    "prunes the pairwise stage to an equi-join on the trained cell id. "
+    "k is a real parameter now — at scale k ~ sqrt(N) keeps per-cell "
+    "candidate sets bounded, and the registered query exercises the "
+    "exact operator composition that claim needs (round-4 verdict #3).",
+)
+def semantic_dedup_trained(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.kmeans import assign
+
+    e = table(spark, sf, "embeddings")
+    assigned = assign(e, "embedding", _km_model(), out_col="c_id").select(
+        "vec_id",
+        "embedding",
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("nrm"),
+        "c_id",
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        F.col("c_id").alias("cluster"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        F.col("c_id").alias("b_cid"),
+    )
+    cos = F.expr(
+        f"({dot_sql('a_emb', 'b_emb', SPARK_AT)}) / "
+        f"nullif(a_nrm * b_nrm, 0.0)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("b_cid"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= _SEMDEDUP_TRAINED_TAU)
+        .select("vec_a", "vec_b", "cluster", "cos_sim")
+    )
+
+
+@register(
+    "emb_pca_projection",
+    oracle=f"""
+    SELECT vec_id,
+        {_center_dot_lit_sql("embedding", _PCA_COMPONENTS[0], _PCA_MEAN)}
+            AS pc1,
+        {_center_dot_lit_sql("embedding", _PCA_COMPONENTS[1], _PCA_MEAN)}
+            AS pc2
+    FROM embeddings
+    """,
+    doc="PCA projection under the TRAINED 2-component model "
+    "(operators/pca.py fit, mean/components committed literals): "
+    "operators/pca.project() is the plan under test — centered "
+    "dot-with-literal columns, map-only. Doubles hash bit-exact.",
+)
+def pca_projection(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.pca import PCAModel, project
+
+    model = PCAModel(
+        mean=list(_PCA_MEAN),
+        components=[list(c) for c in _PCA_COMPONENTS],
+        explained_variance=[],
+        explained_variance_ratio=[],
+        n_rows=0,
+    )
+    e = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    return project(e, "embedding", model).select("vec_id", "pc1", "pc2")
+
+
+# -------------------------------------------------------------- maintenance
+def _staged_table(spark: SparkSession, sf: str, name: str, parts: int) -> str:
+    """Copy a gate table into a fresh multi-file temp dir (maintenance
+    ops mutate in place; the gate's sf dir is read-only)."""
+    tmp = tempfile.mkdtemp(prefix=f"scio_{name}_census_")
+    # mkdtemp creates the dir; Spark's overwrite handles it.
+    table(spark, sf, name).repartition(parts).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    return tmp
+
+
+@register(
+    "orders_delete_keys_census",
+    oracle="""
+    SELECT count(*) AS n_orders,
+        CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        count(DISTINCT o_custkey) AS n_cust
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey
+    )
+    """,
+    doc="Maintenance invariant census via sinks/maintenance.py: copy "
+    "orders into a multi-file staging dir, delete_keys() every order "
+    "of a negative-balance customer (rewrites ONLY files containing "
+    "matches), then compact(); the end state read back from disk must "
+    "equal the anti-join. Exercises the full delete + compact path "
+    "with a hard oracle row.",
+)
+def delete_keys_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.sinks.maintenance import compact, delete_keys
+
+    tmp = _staged_table(spark, sf, "orders", parts=4)
+    try:
+        doomed = (
+            table(spark, sf, "customer")
+            .filter(F.col("c_acctbal") < 0)
+            .select("c_custkey")
+        )
+        delete_keys(spark, tmp, "o_custkey", doomed)
+        compact(spark, tmp)
+        return (
+            spark.read.parquet(tmp)
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.countDistinct("o_custkey").alias("n_cust"),
+            )
+            # Materialize BEFORE the finally-cleanup: the caller only
+            # collects later, when the temp dir is gone.
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _dedup_reduce_oracle() -> str:
+    from scio_db_spark.plans.textops import _lsh_pairs_sql
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM sym),
+    reach(v, u) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.v, s.b FROM reach r JOIN sym s ON s.a = r.u
+    ),
+    labels AS (SELECT v AS doc_id, min(u) AS label FROM reach GROUP BY v),
+    doomed AS (SELECT doc_id FROM labels WHERE doc_id <> label)
+    SELECT count(*) AS n_docs,
+        CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        CAST(sum(n_chars) AS BIGINT) AS chars_sum
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM doomed x WHERE x.doc_id = d.doc_id)
+    """
+
+
+@register(
+    "docs_dedup_reduce_census",
+    oracle=_dedup_reduce_oracle(),
+    doc="Detect-to-reduction pipeline census: MinHash-LSH pair "
+    "detection -> dedup_keep_canonical (operators/clusters.py: "
+    "connected components, keep min-id per cluster) -> "
+    "delete_keys() surgically removes the non-canonical rows from a "
+    "staged table -> end state read back from disk. One oracle row "
+    "over the composed dedup -> reduce job (round-4 verdict #7).",
+)
+def dedup_reduce_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.clusters import dedup_keep_canonical
+    from scio_db_spark.plans.textops import minhash_lsh_pairs
+    from scio_db_spark.sinks.maintenance import delete_keys
+
+    tmp = _staged_table(spark, sf, "documents", parts=4)
+    try:
+        staged = spark.read.parquet(tmp)
+        pairs = minhash_lsh_pairs(spark, sf)
+        kept = dedup_keep_canonical(
+            staged, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+        )
+        doomed = staged.join(
+            kept.select("doc_id"), "doc_id", "left_anti"
+        ).select("doc_id")
+        delete_keys(spark, tmp, "doc_id", doomed)
+        return (
+            spark.read.parquet(tmp)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("id_sum"),
+                F.sum("n_chars").alias("chars_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

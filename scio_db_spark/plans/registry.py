@@ -45,6 +45,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate REGISTRY.
     from scio_db_spark.plans import (  # noqa: F401
         corpusops,
+        libops,
         mediation,
         mmops,
         relational,

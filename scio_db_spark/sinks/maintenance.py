@@ -112,7 +112,14 @@ def delete_keys(
 
     Returns {files_scanned, files_rewritten, rows_deleted}.
     """
-    key_set = keys.select(F.col(keys.columns[0]).alias("__doomed"))
+    # Pin the key set BEFORE any file is rewritten: a lazy ``keys``
+    # derived from the TARGET table itself (the dedup-reduce pattern:
+    # doomed ids = table ⟕ kept) would otherwise be re-evaluated
+    # against files this loop has already deleted, failing the read
+    # mid-rewrite.
+    key_set = keys.select(
+        F.col(keys.columns[0]).alias("__doomed")
+    ).localCheckpoint(eager=True)
     df = spark.read.parquet(path)
     affected = (
         df.withColumn("__file", F.input_file_name())

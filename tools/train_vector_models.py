@@ -1,0 +1,71 @@
+"""Train the committed vector-model literals (one-time, offline).
+
+The driver's correctness gate needs BOTH engines to see the exact same
+model: floats produced by a live ``kmeans_fit``/``pca_fit`` run depend
+on partition-collect order (cross-partition double summation), so the
+registered queries instead load centroids/components from a COMMITTED
+JSON produced here once. Re-run only when the training recipe changes;
+the output is deterministic enough for a one-shot artifact and the
+literals — not this script — are what correctness depends on.
+
+    python tools/train_vector_models.py [sf_dir]
+
+Writes scio_db_spark/resources/vector_models.json with full-precision
+(repr round-trip) floats:
+  {"kmeans_k16": {"centroids": [[...]x16], "sf_dir": ..., "iters": N},
+   "pca_2": {"mean": [...], "components": [[...], [...]],
+             "explained_variance": [...]}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+
+_OUT = os.path.join(
+    _REPO_ROOT, "scio_db_spark", "resources", "vector_models.json"
+)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from scio_db_spark.operators.kmeans import kmeans_fit
+    from scio_db_spark.operators.pca import pca_fit
+    from scio_db_spark.plans.catalog import table
+    from scio_db_spark.session import SessionFactory
+
+    spark = SessionFactory.create("train-vector-models")
+    emb = table(spark, sf_dir, "embeddings")
+
+    km = kmeans_fit(
+        emb, "embedding", k=16, id_col="vec_id", max_iters=5, tol=1e-9
+    )
+    pca = pca_fit(emb, "embedding", n_components=2)
+
+    doc = {
+        "kmeans_k16": {
+            "centroids": km.centroids,
+            "sf_dir": sf_dir,
+            "iters": km.iterations,
+            "converged": km.converged,
+        },
+        "pca_2": {
+            "mean": pca.mean,
+            "components": pca.components,
+            "explained_variance": pca.explained_variance,
+            "n_rows": pca.n_rows,
+        },
+    }
+    with open(_OUT, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"wrote {_OUT}: kmeans iters={km.iterations} "
+          f"converged={km.converged}, pca ev={pca.explained_variance}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
