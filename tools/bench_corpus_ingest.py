@@ -1,0 +1,143 @@
+"""Streaming corpus-ingestion throughput (records/min).
+
+Sibling of bench_throughput.py: pushes N synthetic documents through
+the FULL streaming corpus job — enrich (hash/tokens/lang/quality) →
+quality gate with observe() metrics → bounded-state exact dedup →
+windowed OK files + dead-letter KO files
+(streaming/corpus_ingest.py::start_corpus_ingest) — and reports
+records/min against the reference's 200K/min mediation stress posture
+(the closest published throughput figure; the reference has no corpus
+pipeline).
+
+Usage: python tools/bench_corpus_ingest.py [n_docs] [dup_pct]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scio_db_spark.session import SessionFactory  # noqa: E402
+from scio_db_spark.streaming.corpus_ingest import (  # noqa: E402
+    start_corpus_ingest,
+)
+
+# Vocabulary mixing English stopwords (so lang_id resolves and the
+# quality gate passes for most docs) with corpus filler; low ids keep
+# a deterministic KO minority (short/punctuation-heavy docs).
+_VOCAB = (
+    "the and for that with this from have data table row batch "
+    "query join hash scan filter window column value merge order "
+    "stream corpus token shard spill probe build flush state"
+).split()
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dup_pct = float(sys.argv[2]) if len(sys.argv) > 2 else 0.10
+
+    spark = SessionFactory.create("bench-corpus-ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    indir = tempfile.mkdtemp(prefix="ci_in_")
+    outdir = tempfile.mkdtemp(prefix="ci_out_")
+    ck = tempfile.mkdtemp(prefix="ci_ck_")
+
+    # Deterministic synthetic docs, ~dup_pct exact duplicates (distinct
+    # content ids fold the tail back onto earlier texts so the dedup
+    # state sees real hits), 2% KO rows (one-token junk that fails the
+    # quality gate). Pure Column expressions — generation must not be
+    # the bottleneck of the measurement.
+    n_distinct = max(1, int(n_docs * (1.0 - dup_pct)))
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    cid = (F.col("id") % n_distinct).alias("cid")
+    # 64 words/doc: the quality score needs token volume (0.5·n/100)
+    # plus the vocab's stopword share to clear the 0.5 gate — 24-word
+    # docs score ~0.47 and the whole corpus lands in the dead letter.
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        # 37 is coprime to the 31-word vocab; a multiplier equal to the
+        # vocab size degenerates every doc to the same text.
+        lambda i: F.element_at(
+            vocab, ((F.col("cid") * 37 + i * 7) % len(_VOCAB) + 1).cast("int")
+        ),
+    )
+    gen = (
+        spark.range(n_docs)
+        .select("id", cid)
+        .select(
+            F.col("id").alias("doc_id"),
+            # The trailing "d<cid>" token guarantees one distinct text
+            # per content id (the vocab words alone are cyclic shifts —
+            # only |vocab| distinct sequences); duplicates then come
+            # ONLY from the deliberate cid folding.
+            F.when(F.col("cid") % 50 == 0, F.lit("!!!"))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.concat_ws(" ", words),
+                    F.concat(F.lit("d"), F.col("cid").cast("string")),
+                )
+            )
+            .alias("text"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.col("id") % 3600)
+            ).alias("ingest_ts"),
+        )
+    )
+    gen.write.mode("overwrite").parquet(indir)
+
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, ingest_ts timestamp"
+    ).parquet(indir)
+
+    t0 = time.perf_counter()
+    ok_q, ko_q = start_corpus_ingest(stream, outdir, ck)
+    # The sinks run an open-ended micro-batch trigger: drain whatever
+    # is available, then stop (the test-suite pattern).
+    ok_q.processAllAvailable()
+    ko_q.processAllAvailable()
+    elapsed = time.perf_counter() - t0
+    ok_q.stop()
+    ko_q.stop()
+
+    # Gate metrics from observe(): n_total counts every record through
+    # the job (the throughput denominator), without a second scan.
+    totals = {"n_total": 0, "n_ok": 0, "n_ko": 0}
+    for p in ok_q.recentProgress:
+        m = (p.get("observedMetrics") or {}).get("corpus_gate")
+        if m:
+            for k in totals:
+                totals[k] += m[k]
+    ok_rows = spark.read.parquet(f"{outdir}/ok").count()
+
+    per_min = totals["n_total"] / elapsed * 60.0
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_ingest_records_per_min",
+                "value": round(per_min),
+                "unit": "records/min",
+                "records": totals["n_total"],
+                "gate_ok": totals["n_ok"],
+                "gate_ko": totals["n_ko"],
+                "ok_rows_after_dedup": ok_rows,
+                "elapsed_sec": round(elapsed, 2),
+                "baseline_records_per_min": 200_000,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
