@@ -171,7 +171,12 @@ def kmeans_fit(
         ).collect()
         # driver combine: ≤ partitions × k rows, sorted for determinism
         n_by, sum_by, sim_total, n_total = {}, {}, 0.0, 0
-        for r in sorted(partials, key=lambda r: r.cid):
+        # Total sort key: cid alone leaves same-cid partials from
+        # different partitions in collect order, making the float sums
+        # (and so the fitted centroids) run-to-run nondeterministic.
+        for r in sorted(
+            partials, key=lambda r: (r.cid, r.n, tuple(r.vec_sum))
+        ):
             n_by[r.cid] = n_by.get(r.cid, 0) + r.n
             prev = sum_by.get(r.cid, [0.0] * dim)
             sum_by[r.cid] = [a + b for a, b in zip(prev, r.vec_sum)]

@@ -114,7 +114,10 @@ def pca_fit(
     if n < 2:
         raise ValueError("need at least 2 rows")
     # Sort partials for a deterministic summation order.
-    parts = sorted(partials, key=lambda r: (r.n, r.dim_sum[0]))
+    # Full-vector key: (n, dim_sum[0]) can collide across partitions,
+    # leaving the summation order — and the fitted components —
+    # run-to-run nondeterministic.
+    parts = sorted(partials, key=lambda r: (r.n, tuple(r.dim_sum)))
     s = np.zeros(dim)
     g = np.zeros((dim, dim))
     for r in parts:

@@ -107,3 +107,51 @@ def test_delete_keys_handles_paths_with_spaces(spark, tmp_path):
     import os as _os
     siblings = set(_os.listdir(str(tmp_path)))
     assert not any("%20" in s for s in siblings)
+
+
+def test_compact_crash_window_never_loses_data(spark, tmp_path, monkeypatch):
+    """A crash between moving new files in and removing old ones must
+    leave a readable SUPERSET (transient duplicates), never an empty or
+    partial table — the rename-in-first ordering (advisor round-4)."""
+    import scio_db_spark.sinks.maintenance as m
+
+    path = str(tmp_path / "c")
+    _write_small_files(spark, path, n_files=4, rows_per=25)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    real_remove = os.remove
+    calls = {"n": 0}
+
+    def exploding_remove(p):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die mid-way through the delete loop
+            raise OSError("simulated crash during old-file removal")
+        real_remove(p)
+
+    monkeypatch.setattr(m.os, "remove", exploding_remove)
+    try:
+        compact(spark, path, target_bytes=10**9)
+    except OSError:
+        pass
+    monkeypatch.undo()
+
+    # Every original row is still present (possibly duplicated across
+    # the surviving old file + the compacted file).
+    surviving = sorted(
+        {r.id for r in spark.read.parquet(path).collect()}
+    )
+    assert surviving == before
+
+
+def test_delete_keys_accepts_keys_derived_from_target(spark, tmp_path):
+    """The doomed-key frame may be a lazy plan over the TARGET table
+    itself (the dedup-reduce pattern); delete_keys must pin it before
+    rewriting the files it reads from."""
+    path = str(tmp_path / "self")
+    _write_small_files(spark, path, n_files=4, rows_per=25)
+    df = spark.read.parquet(path)
+    doomed = df.filter(F.col("id") % 10 == 3).select("id")  # lazy, reads path
+    stats = delete_keys(spark, path, "id", doomed)
+    assert stats["rows_deleted"] == 10
+    remaining = {r.id for r in spark.read.parquet(path).collect()}
+    assert all(i % 10 != 3 for i in remaining) and len(remaining) == 90
