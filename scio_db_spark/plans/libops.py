@@ -571,3 +571,43 @@ def dedup_reduce_census(spark: SparkSession, sf: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ----------------------------------------------------------------- redaction
+def _redaction_oracle() -> str:
+    from scio_db_spark.operators.redact import DEFAULT_RULES, rules_sql
+
+    twins = rules_sql("props")
+    hit_sums = ",\n        ".join(
+        f"CAST(sum({twins[f'hits_{n}']}) AS BIGINT) AS hits_{n}"
+        for n, _, _ in DEFAULT_RULES
+    )
+    return f"""
+    SELECT event_type, count(*) AS n_rows,
+        {hit_sums},
+        CAST(sum(CASE WHEN props IS NOT NULL
+                       AND props <> {twins["redacted"]}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        CAST(sum(coalesce(length(props), 0))
+             - sum(coalesce(length({twins["redacted"]}), 0)) AS BIGINT)
+            AS chars_delta
+    FROM events GROUP BY event_type
+    """
+
+
+@register(
+    "events_pii_redaction_census",
+    oracle=_redaction_oracle(),
+    doc="PII-redaction census via operators/redact.py: ordered "
+    "regexp_replace chain (email, ipv4, phone, digit-run) over the "
+    "event props payload, per-type hit counts + exact char-volume "
+    "delta. Regexes stick to the Java/RE2 shared subset so the oracle "
+    "twin is the same pattern text; per-rule behavior on real PII "
+    "shapes is pinned in tests/test_redact.py.",
+)
+def pii_redaction_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.redact import redaction_census
+
+    return redaction_census(
+        table(spark, sf, "events"), "props", by="event_type"
+    )
