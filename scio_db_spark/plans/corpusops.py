@@ -290,3 +290,83 @@ def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     return per_doc.withColumn(
         "oov_permille", F.expr("n_oov * 1000 DIV n_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "docs_bigram_cond_surprisal",
+    oracle=f"""
+    WITH bg AS (
+        SELECT doc_id, unnest({_BIGRAMS_SQL}) AS bigram FROM documents
+    ),
+    b AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy
+        FROM bg GROUP BY bigram
+    ),
+    b2 AS (
+        SELECT bigram, c_xy, split_part(bigram, ' ', 1) AS w1 FROM b
+    ),
+    p AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM b2 GROUP BY w1),
+    j AS (SELECT b2.bigram, b2.c_xy, p.c_x FROM b2 JOIN p USING (w1)),
+    per_doc AS (
+        SELECT bg.doc_id, count(*) AS n_bigrams,
+            CAST(sum({_BITLEN_SQL % "j.c_x"}
+                     - {_BITLEN_SQL % "j.c_xy"}) AS BIGINT)
+                AS cond_surprisal_bits
+        FROM bg JOIN j ON j.bigram = bg.bigram
+        GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams, cond_surprisal_bits,
+        (cond_surprisal_bits * 1000) // n_bigrams AS mean_millibits
+    FROM per_doc
+    """,
+    doc="Bigram-LM quality gate (the conditional sibling of "
+    "docs_unigram_surprisal): per-document sum of integer-quantized "
+    "conditional surprisal bitlen(cnt(w1·)) - bitlen(cnt(w1 w2)) "
+    "against the corpus' own bigram counts, prefix marginals taken "
+    "from the bigram table itself (a consistent LM, exact integer "
+    "sums). A low-perplexity document under the corpus LM scores low "
+    "mean_millibits — the CCNet-style fluency filter with no "
+    "transcendentals, so both engines hash bit-for-bit.",
+)
+def bigram_cond_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale shape: one bigram explode pass (tokens materialized in
+    their own projection first — the per-element re-evaluation trap),
+    ONE data-sized equi-join of the bigram stream against the
+    vocabulary-bounded (bigram, c_xy, c_x) table; the prefix marginal
+    is an aggregate of the bigram COUNT table, never a second corpus
+    pass."""
+    toks_col = F.col("__toks")
+    bigrams = F.when(
+        F.size(toks_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks_col) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks_col, i + 1),
+                F.element_at(toks_col, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        _docs(spark, sf)
+        .select("doc_id", X.tokens(F.col("text")).alias("__toks"))
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    b2 = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    )
+    p = b2.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    j = b2.join(p, "w1").select("bigram", "c_xy", "c_x")
+    per_doc = bg.join(j, "bigram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(_bitlen(F.col("c_x")) - _bitlen(F.col("c_xy"))).alias(
+            "cond_surprisal_bits"
+        ),
+    )
+    return per_doc.withColumn(
+        "mean_millibits",
+        F.expr("cond_surprisal_bits * 1000 DIV n_bigrams"),
+    )

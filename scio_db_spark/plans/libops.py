@@ -611,3 +611,132 @@ def pii_redaction_census(spark: SparkSession, sf: str) -> DataFrame:
     return redaction_census(
         table(spark, sf, "events"), "props", by="event_type"
     )
+
+
+# ------------------------------------------------------------- trained IVF
+_IVF_T_QUERY_IDS = (0, 1, 2, 3, 4)
+_IVF_T_NPROBE = 2
+_IVF_T_TOPK = 5
+
+
+@register(
+    "emb_ann_ivf_trained_topk",
+    oracle=f"""
+    WITH scored AS ({_km_scored_sql()}),
+    assign AS (
+        SELECT s.vec_id, e.embedding, s.c_id AS cid,
+            {norm_sql("e.embedding", DUCK_AT)} AS e_nrm
+        FROM (
+            SELECT vec_id, c_id,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, c_id) AS rn
+            FROM scored
+        ) s JOIN embeddings e ON e.vec_id = s.vec_id
+        WHERE s.rn = 1
+    ),
+    qprobe AS (
+        SELECT s.vec_id AS q_id, e.embedding AS q_emb, s.c_id AS cid,
+            {norm_sql("e.embedding", DUCK_AT)} AS q_nrm
+        FROM (
+            SELECT vec_id, c_id,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, c_id) AS rn
+            FROM scored
+            WHERE vec_id IN {_IVF_T_QUERY_IDS}
+        ) s JOIN embeddings e ON e.vec_id = s.vec_id
+        WHERE s.rn <= {_IVF_T_NPROBE}
+    ),
+    pairs AS (
+        SELECT q.q_id, a.vec_id,
+            ({dot_sql("q.q_emb", "a.embedding", DUCK_AT)})
+                / nullif(q.q_nrm * a.e_nrm, 0.0) AS cos_sim
+        FROM qprobe q JOIN assign a
+          ON a.cid = q.cid AND a.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+        SELECT q_id, vec_id, cos_sim,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM pairs
+    ) WHERE rn <= {_IVF_T_TOPK}
+    """,
+    doc="IVF ANN with the TRAINED k=16 codebook (committed literals): "
+    "library assign() builds the inverted cells, queries probe their "
+    "nprobe=2 best trained cells, exact cosine re-rank inside probed "
+    "cells only — the deploy-time form of emb_ann_ivf_topk's "
+    "'swap seed centroids for a trained codebook' claim.",
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Both cell assignments (inverted list AND query probe) use the
+    stack→row_number argmax shape rather than operators.kmeans.assign's
+    when(sim==greatest) column: a join key built from that 16-way
+    when-chain inlines a ~k²·dim-term expression into BOTH join sides
+    and sends Catalyst's constraint propagation into a multi-minute
+    stall (observed: explain() alone hung at sf0.001). The Window is a
+    projection barrier — cid reaches the join as a plain attribute —
+    and Catalyst's WindowGroupLimit collapses the k-row expansion
+    map-side before any exchange (same plan family as
+    emb_kmeans_assign / emb_ann_ivf_topk)."""
+    from pyspark.sql import Window
+
+    from scio_db_spark.operators.kmeans import _dot_with_literal
+
+    e = table(spark, sf, "embeddings")
+    # All k sims as literal-chain columns (the exact _km_scored_sql
+    # float path), unpivoted with stack, ranked per vector.
+    sims = [
+        _dot_with_literal("embedding", c).alias(f"_s{i}")
+        for i, c in enumerate(_KM_CENTROIDS)
+    ]
+    stack_args = ", ".join(
+        f"{i}, _s{i}" for i in range(len(_KM_CENTROIDS))
+    )
+    stack_expr = F.expr(
+        f"stack({len(_KM_CENTROIDS)}, {stack_args}) AS (cid, sim)"
+    )
+
+    def cells(df: DataFrame, keep: int) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("sim"), F.asc("cid")
+        )
+        return (
+            df.select("vec_id", "embedding", "nrm", *sims)
+            .select("vec_id", "embedding", "nrm", stack_expr)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= keep)
+            .select("vec_id", "embedding", "nrm", "cid")
+        )
+
+    base = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("nrm"),
+    )
+    inv = cells(base, keep=1).withColumnRenamed("nrm", "e_nrm")
+    qprobe = cells(
+        base.filter(F.col("vec_id").isin(*_IVF_T_QUERY_IDS)),
+        keep=_IVF_T_NPROBE,
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "cid",
+    )
+    pair_cos = F.expr(
+        f"({dot_sql('q_emb', 'embedding', SPARK_AT)}) / "
+        f"nullif(q_nrm * e_nrm, 0.0)"
+    )
+    pairs = (
+        F.broadcast(qprobe)
+        .join(inv, on=["cid"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", pair_cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVF_T_TOPK)
+        .select("q_id", "vec_id", "cos_sim")
+    )
