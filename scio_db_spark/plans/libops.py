@@ -303,6 +303,53 @@ def _km_scored_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
+def _trained_cells(df: DataFrame, keep: int = 1) -> DataFrame:
+    """(vec_id, embedding, nrm, cid, sim): each vector's `keep` best
+    trained cells — the Spark twin of _km_scored_sql + rn<=keep.
+
+    Deliberately NOT operators.kmeans.assign(): its
+    when(sim==greatest) argmax column, once inlined into a join key,
+    plants a ~k²·dim-term expression on both join sides and stalls
+    Catalyst's constraint propagation for minutes (observed: explain()
+    alone hung at sf0.001 for the IVF probe, and the semantic-dedup
+    self-join paid ~16 s of optimizer time at sf0.01). The
+    stack→row_number shape keeps each sim a single dim-term chain, the
+    Window is a projection barrier so cid reaches any downstream join
+    as a plain attribute, and Catalyst's WindowGroupLimit collapses
+    the k-row expansion map-side before any exchange (same plan family
+    as emb_kmeans_assign / emb_ann_ivf_topk). assign() remains the
+    right form for NON-join consumers (one column, no k-row expand)
+    and is exercised by test_kmeans_pca.
+    """
+    from pyspark.sql import Window
+
+    from scio_db_spark.operators.kmeans import _dot_with_literal
+
+    sims = [
+        _dot_with_literal("embedding", c).alias(f"_s{i}")
+        for i, c in enumerate(_KM_CENTROIDS)
+    ]
+    stack_args = ", ".join(f"{i}, _s{i}" for i in range(len(_KM_CENTROIDS)))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        df.select(
+            "vec_id",
+            "embedding",
+            F.expr(norm_sql("embedding", SPARK_AT)).alias("nrm"),
+            *sims,
+        )
+        .select(
+            "vec_id", "embedding", "nrm",
+            F.expr(
+                f"stack({len(_KM_CENTROIDS)}, {stack_args}) AS (cid, sim)"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= keep)
+        .select("vec_id", "embedding", "nrm", "cid", "sim")
+    )
+
+
 @register(
     "emb_kmeans_trained_census",
     oracle=f"""
@@ -321,25 +368,15 @@ def _km_scored_sql() -> str:
     """,
     doc="Assignment census under the TRAINED k=16 Lloyd model "
     "(operators/kmeans.py fit, centroids committed in "
-    "resources/vector_models.json): operators/kmeans.assign() is the "
-    "plan under test — pure dot-with-literal columns, map-side argmax.",
+    "resources/vector_models.json): the stack→row_number argmax over "
+    "dot-with-literal sims — WindowGroupLimit collapses the k-row "
+    "expansion map-side, and the winning sim comes out of the same "
+    "expression the assignment ranked on (no recompute).",
 )
 def kmeans_trained_census(spark: SparkSession, sf: str) -> DataFrame:
-    from scio_db_spark.operators.kmeans import _dot_with_literal, assign
-
     e = table(spark, sf, "embeddings")
-    assigned = assign(e, "embedding", _km_model(), out_col="cid")
-    # Recompute the winning sim for the census min/max: same
-    # _dot_with_literal expression the assignment used, selected by the
-    # assigned cid (a CASE over k literals — no join, stays map-side).
-    sim = F.lit(None).cast("double")
-    for i in reversed(range(len(_KM_CENTROIDS))):
-        sim = F.when(
-            F.col("cid") == i,
-            _dot_with_literal("embedding", _KM_CENTROIDS[i]),
-        ).otherwise(sim)
     return (
-        assigned.withColumn("sim", sim)
+        _trained_cells(e, keep=1)
         .groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("n_assigned"),
@@ -384,14 +421,9 @@ _SEMDEDUP_TRAINED_TAU = 0.18
     "exact operator composition that claim needs (round-4 verdict #3).",
 )
 def semantic_dedup_trained(spark: SparkSession, sf: str) -> DataFrame:
-    from scio_db_spark.operators.kmeans import assign
-
     e = table(spark, sf, "embeddings")
-    assigned = assign(e, "embedding", _km_model(), out_col="c_id").select(
-        "vec_id",
-        "embedding",
-        F.expr(norm_sql("embedding", SPARK_AT)).alias("nrm"),
-        "c_id",
+    assigned = _trained_cells(e, keep=1).select(
+        "vec_id", "embedding", "nrm", F.col("cid").alias("c_id")
     )
     a = assigned.select(
         F.col("vec_id").alias("vec_a"),
@@ -667,54 +699,20 @@ _IVF_T_TOPK = 5
     "'swap seed centroids for a trained codebook' claim.",
 )
 def ann_ivf_trained_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Both cell assignments (inverted list AND query probe) use the
-    stack→row_number argmax shape rather than operators.kmeans.assign's
-    when(sim==greatest) column: a join key built from that 16-way
-    when-chain inlines a ~k²·dim-term expression into BOTH join sides
-    and sends Catalyst's constraint propagation into a multi-minute
-    stall (observed: explain() alone hung at sf0.001). The Window is a
-    projection barrier — cid reaches the join as a plain attribute —
-    and Catalyst's WindowGroupLimit collapses the k-row expansion
-    map-side before any exchange (same plan family as
-    emb_kmeans_assign / emb_ann_ivf_topk)."""
+    """Inverted list and query probe both come from _trained_cells
+    (stack→row_number argmax; see its docstring for why not
+    assign())."""
     from pyspark.sql import Window
 
-    from scio_db_spark.operators.kmeans import _dot_with_literal
-
     e = table(spark, sf, "embeddings")
-    # All k sims as literal-chain columns (the exact _km_scored_sql
-    # float path), unpivoted with stack, ranked per vector.
-    sims = [
-        _dot_with_literal("embedding", c).alias(f"_s{i}")
-        for i, c in enumerate(_KM_CENTROIDS)
-    ]
-    stack_args = ", ".join(
-        f"{i}, _s{i}" for i in range(len(_KM_CENTROIDS))
-    )
-    stack_expr = F.expr(
-        f"stack({len(_KM_CENTROIDS)}, {stack_args}) AS (cid, sim)"
-    )
-
-    def cells(df: DataFrame, keep: int) -> DataFrame:
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("sim"), F.asc("cid")
-        )
-        return (
-            df.select("vec_id", "embedding", "nrm", *sims)
-            .select("vec_id", "embedding", "nrm", stack_expr)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= keep)
-            .select("vec_id", "embedding", "nrm", "cid")
-        )
-
-    base = e.select(
+    inv = _trained_cells(e, keep=1).select(
         "vec_id",
         "embedding",
-        F.expr(norm_sql("embedding", SPARK_AT)).alias("nrm"),
+        F.col("nrm").alias("e_nrm"),
+        "cid",
     )
-    inv = cells(base, keep=1).withColumnRenamed("nrm", "e_nrm")
-    qprobe = cells(
-        base.filter(F.col("vec_id").isin(*_IVF_T_QUERY_IDS)),
+    qprobe = _trained_cells(
+        e.filter(F.col("vec_id").isin(*_IVF_T_QUERY_IDS)),
         keep=_IVF_T_NPROBE,
     ).select(
         F.col("vec_id").alias("q_id"),
