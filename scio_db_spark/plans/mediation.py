@@ -880,3 +880,173 @@ def funnel_view_purchase(spark: SparkSession, sf: str) -> DataFrame:
         .alias("first_conversion"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+
+
+# --------------------------------------------------------------------------
+_MAD_K = 4.4478  # 3 * 1.4826 (consistency constant), one shared literal
+
+
+@register(
+    "events_value_mad_outliers",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    d AS (
+        SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+        FROM events e JOIN m USING (event_type)
+    ),
+    a AS (
+        SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, count(*) AS n,
+        any_value(d.med) AS med, any_value(a.mad) AS mad,
+        CAST(sum(CASE WHEN d.dev > {_MAD_K} * a.mad THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+    FROM d JOIN a USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="Robust outlier census per event type: median / MAD (median "
+    "absolute deviation), outliers = |v − med| > 3·1.4826·MAD — the "
+    "robust z-score every monitoring pipeline wants where mean/stddev "
+    "are ruined by the very outliers being hunted. Exact medians are "
+    "inherently multi-pass (MAD needs med first); the per-type "
+    "broadcast of the tiny med/mad frames keeps every pass a map-side "
+    "join + keyed agg. SCALE NOTE: 3 fact scans for exactness; at "
+    "100 TB swap percentile→approx_percentile (fixed-size mergeable "
+    "sketch, one pass per level) and accept the documented bound.",
+)
+def value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events(spark, sf).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("dev") > F.lit(_MAD_K) * F.col("mad"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_conversion_latency",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    j AS (
+        SELECT v.user_id, v.v_ts, min(p.ts) AS p_ts
+        FROM v LEFT JOIN events p
+          ON p.user_id = v.user_id AND p.event_type = 'purchase'
+         AND p.ts >= v.v_ts
+        GROUP BY v.user_id, v.v_ts
+    ),
+    l AS (SELECT epoch_us(p_ts) - epoch_us(v_ts) AS lat_us FROM j)
+    SELECT count(*) AS n_viewers,
+        count(lat_us) AS n_converted,
+        count(lat_us) * 1000 // count(*) AS conv_permille,
+        quantile_cont(lat_us, 0.5) AS med_latency_us,
+        quantile_cont(lat_us, 0.9) AS p90_latency_us
+    FROM l
+    """,
+    doc="View→purchase conversion latency: each viewer's FIRST view, "
+    "their first purchase at/after it, exact median and p90 of the "
+    "latency distribution plus a conversion-rate census — the "
+    "time-to-convert companion of events_funnel_view_purchase. The "
+    "purchase probe is an equi-join on user_id against the "
+    "user-level (already reduced) first-view frame with the ts bound "
+    "as a residual predicate; the final exact percentiles run over "
+    "ONE row per user, not per event. Exact integer microsecond "
+    "latencies interpolate identically in both engines.",
+)
+def conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events(spark, sf)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    j = (
+        v.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("v_ts")),
+            "left",
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("p_ts").alias("p_ts"))
+        .select(
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lat_us")
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.count("lat_us").alias("n_converted"),
+        F.expr("count(lat_us) * 1000 DIV count(*)").alias("conv_permille"),
+        F.expr("percentile(lat_us, 0.5)").alias("med_latency_us"),
+        F.expr("percentile(lat_us, 0.9)").alias("p90_latency_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_weekly_cohort_matrix",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+            CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    coh AS (SELECT user_id, min(wk) AS cwk FROM act GROUP BY user_id)
+    SELECT CAST(cwk AS VARCHAR) AS cohort_week,
+        date_diff('day', cwk, wk) // 7 AS week_offset,
+        count(*) AS n_active
+    FROM act JOIN coh USING (user_id)
+    GROUP BY cwk, week_offset
+    """,
+    doc="Weekly cohort retention matrix (the full product-analytics "
+    "shape behind events_daily_retention): users bucketed by their "
+    "first active ISO week, activity counted per (cohort, weeks-since) "
+    "cell. The activity set is distinct-reduced to (user, week) BEFORE "
+    "any join — bounded by users × weeks, not event volume — and the "
+    "cohort frame is a further reduction of it, so the join and both "
+    "aggregates run on reduced frames sharing the user_id "
+    "partitioning.",
+)
+def weekly_cohort_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events(spark, sf)
+    act = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+    ).distinct()
+    coh = act.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    return (
+        act.join(coh, "user_id")
+        .groupBy(
+            F.date_format("cwk", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("datediff(wk, cwk) DIV 7").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -755,3 +755,45 @@ def decile_customer_revenue(spark: SparkSession, sf: str) -> DataFrame:
             _d2d(F.sum("revenue")).alias("decile_revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+_BASKET_TOPK = 100
+
+
+@register(
+    "basket_part_pairs_topk",
+    oracle=f"""
+    SELECT p1, p2, n FROM (
+        SELECT l1.l_partkey AS p1, l2.l_partkey AS p2,
+            count(*) AS n
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey
+        GROUP BY p1, p2
+    )
+    ORDER BY n DESC, p1, p2 LIMIT {_BASKET_TOPK}
+    """,
+    doc="Market-basket pairwise co-occurrence: top co-ordered part "
+    "pairs. The pair stage is an equi-join of lineitem with itself on "
+    "the ORDER key — per-order pair expansion is C(lines,2), bounded "
+    "by the per-order line cap (a data invariant, ~7 for TPC-H-shaped "
+    "data), so the blow-up factor is a constant, never quadratic in "
+    "table size. Both join sides share one shuffle partitioning on "
+    "l_orderkey (AQE reuses the exchange); the pair aggregate is a "
+    "keyed agg with map-side partials; top-k is TakeOrderedAndProject "
+    "(per-partition heaps, no global sort). Deterministic tiebreak "
+    "(n DESC, p1, p2) pins the LIMIT boundary cross-engine.",
+)
+def basket_part_pairs_topk(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    l1 = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    l2 = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    return (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("p1"), F.asc("p2"))
+        .limit(_BASKET_TOPK)
+    )

@@ -61,6 +61,11 @@ WHITELIST: set[tuple[str, str]] = {
     # Window-min over the ~5-row per-language counts frame (the BNLJ
     # this replaced was the round-2 fix); only the tiny frame crosses.
     ("docs_lang_rebalance", "SinglePartition"),
+    # Global exact-percentile aggregate over the USER-level latency
+    # frame (one row per viewer, already reduced before the exchange);
+    # the single-row result is the query's contract. Scale path:
+    # approx_percentile (mergeable sketch, map-side partials).
+    ("events_conversion_latency", "SinglePartition"),
     # Range-partitioned rank: the SinglePartition window computes
     # prefix offsets over ONE row per partition (32 rows), never data.
     ("global_rank_customers", "SinglePartition"),
