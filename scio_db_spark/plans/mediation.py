@@ -1050,3 +1050,259 @@ def weekly_cohort_matrix(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_activity_streaks",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+        SELECT user_id, day,
+            day - CAST(row_number() OVER (
+                PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+        FROM act
+    ),
+    streak AS (
+        SELECT user_id, count(*) AS len
+        FROM isl GROUP BY user_id, anchor
+    )
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        max(len) AS longest_streak, count(*) AS n_streaks
+    FROM streak GROUP BY user_id
+    """,
+    doc="Gaps-and-islands consecutive-day activity streaks per user "
+    "(longest streak, streak count) — the classic retention metric. "
+    "Activity is distinct-reduced to (user, day) BEFORE the window, "
+    "so the row_number island trick and both aggregates run on a "
+    "frame bounded by users × days, all sharing the user_id "
+    "partitioning (one shuffle end-to-end after the distinct).",
+)
+def activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    act = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = act.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    streak = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streak.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_funnel_steps",
+    oracle="""
+    WITH u1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    u2 AS (
+        SELECT u1.user_id, u1.t1, min(c.ts) AS t2
+        FROM u1 LEFT JOIN events c
+          ON c.user_id = u1.user_id AND c.event_type = 'click'
+         AND c.ts >= u1.t1
+        GROUP BY u1.user_id, u1.t1
+    ),
+    u3 AS (
+        SELECT u2.user_id, u2.t1, u2.t2, min(p.ts) AS t3
+        FROM u2 LEFT JOIN events p
+          ON p.user_id = u2.user_id AND p.event_type = 'purchase'
+         AND p.ts >= u2.t2
+        GROUP BY u2.user_id, u2.t1, u2.t2
+    )
+    SELECT count(t1) AS n_view, count(t2) AS n_view_click,
+        count(t3) AS n_full_funnel,
+        count(t3) * 1000 // count(t1) AS full_permille
+    FROM u3
+    """,
+    doc="Strictly-ordered three-step funnel (first view → first click "
+    "at/after it → first purchase at/after that) with per-step user "
+    "counts — the step-wise drop-off census behind "
+    "events_funnel_view_purchase. Each probe is an equi-join on "
+    "user_id against the already user-reduced previous step (the ts "
+    "bound is a residual predicate); the final count aggregate sends "
+    "only map-side partial counts through the global exchange.",
+)
+def funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events(spark, sf)
+
+    def first_at_or_after(
+        base: DataFrame, etype: str, lower: str, out: str
+    ) -> DataFrame:
+        probe = ev.filter(F.col("event_type") == etype).select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+        keys = [c for c in base.columns]
+        return (
+            base.join(
+                probe,
+                (F.col("p_user") == F.col("user_id"))
+                & (F.col("p_ts") >= F.col(lower)),
+                "left",
+            )
+            .groupBy(*keys)
+            .agg(F.min("p_ts").alias(out))
+        )
+
+    u1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    u2 = first_at_or_after(u1, "click", "t1", "t2")
+    u3 = first_at_or_after(u2, "purchase", "t2", "t3")
+    return u3.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full_funnel"),
+        F.expr("count(t3) * 1000 DIV count(t1)").alias("full_permille"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_time_weighted_value",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+            CAST(value AS DECIMAL(18,2)) AS v,
+            epoch_us(lead(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id))
+            - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT user_id, count(*) AS n_intervals,
+        CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+        CAST(CAST(sum(v * CAST(dur_us AS DECIMAL(20,0))) AS VARCHAR)
+             AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE) AS twa_value
+    FROM iv WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average value per user (each reading holds "
+    "until the next one — the IoT/billing integral, where a plain "
+    "mean is wrong whenever sampling is irregular). One lead() window "
+    "per user stream, exact decimal Σ(value·duration) so the sum "
+    "order can't wiggle the hash, one double division at the edge.",
+)
+def time_weighted_value(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    wv = F.col("v") * F.col("dur_us").cast("decimal(20,0)")
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_us").alias("total_dur_us"),
+        (
+            F.sum(wv).cast("string").cast("double")
+            / F.sum("dur_us").cast("double")
+        ).alias("twa_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+_PATHS_TOPK = 20
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+            CAST(sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM (
+            SELECT user_id, ts, event_id, event_type,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                     > 3600000000 OR lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS new_session
+            FROM events
+        )
+    ),
+    tri AS (
+        SELECT event_type || '>' || lead(event_type, 1) OVER w
+            || '>' || lead(event_type, 2) OVER w AS path,
+            CASE WHEN lead(session_id, 2) OVER w = session_id
+                 THEN 1 ELSE 0 END AS same_session
+        FROM s
+        WINDOW w AS (PARTITION BY user_id, session_id
+                     ORDER BY ts, event_id)
+    )
+    SELECT path, count(*) AS n FROM tri
+    WHERE same_session = 1 AND path IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path LIMIT {_PATHS_TOPK}
+    """,
+    doc="Top event-type 3-step paths within user sessions (1 h gap, "
+    "same gaps-and-islands boundary events_session_windows pins): "
+    "the 'what do users do next' product-analytics staple. Both "
+    "windows share one shuffle on user_id; path trigrams are built "
+    "by lead() inside the session partition (no self-join, no "
+    "explode); top-k is TakeOrderedAndProject with a deterministic "
+    "(n DESC, path) boundary.",
+)
+def top_paths(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(wu)
+    )
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(gap_us > 3600000000, 1)
+            .when(F.lag("ts").over(wu).isNull(), 1)
+            .otherwise(0)
+        )
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    tri = s.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(ws),
+            F.lead("event_type", 2).over(ws),
+        ).alias("path"),
+        F.lead("event_type", 2).over(ws).isNotNull().alias("complete"),
+    )
+    return (
+        tri.filter(F.col("complete"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(_PATHS_TOPK)
+    )

@@ -797,3 +797,111 @@ def basket_part_pairs_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("p1"), F.asc("p2"))
         .limit(_BASKET_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "pareto_customers_80",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+        FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+        SELECT r,
+            sum(r) OVER (ORDER BY r DESC, o_custkey
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+            sum(r) OVER () AS total
+        FROM rev
+    )
+    SELECT count(*) AS n_customers,
+        CAST(sum(CASE WHEN (cum - r) * 5 < total * 4 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_to_80,
+        CAST(sum(CASE WHEN (cum - r) * 5 < total * 4 THEN 1 ELSE 0 END)
+             * 1000 // count(*) AS BIGINT) AS share_permille
+    FROM c
+    """,
+    doc="Pareto concentration census: how many top customers carry 80% "
+    "of revenue. The running share is a window over the per-customer "
+    "REVENUE AGGREGATE (bounded by |customers|, not order volume); "
+    "the 80% boundary is decided in exact decimal arithmetic "
+    "((cum_before)·5 < total·4 — no 0.8 float anywhere), so the "
+    "boundary row can't flip on a rounding ulp in either engine.",
+)
+def pareto_customers_80(spark: SparkSession, sf: str) -> DataFrame:
+    rev = table(spark, sf, "orders").groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("r")
+    )
+    w = Window.orderBy(F.desc("r"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    c = rev.select(
+        "r",
+        F.sum("r").over(w).alias("cum"),
+        F.sum("r").over(wt).alias("total"),
+    )
+    before_thr = (F.col("cum") - F.col("r")) * 5 < F.col("total") * 4
+    return c.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(before_thr, 1).otherwise(0)).alias("n_to_80"),
+        F.expr(
+            "CAST(sum(CASE WHEN (cum - r) * 5 < total * 4 "
+            "THEN 1 ELSE 0 END) * 1000 DIV count(*) AS BIGINT)"
+        ).alias("share_permille"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey, max(o_orderdate) AS r, count(*) AS f,
+            sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT
+            ntile(5) OVER (ORDER BY r DESC, o_custkey) AS r_score,
+            ntile(5) OVER (ORDER BY f DESC, o_custkey) AS f_score,
+            ntile(5) OVER (ORDER BY m DESC, o_custkey) AS m_score,
+            m
+        FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+        count(*) AS n_customers,
+        CAST(CAST(sum(m) AS VARCHAR) AS DOUBLE) AS segment_revenue
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+    doc="RFM segmentation census (recency / frequency / monetary "
+    "quintiles, score 1 = best): the standard customer-base "
+    "segmentation. All three ntile windows rank the per-customer "
+    "AGGREGATE frame (bounded by |customers|), with deterministic "
+    "(metric, custkey) tiebreaks so quintile boundaries match "
+    "cross-engine; exact decimal revenue converts to double only at "
+    "the edge.",
+)
+def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    rfm = table(spark, sf, "orders").groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("r"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(_dec("o_totalprice")).alias("m"),
+    )
+    scored = rfm.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("r"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("f"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("m"), F.asc("o_custkey")))
+        .alias("m_score"),
+        "m",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _d2d(F.sum("m")).alias("segment_revenue"),
+    )

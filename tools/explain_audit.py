@@ -66,6 +66,17 @@ WHITELIST: set[tuple[str, str]] = {
     # the single-row result is the query's contract. Scale path:
     # approx_percentile (mergeable sketch, map-side partials).
     ("events_conversion_latency", "SinglePartition"),
+    # Final scalar funnel census: only map-side partial COUNTS cross
+    # the global exchange (the user-level probes are all equi-joins
+    # upstream of it).
+    ("events_funnel_steps", "SinglePartition"),
+    # Running-share window + scalar census over the per-customer
+    # REVENUE AGGREGATE frame (bounded by |customers|, not orders) —
+    # same hand-audited pattern as decile_customer_revenue.
+    ("pareto_customers_80", "SinglePartition"),
+    # Three ntile windows over the per-customer RFM aggregate frame
+    # (bounded by |customers|); the fact table never crosses.
+    ("rfm_segments", "SinglePartition"),
     # Range-partitioned rank: the SinglePartition window computes
     # prefix offsets over ONE row per partition (32 rows), never data.
     ("global_rank_customers", "SinglePartition"),
