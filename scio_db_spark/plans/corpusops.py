@@ -370,3 +370,96 @@ def bigram_cond_surprisal(spark: SparkSession, sf: str) -> DataFrame:
         "mean_millibits",
         F.expr("cond_surprisal_bits * 1000 DIV n_bigrams"),
     )
+
+
+# --------------------------------------------------------------------------
+_ZIPF_TOPN = 1000
+
+
+@register(
+    "docs_zipf_fit",
+    oracle=f"""
+    WITH c AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
+        GROUP BY word
+    ),
+    t AS (
+        SELECT cnt, rnk FROM (
+            SELECT cnt,
+                row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+            FROM c
+        ) WHERE rnk <= {_ZIPF_TOPN}
+    ),
+    q AS (
+        SELECT CAST(floor(ln(rnk) * 1000000) AS BIGINT) AS x,
+            CAST(floor(ln(cnt) * 1000000) AS BIGINT) AS y
+        FROM t
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+            CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+            CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+            CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+            CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+        FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+        CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS slope
+    FROM s
+    """,
+    doc="Zipf power-law fit over the token rank-frequency curve: "
+    "least-squares slope of ln(count) vs ln(rank) for the top-1000 "
+    "tokens (healthy natural-language corpora sit near −1; synthetic "
+    "or templated text drifts off — a cheap corpus-health "
+    "diagnostic). Float policy: each ln is quantized to integer "
+    "micro-units (floor·1e6) BEFORE any sum, so all sums are exact "
+    "integers in DECIMAL(38,0) — immune to double-sum ordering — and "
+    "the only float op is one final division of two exact decimals "
+    "(string round-trip). Term-level 1-ulp ln drift can flip a floor "
+    "only within ~1e-12 of a boundary (the BM25 policy, verified "
+    "empirically at both gate SFs). Top-N selection is "
+    "TakeOrderedAndProject (per-partition heaps); the row_number and "
+    "scalar fit run over the 1000-row frame only.",
+)
+def zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _exploded(spark, sf).groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = c.orderBy(F.desc("cnt"), F.asc("word")).limit(_ZIPF_TOPN)
+    ranked = t.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
+        .alias("rnk"),
+    )
+    q = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1000000)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1000000)
+        .cast("long")
+        .alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = q.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast(dec).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast(dec).alias("sxx"),
+    )
+
+    def _d2d(col: Column) -> Column:
+        return col.cast("string").cast("double")
+
+    return s.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        (
+            _d2d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / _d2d(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("slope"),
+    )

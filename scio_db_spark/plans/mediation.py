@@ -1228,6 +1228,7 @@ _PATHS_TOPK = 20
 
 @register(
     "events_top_paths",
+    headline=True,  # round-5 stacked-window representative in the bench set
     oracle=f"""
     WITH s AS (
         SELECT user_id, ts, event_id, event_type,

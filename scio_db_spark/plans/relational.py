@@ -763,6 +763,7 @@ _BASKET_TOPK = 100
 
 @register(
     "basket_part_pairs_topk",
+    headline=True,  # round-5 fact-self-join representative in the bench set
     oracle=f"""
     SELECT p1, p2, n FROM (
         SELECT l1.l_partkey AS p1, l2.l_partkey AS p2,
