@@ -174,8 +174,11 @@ def kmeans_fit(
         # Total sort key: cid alone leaves same-cid partials from
         # different partitions in collect order, making the float sums
         # (and so the fitted centroids) run-to-run nondeterministic.
+        # sim_sum is part of the key because it is float-summed too —
+        # partials tying on (cid, n, vec_sum) may still differ there.
         for r in sorted(
-            partials, key=lambda r: (r.cid, r.n, tuple(r.vec_sum))
+            partials,
+            key=lambda r: (r.cid, r.n, tuple(r.vec_sum), r.sim_sum),
         ):
             n_by[r.cid] = n_by.get(r.cid, 0) + r.n
             prev = sum_by.get(r.cid, [0.0] * dim)
@@ -210,7 +213,13 @@ def assign(
 ) -> DataFrame:
     """Assignment column from a fitted model — pure Column expression
     (no Python), so it composes into any downstream plan (SemDeDup
-    pair join, IVF probe) inside whole-stage codegen."""
+    pair join, IVF probe) inside whole-stage codegen.
+
+    A zero-norm vector scores NULL against every centroid (see
+    _dot_with_literal) and gets a NULL assignment here; the
+    window-argmax form (plans/libops._trained_cells) instead falls
+    through to the smallest cid — callers that must agree with that
+    form should filter zero vectors first."""
     if len(model.centroids) == 1:
         # degenerate single-cluster model: everything is cluster 0
         # (F.greatest requires >= 2 columns)
@@ -250,4 +259,8 @@ def _dot_with_literal(vec_col: str, centroid: list[float]) -> Column:
         f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
         f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     )
-    return F.expr(f"({terms}) / {norm}")
+    # nullif: Spark x/0.0 yields NULL under ANSI while DuckDB yields
+    # ±Inf/NaN — a zero-norm vector must score NULL on BOTH engines or
+    # the argmax cells diverge cross-engine (the codebase-wide cosine
+    # contract, functions/vectors.cosine_sql).
+    return F.expr(f"({terms}) / nullif({norm}, CAST(0.0 AS DOUBLE))")

@@ -113,11 +113,14 @@ def pca_fit(
     n = sum(r.n for r in partials)
     if n < 2:
         raise ValueError("need at least 2 rows")
-    # Sort partials for a deterministic summation order.
-    # Full-vector key: (n, dim_sum[0]) can collide across partitions,
-    # leaving the summation order — and the fitted components —
-    # run-to-run nondeterministic.
-    parts = sorted(partials, key=lambda r: (r.n, tuple(r.dim_sum)))
+    # Sort partials for a deterministic summation order. The key must
+    # cover EVERY float-summed payload: partitions that tie on
+    # (n, dim_sum) can still carry different gram matrices, and any
+    # field outside the key would sum in collect order — run-to-run
+    # nondeterministic fitted components.
+    parts = sorted(
+        partials, key=lambda r: (r.n, tuple(r.dim_sum), tuple(r.gram))
+    )
     s = np.zeros(dim)
     g = np.zeros((dim, dim))
     for r in parts:

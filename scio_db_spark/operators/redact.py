@@ -43,11 +43,17 @@ def redact(col: Column, rules=DEFAULT_RULES) -> Column:
 
 
 def rule_hits(col: Column, pattern: str) -> Column:
-    """Match count for one rule on the ORIGINAL text (0 for NULL)."""
-    return F.coalesce(
-        F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))),
-        F.lit(0),
-    ).cast("long")
+    """Match count for one rule on the ORIGINAL text (0 for NULL).
+
+    The NULL guard is an explicit when(), not coalesce(size(...)):
+    with spark.sql.ansi.enabled=false, size(NULL) returns -1 (not
+    NULL), so the coalesce never fires and every NULL row would
+    contribute -1 to the census sum while the DuckDB twin counts 0."""
+    return (
+        F.when(col.isNull(), F.lit(0))
+        .otherwise(F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))))
+        .cast("long")
+    )
 
 
 def redaction_census(

@@ -14,9 +14,9 @@ Shapes at scale:
   per doc is a window that Catalyst rewrites to a grouped top-k.
 - BM25: the query-term filter lands FIRST on the exploded stream, so
   everything downstream is bounded by |docs containing a query term|,
-  not corpus size. Corpus scalars (N, avgdl) are one driver-side
-  aggregate of the per-doc length frame — k floats on the driver,
-  the kmeans/PCA convention.
+  not corpus size. Corpus scalars (N, avgdl) are a lazy ONE-ROW frame
+  cross-joined in (broadcast), so the whole score is a single job
+  with no plan-build-time action.
 
 These are library operators (floats are ordinary doubles — no DuckDB
 oracle constrains them); correctness is pinned against pure-Python
@@ -95,25 +95,33 @@ def bm25_scores(
     lengths = docs.select(
         F.col(id_col), X.token_count(F.col(text_col)).alias("dl")
     )
+    # Corpus scalars (N, avgdl) stay a LAZY one-row frame cross-joined
+    # in (broadcast, constant per row): a .first() here would run a
+    # corpus scan at plan-BUILD time — a hidden driver-side action
+    # every caller pays (and one the plan-hygiene audit, which only
+    # builds plans, would execute blindly).
     stats = lengths.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
-    n_docs, avgdl = stats.n, stats.avgdl
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
     # query-term filter FIRST: everything after is bounded by matches
     hits = e.filter(F.col("word").isin(*terms))
     tf = hits.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_.withColumn(
-        "idf",
-        F.log(
-            F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("df") + 0.5)
-            / (F.col("df") + 0.5)
-        ),
+    idf = (
+        df_.crossJoin(F.broadcast(stats.select("n")))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
     )
     per_term = (
         tf.join(F.broadcast(idf.select("word", "idf")), "word")
         .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats.select("avgdl")))
         .withColumn(
             "contrib",
             F.col("idf")
@@ -122,7 +130,7 @@ def bm25_scores(
             / (
                 F.col("tf")
                 + k1
-                * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+                * (1 - b + b * F.col("dl") / F.col("avgdl"))
             ),
         )
     )

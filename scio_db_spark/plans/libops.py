@@ -296,7 +296,8 @@ def _km_scored_sql() -> str:
     are unit-norm)."""
     selects = [
         f"SELECT vec_id, {cid} AS c_id, "
-        f"{_dot_lit_sql('embedding', c)} / {norm_sql('embedding', DUCK_AT)} "
+        f"{_dot_lit_sql('embedding', c)} "
+        f"/ nullif({norm_sql('embedding', DUCK_AT)}, 0.0) "
         f"AS sim FROM embeddings"
         for cid, c in enumerate(_KM_CENTROIDS)
     ]
@@ -496,6 +497,7 @@ def _staged_table(spark: SparkSession, sf: str, name: str, parts: int) -> str:
 
 @register(
     "orders_delete_keys_census",
+    effectful=True,  # build stages a table copy + runs delete/compact
     oracle="""
     SELECT count(*) AS n_orders,
         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
@@ -568,6 +570,7 @@ def _dedup_reduce_oracle() -> str:
 
 @register(
     "docs_dedup_reduce_census",
+    effectful=True,  # build stages a table copy + runs delete/compact
     oracle=_dedup_reduce_oracle(),
     doc="Detect-to-reduction pipeline census: MinHash-LSH pair "
     "detection -> dedup_keep_canonical (operators/clusters.py: "

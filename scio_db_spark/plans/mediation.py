@@ -985,21 +985,8 @@ def conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
     )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
-    )
-    j = (
-        v.join(
-            p,
-            (F.col("p_user") == F.col("user_id"))
-            & (F.col("p_ts") >= F.col("v_ts")),
-            "left",
-        )
-        .groupBy("user_id", "v_ts")
-        .agg(F.min("p_ts").alias("p_ts"))
-        .select(
-            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lat_us")
-        )
+    j = _first_at_or_after(ev, v, "purchase", "v_ts", "p_ts").select(
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lat_us")
     )
     return j.agg(
         F.count(F.lit(1)).alias("n_viewers"),
@@ -1104,6 +1091,29 @@ def activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+def _first_at_or_after(
+    ev: DataFrame, base: DataFrame, etype: str, lower: str, out: str
+) -> DataFrame:
+    """For each row of the (already key-reduced) `base` frame, the
+    first `etype` event at/after `lower` for the same user — the probe
+    step shared by the funnel and conversion-latency censuses (one
+    equi-join on user_id; the ts bound is a residual predicate)."""
+    probe = ev.filter(F.col("event_type") == etype).select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    keys = list(base.columns)
+    return (
+        base.join(
+            probe,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col(lower)),
+            "left",
+        )
+        .groupBy(*keys)
+        .agg(F.min("p_ts").alias(out))
+    )
+
+
 @register(
     "events_funnel_steps",
     oracle="""
@@ -1140,32 +1150,13 @@ def activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
 )
 def funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
     ev = _events(spark, sf)
-
-    def first_at_or_after(
-        base: DataFrame, etype: str, lower: str, out: str
-    ) -> DataFrame:
-        probe = ev.filter(F.col("event_type") == etype).select(
-            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
-        )
-        keys = [c for c in base.columns]
-        return (
-            base.join(
-                probe,
-                (F.col("p_user") == F.col("user_id"))
-                & (F.col("p_ts") >= F.col(lower)),
-                "left",
-            )
-            .groupBy(*keys)
-            .agg(F.min("p_ts").alias(out))
-        )
-
     u1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
-    u2 = first_at_or_after(u1, "click", "t1", "t2")
-    u3 = first_at_or_after(u2, "purchase", "t2", "t3")
+    u2 = _first_at_or_after(ev, u1, "click", "t1", "t2")
+    u3 = _first_at_or_after(ev, u2, "purchase", "t2", "t3")
     return u3.agg(
         F.count("t1").alias("n_view"),
         F.count("t2").alias("n_view_click"),
@@ -1291,17 +1282,21 @@ def top_paths(spark: SparkSession, sf: str) -> DataFrame:
     ws = Window.partitionBy("user_id", "session_id").orderBy(
         "ts", "event_id"
     )
+    # concat (NOT concat_ws): the oracle's `||` nulls the whole path
+    # when any step's event_type is NULL — concat_ws would silently
+    # skip the NULL part and count a two-step path as a trigram.
     tri = s.select(
-        F.concat_ws(
-            ">",
+        F.concat(
             F.col("event_type"),
+            F.lit(">"),
             F.lead("event_type", 1).over(ws),
+            F.lit(">"),
             F.lead("event_type", 2).over(ws),
         ).alias("path"),
         F.lead("event_type", 2).over(ws).isNotNull().alias("complete"),
     )
     return (
-        tri.filter(F.col("complete"))
+        tri.filter(F.col("complete") & F.col("path").isNotNull())
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("path"))

@@ -23,6 +23,13 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL over pre-registered table views
     headline: bool = False  # included in bench.py
     doc: str = ""
+    # True when BUILDING the DataFrame executes real work (e.g. the
+    # maintenance censuses stage a table copy, run delete/compact jobs
+    # and return a checkpointed end-state scan). Plan-only tooling
+    # (tools/explain_audit.py) must skip these: building them both
+    # runs the heavy side effects and yields a plan that shows nothing
+    # (Scan ExistingRDD over the checkpoint).
+    effectful: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -33,9 +40,12 @@ def register(
     oracle: str | None,
     headline: bool = False,
     doc: str = "",
+    effectful: bool = False,
 ) -> Callable:
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name, fn, oracle, headline, doc)
+        REGISTRY[name] = QuerySpec(
+            name, fn, oracle, headline, doc, effectful
+        )
         return fn
 
     return deco

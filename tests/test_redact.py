@@ -81,3 +81,7 @@ def test_census_counts_and_delta(spark):
     assert out["a"].chars_delta == -2
     assert out["b"].n_rows == 1 and out["b"].n_changed == 0
     assert out["b"].chars_delta == 0
+    # NULL text must count 0 hits (NOT -1: with ANSI off, size(NULL)
+    # is -1 and a bare coalesce(size(...)) never fires)
+    assert out["b"].hits_digit_run == 0
+    assert out["b"].hits_email == 0

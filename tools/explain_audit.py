@@ -101,6 +101,12 @@ WHITELIST: set[tuple[str, str]] = {
     # Corpus token total: unpartitioned window over the |vocab|-sized
     # count frame — same reduced-frame crossing.
     ("docs_unigram_surprisal", "SinglePartition"),
+    # BM25 corpus stats (N, avgdl): a lazy ONE-ROW aggregate frame —
+    # only map-side count/avg partials cross the global exchange, and
+    # the two crossJoins broadcast that single row as per-row
+    # constants (replaced a plan-build-time .first() driver action).
+    ("docs_bm25_scores", "SinglePartition"),
+    ("docs_bm25_scores", "BroadcastNestedLoopJoin"),
 }
 
 # NOTE: "SinglePartition" is matched as a bare token, NOT as
@@ -124,6 +130,13 @@ def audit(sf_dir: str, only: set[str]) -> int:
     skipped: set[str] = set()
     for name, spec in sorted(all_queries().items()):
         if only and name not in only:
+            continue
+        if spec.effectful:
+            # Building these executes real maintenance jobs and yields
+            # only a checkpoint scan — nothing auditable. Their plan
+            # hygiene is owned by the operator modules' own tests.
+            print(f"ok~  {name}: effectful build, skipped by design")
+            skipped.add(name)
             continue
         try:
             df = spec.spark(spark, sf_dir)
