@@ -1302,3 +1302,81 @@ def top_paths(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(_PATHS_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+_ANOM_K, _ANOM_MIN_N = 3, 30
+
+
+@register(
+    "events_rolling_anomaly_census",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, event_id,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+            count(*) OVER w AS n,
+            coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) OVER w, 0) AS sx,
+            coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS BIGINT)) OVER w, 0) AS sx2
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    d AS (
+        SELECT event_type, event_id,
+            n >= {_ANOM_MIN_N} AS is_scored,
+            n >= {_ANOM_MIN_N} AND
+            CAST(n * x - sx AS DECIMAL(38,0))
+              * CAST(n * x - sx AS DECIMAL(38,0)) * (n - 1)
+            > {_ANOM_K * _ANOM_K}
+              * CAST(n * sx2 - sx * sx AS DECIMAL(38,0)) * n
+                AS is_anomaly
+        FROM b
+    )
+    SELECT event_type, count(*) AS n_rows,
+        CAST(sum(CASE WHEN is_scored THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_scored,
+        CAST(sum(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_anomalies,
+        min(CASE WHEN is_anomaly THEN event_id END) AS first_anomaly_id,
+        max(CASE WHEN is_anomaly THEN event_id END) AS last_anomaly_id
+    FROM d GROUP BY event_type
+    """,
+    doc="Rolling k-sigma anomaly census per event type: each reading "
+    "judged against the exact mean/variance of its key's PRECEDING "
+    "readings (k=3, warm-up 30). The k-sigma test is cross-multiplied "
+    "into pure integer arithmetic over centified values — "
+    "(n·x−Σx)²·(n−1) > k²·(n·Σx²−Σx²)·n in DECIMAL(38,0) — no mean, "
+    "no sqrt, no float, so the decision is bit-identical on both "
+    "engines AND identical to streaming/anomaly.py's stateful form, "
+    "whose per-key state is the same three integers (equality pinned "
+    "in tests/test_anomaly.py). One shuffle on the key; running "
+    "integer windows, no second scan.",
+)
+def rolling_anomaly_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.streaming.anomaly import anomaly_plan_batch
+
+    ev = _events(spark, sf)
+    scored = anomaly_plan_batch(
+        ev,
+        key_col="event_type",
+        value_col="value",
+        order_cols=("ts", "event_id"),
+        k=_ANOM_K,
+        min_n=_ANOM_MIN_N,
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("is_scored"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_scored"),
+        F.sum(F.when(F.col("is_anomaly"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_anomalies"),
+        F.min(F.when(F.col("is_anomaly"), F.col("event_id")))
+        .alias("first_anomaly_id"),
+        F.max(F.when(F.col("is_anomaly"), F.col("event_id")))
+        .alias("last_anomaly_id"),
+    )

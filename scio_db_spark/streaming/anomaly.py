@@ -1,0 +1,169 @@
+"""Keyed rolling anomaly detection — streaming and its exact batch twin.
+
+The monitoring staple the reference's mediation pipeline stops short
+of: flag each reading whose deviation from its key's OWN history
+exceeds k standard deviations. Two forms with IDENTICAL decisions:
+
+- ``anomaly_plan_batch``: prefix-window form (per key, ordered by
+  (ts, id), baseline = all PRECEDING rows) — registered as the
+  oracle-checked ``events_rolling_anomaly_census``.
+- ``anomaly_detect_stream``: ``applyInPandasWithState`` form whose
+  per-key state is the same three integers the batch windows compute
+  (n, Σx, Σx²) — so a stream fed the same rows in the same order
+  produces bit-identical decisions to the batch plan (pinned in
+  tests/test_anomaly.py), and micro-batch boundaries cannot move
+  them.
+
+Float policy (the reason this is exactly verifiable at all): values
+are centified to BIGINT through the proven DECIMAL(18,2) path, and
+the k-sigma test is cross-multiplied into pure integer arithmetic —
+``dev² > k²·var`` becomes
+
+    (n·x − Σx)²·(n−1)  >  k²·(n·Σx² − (Σx)²)·n
+
+evaluated in DECIMAL(38,0) (Python ints on the streaming side). No
+mean, no sqrt, no float anywhere, so both engines and both forms
+agree to the bit. Headroom: |Σx| ≤ 1e14 cents (~1e12 rows of typical
+values) keeps every product under 1e38.
+
+Scale: batch form is one shuffle on the key + running integer window
+(no second scan); streaming state is THREE integers per key,
+hash-partitioned in the state store — cardinality-bounded, not
+volume-bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_STATE_SCHEMA = "n long, sx long, sx2 long"
+
+
+def _cents(col: Column) -> Column:
+    """Exact integer cents via the proven double→DECIMAL(18,2) path
+    (half-up on both engines; see plans/relational.py module doc)."""
+    return (col.cast("decimal(18,2)") * 100).cast("long")
+
+
+def _decide_int(n: int, sx: int, sx2: int, x: int, k: int) -> bool:
+    """The exact integer k-sigma test (Python-int twin of the
+    DECIMAL(38,0) expression in anomaly_plan_batch)."""
+    d = n * x - sx
+    return d * d * (n - 1) > k * k * (n * sx2 - sx * sx) * n
+
+
+def anomaly_plan_batch(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_cols: tuple[str, ...],
+    k: int = 3,
+    min_n: int = 30,
+) -> DataFrame:
+    """Input rows + (n_prev, is_scored, is_anomaly): each row judged
+    against the exact mean/variance of its key's PRECEDING rows."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = _cents(F.col(value_col))
+    dec = "decimal(38,0)"
+    out = (
+        df.withColumn("__x", x)
+        .withColumn("__n", F.count("__x").over(w))
+        .withColumn("__sx", F.coalesce(F.sum("__x").over(w), F.lit(0)))
+        .withColumn(
+            "__sx2",
+            F.coalesce(F.sum(F.col("__x") * F.col("__x")).over(w), F.lit(0)),
+        )
+    )
+    dn = F.col("__n").cast(dec)
+    dx = F.col("__x").cast(dec)
+    dsx = F.col("__sx").cast(dec)
+    dsx2 = F.col("__sx2").cast(dec)
+    d = dn * dx - dsx
+    lhs = d * d * (dn - 1)
+    rhs = F.lit(k * k).cast(dec) * (dn * dsx2 - dsx * dsx) * dn
+    scored = F.col("__n") >= min_n
+    return (
+        out.withColumn("is_scored", scored)
+        .withColumn("is_anomaly", scored & (lhs > rhs))
+        .withColumn("n_prev", F.col("__n"))
+        .drop("__x", "__n", "__sx", "__sx2")
+    )
+
+
+def _make_anomaly_fn(
+    key_col: str,
+    value_col: str,
+    order_cols: tuple[str, ...],
+    k: int,
+    min_n: int,
+    passthrough: list[str],
+):
+    def fn(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, sx, sx2 = state.get if state.exists else (0, 0, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # Deterministic order inside the batch — the batch twin's
+        # window ordering; across batches the state integers carry.
+        rows = rows.sort_values(list(order_cols), kind="mergesort")
+        out_scored, out_anom, out_nprev = [], [], []
+        for cents in rows["__x"]:
+            c = int(cents)
+            scored = n >= min_n
+            out_scored.append(scored)
+            out_anom.append(scored and _decide_int(n, sx, sx2, c, k))
+            out_nprev.append(n)
+            n, sx, sx2 = n + 1, sx + c, sx2 + c * c
+        state.update((n, sx, sx2))
+        res = rows[passthrough].copy()
+        res["is_scored"] = out_scored
+        res["is_anomaly"] = out_anom
+        res["n_prev"] = out_nprev
+        yield res
+
+    return fn
+
+
+def anomaly_detect_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_cols: tuple[str, ...],
+    k: int = 3,
+    min_n: int = 30,
+) -> DataFrame:
+    """Streaming form: per-key state is (n, Σx, Σx²) — the same
+    integers the batch windows compute, so decisions are identical
+    for identical row order. Output = input columns + is_scored,
+    is_anomaly, n_prev (append mode)."""
+    passthrough = list(stream_df.columns)
+    keyed = stream_df.withColumn("__x", _cents(F.col(value_col)))
+    schema_in = dict(zip(stream_df.schema.names, stream_df.schema.fields))
+    out_fields = ", ".join(
+        f"{c} {schema_in[c].dataType.simpleString()}" for c in passthrough
+    )
+    output_schema = (
+        f"{out_fields}, is_scored boolean, is_anomaly boolean, n_prev long"
+    )
+    return keyed.groupBy(key_col).applyInPandasWithState(
+        func=_make_anomaly_fn(
+            key_col, value_col, order_cols, k, min_n, passthrough
+        ),
+        outputStructType=output_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,131 @@
+"""Rolling anomaly detection: streaming ≡ batch, plus semantics.
+
+The module's headline contract is that the stateful streaming form and
+the prefix-window batch form make IDENTICAL decisions on identical
+row order — the state is the same three integers the batch windows
+compute — so micro-batch boundaries cannot move a verdict.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from scio_db_spark.streaming.anomaly import (
+    anomaly_detect_stream,
+    anomaly_plan_batch,
+)
+from scio_db_spark.streaming.harness import StreamHarness
+
+SCHEMA = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("seq", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _rows(key, values, start=0):
+    return [(key, start + i, float(v)) for i, v in enumerate(values)]
+
+
+def _baseline(n=40):
+    # stable baseline: alternating 10.00 / 12.00 readings
+    return [10.0 if i % 2 == 0 else 12.0 for i in range(n)]
+
+
+def test_warmup_never_flags(spark):
+    df = spark.createDataFrame(_rows("a", _baseline(20)), SCHEMA)
+    out = anomaly_plan_batch(
+        df, "k", "value", ("seq",), k=3, min_n=30
+    ).collect()
+    assert all(not r.is_scored and not r.is_anomaly for r in out)
+
+
+def test_spike_flagged_and_normals_pass(spark):
+    vals = _baseline(40) + [500.0, 11.0, 10.0]
+    df = spark.createDataFrame(_rows("a", vals), SCHEMA)
+    out = {
+        r.seq: r
+        for r in anomaly_plan_batch(
+            df, "k", "value", ("seq",), k=3, min_n=30
+        ).collect()
+    }
+    assert out[40].is_anomaly  # the 500.0 spike
+    # normal readings after the spike: the spike fattens the variance,
+    # but they are still within 3 sigma of the running baseline
+    assert not out[41].is_anomaly and not out[42].is_anomaly
+    # scored rows exist before the spike and none are flagged
+    assert out[35].is_scored and not out[35].is_anomaly
+
+
+def test_keys_are_independent(spark):
+    rows = _rows("calm", _baseline(40)) + _rows(
+        "wild", [v * 50 for v in _baseline(40)]
+    )
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = anomaly_plan_batch(df, "k", "value", ("seq",), k=3, min_n=30)
+    # a 'wild'-scale value is no anomaly for 'wild', but appended to
+    # 'calm' it must be
+    extra = spark.createDataFrame(
+        _rows("calm", [500.0], start=40) + _rows("wild", [500.0], start=40),
+        SCHEMA,
+    )
+    out2 = {
+        (r.k, r.seq): r
+        for r in anomaly_plan_batch(
+            df.unionAll(extra), "k", "value", ("seq",), k=3, min_n=30
+        ).collect()
+    }
+    assert out2[("calm", 40)].is_anomaly
+    assert not out2[("wild", 40)].is_anomaly
+    assert out.filter(F.col("is_anomaly")).count() == 0
+
+
+@pytest.mark.slow
+def test_stream_equals_batch_across_microbatches(spark):
+    """Feed the same rows in 3 micro-batches; every per-row decision
+    (is_scored, is_anomaly, n_prev) must equal the batch plan's."""
+    vals = _baseline(40) + [500.0, 11.0, 3.0, 700.0] + _baseline(10)
+    all_rows = _rows("a", vals) + _rows("b", [100.0 + i for i in range(35)])
+
+    h = StreamHarness(spark, SCHEMA)
+    h.start(
+        lambda s: anomaly_detect_stream(
+            s, "k", "value", ("seq",), k=3, min_n=30
+        ),
+        output_mode="append",
+    )
+    # split preserving order per key: batches by seq ranges
+    b1 = [r for r in all_rows if r[1] < 20]
+    b2 = [r for r in all_rows if 20 <= r[1] < 41]
+    b3 = [r for r in all_rows if r[1] >= 41]
+    h.add_batch(b1)
+    h.add_batch(b2)
+    h.add_batch(b3)
+    stream_out = {(r.k, r.seq): r for r in h.results()}
+    h.stop()
+
+    df = spark.createDataFrame(all_rows, SCHEMA)
+    batch_out = {
+        (r.k, r.seq): r
+        for r in anomaly_plan_batch(
+            df, "k", "value", ("seq",), k=3, min_n=30
+        ).collect()
+    }
+    assert set(stream_out) == set(batch_out)
+    for key, b in batch_out.items():
+        s = stream_out[key]
+        assert (s.is_scored, s.is_anomaly, s.n_prev) == (
+            b.is_scored,
+            b.is_anomaly,
+            b.n_prev,
+        ), key

@@ -48,6 +48,20 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     failures = []
+    # ALL DuckDB oracles run FIRST, while the JVM is still small: a
+    # 100+-query sweep grows the driver JVM past vm.max_map_count
+    # (whole-stage-codegen classes each cost mappings), after which
+    # DuckDB's allocator fails tiny blocks with "Out of Memory Error"
+    # — observed twice at the default 65530 cap. Running the pure-C++
+    # side up front removes the ordering hazard entirely.
+    duck_results: dict[str, object] = {}
+    for name, spec in sorted(all_queries().items()):
+        if (only and name not in only) or spec.oracle is None:
+            continue
+        try:
+            duck_results[name] = con.execute(spec.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001 — recorded per-query
+            duck_results[name] = e
     for name, spec in sorted(all_queries().items()):
         if only and name not in only:
             continue
@@ -61,10 +75,9 @@ def main() -> int:
         if spec.oracle is None:
             print(f"okNA {name}: rows={len(spark_pd)} (no oracle, rows-only)")
             continue
-        try:
-            duck_pd = con.execute(spec.oracle).fetchdf()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
+        duck_pd = duck_results[name]
+        if isinstance(duck_pd, Exception):
+            print(f"FAIL {name}: duckdb error: {duck_pd}")
             failures.append(name)
             continue
         problems = []
