@@ -24,6 +24,31 @@ from scio_db_spark.streaming.anomaly import (
 )
 from scio_db_spark.streaming.harness import StreamHarness
 
+def test_decide_int_matches_exact_rational():
+    """The cross-multiplied integer rule IS dev² > k²·var — pinned
+    against exact Fraction arithmetic over random histories."""
+    from fractions import Fraction
+
+    from hypothesis import given, strategies as st
+
+    from scio_db_spark.streaming.anomaly import _decide_int
+
+    @given(
+        st.lists(st.integers(-10**6, 10**6), min_size=2, max_size=50),
+        st.integers(-10**6, 10**6),
+        st.integers(1, 5),
+    )
+    def check(hist, x, k):
+        n = len(hist)
+        sx, sx2 = sum(hist), sum(v * v for v in hist)
+        mean = Fraction(sx, n)
+        var = Fraction(n * sx2 - sx * sx, n * (n - 1))
+        expect = (Fraction(x) - mean) ** 2 > k * k * var
+        assert _decide_int(n, sx, sx2, x, k) == expect
+
+    check()
+
+
 SCHEMA = StructType(
     [
         StructField("k", StringType()),
