@@ -108,8 +108,15 @@ def bm25_scores(
     hits = e.filter(F.col("word").isin(*terms))
     tf = hits.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    idf = (
-        df_.crossJoin(F.broadcast(stats.select("n")))
+    # ONE crossJoin carrying BOTH stats columns: two separate
+    # projections (select('n'), select('avgdl')) would defeat
+    # ReuseExchange and run the corpus-stats scan twice. idf is a
+    # deterministic function of (n, df), so computing it per matching
+    # row instead of per word changes no double bit.
+    per_term = (
+        tf.join(F.broadcast(df_), "word")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
             F.log(
@@ -117,11 +124,6 @@ def bm25_scores(
                 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
             ),
         )
-    )
-    per_term = (
-        tf.join(F.broadcast(idf.select("word", "idf")), "word")
-        .join(lengths, id_col)
-        .crossJoin(F.broadcast(stats.select("avgdl")))
         .withColumn(
             "contrib",
             F.col("idf")

@@ -1284,7 +1284,9 @@ def top_paths(spark: SparkSession, sf: str) -> DataFrame:
     )
     # concat (NOT concat_ws): the oracle's `||` nulls the whole path
     # when any step's event_type is NULL — concat_ws would silently
-    # skip the NULL part and count a two-step path as a trigram.
+    # skip the NULL part and count a two-step path as a trigram. A
+    # NULL path therefore already covers both "window ran off the
+    # session end" and "NULL step inside the trigram".
     tri = s.select(
         F.concat(
             F.col("event_type"),
@@ -1293,10 +1295,9 @@ def top_paths(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(">"),
             F.lead("event_type", 2).over(ws),
         ).alias("path"),
-        F.lead("event_type", 2).over(ws).isNotNull().alias("complete"),
     )
     return (
-        tri.filter(F.col("complete") & F.col("path").isNotNull())
+        tri.filter(F.col("path").isNotNull())
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("path"))
@@ -1311,16 +1312,18 @@ _ANOM_K, _ANOM_MIN_N = 3, 30
 @register(
     "events_rolling_anomaly_census",
     oracle=f"""
-    WITH b AS (
-        SELECT event_type, event_id,
-            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+    WITH src AS (
+        SELECT event_type, event_id, ts,
+            CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS DECIMAL(38,0)) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+        SELECT event_type, event_id, x,
             count(*) OVER w AS n,
-            coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                              AS BIGINT)) OVER w, 0) AS sx,
-            coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                         * CAST(CAST(value AS DECIMAL(18,2)) * 100
-                                AS BIGINT)) OVER w, 0) AS sx2
-        FROM events
+            coalesce(sum(x) OVER w, 0) AS sx,
+            coalesce(sum(x * x) OVER w, 0) AS sx2
+        FROM src
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ),
@@ -1328,10 +1331,10 @@ _ANOM_K, _ANOM_MIN_N = 3, 30
         SELECT event_type, event_id,
             n >= {_ANOM_MIN_N} AS is_scored,
             n >= {_ANOM_MIN_N} AND
-            CAST(n * x - sx AS DECIMAL(38,0))
-              * CAST(n * x - sx AS DECIMAL(38,0)) * (n - 1)
+            (CAST(n AS DECIMAL(38,0)) * x - sx)
+              * (CAST(n AS DECIMAL(38,0)) * x - sx) * (n - 1)
             > {_ANOM_K * _ANOM_K}
-              * CAST(n * sx2 - sx * sx AS DECIMAL(38,0)) * n
+              * (CAST(n AS DECIMAL(38,0)) * sx2 - sx * sx) * n
                 AS is_anomaly
         FROM b
     )

@@ -23,8 +23,13 @@ the k-sigma test is cross-multiplied into pure integer arithmetic —
 
 evaluated in DECIMAL(38,0) (Python ints on the streaming side). No
 mean, no sqrt, no float anywhere, so both engines and both forms
-agree to the bit. Headroom: |Σx| ≤ 1e14 cents (~1e12 rows of typical
-values) keeps every product under 1e38.
+agree to the bit. NULL values are excluded from output and history on
+every path. Headroom: batch sums live in DECIMAL(38,0) end-to-end
+(|Σx| ≤ 1e14 cents keeps every product under 1e38); the streaming
+STATE schema is int64, so a key's Σx² is bounded by 2^63 —
+~9e9 rows of typical 2-decimal values — past which state.update fails
+LOUDLY (never a silent wrap; widen the state schema if a deployment
+ever approaches that).
 
 Scale: batch form is one shuffle on the key + running integer window
 (no second scan); streaming state is THREE integers per key,
@@ -76,13 +81,30 @@ def anomaly_plan_batch(
     )
     x = _cents(F.col(value_col))
     dec = "decimal(38,0)"
+    zero = F.lit(0).cast(dec)
+    # Sums accumulate in DECIMAL(38,0) from the first addition: a LONG
+    # Σx² wraps silently past 2^63 with ANSI off (x=3.1e9 cents makes
+    # x² alone overflow, and typical values cross at ~1e10 rows/key),
+    # which would break the bit-identical batch==oracle==stream
+    # contract far below the documented 1e38 envelope. NULL values
+    # carry no information to score against — they are excluded from
+    # output, history, and both engines' counts alike.
     out = (
-        df.withColumn("__x", x)
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__x", x)
         .withColumn("__n", F.count("__x").over(w))
-        .withColumn("__sx", F.coalesce(F.sum("__x").over(w), F.lit(0)))
+        .withColumn(
+            "__sx",
+            F.coalesce(F.sum(F.col("__x").cast(dec)).over(w), zero),
+        )
         .withColumn(
             "__sx2",
-            F.coalesce(F.sum(F.col("__x") * F.col("__x")).over(w), F.lit(0)),
+            F.coalesce(
+                F.sum(
+                    F.col("__x").cast(dec) * F.col("__x").cast(dec)
+                ).over(w),
+                zero,
+            ),
         )
     )
     dn = F.col("__n").cast(dec)
@@ -116,6 +138,10 @@ def _make_anomaly_fn(
     ) -> Iterator[pd.DataFrame]:
         n, sx, sx2 = state.get if state.exists else (0, 0, 0)
         rows = pd.concat(list(pdfs), ignore_index=True)
+        # NULL values are excluded from output and history (the batch
+        # twin filters them before its windows); without this a NULL
+        # arrives as NaN and int() would kill the query.
+        rows = rows[rows["__x"].notna()]
         # Deterministic order inside the batch — the batch twin's
         # window ordering; across batches the state integers carry.
         rows = rows.sort_values(list(order_cols), kind="mergesort")

@@ -115,6 +115,33 @@ def test_keys_are_independent(spark):
     assert out.filter(F.col("is_anomaly")).count() == 0
 
 
+def test_null_values_excluded_everywhere(spark):
+    """NULL readings carry nothing to score: excluded from output AND
+    from every later row's history, in batch and stream alike."""
+    rows = _rows("a", _baseline(35)) + [("a", 35, None), ("a", 36, 11.0)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {
+        r.seq: r
+        for r in anomaly_plan_batch(
+            df, "k", "value", ("seq",), k=3, min_n=30
+        ).collect()
+    }
+    assert 35 not in out  # NULL row not emitted
+    assert out[36].n_prev == 35  # NULL row absent from history
+
+    h = StreamHarness(spark, SCHEMA)
+    h.start(
+        lambda s: anomaly_detect_stream(
+            s, "k", "value", ("seq",), k=3, min_n=30
+        ),
+        output_mode="append",
+    )
+    h.add_batch(rows)
+    got = {r.seq: r for r in h.results()}
+    h.stop()
+    assert 35 not in got and got[36].n_prev == 35
+
+
 @pytest.mark.slow
 def test_stream_equals_batch_across_microbatches(spark):
     """Feed the same rows in 3 micro-batches; every per-row decision
