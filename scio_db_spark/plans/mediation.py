@@ -1383,3 +1383,52 @@ def rolling_anomaly_census(spark: SparkSession, sf: str) -> DataFrame:
         F.max(F.when(F.col("is_anomaly"), F.col("event_id")))
         .alias("last_anomaly_id"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_gap_histogram",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+            epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY event_type, user_id
+                ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+        length(format('{:b}', gap_us)) AS bucket_log2,
+        count(*) AS n,
+        min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+    GROUP BY event_type, bucket_log2
+    """,
+    doc="Power-of-two inter-arrival gap histogram per event type (the "
+    "HdrHistogram-lite observability shape: bucket = bitlen(gap_us), "
+    "so bucket k holds gaps in [2^(k-1), 2^k)). Buckets come from the "
+    "exact integer binary length — no float log2, no cross-engine ulp "
+    "risk at power-of-two boundaries. One shuffle for the per-stream "
+    "lag window, then a tiny keyed agg (|types| x ~40 buckets); "
+    "zero/negative gaps (same-microsecond events) are excluded "
+    "explicitly on both engines.",
+)
+def gap_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events(spark, sf)
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    bucket = F.length(F.conv(F.col("gap_us").cast("string"), 10, 2))
+    return g.groupBy(
+        "event_type", bucket.alias("bucket_log2")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
