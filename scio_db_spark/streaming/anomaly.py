@@ -86,25 +86,41 @@ def anomaly_plan_batch(
     # Σx² wraps silently past 2^63 with ANSI off (x=3.1e9 cents makes
     # x² alone overflow, and typical values cross at ~1e10 rows/key),
     # which would break the bit-identical batch==oracle==stream
-    # contract far below the documented 1e38 envelope. NULL values
-    # carry no information to score against — they are excluded from
-    # output, history, and both engines' counts alike.
+    # contract far below the documented 1e38 envelope.
+    #
+    # The exclusion predicate is __x IS NULL — the CENTIFIED value —
+    # not the raw value: a NaN (or out-of-DECIMAL(18,2)-range) double
+    # is non-null yet centifies to NULL, and the streaming form can
+    # only see the centified column, so filtering on anything else
+    # would make the two forms disagree on row membership. Rows whose
+    # reading carries no scoreable value are excluded from output,
+    # history, and both engines' counts alike.
+    #
+    # The empty-frame default is when(n > 0), NOT coalesce: coalesce
+    # would also rewrite a DECIMAL-overflow NULL (past the 1e38
+    # envelope, ANSI off) into a fabricated zero history that flags
+    # everything — overflow must surface as NULL decisions, matching
+    # the loud-failure posture of the stream (int64 state) and the
+    # oracle (DuckDB throws).
+    has_hist = F.col("__n") > 0
     out = (
-        df.filter(F.col(value_col).isNotNull())
-        .withColumn("__x", x)
+        df.withColumn("__x", x)
+        .filter(F.col("__x").isNotNull())
         .withColumn("__n", F.count("__x").over(w))
         .withColumn(
             "__sx",
-            F.coalesce(F.sum(F.col("__x").cast(dec)).over(w), zero),
+            F.when(
+                has_hist, F.sum(F.col("__x").cast(dec)).over(w)
+            ).otherwise(zero),
         )
         .withColumn(
             "__sx2",
-            F.coalesce(
+            F.when(
+                has_hist,
                 F.sum(
                     F.col("__x").cast(dec) * F.col("__x").cast(dec)
                 ).over(w),
-                zero,
-            ),
+            ).otherwise(zero),
         )
     )
     dn = F.col("__n").cast(dec)
@@ -153,7 +169,10 @@ def _make_anomaly_fn(
             out_anom.append(scored and _decide_int(n, sx, sx2, c, k))
             out_nprev.append(n)
             n, sx, sx2 = n + 1, sx + c, sx2 + c * c
-        state.update((n, sx, sx2))
+        # Don't allocate a (0,0,0) state entry for a key whose whole
+        # micro-batch was filtered out (e.g. all-NULL readings).
+        if len(rows) or state.exists:
+            state.update((n, sx, sx2))
         res = rows[passthrough].copy()
         res["is_scored"] = out_scored
         res["is_anomaly"] = out_anom

@@ -103,7 +103,7 @@ WHITELIST: set[tuple[str, str]] = {
     ("docs_unigram_surprisal", "SinglePartition"),
     # BM25 corpus stats (N, avgdl): a lazy ONE-ROW aggregate frame —
     # only map-side count/avg partials cross the global exchange, and
-    # the two crossJoins broadcast that single row as per-row
+    # ONE crossJoin broadcasts that single (n, avgdl) row as per-row
     # constants (replaced a plan-build-time .first() driver action).
     ("docs_bm25_scores", "SinglePartition"),
     ("docs_bm25_scores", "BroadcastNestedLoopJoin"),
