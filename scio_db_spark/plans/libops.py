@@ -741,3 +741,79 @@ def ann_ivf_trained_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= _IVF_T_TOPK)
         .select("q_id", "vec_id", "cos_sim")
     )
+
+
+# ------------------------------------------------------------- data quality
+_DQ_ORDERS_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "dq_profile_orders",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS "column", count(*) AS n_rows,
+            count(*) - count({c}) AS n_null,
+            count(DISTINCT {c}) AS n_distinct,
+            count(DISTINCT {c}) = count({c}) AND count({c}) > 0
+                AS is_unique
+        FROM orders
+        """
+        for c in _DQ_ORDERS_COLS
+    ),
+    doc="Deequ-style column profile of the orders table via "
+    "operators/dataquality.profile: per-column completeness, exact "
+    "cardinality, and key-candidate detection in ONE scan (Spark "
+    "plans the N count-distincts as a single Expand pass; the oracle "
+    "unions N single-column aggregates). Integer counts only — no "
+    "min/max value rendering, whose string formatting diverges "
+    "cross-engine.",
+)
+def dq_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.dataquality import profile
+
+    return profile(table(spark, sf, "orders"), list(_DQ_ORDERS_COLS))
+
+
+@register(
+    "dq_referential_orders_lineitem",
+    oracle="""
+    WITH ck AS (
+        SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+    ),
+    pk AS (SELECT DISTINCT o_orderkey AS p FROM orders)
+    SELECT
+        CAST(coalesce(sum(c), 0) AS BIGINT) AS n_child_rows,
+        CAST(coalesce(sum(CASE WHEN p IS NULL AND k IS NOT NULL
+                               THEN c ELSE 0 END), 0) AS BIGINT)
+            AS n_orphan_rows,
+        CAST(sum(CASE WHEN p IS NULL AND k IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_orphan_keys,
+        CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_parents,
+        CAST(sum(CASE WHEN k IS NULL AND p IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_childless_parents
+    FROM ck FULL OUTER JOIN pk ON ck.k = pk.p
+    """,
+    doc="Referential-integrity census of the lineitem→orders foreign "
+    "key via operators/dataquality.referential_census: orphan child "
+    "rows/keys and childless parents in one pass each side — child "
+    "keys are count-reduced per fk BEFORE the join (bounded by "
+    "|distinct keys|, not line volume), one full-outer equi-join of "
+    "the two reduced frames, scalar census on top.",
+)
+def dq_referential(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.dataquality import referential_census
+
+    return referential_census(
+        table(spark, sf, "lineitem"),
+        table(spark, sf, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )

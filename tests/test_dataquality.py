@@ -1,0 +1,54 @@
+"""operators/dataquality: profile + referential census semantics."""
+
+from __future__ import annotations
+
+from scio_db_spark.operators.dataquality import (
+    profile,
+    referential_census,
+)
+
+
+def test_profile_counts_nulls_distincts_uniqueness(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 1.5), (3, None, 1.5), (4, "b", 2.0)],
+        "id long, s string, v double",
+    )
+    out = {r.column: r for r in profile(df).collect()}
+    assert set(out) == {"id", "s", "v"}
+    assert all(r.n_rows == 4 for r in out.values())
+    assert (out["id"].n_null, out["id"].n_distinct) == (0, 4)
+    assert out["id"].is_unique
+    assert (out["s"].n_null, out["s"].n_distinct) == (1, 2)
+    assert not out["s"].is_unique  # 'a' occurs twice
+    assert (out["v"].n_null, out["v"].n_distinct) == (1, 2)
+    assert not out["v"].is_unique  # 1.5 occurs twice
+
+
+def test_profile_all_null_column_not_unique(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, x string")
+    out = {r.column: r for r in profile(df, ["x"]).collect()}
+    assert (out["x"].n_null, out["x"].n_distinct) == (2, 0)
+    assert not out["x"].is_unique  # vacuous uniqueness is not a key
+
+
+def test_referential_census_orphans_and_childless(spark):
+    child = spark.createDataFrame(
+        [(10, "a"), (10, "b"), (20, "c"), (99, "orphan"), (99, "orphan2")],
+        "fk long, payload string",
+    )
+    parent = spark.createDataFrame(
+        [(10,), (20,), (30,)], "pk long"
+    )
+    r = referential_census(child, parent, "fk", "pk").collect()[0]
+    assert r.n_child_rows == 5
+    assert r.n_orphan_rows == 2 and r.n_orphan_keys == 1  # key 99
+    assert r.n_parents == 3
+    assert r.n_childless_parents == 1  # key 30
+
+
+def test_referential_census_empty_child(spark):
+    child = spark.createDataFrame([], "fk long, payload string")
+    parent = spark.createDataFrame([(1,)], "pk long")
+    r = referential_census(child, parent, "fk", "pk").collect()[0]
+    assert r.n_child_rows == 0 and r.n_orphan_rows == 0
+    assert r.n_parents == 1 and r.n_childless_parents == 1

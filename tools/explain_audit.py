@@ -107,6 +107,13 @@ WHITELIST: set[tuple[str, str]] = {
     # constants (replaced a plan-build-time .first() driver action).
     ("docs_bm25_scores", "SinglePartition"),
     ("docs_bm25_scores", "BroadcastNestedLoopJoin"),
+    # Column profile: one global aggregate whose Expand fan-out
+    # collapses map-side — only N_cols partial-count rows cross; the
+    # unpivot touches the N_cols-row frame.
+    ("dq_profile_orders", "SinglePartition"),
+    # Scalar integrity census over the COUNT-REDUCED key frames
+    # (bounded by |distinct keys|); map-side partials cross.
+    ("dq_referential_orders_lineitem", "SinglePartition"),
 }
 
 # NOTE: "SinglePartition" is matched as a bare token, NOT as
