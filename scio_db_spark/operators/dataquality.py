@@ -92,3 +92,41 @@ def referential_census(
             "n_childless_parents"
         ),
     )
+
+
+def constraint_census(
+    df: DataFrame, constraints: dict[str, "F.Column"]
+) -> DataFrame:
+    """One row per named boolean constraint: (constraint, n_rows,
+    n_pass, n_fail, n_unknown) — unknown = the predicate evaluated to
+    NULL (three-valued logic surfaced, not silently folded into
+    fail). ONE scan: all constraints aggregate in a single pass, then
+    an unpivot over the |constraints|-row frame."""
+    names = list(constraints)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (name, pred) in enumerate(constraints.items()):
+        aggs.append(
+            F.sum(F.when(pred, 1).otherwise(0)).alias(f"__p_{i}")
+        )
+        aggs.append(
+            F.sum(F.when(~pred, 1).otherwise(0)).alias(f"__f_{i}")
+        )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __p_{i}, __f_{i}" for i, name in enumerate(names)
+    )
+    return one.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(names)}, {stack_args})"
+            " AS (constraint, n_pass, n_fail)"
+        ),
+    ).select(
+        "constraint",
+        "n_rows",
+        "n_pass",
+        "n_fail",
+        (F.col("n_rows") - F.col("n_pass") - F.col("n_fail")).alias(
+            "n_unknown"
+        ),
+    )

@@ -817,3 +817,44 @@ def dq_referential(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey",
         "o_orderkey",
     )
+
+
+_DQ_EVENT_CHECKS = {
+    "value_nonneg": "value >= 0",
+    "type_known": "event_type IN "
+    "('view','click','purchase','signup','error')",
+    "ts_in_window": "ts >= TIMESTAMP '2024-01-01 00:00:00' AND "
+    "ts < TIMESTAMP '2025-02-01 00:00:00'",
+    "props_present": "props IS NOT NULL AND length(props) > 0",
+}
+
+
+@register(
+    "dq_constraint_events",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS "constraint", count(*) AS n_rows,
+            CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_pass,
+            CAST(sum(CASE WHEN NOT ({pred}) THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_fail,
+            count(*)
+              - CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+              - CAST(sum(CASE WHEN NOT ({pred}) THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_unknown
+        FROM events
+        """
+        for name, pred in _DQ_EVENT_CHECKS.items()
+    ),
+    doc="Deequ-style declarative constraint census over events via "
+    "operators/dataquality.constraint_census: named boolean checks "
+    "(range, enum membership, time window, presence) counted in ONE "
+    "scan, with three-valued logic surfaced (n_unknown = predicate "
+    "NULL) rather than silently folded into failures.",
+)
+def dq_constraint_events(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.dataquality import constraint_census
+
+    ev = table(spark, sf, "events")
+    checks = {name: F.expr(pred) for name, pred in _DQ_EVENT_CHECKS.items()}
+    return constraint_census(ev, checks)

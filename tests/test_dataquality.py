@@ -2,10 +2,34 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from scio_db_spark.operators.dataquality import (
+    constraint_census,
     profile,
     referential_census,
 )
+
+
+def test_constraint_census_three_valued(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "id long, v double"
+    )
+    out = {
+        r.constraint: r
+        for r in constraint_census(
+            df,
+            {
+                "v_nonneg": F.col("v") >= 0,
+                "id_small": F.col("id") <= 2,
+            },
+        ).collect()
+    }
+    r = out["v_nonneg"]
+    # NULL predicate is UNKNOWN, not a failure
+    assert (r.n_rows, r.n_pass, r.n_fail, r.n_unknown) == (3, 1, 1, 1)
+    r = out["id_small"]
+    assert (r.n_pass, r.n_fail, r.n_unknown) == (2, 1, 0)
 
 
 def test_profile_counts_nulls_distincts_uniqueness(spark):

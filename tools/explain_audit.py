@@ -114,6 +114,9 @@ WHITELIST: set[tuple[str, str]] = {
     # Scalar integrity census over the COUNT-REDUCED key frames
     # (bounded by |distinct keys|); map-side partials cross.
     ("dq_referential_orders_lineitem", "SinglePartition"),
+    # Constraint census: one global aggregate — only per-constraint
+    # partial counts cross; the unpivot touches |constraints| rows.
+    ("dq_constraint_events", "SinglePartition"),
 }
 
 # NOTE: "SinglePartition" is matched as a bare token, NOT as
