@@ -36,6 +36,8 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     ``is_unique`` = every non-null value occurs exactly once (key
     candidate)."""
     cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile() needs at least one column")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
@@ -79,18 +81,23 @@ def referential_census(
     j = ck.join(pk, ck["__k"] == pk["__p"], "full_outer")
     orphan = F.col("__p").isNull() & F.col("__k").isNotNull()
     childless = F.col("__k").isNull() & F.col("__p").isNotNull()
+    # every count coalesced: agg over the empty join (both frames
+    # empty) must report zeros, never NULLs — integer counts only.
     return j.agg(
         F.coalesce(F.sum("__c"), F.lit(0)).alias("n_child_rows"),
         F.coalesce(
             F.sum(F.when(orphan, F.col("__c")).otherwise(0)), F.lit(0)
         ).alias("n_orphan_rows"),
-        F.sum(F.when(orphan, 1).otherwise(0)).alias("n_orphan_keys"),
-        F.sum(F.when(F.col("__p").isNotNull(), 1).otherwise(0)).alias(
-            "n_parents"
-        ),
-        F.sum(F.when(childless, 1).otherwise(0)).alias(
-            "n_childless_parents"
-        ),
+        F.coalesce(
+            F.sum(F.when(orphan, 1).otherwise(0)), F.lit(0)
+        ).alias("n_orphan_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("__p").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_parents"),
+        F.coalesce(
+            F.sum(F.when(childless, 1).otherwise(0)), F.lit(0)
+        ).alias("n_childless_parents"),
     )
 
 
@@ -103,6 +110,8 @@ def constraint_census(
     fail). ONE scan: all constraints aggregate in a single pass, then
     an unpivot over the |constraints|-row frame."""
     names = list(constraints)
+    if not names:
+        raise ValueError("constraint_census() needs at least one check")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (name, pred) in enumerate(constraints.items()):
         aggs.append(
@@ -112,8 +121,11 @@ def constraint_census(
             F.sum(F.when(~pred, 1).otherwise(0)).alias(f"__f_{i}")
         )
     one = df.agg(*aggs)
+    # names are free-form dict keys interpolated into SQL — escape
+    # quotes so "isn't null" can't terminate the string literal early
     stack_args = ", ".join(
-        f"'{name}', __p_{i}, __f_{i}" for i, name in enumerate(names)
+        "'{}', __p_{}, __f_{}".format(name.replace("'", "''"), i, i)
+        for i, name in enumerate(names)
     )
     return one.select(
         F.col("__n").alias("n_rows"),

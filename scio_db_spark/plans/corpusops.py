@@ -64,16 +64,13 @@ def _exploded(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _bitlen(col: Column) -> Column:
-    """floor(log2(x)) + 1 for positive integers, computed exactly via
-    the binary string length (float log2 would risk cross-engine
-    last-ulp drift at power-of-two boundaries)."""
-    return F.length(F.conv(col.cast("string"), 10, 2))
-
-
-# Plain string (not an f-string), and interpolated values are not
-# re-scanned for braces — so the braces are written single here.
-_BITLEN_SQL = "length(format('{:b}', CAST(%s AS BIGINT)))"
+# Shared exact-bitlen idiom (see functions/intmath.py for the
+# cross-engine rationale); local aliases keep this module's oracle
+# f-strings unchanged.
+from scio_db_spark.functions.intmath import (  # noqa: E402
+    BITLEN_SQL as _BITLEN_SQL,
+    bitlen as _bitlen,
+)
 
 
 # --------------------------------------------------------------------------

@@ -1313,10 +1313,17 @@ _ANOM_K, _ANOM_MIN_N = 3, 30
     "events_rolling_anomaly_census",
     oracle=f"""
     WITH src AS (
+        -- TRY_CAST mirrors Spark's non-ANSI cast-to-NULL: a NaN or
+        -- out-of-DECIMAL(18,2)-range double centifies to NULL and is
+        -- EXCLUDED (the operator's contract), where a plain CAST
+        -- would throw and a raw value-IS-NOT-NULL filter would
+        -- diverge from the Spark paths on exactly those inputs.
         SELECT event_type, event_id, ts,
-            CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                 AS DECIMAL(38,0)) AS x
-        FROM events WHERE value IS NOT NULL
+            CAST(TRY_CAST(TRY_CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS DECIMAL(38,0)) AS x
+        FROM events
+        WHERE TRY_CAST(TRY_CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              IS NOT NULL
     ),
     b AS (
         SELECT event_type, event_id, x,
@@ -1424,7 +1431,9 @@ def gap_histogram(spark: SparkSession, sf: str) -> DataFrame:
             - F.unix_micros(F.lag("ts").over(w))
         ).alias("gap_us"),
     ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
-    bucket = F.length(F.conv(F.col("gap_us").cast("string"), 10, 2))
+    from scio_db_spark.functions.intmath import bitlen
+
+    bucket = bitlen(F.col("gap_us"))
     return g.groupBy(
         "event_type", bucket.alias("bucket_log2")
     ).agg(

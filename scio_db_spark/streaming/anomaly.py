@@ -169,9 +169,10 @@ def _make_anomaly_fn(
             out_anom.append(scored and _decide_int(n, sx, sx2, c, k))
             out_nprev.append(n)
             n, sx, sx2 = n + 1, sx + c, sx2 + c * c
-        # Don't allocate a (0,0,0) state entry for a key whose whole
-        # micro-batch was filtered out (e.g. all-NULL readings).
-        if len(rows) or state.exists:
+        # Skip the state write when the whole micro-batch was filtered
+        # out (all-NULL readings): nothing changed, and a key with no
+        # prior state must not get a useless (0,0,0) entry allocated.
+        if len(rows):
             state.update((n, sx, sx2))
         res = rows[passthrough].copy()
         res["is_scored"] = out_scored
