@@ -38,19 +38,24 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     cols = list(cols) if cols is not None else list(df.columns)
     if not cols:
         raise ValueError("profile() needs at least one column")
+    # Internal aliases are INDEX-based and the unpivot is the
+    # Column-form F.stack with the user-facing name as a literal —
+    # never interpolated into SQL text — so arbitrary column names
+    # ("order id", "isn't", backslashes) can neither break parsing
+    # nor inject expression text. df[c] looks the column up verbatim
+    # (F.col would parse dots/backticks).
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.count(df[c]).alias(f"__nn_{i}"))
+        aggs.append(F.countDistinct(df[c]).alias(f"__nd_{i}"))
     one = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}" for c in cols
-    )
+    stack_cols: list = []
+    for i, c in enumerate(cols):
+        stack_cols += [F.lit(c), F.col(f"__nn_{i}"), F.col(f"__nd_{i}")]
     return one.select(
         F.col("__n").alias("n_rows"),
-        F.expr(
-            f"stack({len(cols)}, {stack_args})"
-            " AS (column, n_non_null, n_distinct)"
+        F.stack(F.lit(len(cols)), *stack_cols).alias(
+            "column", "n_non_null", "n_distinct"
         ),
     ).select(
         "column",
@@ -121,17 +126,16 @@ def constraint_census(
             F.sum(F.when(~pred, 1).otherwise(0)).alias(f"__f_{i}")
         )
     one = df.agg(*aggs)
-    # names are free-form dict keys interpolated into SQL — escape
-    # quotes so "isn't null" can't terminate the string literal early
-    stack_args = ", ".join(
-        "'{}', __p_{}, __f_{}".format(name.replace("'", "''"), i, i)
-        for i, name in enumerate(names)
-    )
+    # Column-form F.stack: names are free-form dict keys and ride as
+    # literal Columns, never interpolated into SQL text (quote
+    # doubling alone still mangled backslashes — verified live).
+    stack_cols: list = []
+    for i, name in enumerate(names):
+        stack_cols += [F.lit(name), F.col(f"__p_{i}"), F.col(f"__f_{i}")]
     return one.select(
         F.col("__n").alias("n_rows"),
-        F.expr(
-            f"stack({len(names)}, {stack_args})"
-            " AS (constraint, n_pass, n_fail)"
+        F.stack(F.lit(len(names)), *stack_cols).alias(
+            "constraint", "n_pass", "n_fail"
         ),
     ).select(
         "constraint",

@@ -48,6 +48,28 @@ def test_profile_counts_nulls_distincts_uniqueness(spark):
     assert not out["v"].is_unique  # 1.5 occurs twice
 
 
+def test_hostile_names_survive_unpivot(spark):
+    """Column and constraint names with spaces, quotes, backslashes,
+    and dashes must pass through VERBATIM (no SQL interpolation)."""
+    weird = ["order id", "isn't", "a\\b", "user-name"]
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4)],
+        schema=spark.createDataFrame([(1, 2, 3, 4)]).toDF(*weird).schema,
+    ).toDF(*weird)
+    out = {r.column: r for r in profile(df).collect()}
+    assert set(out) == set(weird)
+    assert all(r.n_null == 0 and r.n_distinct == 1 for r in out.values())
+
+    cens = {
+        r.constraint: r
+        for r in constraint_census(
+            df, {"isn't negative": df["order id"] >= 0, "b\\": df["a\\b"] > 0}
+        ).collect()
+    }
+    assert set(cens) == {"isn't negative", "b\\"}
+    assert all(r.n_pass == 1 and r.n_fail == 0 for r in cens.values())
+
+
 def test_profile_all_null_column_not_unique(spark):
     df = spark.createDataFrame([(1, None), (2, None)], "id long, x string")
     out = {r.column: r for r in profile(df, ["x"]).collect()}
