@@ -1441,3 +1441,111 @@ def gap_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.min("gap_us").alias("min_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_purchase_attribution",
+    oracle="""
+    WITH attributed AS (
+        SELECT event_type, value,
+            last_value(CASE WHEN event_type <> 'purchase'
+                            THEN event_type END IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS channel
+        FROM events
+    )
+    SELECT coalesce(channel, 'none') AS channel,
+        count(*) AS n_purchases,
+        CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR)
+             AS DOUBLE) AS attributed_value
+    FROM attributed WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+    doc="Last-touch purchase attribution: each purchase credited to "
+    "the user's most recent PRIOR non-purchase event type "
+    "(ignore-nulls last_value over the user stream — the marketing "
+    "attribution staple; 'none' = a purchase with no prior touch). "
+    "One shuffle on user_id for the window, then a tiny channel agg; "
+    "exact decimal value sums convert to double only at the edge.",
+)
+def purchase_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events(spark, sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", touch.alias("channel"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("string")
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_weekly_type_momentum",
+    oracle="""
+    WITH wk AS (
+        SELECT event_type,
+            CAST(date_trunc('week', ts) AS DATE) AS week,
+            count(*) AS n
+        FROM events GROUP BY event_type, week
+    )
+    SELECT event_type, CAST(week AS VARCHAR) AS week, n,
+        n - lag(n) OVER (PARTITION BY event_type ORDER BY week)
+            AS delta,
+        CASE WHEN lag(n) OVER (PARTITION BY event_type ORDER BY week) > 0
+             THEN (n - lag(n) OVER (PARTITION BY event_type
+                                    ORDER BY week)) * 1000
+                  // lag(n) OVER (PARTITION BY event_type ORDER BY week)
+             END AS delta_permille
+    FROM wk
+    """,
+    doc="Week-over-week volume momentum per event type (count, delta, "
+    "integer permille change — the trend panel behind every ops "
+    "dashboard). The lag window runs over the (type, week) AGGREGATE "
+    "frame — bounded by types × weeks, never event volume — and the "
+    "permille change is exact integer cross-division, no float "
+    "ratios to wiggle cross-engine.",
+)
+def weekly_type_momentum(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events(spark, sf)
+    wk = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("__wk"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("__wk")
+    prev = F.lag("n").over(w)
+    return wk.select(
+        "event_type",
+        F.date_format("__wk", "yyyy-MM-dd").alias("week"),
+        "n",
+        (F.col("n") - prev).alias("delta"),
+        F.when(prev > 0, (F.col("n") - prev) * 1000)
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("__num"),
+    ).select(
+        "event_type",
+        "week",
+        "n",
+        "delta",
+        F.expr(
+            "CASE WHEN __num IS NOT NULL THEN __num DIV "
+            "(n - delta) END"
+        ).alias("delta_permille"),
+    )
