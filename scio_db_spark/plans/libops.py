@@ -654,9 +654,8 @@ _IVF_T_NPROBE = 2
 _IVF_T_TOPK = 5
 
 
-@register(
-    "emb_ann_ivf_trained_topk",
-    oracle=f"""
+# Shared between the top-k query itself and the recall census below.
+_IVF_TRAINED_SQL = f"""
     WITH scored AS ({_km_scored_sql()}),
     assign AS (
         SELECT s.vec_id, e.embedding, s.c_id AS cid,
@@ -694,7 +693,12 @@ _IVF_T_TOPK = 5
                                ORDER BY cos_sim DESC, vec_id) AS rn
         FROM pairs
     ) WHERE rn <= {_IVF_T_TOPK}
-    """,
+"""
+
+
+@register(
+    "emb_ann_ivf_trained_topk",
+    oracle=_IVF_TRAINED_SQL,
     doc="IVF ANN with the TRAINED k=16 codebook (committed literals): "
     "library assign() builds the inverted cells, queries probe their "
     "nprobe=2 best trained cells, exact cosine re-rank inside probed "
@@ -858,3 +862,92 @@ def dq_constraint_events(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events")
     checks = {name: F.expr(pred) for name, pred in _DQ_EVENT_CHECKS.items()}
     return constraint_census(ev, checks)
+
+
+@register(
+    "emb_ann_recall_census",
+    oracle=f"""
+    WITH ivf AS ({_IVF_TRAINED_SQL}),
+    exact AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM (
+                SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                    ({dot_sql("q.embedding", "e.embedding", DUCK_AT)})
+                    / nullif({norm_sql("q.embedding", DUCK_AT)}
+                             * {norm_sql("e.embedding", DUCK_AT)}, 0.0)
+                        AS cos_sim
+                FROM embeddings q JOIN embeddings e
+                  ON e.vec_id <> q.vec_id
+                WHERE q.vec_id IN {_IVF_T_QUERY_IDS}
+            )
+        ) WHERE rn <= {_IVF_T_TOPK}
+    )
+    SELECT ex.q_id, count(*) AS n_exact,
+        CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+        CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1000 // count(*) AS BIGINT) AS recall_permille
+    FROM exact ex LEFT JOIN ivf i
+      ON i.q_id = ex.q_id AND i.vec_id = ex.vec_id
+    GROUP BY ex.q_id
+    """,
+    doc="ANN quality evaluation as a first-class operator: per-query "
+    "recall of the trained-codebook IVF probe against the exact "
+    "brute-force cosine top-k ground truth (the eval every ANN "
+    "deployment runs before trusting an index). Integer census "
+    "output (hits, exact recall permille) — no float columns to "
+    "hash. The ground-truth side broadcasts the 5 query vectors "
+    "(brute force BY DESIGN at eval scale); the IVF side is the "
+    "registered probe plan composed verbatim.",
+)
+def ann_recall_census(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf, "embeddings")
+    base = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("e_nrm"),
+    )
+    q = (
+        e.filter(F.col("vec_id").isin(*_IVF_T_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.expr(norm_sql("embedding", SPARK_AT)).alias("q_nrm"),
+        )
+    )
+    cos = F.expr(
+        f"({dot_sql('q_emb', 'embedding', SPARK_AT)}) / "
+        f"nullif(q_nrm * e_nrm, 0.0)"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    exact = (
+        F.broadcast(q)
+        .join(base, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVF_T_TOPK)
+        .select("q_id", "vec_id")
+    )
+    ivf = ann_ivf_trained_topk(spark, sf).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ivf, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.expr(
+                "CAST(coalesce(sum(hit), 0) * 1000 DIV count(*) AS BIGINT)"
+            ).alias("recall_permille"),
+        )
+    )

@@ -83,6 +83,10 @@ WHITELIST: set[tuple[str, str]] = {
     # Brute-force baseline BY DESIGN: 5 query vectors broadcast against
     # the table (the scale path is emb_ann_lsh_topk's bucket equi-join).
     ("emb_cosine_topk", "BroadcastNestedLoopJoin"),
+    # Recall eval's exact ground truth: same 5-query-vector broadcast
+    # brute force BY DESIGN (you cannot evaluate an ANN index without
+    # the exact answer); the IVF side under eval is equi-join pruned.
+    ("emb_ann_recall_census", "BroadcastNestedLoopJoin"),
     # IVF assignment: the broadcast side is the tiny coarse-centroid /
     # probe-cell frame; each row scans centroids, never other rows.
     ("emb_ann_ivf_topk", "BroadcastNestedLoopJoin"),
