@@ -864,26 +864,18 @@ def dq_constraint_events(spark: SparkSession, sf: str) -> DataFrame:
     return constraint_census(ev, checks)
 
 
+def _cosine_topk_sql() -> str:
+    from scio_db_spark.plans.vecops import COSINE_TOPK_SQL
+
+    return COSINE_TOPK_SQL
+
+
 @register(
     "emb_ann_recall_census",
     oracle=f"""
     WITH ivf AS ({_IVF_TRAINED_SQL}),
     exact AS (
-        SELECT q_id, vec_id FROM (
-            SELECT q_id, vec_id,
-                row_number() OVER (PARTITION BY q_id
-                                   ORDER BY cos_sim DESC, vec_id) AS rn
-            FROM (
-                SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
-                    ({dot_sql("q.embedding", "e.embedding", DUCK_AT)})
-                    / nullif({norm_sql("q.embedding", DUCK_AT)}
-                             * {norm_sql("e.embedding", DUCK_AT)}, 0.0)
-                        AS cos_sim
-                FROM embeddings q JOIN embeddings e
-                  ON e.vec_id <> q.vec_id
-                WHERE q.vec_id IN {_IVF_T_QUERY_IDS}
-            )
-        ) WHERE rn <= {_IVF_T_TOPK}
+        SELECT q_id, vec_id FROM ({_cosine_topk_sql()})
     )
     SELECT ex.q_id, count(*) AS n_exact,
         CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -904,37 +896,13 @@ def dq_constraint_events(spark: SparkSession, sf: str) -> DataFrame:
     "registered probe plan composed verbatim.",
 )
 def ann_recall_census(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
+    # BOTH sides are composed from their registered plans — the exact
+    # ground truth IS emb_cosine_topk (same query ids, same k, same
+    # tiebreak), not a re-implementation that could silently drift
+    # from the baseline it claims to evaluate.
+    from scio_db_spark.plans.vecops import cosine_topk
 
-    e = table(spark, sf, "embeddings")
-    base = e.select(
-        "vec_id",
-        "embedding",
-        F.expr(norm_sql("embedding", SPARK_AT)).alias("e_nrm"),
-    )
-    q = (
-        e.filter(F.col("vec_id").isin(*_IVF_T_QUERY_IDS))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("q_emb"),
-            F.expr(norm_sql("embedding", SPARK_AT)).alias("q_nrm"),
-        )
-    )
-    cos = F.expr(
-        f"({dot_sql('q_emb', 'embedding', SPARK_AT)}) / "
-        f"nullif(q_nrm * e_nrm, 0.0)"
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.desc("cos_sim"), F.asc("vec_id")
-    )
-    exact = (
-        F.broadcast(q)
-        .join(base, F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", cos.alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _IVF_T_TOPK)
-        .select("q_id", "vec_id")
-    )
+    exact = cosine_topk(spark, sf).select("q_id", "vec_id")
     ivf = ann_ivf_trained_topk(spark, sf).select(
         "q_id", "vec_id", F.lit(1).alias("hit")
     )

@@ -1461,7 +1461,11 @@ def gap_histogram(spark: SparkSession, sf: str) -> DataFrame:
         CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR)
              AS DOUBLE) AS attributed_value
     FROM attributed WHERE event_type = 'purchase'
-    GROUP BY channel
+    -- GROUP BY 1 binds the COALESCED alias; a bare "GROUP BY channel"
+    -- resolves to the raw pre-coalesce column in DuckDB (verified),
+    -- which would split a literal-'none' touch from the no-touch
+    -- sentinel while Spark merges them.
+    GROUP BY 1
     """,
     doc="Last-touch purchase attribution: each purchase credited to "
     "the user's most recent PRIOR non-purchase event type "
@@ -1535,17 +1539,13 @@ def weekly_type_momentum(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("__wk", "yyyy-MM-dd").alias("week"),
         "n",
         (F.col("n") - prev).alias("delta"),
-        F.when(prev > 0, (F.col("n") - prev) * 1000)
-        .otherwise(F.lit(None))
-        .cast("long")
-        .alias("__num"),
+        prev.alias("__prev"),
     ).select(
         "event_type",
         "week",
         "n",
         "delta",
         F.expr(
-            "CASE WHEN __num IS NOT NULL THEN __num DIV "
-            "(n - delta) END"
+            "CASE WHEN __prev > 0 THEN (n - __prev) * 1000 DIV __prev END"
         ).alias("delta_permille"),
     )

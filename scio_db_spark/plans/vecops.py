@@ -33,9 +33,9 @@ def _emb(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@register(
-    "emb_cosine_topk",
-    oracle=f"""
+# Shared with libops' emb_ann_recall_census, which uses this exact
+# top-k as the ANN-evaluation ground truth.
+COSINE_TOPK_SQL = f"""
     WITH q AS (
         SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
         WHERE vec_id IN {_QUERY_IDS}
@@ -51,7 +51,12 @@ def _emb(spark: SparkSession, sf: str) -> DataFrame:
                                ORDER BY cos_sim DESC, vec_id) AS rn
         FROM scored
     ) WHERE rn <= {_TOPK}
-    """,
+"""
+
+
+@register(
+    "emb_cosine_topk",
+    oracle=COSINE_TOPK_SQL,
     headline=True,
     doc="Brute-force cosine ANN baseline: top-5 neighbors for 5 queries.",
 )
