@@ -47,19 +47,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # is unaffected.
 # tools/update_driver_verified.py regenerates this set after each
 # round (latest-round-wins) and `--check` fails when it drifts.
+_DRIVER_VERIFIED_ROUND = 5
 _DRIVER_VERIFIED = frozenset({
     "agg_orders_by_status",
     "anti_join_customers_without_orders",
+    "basket_part_pairs_topk",
     "broadcast_enrich_orders",
     "cube_order_status_priority",
+    "cust_fuzzy_edit1_pairs",
     "decile_customer_revenue",
     "distinct_order_dims",
     "docs_bigram_colloc_topk",
+    "docs_bigram_cond_surprisal",
+    "docs_bm25_scores",
     "docs_bpe_token_count",
     "docs_chunk_plan",
     "docs_clean_corpus",
     "docs_contamination_screen",
     "docs_dedup_clusters",
+    "docs_dedup_reduce_census",
     "docs_duplicate_spans",
     "docs_exact_dedup",
     "docs_fingerprint",
@@ -77,6 +83,7 @@ _DRIVER_VERIFIED = frozenset({
     "docs_simhash",
     "docs_simhash_near_pairs",
     "docs_stratified_sample",
+    "docs_tfidf_topk",
     "docs_token_df_topk",
     "docs_token_hll_estimate",
     "docs_token_stats",
@@ -85,38 +92,60 @@ _DRIVER_VERIFIED = frozenset({
     "docs_type_token_ratio",
     "docs_unigram_surprisal",
     "docs_vocab_coverage",
+    "docs_zipf_fit",
+    "dq_constraint_events",
+    "dq_profile_orders",
+    "dq_referential_orders_lineitem",
     "emb_ann_ivf_topk",
+    "emb_ann_ivf_trained_topk",
     "emb_ann_lsh_topk",
+    "emb_ann_recall_census",
     "emb_cosine_topk",
     "emb_kmeans_assign",
+    "emb_kmeans_trained_census",
     "emb_lsh_bucket_histogram",
     "emb_near_dup_pairs",
     "emb_norms",
+    "emb_pca_projection",
+    "emb_quantize_roundtrip",
     "emb_semantic_dedup",
+    "emb_semantic_dedup_trained",
+    "events_activity_streaks",
     "events_anti_join_historical",
     "events_asof_latest_order",
+    "events_conversion_latency",
     "events_csv_parse_toxic",
     "events_daily_retention",
     "events_dedup_first_per_key",
     "events_dedup_mark_duplicates",
     "events_dedup_ttl_sessions",
     "events_enrich_user_lookup",
+    "events_funnel_steps",
     "events_funnel_view_purchase",
+    "events_gap_histogram",
     "events_initial_load_tag",
     "events_json_extract",
     "events_key_extraction",
     "events_moving_hour_stats",
     "events_orders_range_count",
+    "events_pii_redaction_census",
+    "events_purchase_attribution",
     "events_resample_hourly_ffill",
     "events_response_classification",
     "events_retry_increment",
+    "events_rolling_anomaly_census",
     "events_rollup_hourly",
     "events_semi_join_duplicated",
     "events_session_windows",
+    "events_time_weighted_value",
+    "events_top_paths",
     "events_type_hour_profile",
     "events_type_transition_matrix",
     "events_validity_ko_routing",
     "events_validity_ok_count",
+    "events_value_mad_outliers",
+    "events_weekly_cohort_matrix",
+    "events_weekly_type_momentum",
     "events_windowed_counts",
     "global_rank_customers",
     "histogram_order_totals",
@@ -126,6 +155,8 @@ _DRIVER_VERIFIED = frozenset({
     "mm_frame_sample",
     "mm_payload_metadata",
     "multi_pattern_timestamp_parse",
+    "orders_delete_keys_census",
+    "pareto_customers_80",
     "pivot_order_counts",
     "q01_pricing_summary",
     "q02_min_cost_supplier",
@@ -149,6 +180,7 @@ _DRIVER_VERIFIED = frozenset({
     "q20_excess_share_suppliers",
     "q21_suppliers_kept_waiting",
     "q22_dormant_rich_customers",
+    "rfm_segments",
     "rollup_revenue",
     "semi_join_customers_with_urgent_orders",
     "setop_lapsed_customers",

