@@ -250,13 +250,18 @@ def _dot_with_literal(vec_col: str, centroid: list[float]) -> Column:
     parses JVM-side in one call. The expression tree is identical
     (left-associated double sums, repr'd literals round-trip exactly),
     so results are bit-for-bit unchanged."""
+    # Backtick-quote the identifier: assign()'s public API accepts any
+    # column name via Column ops elsewhere, so names needing quoting
+    # (spaces, dots, hyphens) must not break — or worse, silently bind
+    # to a different expression — inside this SQL string.
+    ident = "`" + vec_col.replace("`", "``") + "`"
     terms = " + ".join(
-        f"CAST(element_at({vec_col}, {i}) AS DOUBLE) * "
+        f"CAST(element_at({ident}, {i}) AS DOUBLE) * "
         f"CAST('{float(w)!r}' AS DOUBLE)"
         for i, w in enumerate(centroid, start=1)
     )
     norm = (
-        f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        f"sqrt(aggregate({ident}, CAST(0.0 AS DOUBLE), "
         f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     )
     # nullif: Spark x/0.0 yields NULL under ANSI while DuckDB yields

@@ -883,62 +883,84 @@ def funnel_view_purchase(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-_MAD_K = 4.4478  # 3 * 1.4826 (consistency constant), one shared literal
+# MAD outlier threshold 3 * 1.4826 (consistency constant) = 4.4478,
+# folded into integer arithmetic as 44478/10000 in both engines below.
 
 
 @register(
     "events_value_mad_outliers",
-    oracle=f"""
-    WITH m AS (
-        SELECT event_type, quantile_cont(value, 0.5) AS med
-        FROM events GROUP BY event_type
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vc
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+            CAST(2 * quantile_cont(vc, 0.5) AS BIGINT) AS med2
+        FROM e GROUP BY event_type
     ),
     d AS (
-        SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
-        FROM events e JOIN m USING (event_type)
+        SELECT e.event_type, abs(2 * e.vc - m.med2) AS dev2, m.med2
+        FROM e JOIN m USING (event_type)
     ),
     a AS (
-        SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        SELECT event_type,
+            CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
         FROM d GROUP BY event_type
     )
     SELECT d.event_type, count(*) AS n,
-        any_value(d.med) AS med, any_value(a.mad) AS mad,
-        CAST(sum(CASE WHEN d.dev > {_MAD_K} * a.mad THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_outliers
+        any_value(d.med2) AS med2_cents, any_value(a.mad4) AS mad4_cents,
+        CAST(sum(CASE WHEN 20000 * d.dev2 > 44478 * a.mad4
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM d JOIN a USING (event_type)
     GROUP BY d.event_type
     """,
     doc="Robust outlier census per event type: median / MAD (median "
     "absolute deviation), outliers = |v − med| > 3·1.4826·MAD — the "
     "robust z-score every monitoring pipeline wants where mean/stddev "
-    "are ruined by the very outliers being hunted. Exact medians are "
-    "inherently multi-pass (MAD needs med first); the per-type "
-    "broadcast of the tiny med/mad frames keeps every pass a map-side "
-    "join + keyed agg. SCALE NOTE: 3 fact scans for exactness; at "
-    "100 TB swap percentile→approx_percentile (fixed-size mergeable "
-    "sketch, one pass per level) and accept the documented bound.",
+    "are ruined by the very outliers being hunted. EXACT-INTEGER "
+    "FORM: values quantize to cents (floor(value·100) — a bitwise- "
+    "deterministic map of the identical input double in both "
+    "engines), and the two medians are carried DOUBLED (med2 = 2·med "
+    "cents, mad4 = 4·MAD cents): interpolation at the 0.5 quantile "
+    "over integers is (a+b)/2, so doubling restores an exact BIGINT "
+    "and no float interpolation (a 1-ulp cross-engine divergence "
+    "class — quantile_cont's a+(b−a)·f vs weighted-sum forms) ever "
+    "reaches an output or the outlier comparison, which folds the "
+    "3·1.4826 constant into pure int64 20000·dev2 > 44478·mad4. "
+    "Exact medians are inherently multi-pass (MAD needs med first); "
+    "the per-type broadcast of the tiny med/mad frames keeps every "
+    "pass a map-side join + keyed agg. SCALE NOTE: 3 fact scans for "
+    "exactness; at 100 TB swap percentile→approx_percentile "
+    "(fixed-size mergeable sketch, one pass per level) and accept "
+    "the documented bound.",
 )
 def value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
-    ev = _events(spark, sf).select("event_type", "value")
+    ev = _events(spark, sf).select(
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("vc"),
+    )
     med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+        F.expr("CAST(2 * percentile(vc, 0.5D) AS BIGINT)").alias("med2")
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+        "event_type",
+        "med2",
+        F.abs(2 * F.col("vc") - F.col("med2")).alias("dev2"),
     )
     mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(dev, 0.5)").alias("mad")
+        F.expr("CAST(2 * percentile(dev2, 0.5D) AS BIGINT)").alias("mad4")
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.first("med").alias("med"),
-            F.first("mad").alias("mad"),
+            F.first("med2").alias("med2_cents"),
+            F.first("mad4").alias("mad4_cents"),
             F.sum(
                 F.when(
-                    F.col("dev") > F.lit(_MAD_K) * F.col("mad"), F.lit(1)
+                    20000 * F.col("dev2") > 44478 * F.col("mad4"), F.lit(1)
                 ).otherwise(F.lit(0))
             ).alias("n_outliers"),
         )
@@ -960,13 +982,27 @@ def value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
          AND p.ts >= v.v_ts
         GROUP BY v.user_id, v.v_ts
     ),
-    l AS (SELECT epoch_us(p_ts) - epoch_us(v_ts) AS lat_us FROM j)
-    SELECT count(*) AS n_viewers,
-        count(lat_us) AS n_converted,
-        count(lat_us) * 1000 // count(*) AS conv_permille,
-        quantile_cont(lat_us, 0.5) AS med_latency_us,
-        quantile_cont(lat_us, 0.9) AS p90_latency_us
-    FROM l
+    l AS (SELECT epoch_us(p_ts) - epoch_us(v_ts) AS lat_us FROM j),
+    s AS (
+        SELECT count(*) AS n_viewers,
+            count(lat_us) AS n_converted,
+            list_sort(list(lat_us) FILTER (WHERE lat_us IS NOT NULL))
+                AS lats
+        FROM l
+    )
+    SELECT n_viewers, n_converted,
+        n_converted * 1000 // n_viewers AS conv_permille,
+        CASE WHEN n_converted = 0 THEN NULL ELSE
+            lats[(n_converted - 1) // 2 + 1]
+            + lats[(n_converted - 1) // 2 + 1 + (n_converted - 1) % 2]
+        END AS med_x2_us,
+        CASE WHEN n_converted = 0 THEN NULL ELSE
+            10 * lats[(n_converted - 1) * 9 // 10 + 1]
+            + (lats[least((n_converted - 1) * 9 // 10 + 2, n_converted)]
+               - lats[(n_converted - 1) * 9 // 10 + 1])
+              * ((n_converted - 1) * 9 % 10)
+        END AS p90_x10_us
+    FROM s
     """,
     doc="View→purchase conversion latency: each viewer's FIRST view, "
     "their first purchase at/after it, exact median and p90 of the "
@@ -974,9 +1010,17 @@ def value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     "time-to-convert companion of events_funnel_view_purchase. The "
     "purchase probe is an equi-join on user_id against the "
     "user-level (already reduced) first-view frame with the ts bound "
-    "as a residual predicate; the final exact percentiles run over "
-    "ONE row per user, not per event. Exact integer microsecond "
-    "latencies interpolate identically in both engines.",
+    "as a residual predicate; the final exact stats run over ONE row "
+    "per user, not per event. EXACT-INTEGER OUTPUTS: the engine "
+    "quantile interpolation a+(b−a)·f is not an identical expression "
+    "tree across engines (1-ulp class), so the type-7 quantiles are "
+    "computed from the bracketing order statistics with the fraction "
+    "folded in RATIONAL arithmetic — med_x2_us = a+b (2× the median) "
+    "and p90_x10_us = 10·a + (b−a)·((n−1)·9 mod 10) (10× the p90) "
+    "are pure int64 on microsecond latencies in both engines. SCALE "
+    "NOTE: the sorted-array aggregate funnels |converters| reduced "
+    "rows to one task (whitelisted); at 100 TB swap to "
+    "approx_percentile's mergeable sketch.",
 )
 def conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
     ev = _events(spark, sf)
@@ -988,12 +1032,34 @@ def conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
     j = _first_at_or_after(ev, v, "purchase", "v_ts", "p_ts").select(
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lat_us")
     )
-    return j.agg(
+    s = j.agg(
         F.count(F.lit(1)).alias("n_viewers"),
         F.count("lat_us").alias("n_converted"),
-        F.expr("count(lat_us) * 1000 DIV count(*)").alias("conv_permille"),
-        F.expr("percentile(lat_us, 0.5)").alias("med_latency_us"),
-        F.expr("percentile(lat_us, 0.9)").alias("p90_latency_us"),
+        # collect_list drops NULLs (non-converters), matching the
+        # oracle's FILTER clause.
+        F.sort_array(F.collect_list("lat_us")).alias("lats"),
+    )
+    return s.select(
+        "n_viewers",
+        "n_converted",
+        F.expr("n_converted * 1000 DIV n_viewers").alias("conv_permille"),
+        F.expr(
+            "CASE WHEN n_converted = 0 THEN NULL ELSE "
+            "element_at(lats, CAST((n_converted - 1) DIV 2 + 1 AS INT)) "
+            "+ element_at(lats, CAST((n_converted - 1) DIV 2 + 1 "
+            "             + (n_converted - 1) % 2 AS INT)) END"
+        ).alias("med_x2_us"),
+        F.expr(
+            "CASE WHEN n_converted = 0 THEN NULL ELSE "
+            "10 * element_at(lats, "
+            "     CAST((n_converted - 1) * 9 DIV 10 + 1 AS INT)) "
+            "+ (element_at(lats, "
+            "     CAST(least((n_converted - 1) * 9 DIV 10 + 2, "
+            "                n_converted) AS INT)) "
+            "   - element_at(lats, "
+            "     CAST((n_converted - 1) * 9 DIV 10 + 1 AS INT))) "
+            "  * ((n_converted - 1) * 9 % 10) END"
+        ).alias("p90_x10_us"),
     )
 
 

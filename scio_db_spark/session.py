@@ -80,13 +80,22 @@ class SessionFactory:
                 if _norm(spark.conf.get(k, None)) != _norm(v):
                     spark.conf.set(k, v)
             except Exception:  # noqa: BLE001 — static conf on a live session
-                if _norm(spark.conf.get(k, None)) == _norm(v):
-                    continue  # effective value already matches — no conflict
+                # The equality probe must not raise out of session
+                # creation: if the ORIGINAL failure came from conf.get
+                # itself (not conf.set), a bare re-read here would
+                # re-raise instead of warning. Any probe failure falls
+                # through to the warning path.
+                try:
+                    existing = spark.conf.get(k, None)
+                    if _norm(existing) == _norm(v):
+                        continue  # effective value already matches
+                except Exception:  # noqa: BLE001
+                    existing = "<unreadable>"
                 import warnings
 
                 warnings.warn(
                     f"SessionFactory: existing SparkSession pins static "
-                    f"conf {k!r}={spark.conf.get(k, None)!r}; requested "
+                    f"conf {k!r}={existing!r}; requested "
                     f"{v!r} was NOT applied",
                     RuntimeWarning,
                     stacklevel=2,

@@ -34,6 +34,68 @@ from pyspark.sql import functions as F
 
 _TARGET_BYTES_DEFAULT = 128 * 1024 * 1024
 
+# Swap-in-progress manifest: written BEFORE compacted files are
+# renamed into the table, listing the original files doomed by the
+# swap. A crash between the rename loop and the removal loop would
+# otherwise leave every row permanently duplicated with nothing for a
+# reader to detect; the manifest makes the half-swapped state both
+# detectable and repairable (finish_compact_swap removes the listed
+# leftovers idempotently).
+_SWAP_MANIFEST = ".compact-inprogress"
+
+
+def finish_compact_swap(path: str) -> int:
+    """Repair a crashed compact() swap; returns files removed.
+
+    Roll-FORWARD when every incoming file is available (in place or
+    still in the tmp sibling): finish the renames, then remove the
+    doomed originals. Roll BACK when the incoming set is incomplete
+    and the tmp sibling is gone: remove the incoming files that made
+    it in (all originals are still present — removal is ordered after
+    the manifest check) so the table returns to its exact pre-compact
+    state instead of a permanent superset. Idempotent no-op when no
+    manifest exists. Called automatically at the top of compact() and
+    delete_keys(); readers that care about exactness can call it
+    before scanning.
+    """
+    import json
+
+    manifest = os.path.join(path, _SWAP_MANIFEST)
+    if not os.path.exists(manifest):
+        return 0
+    with open(manifest) as f:
+        state = json.load(f)
+    doomed, incoming = state["doomed"], state["incoming"]
+    tmp = os.path.join(os.path.dirname(path.rstrip("/")), state["tmp"])
+    removed = 0
+    missing = [
+        n for n in incoming if not os.path.exists(os.path.join(path, n))
+    ]
+    for name in missing:  # roll forward from the tmp sibling if it survives
+        src = os.path.join(tmp, name)
+        if os.path.exists(src):
+            os.rename(src, os.path.join(path, name))
+    still_missing = [
+        n for n in incoming if not os.path.exists(os.path.join(path, n))
+    ]
+    if still_missing:
+        # Incomplete swap, tmp gone: roll back. Originals are all
+        # present (their removal is gated on a complete incoming set).
+        for name in incoming:
+            p = os.path.join(path, name)
+            if os.path.exists(p):
+                os.remove(p)
+                removed += 1
+    else:
+        for name in doomed:
+            p = os.path.join(path, name)
+            if os.path.exists(p):
+                os.remove(p)
+                removed += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+    os.remove(manifest)
+    return removed
+
 
 def _parquet_files(path: str) -> list[str]:
     out = []
@@ -58,6 +120,7 @@ def compact(
     Partition-dir layouts should be compacted per leaf directory so
     partition pruning survives; this operates on one leaf.
     """
+    finish_compact_swap(path)
     files = _parquet_files(path)
     if len(files) <= 1:
         return {
@@ -86,12 +149,29 @@ def compact(
     # part-<uuid> names cannot collide with the existing files): every
     # crash point then leaves the directory a readable superset — a
     # remove-first ordering would strand all data in the tmp sibling if
-    # the job died between the two loops. Transient duplicate rows
-    # during the swap window are the price of never losing data.
-    for f in _parquet_files(tmp):
+    # the job died between the two loops. The manifest written first
+    # bounds the duplicate window: a crash anywhere after it leaves a
+    # state the next compact()/delete_keys()/finish_compact_swap()
+    # repairs exactly (remove surviving listed originals), instead of
+    # a permanent undetectable superset.
+    import json
+
+    new_files = _parquet_files(tmp)
+    manifest = os.path.join(path, _SWAP_MANIFEST)
+    with open(manifest, "w") as mf:
+        json.dump(
+            {
+                "doomed": [os.path.basename(f) for f in files],
+                "incoming": [os.path.basename(f) for f in new_files],
+                "tmp": os.path.basename(tmp.rstrip("/")),
+            },
+            mf,
+        )
+    for f in new_files:
         os.rename(f, os.path.join(path, os.path.basename(f)))
     for f in files:
         os.remove(f)
+    os.remove(manifest)
     shutil.rmtree(tmp, ignore_errors=True)
     return {
         "files_before": len(files),
@@ -112,6 +192,7 @@ def delete_keys(
 
     Returns {files_scanned, files_rewritten, rows_deleted}.
     """
+    finish_compact_swap(path)
     # Pin the key set BEFORE any file is rewritten: a lazy ``keys``
     # derived from the TARGET table itself (the dedup-reduce pattern:
     # doomed ids = table ⟕ kept) would otherwise be re-evaluated

@@ -143,6 +143,82 @@ def test_compact_crash_window_never_loses_data(spark, tmp_path, monkeypatch):
     assert surviving == before
 
 
+def test_compact_swap_manifest_repairs_duplicates(spark, tmp_path, monkeypatch):
+    """A crash in the removal loop leaves the swap manifest behind;
+    the next compact() (or finish_compact_swap) must remove the doomed
+    originals so readers see exact rows again — not a permanent
+    duplicated superset (advisor round-5)."""
+    import scio_db_spark.sinks.maintenance as m
+
+    path = str(tmp_path / "c")
+    _write_small_files(spark, path, n_files=4, rows_per=25)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    real_remove = os.remove
+    calls = {"n": 0}
+
+    def exploding_remove(p):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die mid-way through the delete loop
+            raise OSError("simulated crash during old-file removal")
+        real_remove(p)
+
+    monkeypatch.setattr(m.os, "remove", exploding_remove)
+    try:
+        compact(spark, path, target_bytes=10**9)
+    except OSError:
+        pass
+    monkeypatch.undo()
+
+    # Half-swapped: manifest present, rows duplicated.
+    assert os.path.exists(os.path.join(path, m._SWAP_MANIFEST))
+    dup_rows = [r.id for r in spark.read.parquet(path).collect()]
+    assert len(dup_rows) > len(before)  # the superset the repair fixes
+
+    removed = m.finish_compact_swap(path)
+    assert removed >= 1
+    assert not os.path.exists(os.path.join(path, m._SWAP_MANIFEST))
+    exact = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert exact == before  # exact rows, no duplicates
+
+
+def test_compact_swap_rolls_back_when_incoming_incomplete(
+    spark, tmp_path, monkeypatch
+):
+    """Crash BEFORE any rename (manifest written, tmp wiped by an
+    operator): recovery must roll BACK (keep originals, drop partial
+    incoming) — never remove originals while the incoming set is
+    incomplete, which would lose rows."""
+    import json
+    import shutil as _sh
+
+    import scio_db_spark.sinks.maintenance as m
+
+    path = str(tmp_path / "rb")
+    _write_small_files(spark, path, n_files=3, rows_per=20)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+    originals = [os.path.basename(f) for f in m._parquet_files(path)]
+
+    # Fabricate the crash state: manifest referencing incoming files
+    # that never arrived, tmp sibling gone.
+    with open(os.path.join(path, m._SWAP_MANIFEST), "w") as f:
+        json.dump(
+            {
+                "doomed": originals,
+                "incoming": ["part-never-arrived.snappy.parquet"],
+                "tmp": "rb__compact_gone",
+            },
+            f,
+        )
+    assert not os.path.exists(str(tmp_path / "rb__compact_gone"))
+
+    m.finish_compact_swap(path)
+    after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert after == before  # originals intact — rollback, not data loss
+    assert not os.path.exists(os.path.join(path, m._SWAP_MANIFEST))
+    _sh.rmtree(str(tmp_path / "rb"), ignore_errors=True)
+
+
 def test_delete_keys_accepts_keys_derived_from_target(spark, tmp_path):
     """The doomed-key frame may be a lazy plan over the TARGET table
     itself (the dedup-reduce pattern); delete_keys must pin it before

@@ -48,6 +48,11 @@ def main() -> None:
 
     spark = SessionFactory.create("bench-corpus-ingest")
     spark.sparkContext.setLogLevel("ERROR")
+    # Totals below are summed from recentProgress, which Spark caps at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100): a
+    # run with more micro-batches would silently undercount n_total
+    # and deflate records/min. Raise the cap and assert under it.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
 
     indir = tempfile.mkdtemp(prefix="ci_in_")
     outdir = tempfile.mkdtemp(prefix="ci_out_")
@@ -114,6 +119,12 @@ def main() -> None:
     # Gate metrics from observe(): n_total counts every record through
     # the job (the throughput denominator), without a second scan.
     totals = {"n_total": 0, "n_ok": 0, "n_ko": 0}
+    progress = ok_q.recentProgress
+    assert len(progress) < 10000, (
+        "recentProgress hit the raised cap — totals would undercount; "
+        "raise numRecentProgressUpdates further or switch to a "
+        "StreamingQueryListener accumulator"
+    )
     for p in ok_q.recentProgress:
         m = (p.get("observedMetrics") or {}).get("corpus_gate")
         if m:
