@@ -1,53 +1,237 @@
-"""Scalable global ranking (total order without a single-node sort).
+"""Scalable global ranking / ntile / running sums (no single-node sort).
 
 ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY is the
 classic 100 TB trap: Spark plans it as ``Exchange SinglePartition`` —
-every row moves to ONE task. ``global_rank`` computes the identical
-ranks with ONE data-sized shuffle:
+every row moves to ONE task. The operators here compute identical
+results with the data path staying fully partitioned, TeraSort-style:
 
-1. ``repartitionByRange`` on the order columns — rows land in range
-   partitions that follow the global order (partition 0 holds the
-   smallest keys, etc.); the range sampler bounds skew.
-2. per-partition counts (map-side partial agg over the reused range
-   exchange — the exchange carries one row per partition) → prefix-sum
-   offsets, broadcast back.
-3. ``sortWithinPartitions`` (in-place, no exchange) + an Arrow-batched
-   ``mapInPandas`` that enumerates rows per partition; final rank =
-   partition offset + local position.
+1. **Deterministic boundary sample**: hash-filter the order-key tuples
+   (``xxhash64(key) % sample_mod == 0``), sort the small sample on one
+   reducer, pick P-1 evenly-spaced boundary tuples. Everything is a
+   pure function of the DATA — no RangePartitioner, whose reservoir
+   sampling is seeded per plan-node instance: Catalyst column-prunes
+   multi-consumer subtrees into DIFFERENT exchanges (measured: a
+   (counts ⋈ data) two-branch formulation planned two independent
+   range exchanges that sampled different bounds and mis-joined at
+   num_partitions=8 — caught by this module's runtime guard).
+2. **Partition id = boundary rank**: broadcast the one-row bounds
+   frame; each row's ``__pid`` = number of boundary tuples that
+   order-precede it (a lexicographic comparator built from the order
+   spec). Deterministic per row, so every plan branch that recomputes
+   it agrees by construction.
+3. **Windows partitioned by __pid**: ``row_number`` / running ``sum``
+   over ``PARTITION BY __pid`` — ordinary hash exchanges, each
+   partition holding ~n/P contiguous rows of the global order.
+4. **Prefix offsets**: per-pid counts (and value sums) are a tiny
+   P-row frame; its prefix-sum window funnels one row per pid, never
+   data. Global rank = pid offset + local row number; global running
+   sum = pid value-offset + local cumsum.
 
-A window ``partitionBy(spark_partition_id())`` would be simpler but
-Catalyst cannot know rows are already co-located by partition id, so
-it inserts a SECOND full-data hash exchange — the mapInPandas
-enumeration keeps the range shuffle as the only full-data movement.
+The order spec must be TOTAL (include a tiebreaker column) and the
+order keys must be non-NULL (aggregate outputs are): ties or NULLs
+straddling a boundary would otherwise get nondeterministic ranks.
 
-The order spec must be TOTAL (include a tiebreaker column): ties that
-straddle a range boundary would otherwise get nondeterministic ranks.
+A runtime guard (``assert_true(__lrn <= __n)``) still rides along: if
+the per-row pid derivation ever diverges between the window branch and
+the counts branch (e.g. someone reintroduces a nondeterministic
+partitioner), some partition must by pigeonhole number more rows than
+its count, turning silent rank corruption into a loud failure.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+import re
+from collections.abc import Callable
 
-import pandas as pd
-
-from pyspark import TaskContext
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+
+_ORDER_RE = re.compile(
+    r"^Column<'(.+?)(?: (ASC|DESC) NULLS (FIRST|LAST))?'>$"
+)
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
-def _number_partitions(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    pid = TaskContext.get().partitionId()
-    base = 0
-    for pdf in batches:
-        n = len(pdf)
-        pdf = pdf.copy()
-        pdf["__pid"] = pid
-        pdf["__lrn"] = range(base + 1, base + n + 1)
-        base += n
-        yield pdf
+def _parse_order(order_by: list[Column]) -> list[tuple[str, bool]]:
+    """(column name, is_descending) pairs from sort Columns.
+
+    Restricted to plain column references (``F.asc("c")`` /
+    ``F.desc("c")`` / ``F.col("c")``): the boundary comparator needs
+    the field name to address the sampled struct.
+    """
+    spec: list[tuple[str, bool]] = []
+    for c in order_by:
+        m = _ORDER_RE.match(str(c))
+        if not m or not _IDENT_RE.fullmatch(m.group(1)):
+            raise ValueError(
+                f"rank operators need plain asc/desc column references "
+                f"in order_by, got {c!s}; alias the expression to a "
+                f"column first"
+            )
+        spec.append((m.group(1), (m.group(2) or "ASC") == "DESC"))
+    return spec
+
+
+def _cmp(
+    spec: list[tuple[str, bool]],
+    gx: Callable[[str], Column],
+    gy: Callable[[str], Column],
+) -> Column:
+    """Lexicographic comparator: -1/0/1 as x precedes/ties/follows y
+    in the order spec. NULL keys compare as ties (callers must keep
+    order keys non-NULL)."""
+    out = F.lit(0)
+    for name, desc in reversed(spec):
+        a, b = gx(name), gy(name)
+        lt, gt = (F.lit(1), F.lit(-1)) if desc else (F.lit(-1), F.lit(1))
+        out = F.when(a < b, lt).when(a > b, gt).otherwise(out)
+    return out
+
+
+def _with_pid(
+    df: DataFrame,
+    order_by: list[Column],
+    num_partitions: int | None,
+    sample_mod: int,
+) -> DataFrame:
+    """Append ``__pid``: the row's range-partition id in the total
+    order, a deterministic function of the row's key tuple and the
+    hash-sampled boundary set."""
+    spec = _parse_order(order_by)
+    names = [n for n, _ in spec]
+    p = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    skey = F.struct(*[F.col(n) for n in names])
+    sample = df.select(skey.alias("__s")).filter(
+        F.pmod(F.xxhash64(F.col("__s")), F.lit(sample_mod)) == 0
+    )
+    sorted_arr = F.array_sort(
+        F.col("__arr"),
+        lambda x, y: _cmp(spec, lambda n: x[n], lambda n: y[n]),
+    )
+    if p >= 2:
+        # Boundary i (1-based) = sample element at floor(m*i/p)+1 —
+        # evenly spaced order statistics of the sample. m*i stays well
+        # under 2^53, so the double division is exact enough for an
+        # index. Empty sample → no bounds → every row lands in pid 0
+        # (correct single-partition fallback for tiny inputs).
+        arr = F.col("__arr")
+        bounds = F.when(
+            F.size(arr) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(p - 1)),
+                lambda i: F.element_at(
+                    arr,
+                    (F.floor(F.size(arr) * i / F.lit(p)) + 1).cast("int"),
+                ),
+            ),
+        ).otherwise(F.filter(arr, lambda _: F.lit(False)))
+    else:
+        bounds = F.filter(F.col("__arr"), lambda _: F.lit(False))
+    bframe = sample.agg(F.collect_list("__s").alias("__arr")).select(
+        sorted_arr.alias("__arr")
+    ).select(bounds.alias("__bounds"))
+    # ONE-ROW broadcast (BroadcastNestedLoopJoin by necessity — there
+    # is no join key; the "loop" is a constant bounds-array probe per
+    # row). Boundary-precedence count = the row's partition id.
+    return (
+        df.crossJoin(F.broadcast(bframe))
+        .withColumn(
+            "__pid",
+            F.size(
+                F.filter(
+                    F.col("__bounds"),
+                    lambda b: _cmp(
+                        spec, lambda n: b[n], lambda n: F.col(n)
+                    )
+                    <= 0,
+                )
+            ).cast("long"),
+        )
+        .drop("__bounds")
+    )
+
+
+def _ranked_core(
+    df: DataFrame,
+    order_by: list[Column],
+    val_col: str | None = None,
+    num_partitions: int | None = None,
+    sample_mod: int = 64,
+) -> DataFrame:
+    """Shared core. Returns ``df``'s columns plus ``__grank`` (global
+    1-based rank), ``__total_n`` (global row count) and — when
+    ``val_col`` is given (must be an exact integer column; float
+    prefix sums are order-dependent) — ``__gcum`` (global inclusive
+    running sum) and ``__total_v`` (global sum)."""
+    pided = _with_pid(df, order_by, num_partitions, sample_mod)
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    numbered = pided.withColumn(
+        "__lrn", F.row_number().over(w).cast("long")
+    )
+    if val_col is not None:
+        numbered = numbered.withColumn(
+            "__lcum",
+            F.sum(val_col)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    # Per-pid totals aggregate ``pided`` directly (not the windowed
+    # frame): Catalyst prunes this branch to the key columns and AQE's
+    # stage reuse dedups the shared upstream exchanges, so the extra
+    # cost is a map-side probe + partial agg — no second window sort
+    # (measured ~8% faster than a windowed-frame derivation at sf0.1).
+    # Even if reuse ever stops firing this is only a perf loss: __pid
+    # is a deterministic function of the row, so independently
+    # recomputed branches still agree (and the assert_true guard
+    # below checks they do).
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if val_col is not None:
+        aggs.append(F.sum(val_col).cast("long").alias("__v"))
+    counts = pided.groupBy("__pid").agg(*aggs)
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off_cols = [
+        F.col("__pid"),
+        F.col("__n"),
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__n").over(w_all).alias("__total_n"),
+    ]
+    if val_col is not None:
+        off_cols += [
+            F.coalesce(F.sum("__v").over(w_off), F.lit(0)).alias("__voff"),
+            F.sum("__v").over(w_all).alias("__total_v"),
+        ]
+    offsets = counts.select(*off_cols)
+    # Divergence guard — see module docstring. assert_true returns
+    # NULL on success, so the coalesce adds 0 to the rank; folding it
+    # into a kept column stops Catalyst pruning it into dead code.
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("__lrn") <= F.col("__n"),
+            F.lit(
+                "rank core: partition-id derivation diverged between "
+                "branches (see operators/rank.py)"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    out = numbered.join(F.broadcast(offsets), "__pid").withColumn(
+        "__grank", (F.col("__off") + F.col("__lrn") + guard).cast("long")
+    )
+    if val_col is not None:
+        out = out.withColumn(
+            "__gcum", (F.col("__voff") + F.col("__lcum")).cast("long")
+        )
+    drop = ["__pid", "__lrn", "__off", "__n"]
+    if val_col is not None:
+        drop += ["__voff", "__lcum"]
+    return out.drop(*drop)
 
 
 def global_rank(
@@ -57,64 +241,62 @@ def global_rank(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append ``rank_col`` = 1-based position in the total order."""
-    ranged = (
-        df.repartitionByRange(num_partitions, *order_by)
-        if num_partitions
-        else df.repartitionByRange(*order_by)
+    return (
+        _ranked_core(df, order_by, None, num_partitions)
+        .withColumnRenamed("__grank", rank_col)
+        .drop("__total_n")
     )
-    # Branch A: one count per partition (tiny; shares the range
-    # exchange with branch B via ReusedExchange in the joined plan).
-    counts = (
-        ranged.withColumn("__pid", F.spark_partition_id())
-        .groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
-    w_off = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "__pid",
-        "__n",  # carried through for the per-row guard below
-        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
-    )
-    # Branch B: in-partition sort (no exchange) + Arrow enumeration.
-    out_schema = StructType(
-        list(df.schema.fields)
-        + [
-            StructField("__pid", LongType()),
-            StructField("__lrn", LongType()),
-        ]
-    )
-    numbered = ranged.sortWithinPartitions(*order_by).mapInPandas(
-        _number_partitions, out_schema
-    )
-    # Correctness guard: both branches must observe the SAME range
-    # boundaries (they share the exchange via ReusedExchange). If plan
-    # canonicalization ever stops unifying them (e.g.
-    # spark.sql.exchange.reuse=false), the two branches sample range
-    # bounds independently and partition memberships diverge — by
-    # pigeonhole some partition then numbers MORE rows than its count,
-    # so asserting __lrn <= __n per row turns silent rank corruption
-    # into a loud runtime failure at zero extra actions.
-    # The assert is folded INTO the rank expression (assert_true
-    # returns NULL on success, so coalesce(..., 0) adds nothing) — a
-    # dropped side-column would be pruned by Catalyst and never
-    # evaluate, making the guard dead code.
-    guard = F.coalesce(
-        F.assert_true(
-            F.col("__lrn") <= F.col("__n"),
-            F.lit(
-                "global_rank: range-exchange reuse broke — branch "
-                "partitioning diverged (see operators/rank.py)"
-            ),
-        ).cast("long"),
-        F.lit(0),
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: list[Column],
+    k: int,
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(k) OVER (ORDER BY ...)`` without the SinglePartition funnel.
+
+    Exact SQL ntile semantics (first ``n mod k`` buckets get one extra
+    row), derived from the global rank in pure integer arithmetic —
+    identical output to the window form at any scale. The order spec
+    must be total (include a tiebreaker).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ranked = _ranked_core(df, order_by, None, num_partitions)
+    # Exact SQL ntile: q = n DIV k rows per bucket, the first n MOD k
+    # buckets take one extra. The ELSE branch's DIV by q is reachable
+    # only when q >= 1 (q = 0 puts every rank inside the WHEN arm).
+    tile = F.expr(
+        f"CASE WHEN __grank <= (__total_n % {k}) * (__total_n DIV {k} + 1) "
+        f"THEN (__grank - 1) DIV (__total_n DIV {k} + 1) + 1 "
+        f"ELSE (__total_n % {k}) + (__grank - (__total_n % {k}) "
+        f"* (__total_n DIV {k} + 1) - 1) DIV (__total_n DIV {k}) + 1 END"
     )
     return (
-        numbered.join(F.broadcast(offsets), "__pid")
-        .withColumn(
-            rank_col,
-            (F.col("__off") + F.col("__lrn") + guard).cast("long"),
-        )
-        .drop("__pid", "__lrn", "__off", "__n")
+        ranked.withColumn(tile_col, tile.cast("int"))
+        .drop("__grank", "__total_n")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    val_col: str,
+    cum_col: str = "cum",
+    total_col: str = "total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` plus the
+    grand total, without a SinglePartition window.
+
+    ``val_col`` must be an exact integer column (cents-scale money —
+    float partial sums would make the prefix order-dependent).
+    """
+    out = _ranked_core(df, order_by, val_col, num_partitions)
+    return (
+        out.withColumnRenamed("__gcum", cum_col)
+        .withColumnRenamed("__total_v", total_col)
+        .drop("__grank", "__total_n")
     )

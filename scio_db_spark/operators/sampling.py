@@ -32,7 +32,7 @@ the training-data extension surface this repo adds.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from scio_db_spark.functions.hashing import str_hash60
@@ -65,9 +65,11 @@ def priority_sample(
     # Integer floor division: 60-bit hash over a cents-scale weight
     # keeps ~40+ significant bits of priority resolution.
     pri = hashed.withColumn("__q", F.expr("__u DIV __w"))
-    w_topk = Window.orderBy(F.asc("__q"), F.asc(id_col))
+    # sort+limit (NOT a global row_number window): Catalyst plans this
+    # as TakeOrderedAndProject — per-partition k-row heaps, k rows to
+    # one reducer — so no full-data SinglePartition exchange at scale.
     return (
-        pri.withColumn("__rn", F.row_number().over(w_topk))
-        .filter(F.col("__rn") <= k)
+        pri.orderBy(F.col("__q").asc(), F.col(id_col).asc())
+        .limit(k)
         .select(*df.columns, F.col("__q").alias("priority"))
     )

@@ -734,26 +734,31 @@ def histogram_order_totals(spark: SparkSession, sf: str) -> DataFrame:
     )
     GROUP BY decile
     """,
-    doc="Customer revenue deciles (ntile over a total order) + "
-    "per-decile totals. ntile needs the global order, but its input "
-    "here is the pre-aggregated per-customer frame — orders of "
-    "magnitude smaller than the fact table — so the single-partition "
-    "step touches |customers| rows, not |orders|. Exact decimal sums "
-    "convert to double only at the edge.",
+    doc="Customer revenue deciles + per-decile totals. The decile is "
+    "operators/rank.global_ntile — the range-partitioned two-pass "
+    "rank with exact SQL ntile bucket arithmetic — so NO row of the "
+    "per-customer frame ever crosses a SinglePartition exchange (the "
+    "only global funnel left is the one-row-per-partition offsets "
+    "window, the rank.py pattern); the window-ntile form this "
+    "replaced funneled all |customers| rows to one task. Exact "
+    "decimal sums convert to double only at the edge.",
 )
 def decile_customer_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.rank import global_ntile
+
     o = table(spark, sf, "orders")
     rev = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.sum(_dec("o_totalprice")).alias("revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
-    return (
-        rev.select("revenue", F.ntile(10).over(w).alias("decile"))
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            _d2d(F.sum("revenue")).alias("decile_revenue"),
-        )
+    tiled = global_ntile(
+        rev,
+        [F.desc("revenue"), F.asc("c_custkey")],
+        10,
+        tile_col="decile",
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _d2d(F.sum("revenue")).alias("decile_revenue"),
     )
 
 
@@ -845,24 +850,30 @@ def basket_part_pairs_topk(spark: SparkSession, sf: str) -> DataFrame:
     FROM c
     """,
     doc="Pareto concentration census: how many top customers carry 80% "
-    "of revenue. The running share is a window over the per-customer "
-    "REVENUE AGGREGATE (bounded by |customers|, not order volume); "
-    "the 80% boundary is decided in exact decimal arithmetic "
-    "((cum_before)·5 < total·4 — no 0.8 float anywhere), so the "
-    "boundary row can't flip on a rounding ulp in either engine.",
+    "of revenue. The running share is operators/rank."
+    "global_running_sum — range-partitioned per-partition cumsums + "
+    "broadcast prefix offsets in int64 CENTS (cents·100 is an exact "
+    "image of the decimal sum, and integer prefix sums are "
+    "order-independent, unlike float) — so the |customers| frame "
+    "never crosses a SinglePartition exchange (only the "
+    "one-row-per-partition offsets window does). The 80% boundary is "
+    "exact integer arithmetic ((cum_before)·5 < total·4 — no 0.8 "
+    "float anywhere), so the boundary row can't flip on a rounding "
+    "ulp in either engine.",
 )
 def pareto_customers_80(spark: SparkSession, sf: str) -> DataFrame:
-    rev = table(spark, sf, "orders").groupBy("o_custkey").agg(
-        F.sum(_dec("o_totalprice")).alias("r")
+    from scio_db_spark.operators.rank import global_running_sum
+
+    rev = (
+        table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("rd"))
+        .select(
+            "o_custkey", (F.col("rd") * 100).cast("long").alias("r")
+        )
     )
-    w = Window.orderBy(F.desc("r"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wt = Window.partitionBy()
-    c = rev.select(
-        "r",
-        F.sum("r").over(w).alias("cum"),
-        F.sum("r").over(wt).alias("total"),
+    c = global_running_sum(
+        rev, [F.desc("r"), F.asc("o_custkey")], "r"
     )
     before_thr = (F.col("cum") - F.col("r")) * 5 < F.col("total") * 4
     return c.agg(
@@ -900,31 +911,91 @@ def pareto_customers_80(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="RFM segmentation census (recency / frequency / monetary "
     "quintiles, score 1 = best): the standard customer-base "
-    "segmentation. All three ntile windows rank the per-customer "
-    "AGGREGATE frame (bounded by |customers|), with deterministic "
-    "(metric, custkey) tiebreaks so quintile boundaries match "
-    "cross-engine; exact decimal revenue converts to double only at "
-    "the edge.",
+    "segmentation. All three quintiles are operators/rank."
+    "global_ntile over the per-customer AGGREGATE frame — three "
+    "chained range shuffles of |customers| rows, ZERO SinglePartition "
+    "data funnels (the window-ntile form this replaced funneled the "
+    "frame to one task three times) — with deterministic (metric, "
+    "custkey) tiebreaks so quintile boundaries match cross-engine; "
+    "exact decimal revenue converts to double only at the edge.",
 )
 def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.rank import global_ntile
+
     rfm = table(spark, sf, "orders").groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("r"),
         F.count(F.lit(1)).alias("f"),
         F.sum(_dec("o_totalprice")).alias("m"),
     )
-    scored = rfm.select(
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("r"), F.asc("o_custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("f"), F.asc("o_custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("m"), F.asc("o_custkey")))
-        .alias("m_score"),
-        "m",
+    # Three INDEPENDENT narrow branches (not a chain): each ntile
+    # pipeline carries only (key, metric), the DAG scheduler runs the
+    # three branches' stages concurrently, and a chained form would
+    # nest each level's whole pipeline inside the next one's plan
+    # (measured 4.3 s chained vs 2.3 s parallel at sf0.1 local). The
+    # custkey equi-joins at the end co-partition after the first hash.
+    br = global_ntile(
+        rfm.select("o_custkey", "r"),
+        [F.desc("r"), F.asc("o_custkey")],
+        5,
+        tile_col="r_score",
+    ).drop("r")
+    bf = global_ntile(
+        rfm.select("o_custkey", "f"),
+        [F.desc("f"), F.asc("o_custkey")],
+        5,
+        tile_col="f_score",
+    ).drop("f")
+    bm = global_ntile(
+        rfm.select("o_custkey", "m"),
+        [F.desc("m"), F.asc("o_custkey")],
+        5,
+        tile_col="m_score",
     )
+    scored = bm.join(br, "o_custkey").join(bf, "o_custkey")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         _d2d(F.sum("m")).alias("segment_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+_PRIO_SAMPLE_K = 100
+
+
+@register(
+    "orders_priority_sample",
+    oracle=f"""
+    WITH h AS (
+        SELECT o_orderkey, o_totalprice,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS w,
+            CAST('0x' || substr(
+                md5('r6:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                AS BIGINT) AS u
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, u // w AS priority
+    FROM h WHERE w > 0
+    ORDER BY priority, o_orderkey LIMIT {_PRIO_SAMPLE_K}
+    """,
+    doc="Weighted sample without replacement over orders: priority "
+    "sampling (Duffield–Lund–Thorup) via operators/sampling.py — "
+    "priority = hash(id) DIV weight, k smallest win, so inclusion "
+    "probability rises with order value. Pure integer arithmetic on "
+    "the cross-engine md5 hash (no ln/pow — libm ulp divergence would "
+    "flip the k boundary), deterministic tiebreak by key, fixed salt "
+    "'r6'. Plan: map-side hash/priority projection + "
+    "TakeOrderedAndProject (per-partition k-heaps, k rows cross), "
+    "never a full sort — the sampling primitive for sketching "
+    "heavy-tailed spend at 100 TB.",
+)
+def orders_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.sampling import priority_sample
+
+    o = table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return priority_sample(
+        o,
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"),
+        _PRIO_SAMPLE_K,
+        salt="r6",
     )

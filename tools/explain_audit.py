@@ -53,10 +53,10 @@ WHITELIST: set[tuple[str, str]] = {
     # "loop" is a constant-per-row comparison, not a cross product.
     ("q22_dormant_rich_customers", "SinglePartition"),
     ("q22_dormant_rich_customers", "BroadcastNestedLoopJoin"),
-    # ntile window over the ~customer-agg frame; the SinglePartition
-    # crossing carries only the pre-aggregated per-customer totals for
-    # the decile boundaries (bounded by |customers with orders|; the
-    # scale path for full-data ranking is global_rank_customers).
+    # global_ntile (rank.py two-pass): the only SinglePartition left
+    # is the offsets window over ONE ROW PER PARTITION — the
+    # |customers| data frame stays range-partitioned (round-6 rewrite;
+    # the old window-ntile funneled the whole frame to one task).
     ("decile_customer_revenue", "SinglePartition"),
     # Window-min over the ~5-row per-language counts frame (the BNLJ
     # this replaced was the round-2 fix); only the tiny frame crosses.
@@ -70,16 +70,26 @@ WHITELIST: set[tuple[str, str]] = {
     # the global exchange (the user-level probes are all equi-joins
     # upstream of it).
     ("events_funnel_steps", "SinglePartition"),
-    # Running-share window + scalar census over the per-customer
-    # REVENUE AGGREGATE frame (bounded by |customers|, not orders) —
-    # same hand-audited pattern as decile_customer_revenue.
+    # global_running_sum (rank.py two-pass) + final scalar census:
+    # the SinglePartition crossings are the one-row-per-partition
+    # offsets window and the one-row census agg — the |customers|
+    # cumsum itself is range-partitioned (round-6 rewrite).
     ("pareto_customers_80", "SinglePartition"),
-    # Three ntile windows over the per-customer RFM aggregate frame
-    # (bounded by |customers|); the fact table never crosses.
+    # Three chained global_ntile passes: only the tiny offsets windows
+    # funnel (one row per partition each); the RFM frame never does
+    # (round-6 rewrite).
     ("rfm_segments", "SinglePartition"),
-    # Range-partitioned rank: the SinglePartition window computes
-    # prefix offsets over ONE row per partition (32 rows), never data.
+    # Sample-partitioned rank (rank.py): the SinglePartition crossings
+    # are the hash-sampled boundary aggregate (~n/64 keys) and the
+    # prefix-offset window over ONE row per partition; the BNLJ is the
+    # ONE-ROW bounds-array broadcast (no join key exists — each row
+    # probes the constant bounds array). The data path itself is
+    # hash-partitioned on the deterministic __pid.
     ("global_rank_customers", "SinglePartition"),
+    ("global_rank_customers", "BroadcastNestedLoopJoin"),
+    ("decile_customer_revenue", "BroadcastNestedLoopJoin"),
+    ("pareto_customers_80", "BroadcastNestedLoopJoin"),
+    ("rfm_segments", "BroadcastNestedLoopJoin"),
     # Brute-force baseline BY DESIGN: 5 query vectors broadcast against
     # the table (the scale path is emb_ann_lsh_topk's bucket equi-join).
     ("emb_cosine_topk", "BroadcastNestedLoopJoin"),
