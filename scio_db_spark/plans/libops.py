@@ -290,7 +290,7 @@ def _km_model():
     return KMeansModel(centroids=[list(c) for c in _KM_CENTROIDS])
 
 
-def _km_scored_sql() -> str:
+def _km_scored_sql(cents: list[list[float]] | None = None) -> str:
     """(vec_id, c_id, sim): every vector scored against every committed
     centroid — sim mirrors _dot_with_literal (dot / |vec|, centroids
     are unit-norm)."""
@@ -299,12 +299,16 @@ def _km_scored_sql() -> str:
         f"{_dot_lit_sql('embedding', c)} "
         f"/ nullif({norm_sql('embedding', DUCK_AT)}, 0.0) "
         f"AS sim FROM embeddings"
-        for cid, c in enumerate(_KM_CENTROIDS)
+        for cid, c in enumerate(cents or _KM_CENTROIDS)
     ]
     return " UNION ALL ".join(selects)
 
 
-def _trained_cells(df: DataFrame, keep: int = 1) -> DataFrame:
+def _trained_cells(
+    df: DataFrame,
+    keep: int = 1,
+    cents: list[list[float]] | None = None,
+) -> DataFrame:
     """(vec_id, embedding, nrm, cid, sim): each vector's `keep` best
     trained cells — the Spark twin of _km_scored_sql + rn<=keep.
 
@@ -326,11 +330,12 @@ def _trained_cells(df: DataFrame, keep: int = 1) -> DataFrame:
 
     from scio_db_spark.operators.kmeans import _dot_with_literal
 
+    cents = cents or _KM_CENTROIDS
     sims = [
         _dot_with_literal("embedding", c).alias(f"_s{i}")
-        for i, c in enumerate(_KM_CENTROIDS)
+        for i, c in enumerate(cents)
     ]
-    stack_args = ", ".join(f"{i}, _s{i}" for i in range(len(_KM_CENTROIDS)))
+    stack_args = ", ".join(f"{i}, _s{i}" for i in range(len(cents)))
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
     return (
         df.select(
@@ -342,7 +347,7 @@ def _trained_cells(df: DataFrame, keep: int = 1) -> DataFrame:
         .select(
             "vec_id", "embedding", "nrm",
             F.expr(
-                f"stack({len(_KM_CENTROIDS)}, {stack_args}) AS (cid, sim)"
+                f"stack({len(cents)}, {stack_args}) AS (cid, sim)"
             ),
         )
         .withColumn("rn", F.row_number().over(w))
@@ -654,9 +659,15 @@ _IVF_T_NPROBE = 2
 _IVF_T_TOPK = 5
 
 
-# Shared between the top-k query itself and the recall census below.
-_IVF_TRAINED_SQL = f"""
-    WITH scored AS ({_km_scored_sql()}),
+def _ivf_trained_sql(
+    cents: list[list[float]] | None = None,
+    nprobe: int = _IVF_T_NPROBE,
+    topk: int = _IVF_T_TOPK,
+) -> str:
+    """DuckDB twin of the trained-codebook IVF probe, parameterized by
+    codebook (k16 default / k≈√N sf0.1 codebook) and probe width."""
+    return f"""
+    WITH scored AS ({_km_scored_sql(cents)}),
     assign AS (
         SELECT s.vec_id, e.embedding, s.c_id AS cid,
             {norm_sql("e.embedding", DUCK_AT)} AS e_nrm
@@ -678,7 +689,7 @@ _IVF_TRAINED_SQL = f"""
             FROM scored
             WHERE vec_id IN {_IVF_T_QUERY_IDS}
         ) s JOIN embeddings e ON e.vec_id = s.vec_id
-        WHERE s.rn <= {_IVF_T_NPROBE}
+        WHERE s.rn <= {nprobe}
     ),
     pairs AS (
         SELECT q.q_id, a.vec_id,
@@ -692,8 +703,12 @@ _IVF_TRAINED_SQL = f"""
             row_number() OVER (PARTITION BY q_id
                                ORDER BY cos_sim DESC, vec_id) AS rn
         FROM pairs
-    ) WHERE rn <= {_IVF_T_TOPK}
+    ) WHERE rn <= {topk}
 """
+
+
+# Shared between the top-k query itself and the recall census below.
+_IVF_TRAINED_SQL = _ivf_trained_sql()
 
 
 @register(
@@ -709,10 +724,20 @@ def ann_ivf_trained_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Inverted list and query probe both come from _trained_cells
     (stack→row_number argmax; see its docstring for why not
     assign())."""
+    return _ivf_probe_frame(spark, sf)
+
+
+def _ivf_probe_frame(
+    spark: SparkSession,
+    sf: str,
+    cents: list[list[float]] | None = None,
+    nprobe: int = _IVF_T_NPROBE,
+    topk: int = _IVF_T_TOPK,
+) -> DataFrame:
     from pyspark.sql import Window
 
     e = table(spark, sf, "embeddings")
-    inv = _trained_cells(e, keep=1).select(
+    inv = _trained_cells(e, keep=1, cents=cents).select(
         "vec_id",
         "embedding",
         F.col("nrm").alias("e_nrm"),
@@ -720,7 +745,8 @@ def ann_ivf_trained_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     qprobe = _trained_cells(
         e.filter(F.col("vec_id").isin(*_IVF_T_QUERY_IDS)),
-        keep=_IVF_T_NPROBE,
+        keep=nprobe,
+        cents=cents,
     ).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -742,7 +768,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _IVF_T_TOPK)
+        .filter(F.col("rn") <= topk)
         .select("q_id", "vec_id", "cos_sim")
     )
 
@@ -919,3 +945,62 @@ def ann_recall_census(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("recall_permille"),
         )
     )
+
+
+# ----------------------------------------------- √N codebook (sf0.1 scale)
+# Trained by tools/train_vector_models.py on the sf0.1 embeddings with
+# k = 45 ≈ √2000 — the cell-count rule the 100-TB SemDeDup/IVF claims
+# cite. Committed literals, same contract as kmeans_k16.
+_KM_SQRTN: list[list[float]] | None = (
+    _MODELS.get("kmeans_sf01_k45", {}).get("centroids")
+)
+_SQRTN_NPROBE = 4
+
+if _KM_SQRTN is not None:
+
+    @register(
+        "emb_ann_recall_sqrtn_census",
+        oracle=f"""
+        WITH ivf AS ({_ivf_trained_sql(_KM_SQRTN, _SQRTN_NPROBE)}),
+        exact AS (
+            SELECT q_id, vec_id FROM ({_cosine_topk_sql()})
+        )
+        SELECT ex.q_id, count(*) AS n_exact,
+            CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hits,
+            CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1000 // count(*) AS BIGINT) AS recall_permille
+        FROM exact ex LEFT JOIN ivf i
+          ON i.q_id = ex.q_id AND i.vec_id = ex.vec_id
+        GROUP BY ex.q_id
+        """,
+        doc="Recall census for the √N-rule codebook: the sf0.1-scale "
+        "IVF (k=45 ≈ √2000 trained cells, nprobe=4) evaluated against "
+        "the same exact cosine ground truth as emb_ann_recall_census. "
+        "Registering BOTH codebooks makes the recall-vs-candidates "
+        "trade-off a measured, gate-checked artifact (SCALE.md table) "
+        "instead of a claim: at 100 TB the codebook grows with √N and "
+        "nprobe is the recall knob, and this row is the template that "
+        "evaluation runs on every re-train.",
+    )
+    def ann_recall_sqrtn_census(spark: SparkSession, sf: str) -> DataFrame:
+        from scio_db_spark.plans.vecops import cosine_topk
+
+        exact = cosine_topk(spark, sf).select("q_id", "vec_id")
+        ivf = _ivf_probe_frame(
+            spark, sf, cents=_KM_SQRTN, nprobe=_SQRTN_NPROBE
+        ).select("q_id", "vec_id", F.lit(1).alias("hit"))
+        return (
+            exact.join(ivf, ["q_id", "vec_id"], "left")
+            .groupBy("q_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.coalesce(F.sum("hit"), F.lit(0))
+                .cast("long")
+                .alias("n_hits"),
+                F.expr(
+                    "CAST(coalesce(sum(hit), 0) * 1000 DIV count(*) "
+                    "AS BIGINT)"
+                ).alias("recall_permille"),
+            )
+        )

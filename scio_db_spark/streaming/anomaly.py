@@ -146,12 +146,24 @@ def _make_anomaly_fn(
     k: int,
     min_n: int,
     passthrough: list[str],
+    idle_timeout_ms: int | None = None,
 ):
     def fn(
         key: Any,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # Idle eviction: drop the (n, Σx, Σx²) triple. The key is
+            # NOT remembered as anomalous or clean — if it comes back,
+            # it re-warms from n=0 (is_scored stays False until min_n
+            # readings accrue again) instead of being judged against a
+            # stale distribution.
+            state.remove()
+            yield pd.DataFrame(
+                columns=passthrough + ["is_scored", "is_anomaly", "n_prev"]
+            )
+            return
         n, sx, sx2 = state.get if state.exists else (0, 0, 0)
         rows = pd.concat(list(pdfs), ignore_index=True)
         # NULL values are excluded from output and history (the batch
@@ -174,6 +186,12 @@ def _make_anomaly_fn(
         # prior state must not get a useless (0,0,0) entry allocated.
         if len(rows):
             state.update((n, sx, sx2))
+        # Re-arm the idle clock on EVERY batch that touched the key
+        # (even an all-NULL one — the key is demonstrably alive), as
+        # long as state exists to evict. setTimeoutDuration must be
+        # re-issued per invocation: Spark clears it after each call.
+        if idle_timeout_ms is not None and (len(rows) or state.exists):
+            state.setTimeoutDuration(int(idle_timeout_ms))
         res = rows[passthrough].copy()
         res["is_scored"] = out_scored
         res["is_anomaly"] = out_anom
@@ -190,11 +208,21 @@ def anomaly_detect_stream(
     order_cols: tuple[str, ...],
     k: int = 3,
     min_n: int = 30,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming form: per-key state is (n, Σx, Σx²) — the same
     integers the batch windows compute, so decisions are identical
     for identical row order. Output = input columns + is_scored,
-    is_anomaly, n_prev (append mode)."""
+    is_anomaly, n_prev (append mode).
+
+    ``idle_timeout_ms``: evict a key's state after that much
+    processing-time idleness (the ttl_dedup timeout machinery). At
+    1M+ distinct keys the state store is the scaling bound — without
+    eviction a one-shot key holds 3 int64s forever. Live keys'
+    decisions are unchanged (the clock re-arms on every batch that
+    touches the key); an evicted key that returns RE-WARMS from n=0
+    (is_scored False until min_n readings) rather than being scored
+    against a stale distribution. None = keep state forever."""
     passthrough = list(stream_df.columns)
     keyed = stream_df.withColumn("__x", _cents(F.col(value_col)))
     schema_in = dict(zip(stream_df.schema.names, stream_df.schema.fields))
@@ -206,10 +234,20 @@ def anomaly_detect_stream(
     )
     return keyed.groupBy(key_col).applyInPandasWithState(
         func=_make_anomaly_fn(
-            key_col, value_col, order_cols, k, min_n, passthrough
+            key_col,
+            value_col,
+            order_cols,
+            k,
+            min_n,
+            passthrough,
+            idle_timeout_ms,
         ),
         outputStructType=output_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

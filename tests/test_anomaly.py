@@ -181,3 +181,141 @@ def test_stream_equals_batch_across_microbatches(spark):
             b.is_anomaly,
             b.n_prev,
         ), key
+
+
+class _ContinuousRun:
+    """Continuous-trigger driver for ProcessingTimeTimeout tests: an
+    AvailableNow pass never terminates under that timeout conf (Spark
+    keeps scheduling no-data batches to service timers — verified on
+    this image), so these tests run ONE live query and poll collected
+    rows with a deadline."""
+
+    def __init__(self, spark, schema, transform):
+        import tempfile
+
+        self.spark = spark
+        self.schema = schema
+        self.input_dir = tempfile.mkdtemp(prefix="anom_in_")
+        self.ck = tempfile.mkdtemp(prefix="anom_ck_")
+        self.rows = []
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(self.input_dir)
+        )
+        self.q = (
+            transform(stream)
+            .writeStream.foreachBatch(
+                lambda b, _e: self.rows.extend(b.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", self.ck)
+            .trigger(processingTime="150 milliseconds")
+            .start()
+        )
+
+    def feed(self, rows):
+        import os
+        import tempfile
+        import uuid
+
+        df = self.spark.createDataFrame(rows, self.schema)
+        staging = tempfile.mkdtemp(prefix="anom_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(staging, part),
+            os.path.join(
+                self.input_dir, f"b_{uuid.uuid4().hex}.parquet"
+            ),
+        )
+
+    def wait_rows(self, n, deadline_s=60):
+        import time
+
+        t0 = time.time()
+        while len(self.rows) < n:
+            if time.time() - t0 > deadline_s:
+                raise AssertionError(
+                    f"timed out waiting for {n} rows, have "
+                    f"{len(self.rows)}"
+                )
+            time.sleep(0.1)
+
+    def stop(self):
+        import shutil
+
+        self.q.stop()
+        shutil.rmtree(self.input_dir, ignore_errors=True)
+        shutil.rmtree(self.ck, ignore_errors=True)
+
+
+def test_idle_timeout_live_keys_unchanged(spark):
+    """With an idle TTL the batch cadence never reaches, every decision
+    must be identical to the batch plan — eviction only touches keys
+    that actually idle."""
+    vals = _baseline(40) + [500.0, 11.0]
+    all_rows = _rows("a", vals)
+    run = _ContinuousRun(
+        spark,
+        SCHEMA,
+        lambda s: anomaly_detect_stream(
+            s, "k", "value", ("seq",), k=3, min_n=30,
+            idle_timeout_ms=120_000,
+        ),
+    )
+    try:
+        run.feed([r for r in all_rows if r[1] < 25])
+        run.wait_rows(25)
+        run.feed([r for r in all_rows if r[1] >= 25])
+        run.wait_rows(len(all_rows))
+        stream_out = {r.seq: r for r in run.rows}
+    finally:
+        run.stop()
+    df = spark.createDataFrame(all_rows, SCHEMA)
+    for b in anomaly_plan_batch(
+        df, "k", "value", ("seq",), k=3, min_n=30
+    ).collect():
+        s = stream_out[b.seq]
+        assert (s.is_scored, s.is_anomaly, s.n_prev) == (
+            b.is_scored,
+            b.is_anomaly,
+            b.n_prev,
+        )
+
+
+def test_idle_timeout_evicts_and_rewarms(spark):
+    """A key idle past the TTL is evicted by the running query's timer
+    batches; when it returns it re-warms from n=0 (is_scored False
+    until min_n readings) instead of being scored against the stale
+    history."""
+    import time
+
+    run = _ContinuousRun(
+        spark,
+        SCHEMA,
+        lambda s: anomaly_detect_stream(
+            s, "k", "value", ("seq",), k=3, min_n=5, idle_timeout_ms=800
+        ),
+    )
+    try:
+        run.feed(_rows("a", [10.0, 12.0, 10.0, 12.0, 10.0, 11.0]))
+        run.wait_rows(6)
+        warm = {r.seq: r for r in run.rows}
+        assert warm[5].is_scored and warm[5].n_prev == 5
+
+        # Idle well past the TTL: the continuous query's no-data
+        # batches fire the timeout and evict the state.
+        time.sleep(3.0)
+        # Key a returns: a huge spike that WOULD flag against the old
+        # history must instead re-warm silently from zero state.
+        run.feed(_rows("a", [999.0], start=6))
+        run.wait_rows(7)
+        back = {(r.k, r.seq): r for r in run.rows}[("a", 6)]
+    finally:
+        run.stop()
+    assert back.n_prev == 0
+    assert not back.is_scored and not back.is_anomaly

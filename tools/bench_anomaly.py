@@ -8,7 +8,18 @@ mediation stress posture (the closest published throughput figure;
 the reference has no anomaly operator).
 
 Usage: python tools/bench_anomaly.py [n_records] [n_keys]
+           [--idle-ms N] [--layout mod|seq]
 Prints one JSON line.
+
+``--idle-ms``: enable idle-TTL state eviction (round-6). ``--layout
+seq`` gives keys temporal locality (key = id DIV rows_per_key) — the
+regime where eviction pays: a key's readings cluster, then the key
+goes idle and its (n, Σx, Σx²) triple is dropped, so the state store
+tracks ACTIVE keys instead of every key ever seen. With the default
+``mod`` layout every key stays active for the whole run and eviction
+never fires (decisions unchanged — pinned in tests). A ProcessingTime
+timeout makes ``processAllAvailable`` block forever (timer batches
+never quiesce), so the idle-ms path polls the row counter instead.
 """
 
 from __future__ import annotations
@@ -30,8 +41,19 @@ from scio_db_spark.streaming.anomaly import anomaly_detect_stream  # noqa: E402
 
 
 def main() -> None:
-    n_records = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    n_keys = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_records = int(pos[0]) if len(pos) > 0 else 1_000_000
+    n_keys = int(pos[1]) if len(pos) > 1 else 10_000
+    idle_ms = (
+        int(sys.argv[sys.argv.index("--idle-ms") + 1])
+        if "--idle-ms" in sys.argv
+        else None
+    )
+    layout = (
+        sys.argv[sys.argv.index("--layout") + 1]
+        if "--layout" in sys.argv
+        else "mod"
+    )
 
     spark = SessionFactory.create("bench-anomaly")
     spark.sparkContext.setLogLevel("ERROR")
@@ -42,10 +64,14 @@ def main() -> None:
     # Deterministic readings: a stable per-key baseline with a ~0.5%
     # spike population, pure Column generation so the detector — not
     # the generator — is what gets measured.
+    rows_per_key = max(1, n_records // n_keys)
+    key_expr = (
+        (F.col("id") % n_keys)
+        if layout == "mod"
+        else (F.col("id") / rows_per_key).cast("long")
+    )
     gen = spark.range(n_records).select(
-        F.concat(F.lit("k"), (F.col("id") % n_keys).cast("string")).alias(
-            "k"
-        ),
+        F.concat(F.lit("k"), key_expr.cast("string")).alias("k"),
         F.col("id").alias("seq"),
         F.when(F.col("id") % 211 == 0, F.lit(5000.0))
         .otherwise(
@@ -59,7 +85,8 @@ def main() -> None:
         "k string, seq bigint, value double"
     ).parquet(indir)
     out = anomaly_detect_stream(
-        stream, "k", "value", ("seq",), k=3, min_n=30
+        stream, "k", "value", ("seq",), k=3, min_n=30,
+        idle_timeout_ms=idle_ms,
     )
 
     counts = {"rows": 0, "anomalies": 0}
@@ -79,8 +106,15 @@ def main() -> None:
         .option("checkpointLocation", ck)
         .start()
     )
-    q.processAllAvailable()
-    elapsed = time.perf_counter() - t0
+    if idle_ms is None:
+        q.processAllAvailable()
+        elapsed = time.perf_counter() - t0
+    else:
+        # Timer batches never quiesce under ProcessingTimeTimeout —
+        # poll the counter until the full input has been scored.
+        while counts["rows"] < n_records:
+            time.sleep(0.25)
+        elapsed = time.perf_counter() - t0
     q.stop()
 
     print(
@@ -92,7 +126,10 @@ def main() -> None:
                 "records": counts["rows"],
                 "anomalies": counts["anomalies"],
                 "distinct_keys": n_keys,
+                "layout": layout,
+                "idle_ms": idle_ms,
                 "elapsed_sec": round(elapsed, 2),
+                "load_1m": list(os.getloadavg())[:2],
                 "baseline_records_per_min": 200_000,
             }
         )

@@ -9,6 +9,13 @@ the output is deterministic enough for a one-shot artifact and the
 literals — not this script — are what correctness depends on.
 
     python tools/train_vector_models.py [sf_dir]
+    python tools/train_vector_models.py --sqrtn [sf_dir]   # add-only
+
+``--sqrtn`` trains ONLY the √N-rule codebook (k=45 ≈ √2000 on the
+sf0.1 embeddings, default sf_dir /root/testdata/sf0.1) and MERGES it
+into the existing JSON under "kmeans_sf01_k45" — the committed
+kmeans_k16/pca_2 literals are left byte-identical, so every
+previously-green oracle row keeps its exact model.
 
 Writes scio_db_spark/resources/vector_models.json with full-precision
 (repr round-trip) floats:
@@ -32,13 +39,39 @@ _OUT = os.path.join(
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     from scio_db_spark.operators.kmeans import kmeans_fit
     from scio_db_spark.operators.pca import pca_fit
     from scio_db_spark.plans.catalog import table
     from scio_db_spark.session import SessionFactory
 
     spark = SessionFactory.create("train-vector-models")
+
+    if "--sqrtn" in sys.argv:
+        sf_dir = pos[0] if pos else "/root/testdata/sf0.1"
+        emb = table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        k = max(2, int(round(n ** 0.5)))
+        km = kmeans_fit(
+            emb, "embedding", k=k, id_col="vec_id", max_iters=5, tol=1e-9
+        )
+        with open(_OUT) as f:
+            doc = json.load(f)
+        doc["kmeans_sf01_k45"] = {
+            "centroids": km.centroids,
+            "sf_dir": sf_dir,
+            "k": k,
+            "n_rows": n,
+            "iters": km.iterations,
+            "converged": km.converged,
+        }
+        with open(_OUT, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"merged kmeans_sf01_k45: k={k} n={n} "
+              f"iters={km.iterations} converged={km.converged}")
+        return 0
+
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
     emb = table(spark, sf_dir, "embeddings")
 
     km = kmeans_fit(
