@@ -316,43 +316,36 @@ def _trained_cells(
     when(sim==greatest) argmax column, once inlined into a join key,
     plants a ~k²·dim-term expression on both join sides and stalls
     Catalyst's constraint propagation for minutes (observed: explain()
-    alone hung at sf0.001 for the IVF probe, and the semantic-dedup
-    self-join paid ~16 s of optimizer time at sf0.01). The
-    stack→row_number shape keeps each sim a single dim-term chain, the
-    Window is a projection barrier so cid reaches any downstream join
-    as a plain attribute, and Catalyst's WindowGroupLimit collapses
-    the k-row expansion map-side before any exchange (same plan family
-    as emb_kmeans_assign / emb_ann_ivf_topk). assign() remains the
-    right form for NON-join consumers (one column, no k-row expand)
-    and is exercised by test_kmeans_pca.
+    alone hung at sf0.001 for the IVF probe). The argmax is
+    `kmeans.topk_cells`: codebook as ONE 2-D array literal, fold dots,
+    per-row array_sort — entirely map-side, so cid reaches downstream
+    joins as a plain attribute with NO exchange and no k-wide column
+    explosion (the previous stack→row_number form shuffled N·k rows by
+    vec_id to rank sims that are born in the same row, and its
+    unrolled sum chains failed whole-stage codegen at k=45, shipping
+    ~12 MiB task binaries — see topk_cells's docstring for the
+    measured 11× delta). assign() remains the right form for NON-join
+    consumers (one column, no k-row expand), test_kmeans_pca covers it.
     """
-    from pyspark.sql import Window
-
-    from scio_db_spark.operators.kmeans import _dot_with_literal
+    from scio_db_spark.operators.kmeans import topk_cells
 
     cents = cents or _KM_CENTROIDS
-    sims = [
-        _dot_with_literal("embedding", c).alias(f"_s{i}")
-        for i, c in enumerate(cents)
-    ]
-    stack_args = ", ".join(f"{i}, _s{i}" for i in range(len(cents)))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
     return (
         df.select(
             "vec_id",
             "embedding",
             F.expr(norm_sql("embedding", SPARK_AT)).alias("nrm"),
-            *sims,
+            topk_cells("embedding", cents, keep).alias("_cells"),
         )
         .select(
             "vec_id", "embedding", "nrm",
-            F.expr(
-                f"stack({len(cents)}, {stack_args}) AS (cid, sim)"
-            ),
+            F.explode("_cells").alias("_c"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= keep)
-        .select("vec_id", "embedding", "nrm", "cid", "sim")
+        .select(
+            "vec_id", "embedding", "nrm",
+            F.col("_c.cid").alias("cid"),
+            F.col("_c.sim").alias("sim"),
+        )
     )
 
 

@@ -297,3 +297,75 @@ def test_poison_vectors_do_not_corrupt_fit(spark):
     import numpy as np
 
     assert np.allclose(p_clean.components, p_dirty.components)
+
+
+class TestTopkCells:
+    """topk_cells: the map-only literal-codebook argmax expression."""
+
+    def _cents(self):
+        s = 1.0 / math.sqrt(2.0)
+        return [[1.0, 0.0], [0.0, 1.0], [s, s]]
+
+    def test_bit_identity_with_unrolled_dot(self, spark):
+        """Every sim must equal _dot_with_literal's unrolled chain at
+        repr precision (same contract the DuckDB oracle twin pins)."""
+        from scio_db_spark.operators.kmeans import (
+            _dot_with_literal,
+            topk_cells,
+        )
+
+        cents = self._cents()
+        df = spark.createDataFrame(
+            [(i, [0.31 * i + 0.07, 1.13 - 0.29 * i]) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        wide = df.select(
+            "vec_id",
+            *[
+                _dot_with_literal("embedding", c).alias(f"s{i}")
+                for i, c in enumerate(cents)
+            ],
+        ).collect()
+        arr = df.select(
+            "vec_id", topk_cells("embedding", cents, len(cents)).alias("p")
+        ).collect()
+        by_id = {r["vec_id"]: r for r in wide}
+        for r in arr:
+            got = {p["cid"]: p["sim"] for p in r["p"]}
+            for i in range(len(cents)):
+                assert repr(got[i]) == repr(by_id[r["vec_id"]][f"s{i}"])
+
+    def test_order_ties_and_zero_norm(self, spark):
+        from scio_db_spark.operators.kmeans import topk_cells
+
+        cents = self._cents()
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 1.0]),   # tie between cid 0 and 1; cid 2 wins
+                (2, [0.0, 0.0]),   # zero norm: all sims NULL, cid asc
+                (3, [3.0, 0.1]),   # clear winner cid 0
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {
+            r["vec_id"]: r["p"]
+            for r in df.select(
+                "vec_id", topk_cells("embedding", cents, 3).alias("p")
+            ).collect()
+        }
+        # tie on sim -> smaller cid first among the tied pair
+        assert [p["cid"] for p in rows[1]] == [2, 0, 1]
+        assert rows[1][1]["sim"] == rows[1][2]["sim"]
+        # zero-norm: NULL sims sort last overall and cid-ascending
+        assert [p["cid"] for p in rows[2]] == [0, 1, 2]
+        assert all(p["sim"] is None for p in rows[2])
+        assert [p["cid"] for p in rows[3]][0] == 0
+
+    def test_keep_truncates(self, spark):
+        from scio_db_spark.operators.kmeans import topk_cells
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        out = df.select(topk_cells("embedding", self._cents(), 2).alias("p"))
+        assert len(out.collect()[0]["p"]) == 2

@@ -97,6 +97,9 @@ WHITELIST: set[tuple[str, str]] = {
     # brute force BY DESIGN (you cannot evaluate an ANN index without
     # the exact answer); the IVF side under eval is equi-join pruned.
     ("emb_ann_recall_census", "BroadcastNestedLoopJoin"),
+    # Same rationale for the √N-codebook recall row: the exact
+    # ground-truth side is the registered brute-force cosine top-k.
+    ("emb_ann_recall_sqrtn_census", "BroadcastNestedLoopJoin"),
     # IVF assignment: the broadcast side is the tiny coarse-centroid /
     # probe-cell frame; each row scans centroids, never other rows.
     ("emb_ann_ivf_topk", "BroadcastNestedLoopJoin"),
