@@ -84,3 +84,50 @@ def lsh_bucket_sql(
         )
         parts.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(parts) + ")"
+
+
+def lsh_buckets_array_sql(
+    col: str,
+    n_tables: int,
+    n_planes: int,
+    dim: int = DIM,
+) -> str:
+    """Spark-only: ALL ``n_tables`` bucket ids as one array<int>
+    expression — `lsh_bucket_sql` per table, re-shaped the
+    `kmeans.topk_cells` way (SCALE.md round-5/6 note).
+
+    The unrolled per-table chains put n_tables·n_planes·dim expression
+    nodes into one projection (2 048 terms for the ANN query's 8×4×64)
+    — seconds of driver-side codegen per consuming stage and a
+    near-64KB generated method. Here the planes are a 3-D array
+    LITERAL (data, not nodes): per table, each plane's signed dot is a
+    fold over ``zip_with``, its sign gates the plane's power-of-two
+    weight, and the weights sum with ``aggregate`` — bit-identical
+    bucket ids (fold seed 0.0 is an IEEE identity vs the
+    left-associated chain, ±1.0 weights are exact, comparisons are on
+    identical doubles) at a constant-size expression tree. The DuckDB
+    oracle keeps the unrolled `lsh_bucket_sql` form, so every query
+    using this stays hash-pinned cross-engine.
+    """
+    signs = hyperplane_signs(n_tables * n_planes, dim)
+    lit3d = "array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(
+                f"{float(s)!r}D" for s in signs[t * n_planes + j]
+            ) + ")"
+            for j in range(n_planes)
+        ) + ")"
+        for t in range(n_tables)
+    ) + ")"
+    weights = "array(" + ", ".join(
+        str(1 << j) for j in range(n_planes)
+    ) + ")"
+    dot = (
+        f"aggregate(zip_with({col}, p, (x, s) -> "
+        f"s * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, t) -> a + t)"
+    )
+    return (
+        f"transform({lit3d}, tbl -> aggregate("
+        f"zip_with(tbl, {weights}, (p, w) -> "
+        f"CASE WHEN {dot} > 0 THEN w ELSE 0 END), 0, (a, b) -> a + b))"
+    )

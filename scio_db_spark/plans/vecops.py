@@ -19,6 +19,7 @@ from scio_db_spark.functions.vectors import (
     cosine_sql,
     dot_sql,
     lsh_bucket_sql,
+    lsh_buckets_array_sql,
     norm_sql,
 )
 from scio_db_spark.plans.catalog import table
@@ -166,33 +167,23 @@ def _lsh_bands_sql() -> str:
     "at any scale; recall floors pinned in tests/test_ann_recall.py.",
 )
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    # ONE scan: the 8 bucket ids are computed as plain COLUMNS behind a
-    # projection boundary, then unpivoted to long form with stack() —
-    # the Generate sees only column references. (Putting the 8
-    # heavyweight bucket expressions inside the exploded array itself
-    # blew the driver heap: generator codegen inlines the full
-    # expression tree per accessed field. A per-table union would
-    # instead scan the source 8 times.) Bands carry only ids, never
-    # the 64-dim arrays.
+    # ONE scan, ONE constant-size expression: all 8 bucket ids come
+    # from lsh_buckets_array_sql's 3-D plane LITERAL (data, not
+    # expression nodes), posexploded to (table_id, bucket). The
+    # earlier 8-column + stack() form carried 2 048 unrolled terms —
+    # seconds of driver codegen per consuming stage and a near-64KB
+    # generated method; bucket ids are bit-identical (the fold vs
+    # left-chain rationale in lsh_buckets_array_sql's docstring), so
+    # the DuckDB oracle stays the unrolled lsh_bucket_sql twin. Bands
+    # carry only ids, never the 64-dim arrays.
     e = _emb(spark, sf)
-    with_buckets = e.select(
+    bands = e.select(
         "vec_id",
-        *[
+        F.posexplode(
             F.expr(
-                lsh_bucket_sql(
-                    "embedding", SPARK_AT, _LSH_PLANES,
-                    plane_offset=t * _LSH_PLANES,
-                )
-            ).alias(f"__b{t}")
-            for t in range(_LSH_TABLES)
-        ],
-    )
-    stack_args = ", ".join(f"{t}, __b{t}" for t in range(_LSH_TABLES))
-    bands = with_buckets.select(
-        "vec_id",
-        F.expr(
-            f"stack({_LSH_TABLES}, {stack_args}) AS (table_id, bucket)"
-        ),
+                lsh_buckets_array_sql("embedding", _LSH_TABLES, _LSH_PLANES)
+            )
+        ).alias("table_id", "bucket"),
     )
     q_bands = bands.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("q_id"), "table_id", "bucket"
