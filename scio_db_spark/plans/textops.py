@@ -562,20 +562,30 @@ def _simhash_pairs_sql() -> str:
 )
 def simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
     sh = simhash(spark, sf)
-    band_dfs = [
-        sh.select(
-            "doc_id",
-            "simhash",
-            F.lit(b).alias("band_id"),
-            ((F.col("simhash") / (1 << (8 * b))).cast("long") % 256).alias(
-                "byte_val"
-            ),
-        )
-        for b in range(_SIMHASH_BANDS)
-    ]
-    bands = band_dfs[0]
-    for bdf in band_dfs[1:]:
-        bands = bands.unionByName(bdf)
+    # ONE pass over the (expensive) simhash subtree: the 8 band rows
+    # come from exploding an 8-struct array — the per-band byte_val
+    # expression is unchanged, but the previous 8-way unionByName
+    # re-evaluated the whole tokenize→hash→simhash subquery once per
+    # branch (8 scans; 16 counting both self-join sides).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                (
+                    (F.col("simhash") / (1 << (8 * b))).cast("long") % 256
+                ).alias("byte_val"),
+            )
+            for b in range(_SIMHASH_BANDS)
+        ]
+    )
+    bands = sh.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("_bb")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("_bb.band_id").alias("band_id"),
+        F.col("_bb.byte_val").alias("byte_val"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.expr("bit_count(a.simhash ^ b.simhash)").cast("int")
     return (
@@ -921,15 +931,17 @@ _SPAN_MIN_DOCS = 3
     GROUP BY shingle HAVING count(*) >= {_SPAN_MIN_DOCS}
     """,
     doc="Cross-document duplicate spans: word-trigram shingles present "
-    "verbatim in >= 3 documents (boilerplate detector). Distinct "
-    "(doc, span) pairs shrink map-side; the shuffle key is the span "
-    "hash — uniform, skew-free; HAVING prunes before any output.",
+    "verbatim in >= 3 documents (boilerplate detector). The DISTINCT "
+    "(doc, span) step is WITHIN-document by construction (doc_id is "
+    "unique per input row), so it is array_distinct on the shingle "
+    "array before the explode — map-side, deleting the exchange a "
+    "row-level distinct would need; the one remaining shuffle key is "
+    "the span hash — uniform, skew-free; HAVING prunes before any "
+    "output.",
 )
 def duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
-    spans = (
-        _with_shingles(spark, sf, min_tokens=_SHINGLE_N)
-        .select("doc_id", F.explode("shingles").alias("span"))
-        .distinct()
+    spans = _with_shingles(spark, sf, min_tokens=_SHINGLE_N).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("span")
     )
     return (
         spans.groupBy("span")
