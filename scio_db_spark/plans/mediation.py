@@ -1652,3 +1652,92 @@ def rolling_7d_actives(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "n_active_7d"
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_scd2_user_state",
+    oracle="""
+    WITH runs AS (
+        SELECT user_id, event_type, ts, event_id,
+            CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_type, ts, chg,
+            sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS version,
+            min(CASE WHEN chg = 1 THEN ts END) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+            ) AS next_change_ts
+        FROM runs
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version,
+        min(event_type) AS state,
+        min(ts) AS valid_from,
+        min(next_change_ts) AS valid_to,
+        count(*) AS n_events,
+        (min(next_change_ts) IS NULL) AS is_current
+    FROM numbered GROUP BY user_id, version
+    """,
+    doc="SCD Type-2 state history per user: one row per consecutive "
+    "run of equal event_type with valid_from/valid_to/version/"
+    "is_current — the warehouse change-tracking shape, and the batch "
+    "materialization of the per-key latest-state tracking the "
+    "reference's MediationService keeps in keyed state "
+    "(MediationService.scala). ONE hash shuffle on user_id serves "
+    "change detection (lag), run numbering (running sum), and the "
+    "forward-min next-change timestamp — valid_to is resolved BEFORE "
+    "the collapse so no window ever runs on the collapsed frame; see "
+    "operators/scd2.py for the plan rationale.",
+)
+def scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.scd2 import scd2_from_log
+
+    ev = table(spark, sf, "events")
+    out = scd2_from_log(
+        ev, key_col="user_id", attr_col="event_type",
+        ts_col="ts", tie_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "state",
+        "valid_from",
+        "valid_to",
+        "n_events",
+        "is_current",
+    )
+
+
+# --------------------------------------------------------------------------
+_HH_PHI_INV = 128  # heavy = more than 1/128 of all events
+
+
+@register(
+    "events_heavy_users_exact",
+    oracle=f"""
+    SELECT user_id, count(*) AS cnt
+    FROM events GROUP BY user_id
+    HAVING count(*) * {_HH_PHI_INV} > (SELECT count(*) FROM events)
+    """,
+    doc="Exact heavy hitters: users holding more than 1/128 of all "
+    "events. The oracle is the naive full GROUP BY; the Spark plan "
+    "is the two-phase mergeable Misra-Gries form "
+    "(operators/heavyhitters.py) — a map-only candidate pass whose "
+    "summaries guarantee a superset of every phi-heavy key, then an "
+    "exact count restricted to candidates via broadcast semi-join, "
+    "with an integer cross-multiplied threshold. The sketch can only "
+    "change WHAT gets exactly counted, never the result, which is "
+    "what makes an approximate summary safely hash-checkable. At "
+    "100 TB the naive form shuffles every distinct key; this "
+    "shuffles only candidates.",
+)
+def heavy_users_exact(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.heavyhitters import heavy_hitters_exact
+
+    ev = table(spark, sf, "events")
+    return heavy_hitters_exact(ev, "user_id", phi_inv=_HH_PHI_INV)

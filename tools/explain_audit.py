@@ -53,6 +53,12 @@ WHITELIST: set[tuple[str, str]] = {
     # "loop" is a constant-per-row comparison, not a cross product.
     ("q22_dormant_rich_customers", "SinglePartition"),
     ("q22_dormant_rich_customers", "BroadcastNestedLoopJoin"),
+    # heavy hitters: the SinglePartition is the global count(*) (32
+    # one-row partials in), and the BNLJ joins that ONE-row total as
+    # the HAVING threshold; the data-sized joins are a null-safe
+    # BroadcastHashJoin on the tiny candidate set (verified in plan).
+    ("events_heavy_users_exact", "SinglePartition"),
+    ("events_heavy_users_exact", "BroadcastNestedLoopJoin"),
     # global_ntile (rank.py two-pass): the only SinglePartition left
     # is the offsets window over ONE ROW PER PARTITION — the
     # |customers| data frame stays range-partitioned (round-6 rewrite;
