@@ -997,3 +997,90 @@ if _KM_SQRTN is not None:
                 ).alias("recall_permille"),
             )
         )
+
+
+@register(
+    "orders_upsert_keys_census",
+    effectful=True,  # build stages a table copy + runs upsert/compact
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 2 AS o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT 10000000 + c_custkey, c_custkey, 'N', 1000.0,
+               TIMESTAMP '1998-01-01 00:00:00', '5-LOW'
+        FROM customer WHERE c_acctbal < 0
+    ),
+    final AS (
+        SELECT * FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.o_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT * FROM updates
+    )
+    SELECT count(*) AS n_orders,
+        CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents_sum,
+        CAST(sum(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_inserted
+    FROM final
+    """,
+    doc="MERGE/upsert invariant census (sinks/maintenance.upsert_keys "
+    "— completes the CRUD maintenance family next to delete+compact): "
+    "copy orders into a multi-file staging dir, upsert a batch that "
+    "doubles every URGENT order's price AND inserts a synthetic order "
+    "per negative-balance customer, compact, and the end state read "
+    "back from disk must equal the anti-join + union. Price doubling "
+    "is a power-of-two scale (exact on doubles); the census sums "
+    "half-up cents so the money column is integer-exact cross-engine.",
+)
+def upsert_keys_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.sinks.maintenance import compact, upsert_keys
+
+    tmp = _staged_table(spark, sf, "orders", parts=4)
+    try:
+        orders = table(spark, sf, "orders")
+        cols = orders.columns
+        changed = orders.filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        new = (
+            table(spark, sf, "customer")
+            .filter(F.col("c_acctbal") < 0)
+            .select(
+                (F.lit(10_000_000) + F.col("c_custkey")).alias(
+                    "o_orderkey"
+                ),
+                F.col("c_custkey").alias("o_custkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(1000.0).alias("o_totalprice"),
+                F.to_timestamp(F.lit("1998-01-01 00:00:00")).alias(
+                    "o_orderdate"
+                ),
+                F.lit("5-LOW").alias("o_orderpriority"),
+            )
+        )
+        updates = changed.select(*cols).unionByName(new.select(*cols))
+        upsert_keys(spark, tmp, "o_orderkey", updates)
+        compact(spark, tmp)
+        return (
+            spark.read.parquet(tmp)
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("cents_sum"),
+                F.sum(
+                    F.when(F.col("o_orderkey") >= 10_000_000, 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_inserted"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -276,3 +276,43 @@ def compact_partitioned(
         rel = os.path.relpath(leaf, root)
         out[rel] = compact(spark, leaf, target_bytes=target_bytes)
     return out
+
+
+def upsert_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    updates: DataFrame,
+) -> dict:
+    """MERGE-style upsert: every table row whose ``key_col`` matches an
+    update key is replaced by the update row(s); update keys absent
+    from the table are inserted. Implemented as the composition the
+    file layout makes surgical: ``delete_keys`` on the matched keys
+    (rewrites ONLY files containing matches) + ONE appended file
+    holding all update rows — cost scales with |affected files| +
+    |updates|, not table size, the same contract DELETE/MERGE compiles
+    to on a transactional table format.
+
+    ``updates`` must carry the table's schema. It is pinned with an
+    eager localCheckpoint BEFORE any file is touched, so an updates
+    frame derived from the target table itself (the common
+    read-modify-write pattern) cannot be re-evaluated against
+    half-rewritten files. If the table holds several rows for a key,
+    ALL are replaced by the update rows for that key (count may
+    shrink) — MERGE semantics, documented here rather than guessed.
+
+    Returns {files_scanned, files_rewritten, rows_deleted,
+    rows_upserted}.
+    """
+    finish_compact_swap(path)
+    cols = spark.read.parquet(path).columns
+    up = updates.select(*cols).localCheckpoint(eager=True)
+    stats = delete_keys(spark, path, key_col, up.select(key_col))
+    n_up = up.count()
+    up.write.mode("append").parquet(path)
+    return {
+        "files_scanned": stats["files_scanned"],
+        "files_rewritten": stats["files_rewritten"],
+        "rows_deleted": stats["rows_deleted"],
+        "rows_upserted": n_up,
+    }

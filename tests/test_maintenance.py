@@ -231,3 +231,62 @@ def test_delete_keys_accepts_keys_derived_from_target(spark, tmp_path):
     assert stats["rows_deleted"] == 10
     remaining = {r.id for r in spark.read.parquet(path).collect()}
     assert all(i % 10 != 3 for i in remaining) and len(remaining) == 90
+
+
+def test_upsert_replaces_inserts_and_targets_files(spark, tmp_path):
+    from scio_db_spark.sinks.maintenance import upsert_keys
+
+    path = str(tmp_path / "up")
+    _write_small_files(spark, path)  # ids 0..599 across 12 files
+    files_before = len(_parquet_files(path))
+
+    # update ids 10 and 20 (same file) with new k; insert 1000, 1001
+    updates = spark.createDataFrame(
+        [(10, 100), (20, 200), (1000, 7), (1001, 8)], "id long, k long"
+    )
+    stats = upsert_keys(spark, path, "id", updates)
+    assert stats["rows_deleted"] == 2
+    assert stats["rows_upserted"] == 4
+    # only the one file containing ids 10 and 20 was rewritten
+    assert stats["files_rewritten"] == 1
+    assert stats["files_scanned"] == files_before
+
+    got = {r.id: r.k for r in spark.read.parquet(path).collect()}
+    assert len(got) == 602
+    assert got[10] == 100 and got[20] == 200
+    assert got[1000] == 7 and got[1001] == 8
+    assert got[11] == 11 % 7  # untouched neighbor intact
+
+
+def test_upsert_collapses_duplicate_keyed_rows(spark, tmp_path):
+    from scio_db_spark.sinks.maintenance import upsert_keys
+
+    path = str(tmp_path / "dups")
+    spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 0)], "id long, k long"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    stats = upsert_keys(
+        spark, path, "id",
+        spark.createDataFrame([(1, 9)], "id long, k long"),
+    )
+    # MERGE semantics: BOTH old id=1 rows replaced by the single update
+    assert stats["rows_deleted"] == 2
+    rows = sorted(
+        (r.id, r.k) for r in spark.read.parquet(path).collect()
+    )
+    assert rows == [(1, 9), (2, 0)]
+
+
+def test_upsert_insert_only_touches_no_files(spark, tmp_path):
+    from scio_db_spark.sinks.maintenance import upsert_keys
+
+    path = str(tmp_path / "ins")
+    _write_small_files(spark, path, n_files=3)
+    stats = upsert_keys(
+        spark, path, "id",
+        spark.createDataFrame([(9000, 1)], "id long, k long"),
+    )
+    assert stats["files_rewritten"] == 0
+    assert stats["rows_deleted"] == 0
+    assert spark.read.parquet(path).filter("id = 9000").count() == 1
