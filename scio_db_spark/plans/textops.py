@@ -1317,3 +1317,53 @@ def ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("long").alias("n_novel"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "docs_incremental_lsh_dedup",
+    oracle=f"""
+    WITH sig AS ({_minhash_agg_sql()}),
+    bands AS ({" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"CAST(sig_{2 * b} AS VARCHAR) || '_' || "
+        f"CAST(sig_{2 * b + 1} AS VARCHAR) AS band_key FROM sig"
+        for b in range(_BANDS)
+    )})
+    SELECT DISTINCT n.doc_id AS new_doc, h.doc_id AS dup_candidate
+    FROM bands n JOIN bands h
+      ON h.band_id = n.band_id AND h.band_key = n.band_key
+    WHERE n.doc_id % 10 = 0 AND h.doc_id % 10 <> 0
+    """,
+    doc="Incremental ingest dedup: MinHash-LSH candidates between an "
+    "INCOMING batch (doc_id % 10 = 0 stands in for today's arrivals) "
+    "and the historical corpus — the streaming-corpus-ingest shape "
+    "where the batch is small and the corpus is 100 TB. The batch "
+    "side's bands are BROADCAST, so the historical corpus is never "
+    "shuffled and never self-joined (new x all, not all x all); the "
+    "doc_id predicate pushes through the signature aggregate to both "
+    "scans. Production keeps the historical band index materialized; "
+    "this row pins the join semantics end-to-end.",
+)
+def incremental_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    sig = minhash_signature(spark, sf)
+    stack_args = ", ".join(
+        f"{b}, concat_ws('_', CAST(sig_{2 * b} AS STRING), "
+        f"CAST(sig_{2 * b + 1} AS STRING))"
+        for b in range(_BANDS)
+    )
+    bands = sig.select(
+        "doc_id",
+        F.expr(f"stack({_BANDS}, {stack_args}) AS (band_id, band_key)"),
+    )
+    newb = bands.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("new_doc"), "band_id", "band_key"
+    )
+    hist = bands.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("dup_candidate"), "band_id", "band_key"
+    )
+    return (
+        hist.join(F.broadcast(newb), ["band_id", "band_key"])
+        .select("new_doc", "dup_candidate")
+        .distinct()
+    )
