@@ -1719,6 +1719,7 @@ _HH_PHI_INV = 128  # heavy = more than 1/128 of all events
 
 @register(
     "events_heavy_users_exact",
+    headline=True,
     oracle=f"""
     SELECT user_id, count(*) AS cnt
     FROM events GROUP BY user_id

@@ -1322,6 +1322,7 @@ def ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "docs_incremental_lsh_dedup",
+    headline=True,
     oracle=f"""
     WITH sig AS ({_minhash_agg_sql()}),
     bands AS ({" UNION ALL ".join(
