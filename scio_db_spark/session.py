@@ -22,6 +22,14 @@ from pyspark.sql import SparkSession
 #   1000-executor cluster this should be ~2-3x total cores.
 # - Arrow enabled: every Pandas-UDF boundary is Arrow-batched.
 _SCALE_DEFAULTS: dict[str, str] = {
+    # local[N] runs every task inside the driver JVM, whose Spark
+    # default heap is 1g — 32 concurrent tasks in 1g OOMs on
+    # moderately sized shuffles long before the machine (128 GiB) is
+    # near full (first hit: the 10x scaling run, BENCH_LOCAL_r06_
+    # scaling.json). Static conf: applies when THIS factory creates
+    # the JVM; on a real cluster the submitter owns it.
+    "spark.driver.memory": "8g",
+    "spark.driver.maxResultSize": "4g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -1,0 +1,173 @@
+"""Scaling curve: run headline plans at 1x / 10x / 100x the sf0.1 data.
+
+The correctness gate runs at toy scale; this tool answers the scale
+question with measurements instead of assertions. It derives larger
+datasets by replicating the FACT tables k times with key offsets
+(dimensions stay fixed — more facts per dimension key, the realistic
+growth direction), then times a representative query per plan family
+at each factor. A plan that is data-linear shows ~k-proportional
+growth on top of a fixed session overhead; a plan hiding a
+super-linear stage (quadratic candidate generation, driver funnel,
+skew collapse) shows up immediately.
+
+Replication is perf-only (no oracle at derived scales — the gate SFs
+own correctness): doc/vec/event/order keys are offset per copy so
+uniqueness invariants hold; document TEXT and embedding VECTORS are
+copied verbatim, which deliberately makes the dedup/ANN families'
+worst case HARDER as the factor grows (every doc gains k-1 exact
+near-duplicates, so candidate pairs grow ~k·C(k,2) per group).
+
+Usage:
+    python tools/bench_scaling.py [--factors 1,10,100] [--passes N]
+        [--out FILE] [--queries name1,name2]
+
+Derived data is cached under .scale_cache/ (gitignored); one JSON
+line on stdout: {"metric": "scaling_curve", "factors": [...],
+"queries": {name: {factor: sec}}, "rows": {factor: {table: n}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+_SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+_CACHE = os.path.join(_REPO_ROOT, ".scale_cache")
+
+# fact table -> key column to offset per copy
+_FACTS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+_DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+_QUERIES = [
+    "q01_pricing_summary",        # fact scan + wide agg
+    "q03_shipping_priority",      # multi-join + topk
+    "events_windowed_counts",     # time-window agg
+    "basket_part_pairs_topk",     # pair mining (bounded expansion)
+    "docs_duplicate_spans",       # explode + span agg (1 shuffle)
+    "docs_minhash_lsh_pairs",     # dedup band join (k-1 dups/doc!)
+    "emb_cosine_topk",            # brute-force ANN baseline
+    "events_heavy_users_exact",   # MG candidates + exact verify
+    "events_scd2_user_state",     # keyed windows, output ~ input
+]
+
+
+def _build(factor: int) -> str:
+    if factor == 1:
+        return _SRC
+    out = os.path.join(_CACHE, f"x{factor}")
+    marker = os.path.join(out, ".complete")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _DIMS:
+        shutil.copyfile(
+            os.path.join(_SRC, f"{t}.parquet"),
+            os.path.join(out, f"{t}.parquet"),
+        )
+    for t, key in _FACTS.items():
+        src = os.path.join(_SRC, f"{t}.parquet")
+        stride = con.execute(
+            f"SELECT max({key}) + 1 FROM read_parquet('{src}')"
+        ).fetchone()[0]
+        con.execute(
+            f"COPY (SELECT * REPLACE ({key} + i * {stride} AS {key}) "
+            f"FROM read_parquet('{src}'), range({factor}) t(i)) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    open(marker, "w").write("ok")
+    return out
+
+
+def main() -> int:
+    factors = [
+        int(x)
+        for x in (
+            sys.argv[sys.argv.index("--factors") + 1]
+            if "--factors" in sys.argv
+            else "1,10,100"
+        ).split(",")
+    ]
+    passes = (
+        int(sys.argv[sys.argv.index("--passes") + 1])
+        if "--passes" in sys.argv
+        else 2
+    )
+    out_path = (
+        sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else None
+    )
+    names = (
+        sys.argv[sys.argv.index("--queries") + 1].split(",")
+        if "--queries" in sys.argv
+        else _QUERIES
+    )
+
+    from scio_db_spark.plans.registry import all_queries
+    from scio_db_spark.session import SessionFactory
+
+    spark = SessionFactory.create("bench-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    q = all_queries()
+
+    times: dict[str, dict[int, float]] = {n: {} for n in names}
+    rows: dict[int, dict[str, int]] = {}
+    for factor in factors:
+        sf_dir = _build(factor)
+        rows[factor] = {
+            t: spark.read.parquet(
+                os.path.join(sf_dir, f"{t}.parquet")
+            ).count()
+            for t in _FACTS
+        }
+        for name in names:
+            best = float("inf")
+            for _ in range(passes):
+                t0 = time.perf_counter()
+                # noop sink: full evaluation without funneling the
+                # result through the driver — at 100x a result-heavy
+                # query (scd2 emits ~rows) would otherwise benchmark
+                # driver transfer, not the plan.
+                q[name].spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            times[name][factor] = round(best, 3)
+            print(f"x{factor} {name}: {times[name][factor]}", file=sys.stderr)
+
+    result = {
+        "metric": "scaling_curve",
+        "src": _SRC,
+        "factors": factors,
+        "passes": passes,
+        "rows": rows,
+        "queries": {
+            n: {str(f): t for f, t in fs.items()} for n, fs in times.items()
+        },
+        "load_1m": list(os.getloadavg()[:2]),
+    }
+    line = json.dumps(result)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
