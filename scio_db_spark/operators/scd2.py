@@ -17,13 +17,22 @@ Distributed shape (what must survive 100 TB):
   ``(partitionBy key, orderBy ts, tie)`` sort — Catalyst plans them
   in a single Window operator over a single sort, no re-exchange.
 - ``valid_to`` is resolved BEFORE collapsing, as the forward-looking
-  ``min(CASE WHEN chg THEN ts END)`` over ``ROWS BETWEEN 1 FOLLOWING
-  AND UNBOUNDED FOLLOWING``: every row of a run sees the same next
-  change point, so the subsequent collapse is a plain aggregate and
-  the per-key frame never needs a second ordering pass (the
-  window-fold discipline from SCALE.md — the alternative
-  collapse-then-lead plan costs a third exchange on the collapsed
-  frame).
+  ``min(CASE WHEN chg THEN ts END)`` over the rows strictly after the
+  current one: every row of a run sees the same next change point, so
+  the subsequent collapse is a plain aggregate (the window-fold
+  discipline from SCALE.md — the alternative collapse-then-lead plan
+  costs a third exchange on the collapsed frame).
+- The forward min is NOT expressed as ``ROWS BETWEEN 1 FOLLOWING AND
+  UNBOUNDED FOLLOWING``: Spark's UnboundedFollowing frame recomputes
+  the aggregate from scratch for every row (it cannot retract rows
+  from an aggregation buffer), making the window O(n_k^2) per key —
+  measured at 0.74 s / 2.4 s / 90 s on 1x/10x/100x replicated events
+  (BENCH_LOCAL_r06_scaling.json, pre-fix). Instead it runs over the
+  SAME key partitioning with the sort reversed (``ORDER BY ts DESC,
+  tie DESC ROWS UNBOUNDED PRECEDING TO 1 PRECEDING``) — an identical
+  row set per row, but an UnboundedPreceding frame, which Spark
+  grows incrementally: O(n_k). Catalyst plans it as a second Sort
+  under the existing Exchange — still exactly one shuffle.
 - The collapse groupBy key is ``(key, version)`` — strictly finer
   than the window key, so partial aggregation collapses runs
   map-side within the already-key-partitioned data.
@@ -61,7 +70,13 @@ def scd2_from_log(
         "_chg", chg
     )
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_next = w.rowsBetween(1, Window.unboundedFollowing)
+    # Forward-looking min over "all rows after this one", expressed as
+    # an incremental unbounded-PRECEDING frame on the reversed sort —
+    # O(n) per key where the 1-FOLLOWING..UNBOUNDED-FOLLOWING form is
+    # O(n^2) (see module docstring).
+    w_next = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(tie_col).desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
     runs = runs.withColumn("_version", F.sum("_chg").over(w_run)).withColumn(
         "_next_change_ts",
         F.min(F.when(F.col("_chg") == 1, F.col(ts_col))).over(w_next),

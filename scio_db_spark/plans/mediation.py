@@ -1691,7 +1691,9 @@ def rolling_7d_actives(spark: SparkSession, sf: str) -> DataFrame:
     "(MediationService.scala). ONE hash shuffle on user_id serves "
     "change detection (lag), run numbering (running sum), and the "
     "forward-min next-change timestamp — valid_to is resolved BEFORE "
-    "the collapse so no window ever runs on the collapsed frame; see "
+    "the collapse so no window ever runs on the collapsed frame, and "
+    "the forward min runs on a reversed-sort incremental frame (the "
+    "UNBOUNDED FOLLOWING form is O(n^2) per key in Spark); see "
     "operators/scd2.py for the plan rationale.",
 )
 def scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
