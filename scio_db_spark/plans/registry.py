@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QuerySpec]:
         mediation,
         mmops,
         relational,
+        temporal,
         textops,
         tpch_fill,
         tpch_more,

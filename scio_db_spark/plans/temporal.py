@@ -1,0 +1,384 @@
+"""Temporal / change-data operators: PIT lookup, CDC diff, drift, trends.
+
+The reference's mediation keeps only the LATEST state per key in
+streaming state (MediationService.scala); this module is the batch
+warehouse counterpart family around change tracking:
+
+- point-in-time lookup against SCD2 history (operators/scd2.py +
+  operators/asof.py composed),
+- snapshot-diff CDC (operators/cdc.py),
+- incremental aggregate maintenance (operators/incremental.py),
+- CUSUM drift detection (operators/cusum.py),
+- per-key least-squares trends (exact-integer regression sums).
+
+Float policy: every sum is over integers quantized BEFORE aggregation
+(cents, seconds) held in BIGINT/DECIMAL(38,0); the only float ops are
+final divisions of exact decimals via the string round-trip (the
+plans/relational.py policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scio_db_spark.plans.catalog import table
+from scio_db_spark.plans.registry import register
+
+
+def _events(spark: SparkSession, sf: str) -> DataFrame:
+    return table(spark, sf, "events")
+
+
+# --------------------------------------------------------------------------
+_PIT_MAX_CUST = 100
+_PIT_GRID_START = "1995-01-01 00:00:00"
+_PIT_GRID_END = "2001-07-01 00:00:00"
+
+
+@register(
+    "orders_scd2_pit_lookup",
+    oracle=f"""
+    WITH runs AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+            CASE WHEN lag(o_orderpriority) OVER w
+                      IS DISTINCT FROM o_orderpriority
+                 THEN 1 ELSE 0 END AS chg
+        FROM orders WHERE o_custkey <= {_PIT_MAX_CUST}
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    hist AS (
+        SELECT o_custkey, CAST(version AS BIGINT) AS version,
+            min(o_orderpriority) AS state,
+            min(o_orderdate) AS valid_from
+        FROM (
+            SELECT o_custkey, o_orderpriority, o_orderdate,
+                sum(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS version
+            FROM runs
+        ) GROUP BY o_custkey, version
+    ),
+    dedup AS (
+        -- one state per (key, valid_from): several runs can begin at
+        -- the same date-granular instant; the LAST (max version) is
+        -- "the state after all same-instant changes" — the same tie
+        -- rule the Spark as-of operator applies via tie_col.
+        SELECT o_custkey, version, state, valid_from FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey, valid_from
+                ORDER BY version DESC) AS rn
+            FROM hist
+        ) WHERE rn = 1
+    ),
+    grid AS (
+        SELECT c.o_custkey AS cust,
+            unnest(generate_series(TIMESTAMP '{_PIT_GRID_START}',
+                                   TIMESTAMP '{_PIT_GRID_END}',
+                                   INTERVAL 3 MONTH)) AS grid_ts
+        FROM (SELECT DISTINCT o_custkey FROM orders
+              WHERE o_custkey <= {_PIT_MAX_CUST}) c
+    )
+    SELECT g.cust AS o_custkey, g.grid_ts,
+        d.state AS state_at, d.version AS version_at
+    FROM grid g ASOF LEFT JOIN dedup d
+      ON g.cust = d.o_custkey AND g.grid_ts >= d.valid_from
+    """,
+    doc="Point-in-time dimension lookup: for every (customer, quarter)"
+    " probe, the customer's order-priority state and version per the "
+    "SCD2 history built from the order log — 'what did the dimension "
+    "say at time T', the query SCD2 history exists to answer. "
+    "Composes scd2_from_log (one shuffle) with the union+last_value "
+    "as-of operator (one more shuffle of |probes|+|history| rows, no "
+    "inequality join) — history rows per key are run counts, already "
+    "reduced, so the probe join never touches fact volume. NULL "
+    "state before a customer's first order.",
+)
+def scd2_pit_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.asof import asof_join
+    from scio_db_spark.operators.scd2 import scd2_from_log
+
+    o = table(spark, sf, "orders").filter(
+        F.col("o_custkey") <= _PIT_MAX_CUST
+    )
+    hist = scd2_from_log(
+        o,
+        key_col="o_custkey",
+        attr_col="o_orderpriority",
+        ts_col="o_orderdate",
+        tie_col="o_orderkey",
+    ).select(
+        "o_custkey",
+        F.col("version").cast("long").alias("version_at"),
+        F.col("state").alias("state_at"),
+        "valid_from",
+    )
+    probes = (
+        o.select("o_custkey")
+        .distinct()
+        .select(
+            "o_custkey",
+            F.explode(
+                F.expr(
+                    f"sequence(TIMESTAMP '{_PIT_GRID_START}', "
+                    f"TIMESTAMP '{_PIT_GRID_END}', INTERVAL 3 MONTH)"
+                )
+            ).alias("grid_ts"),
+        )
+    )
+    return asof_join(
+        probes,
+        hist,
+        key="o_custkey",
+        left_time="grid_ts",
+        right_time="valid_from",
+        payload_cols=["state_at", "version_at"],
+        tie_col="version_at",
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_type_trend_slope",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+            (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                // 1000000 AS x,
+            CAST(floor(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, CAST(count(*) AS DECIMAL(38,0)) AS n,
+            CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+            CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+            CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                AS sxy,
+            CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                AS sxx
+        FROM q GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+        AS slope_cents_per_sec
+    FROM s
+    """,
+    doc="Per-key least-squares trend: OLS slope of event value (cents)"
+    " vs time (seconds) per event type — 'is this metric drifting', "
+    "grouped. One hash aggregation computing the five regression sums "
+    "(n, Σx, Σy, Σxy, Σx²) map-side in DECIMAL(38,0) over integers "
+    "quantized BEFORE summing (the docs_zipf_fit policy, here per "
+    "key); slope = one final division of two exact decimals. The "
+    "epoch origin shift (2024-01-01) only bounds magnitudes — "
+    "n·Σxy−ΣxΣy and n·Σx²−(Σx)² are exactly shift-invariant in "
+    "integer arithmetic, so the result is timezone-offset-proof. At "
+    "100 TB this is a plain partial-aggregated groupBy: no window, "
+    "no sort, one shuffle of |keys| rows.",
+)
+def type_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
+    q = _events(spark, sf).select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(TIMESTAMP '2024-01-01 "
+            "00:00:00')) DIV 1000000"
+        ).alias("x"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast(dec).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast(dec).alias("sxx"),
+    )
+
+    def _d2d(col):
+        return col.cast("string").cast("double")
+
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        (
+            _d2d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / _d2d(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("slope_cents_per_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
+_CUSUM_TARGET = 6000  # cents; slightly above the value mean -> upper CUSUM
+_CUSUM_H = 40000  # alarm threshold in cents
+
+
+@register(
+    "events_cusum_drift_census",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, ts, event_id,
+            CAST(floor(value * 100) AS BIGINT) - {_CUSUM_TARGET} AS d
+        FROM events
+    ),
+    p AS (
+        SELECT event_type, ts, event_id,
+            CAST(sum(d) OVER w AS BIGINT) AS p
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    s AS (
+        SELECT event_type, ts, event_id,
+            p - least(CAST(0 AS BIGINT),
+                      CAST(min(p) OVER w AS BIGINT)) AS s
+        FROM p
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    c AS (
+        SELECT event_type, ts, s,
+            CASE WHEN s > {_CUSUM_H}
+                  AND coalesce(lag(s) OVER (PARTITION BY event_type
+                      ORDER BY ts, event_id), 0) <= {_CUSUM_H}
+                 THEN 1 ELSE 0 END AS alarm
+        FROM s
+    )
+    SELECT event_type, CAST(sum(alarm) AS BIGINT) AS n_crossings,
+        min(CASE WHEN alarm = 1 THEN ts END) AS first_alarm_ts,
+        CAST(max(s) AS BIGINT) AS max_cusum
+    FROM c GROUP BY event_type
+    """,
+    doc="CUSUM drift detection per event type: up-crossings of the "
+    "zero-floored cumulative-sum statistic over cents, via the "
+    "closed form S_i = P_i - min(0, running-min P) — the 'inherently "
+    "sequential' recurrence becomes two stacked running aggregates "
+    "plus a lag over ONE (key, ts) sort, all JVM-side on a single "
+    "shuffle (operators/cusum.py). Exact integer arithmetic "
+    "end-to-end; complements the k-sigma detector "
+    "(events_rolling_anomaly_census): k-sigma flags point outliers, "
+    "CUSUM accumulates evidence of small persistent mean shifts.",
+)
+def cusum_drift_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.cusum import cusum_crossings
+
+    return cusum_crossings(
+        _events(spark, sf),
+        key_col="event_type",
+        ts_col="ts",
+        tie_col="event_id",
+        value_col=F.expr("CAST(floor(value * 100) AS BIGINT)"),
+        target=_CUSUM_TARGET,
+        threshold=_CUSUM_H,
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "orders_snapshot_cdc_diff",
+    oracle="""
+    WITH snap_old AS (
+        SELECT o_orderkey, o_orderstatus AS status,
+            o_totalprice AS total
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    snap_new AS (
+        SELECT o_orderkey,
+            CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                 ELSE o_orderstatus END AS status,
+            o_totalprice AS total
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        CASE WHEN o.o_orderkey IS NULL THEN 'I'
+             WHEN n.o_orderkey IS NULL THEN 'D'
+             ELSE 'U' END AS op,
+        o.status AS old_status, n.status AS new_status,
+        o.total AS old_total, n.total AS new_total
+    FROM snap_old o FULL OUTER JOIN snap_new n
+      ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.status IS DISTINCT FROM n.status
+       OR o.total IS DISTINCT FROM n.total
+    """,
+    doc="Snapshot-diff CDC: derive the insert/update/delete feed from "
+    "two full table snapshots (operators/cdc.py) — the bridge from "
+    "snapshot-only upstreams (the reference's bounded initial-load "
+    "reread, HCEngine.scala) to incremental consumers. The two "
+    "snapshots are deterministic arithmetic slices of orders "
+    "(drop-every-7th vs drop-every-5th with every-11th's status "
+    "mutated), so inserts, deletes and updates are all exercised. "
+    "One key-partitioned full outer join; unchanged rows filtered in "
+    "the same stage, output ~ change volume.",
+)
+def snapshot_cdc_diff(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.cdc import snapshot_diff
+
+    o = table(spark, sf, "orders")
+    snap_old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    snap_new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    return snapshot_diff(
+        snap_old,
+        snap_new,
+        key_cols=["o_orderkey"],
+        compare_cols=["status", "total"],
+    )
+
+
+# --------------------------------------------------------------------------
+_INC_CUTOFF = "1998-01-01 00:00:00"
+
+
+@register(
+    "orders_incremental_agg_census",
+    oracle="""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS total_cents
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="Incremental aggregate maintenance census: per-customer "
+    "(count, exact cents sum) computed as merge(state(base), "
+    "state(delta)) across a date split — the materialized-view "
+    "maintenance path (operators/incremental.py). The oracle is the "
+    "full recompute; equality proves the merge law state(A)+state(B) "
+    "= state(A∪B) on real data, for ANY split point (the result is "
+    "split-invariant by construction). At 100 TB the stored state "
+    "replaces the base scan: merging a day's delta costs "
+    "|state|+|delta|, not |history|.",
+)
+def incremental_agg_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.incremental import agg_state, merge_states
+
+    o = table(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    cutoff = F.lit(_INC_CUTOFF).cast("timestamp")
+    base = o.filter(F.col("o_orderdate") < cutoff)
+    delta = o.filter(F.col("o_orderdate") >= cutoff)
+    states = [
+        agg_state(
+            part,
+            key_cols=["o_custkey"],
+            sum_cols={"total_cents": F.col("cents")},
+            count_col="n_orders",
+        )
+        for part in (base, delta)
+    ]
+    return merge_states(
+        states,
+        key_cols=["o_custkey"],
+        measure_cols=["n_orders", "total_cents"],
+    )

@@ -1,0 +1,191 @@
+"""Property tests for the temporal/CDC operator family.
+
+Each operator is checked against an independent brute-force
+formulation of its contract (sequential recurrence, interval
+containment, full recompute), not against its own plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# -- snapshot_diff ----------------------------------------------------------
+def _snap(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, a=a, b=b) for k, a, b in rows], "k INT, a STRING, b INT"
+    )
+
+
+def test_cdc_classifies_and_suppresses_unchanged(spark):
+    from scio_db_spark.operators.cdc import snapshot_diff
+
+    old = _snap(spark, [(1, "x", 1), (2, "y", 2), (3, "z", 3), (5, None, 5)])
+    new = _snap(spark, [(2, "y", 2), (3, "Z", 3), (4, "w", 4), (5, None, 5)])
+    out = {
+        r["k"]: r.asDict()
+        for r in snapshot_diff(
+            old, new, key_cols=["k"], compare_cols=["a", "b"]
+        ).collect()
+    }
+    # 1 deleted, 3 updated, 4 inserted; 2 and 5 (NULL == NULL) suppressed
+    assert set(out) == {1, 3, 4}
+    assert out[1]["op"] == "D" and out[1]["new_a"] is None
+    assert out[3]["op"] == "U" and (out[3]["old_a"], out[3]["new_a"]) == (
+        "z",
+        "Z",
+    )
+    assert out[4]["op"] == "I" and out[4]["old_b"] is None
+
+
+def test_cdc_null_to_value_is_update(spark):
+    from scio_db_spark.operators.cdc import snapshot_diff
+
+    old = _snap(spark, [(1, None, 1)])
+    new = _snap(spark, [(1, "v", 1)])
+    (row,) = snapshot_diff(
+        old, new, key_cols=["k"], compare_cols=["a", "b"]
+    ).collect()
+    assert row["op"] == "U" and row["old_a"] is None and row["new_a"] == "v"
+
+
+def test_cdc_roundtrip_reconstructs_new_snapshot(spark):
+    """old + applied diff == new: the defining CDC property."""
+    from scio_db_spark.operators.cdc import snapshot_diff
+
+    old = _snap(spark, [(i, chr(97 + i % 5), i * i) for i in range(40)])
+    new = _snap(
+        spark,
+        [
+            (i, chr(97 + (i * 3) % 5), i * i + (i % 7 == 0))
+            for i in range(8, 48)
+        ],
+    )
+    diff = snapshot_diff(old, new, key_cols=["k"], compare_cols=["a", "b"])
+    upserts = diff.filter(F.col("op") != "D").select(
+        "k", F.col("new_a").alias("a"), F.col("new_b").alias("b")
+    )
+    deleted_or_changed = diff.select("k")
+    applied = (
+        old.join(deleted_or_changed, "k", "left_anti").unionByName(upserts)
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+# -- cusum_crossings --------------------------------------------------------
+def _cusum_sequential(vals, target, h):
+    """Reference recurrence: S_i = max(0, S_{i-1} + (y_i - k))."""
+    s, prev, n, first, mx = 0, 0, 0, None, 0
+    for i, y in enumerate(vals):
+        s = max(0, s + (y - target))
+        if s > h and prev <= h:
+            n += 1
+            if first is None:
+                first = i
+        prev = s
+        mx = max(mx, s)
+    return n, first, mx
+
+
+@pytest.mark.parametrize("target,h", [(50, 100), (30, 40), (80, 10)])
+def test_cusum_matches_sequential_recurrence(spark, target, h):
+    from scio_db_spark.operators.cusum import cusum_crossings
+
+    import random
+
+    rng = random.Random(42)
+    data = []
+    expect = {}
+    for key in ("a", "b"):
+        vals = [rng.randrange(0, 120) for _ in range(200)]
+        data += [
+            Row(k=key, ts=i, tie=i, v=v) for i, v in enumerate(vals)
+        ]
+        expect[key] = _cusum_sequential(vals, target, h)
+    df = spark.createDataFrame(data, "k STRING, ts INT, tie INT, v LONG")
+    out = {
+        r["k"]: r
+        for r in cusum_crossings(
+            df, "k", "ts", "tie", F.col("v"), target, h
+        ).collect()
+    }
+    for key, (n, first, mx) in expect.items():
+        assert out[key]["n_crossings"] == n
+        assert out[key]["first_alarm_ts"] == first
+        assert out[key]["max_cusum"] == mx
+
+
+def test_cusum_no_alarms_yields_null_first_ts(spark):
+    from scio_db_spark.operators.cusum import cusum_crossings
+
+    df = spark.createDataFrame(
+        [Row(k="a", ts=i, tie=i, v=1) for i in range(10)],
+        "k STRING, ts INT, tie INT, v LONG",
+    )
+    (row,) = cusum_crossings(
+        df, "k", "ts", "tie", F.col("v"), 5, 1000
+    ).collect()
+    assert row["n_crossings"] == 0 and row["first_alarm_ts"] is None
+
+
+# -- incremental agg --------------------------------------------------------
+def test_incremental_merge_equals_full_recompute_any_split(spark):
+    from scio_db_spark.operators.incremental import agg_state, merge_states
+
+    df = spark.createDataFrame(
+        [Row(k=i % 13, v=(i * 17) % 101) for i in range(500)],
+        "k INT, v LONG",
+    )
+    full = agg_state(df, ["k"], {"sv": F.col("v")}, count_col="n")
+    for mod in (2, 3, 5):
+        parts = [
+            agg_state(
+                df.filter(F.col("v") % mod == r),
+                ["k"],
+                {"sv": F.col("v")},
+                count_col="n",
+            )
+            for r in range(mod)
+        ]
+        merged = merge_states(parts, ["k"], ["n", "sv"])
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+
+# -- PIT lookup (via the registered query, vs interval containment) --------
+def test_pit_lookup_matches_interval_containment(spark, sf_dir):
+    """Every probe's answer must be the history row whose
+    [valid_from, valid_to) interval contains the probe instant —
+    checked by the direct (non-scalable) inequality join."""
+    from scio_db_spark.operators.scd2 import scd2_from_log
+    from scio_db_spark.plans.catalog import table
+    from scio_db_spark.plans.registry import all_queries
+
+    out = all_queries()["orders_scd2_pit_lookup"].spark(spark, sf_dir)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    hist = scd2_from_log(
+        o, "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    # max-version state per (key, valid_from) is the PIT tie contract
+    brute = (
+        out.select("o_custkey", "grid_ts")
+        .join(
+            hist.withColumnRenamed("o_custkey", "hk"),
+            (F.col("o_custkey") == F.col("hk"))
+            & (F.col("valid_from") <= F.col("grid_ts")),
+            "left",
+        )
+        .groupBy("o_custkey", "grid_ts")
+        .agg(
+            F.max_by("state", F.col("version")).alias("state_at"),
+            F.max("version").cast("long").alias("version_at"),
+        )
+    )
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, brute.collect()))
+    assert a == b
