@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def cusum_crossings(
+def cusum_scores(
     df: DataFrame,
     key_col: str,
     ts_col: str,
@@ -44,12 +44,13 @@ def cusum_crossings(
     target: int,
     threshold: int,
 ) -> DataFrame:
-    """Per-key CUSUM up-crossing census.
+    """Per-row CUSUM statistic and alarm flag (the batch twin of
+    ``streaming.cusum_stream.cusum_detect_stream`` — identical
+    integers, identical decisions for identical row order).
 
     ``value_col`` must already be an exact-integer Column (quantize
-    floats to cents/micros first). Returns one row per key:
-    ``n_crossings``, ``first_alarm_ts`` (NULL when none), and
-    ``max_cusum``.
+    floats to cents/micros first). Adds ``cusum`` (the zero-floored
+    statistic S_i) and ``is_alarm`` (up-crossing of ``threshold``).
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -61,12 +62,40 @@ def cusum_crossings(
         "_s",
         F.col("_p") - F.least(F.lit(0).cast("long"), F.min("_p").over(run)),
     )
-    crossed = s.withColumn(
+    return s.withColumn(
         "_alarm",
         (F.col("_s") > threshold)
         & (F.coalesce(F.lag("_s").over(w), F.lit(0)) <= threshold),
+    ).select(
+        key_col,
+        ts_col,
+        tie_col,
+        F.col("_s").alias("cusum"),
+        F.col("_alarm").alias("is_alarm"),
     )
-    return crossed.groupBy(key_col).agg(
+
+
+def cusum_crossings(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    value_col,
+    target: int,
+    threshold: int,
+) -> DataFrame:
+    """Per-key CUSUM up-crossing census over ``cusum_scores``:
+    ``n_crossings``, ``first_alarm_ts`` (NULL when none),
+    ``max_cusum``."""
+    scored = cusum_scores(
+        df, key_col, ts_col, tie_col, value_col, target, threshold
+    ).select(
+        key_col,
+        ts_col,
+        F.col("cusum").alias("_s"),
+        F.col("is_alarm").alias("_alarm"),
+    )
+    return scored.groupBy(key_col).agg(
         F.sum(F.col("_alarm").cast("long")).alias("n_crossings"),
         F.min(F.when(F.col("_alarm"), F.col(ts_col))).alias(
             "first_alarm_ts"
