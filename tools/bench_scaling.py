@@ -61,6 +61,11 @@ _QUERIES = [
     "emb_cosine_topk",            # brute-force ANN baseline
     "events_heavy_users_exact",   # MG candidates + exact verify
     "events_scd2_user_state",     # keyed windows, output ~ input
+    "events_rolling_anomaly_census",  # running integer windows + decimal
+    "decile_customer_revenue",    # range-partitioned two-pass quantile
+    "emb_ann_ivf_trained_topk",   # trained-codebook cell equi-join ANN
+    "events_top_paths",           # sessionize + path trigrams
+    "events_rolling_7d_actives",  # contribution-explode rolling distinct
 ]
 
 
