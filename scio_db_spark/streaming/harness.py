@@ -113,3 +113,74 @@ class StreamHarness:
         # hundreds of dirs per CI run).
         shutil.rmtree(self.input_dir, ignore_errors=True)
         shutil.rmtree(self.checkpoint_dir, ignore_errors=True)
+
+
+class DualStreamHarness:
+    """Two-input variant for stream-stream transforms (joins).
+
+    Same start/stop + availableNow-pass model as ``StreamHarness``;
+    ``add_batches(left_rows, right_rows)`` delivers one micro-batch
+    containing the given rows on each side (either may be empty) and
+    runs it to completion against the shared checkpoint, so join
+    state and watermarks persist across calls exactly as across
+    micro-batches of a long-running query.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        left_schema: StructType | str,
+        right_schema: StructType | str,
+    ):
+        self.spark = spark
+        self._left = StreamHarness(spark, left_schema)
+        self._right = StreamHarness(spark, right_schema)
+        self.checkpoint_dir = tempfile.mkdtemp(prefix="stream_ck2_")
+        self._transform = None
+        self._collected: list = []
+
+    def start(self, transform, output_mode: str = "append") -> None:
+        self._transform = transform
+        self._output_mode = output_mode
+
+    def add_batches(self, left_rows: list, right_rows: list) -> None:
+        # Stage both sides' files first, then ONE pass consumes them
+        # together (maxFilesPerTrigger=1 per side keeps it one file
+        # each; an empty side simply contributes no rows this batch).
+        if left_rows:
+            self._left.add_batch(left_rows, wait=False)
+        if right_rows:
+            self._right.add_batch(right_rows, wait=False)
+        l_stream = (
+            self.spark.readStream.schema(self._left.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(self._left.input_dir)
+        )
+        r_stream = (
+            self.spark.readStream.schema(self._right.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(self._right.input_dir)
+        )
+        out = self._transform(l_stream, r_stream)
+        collected = self._collected
+
+        def _sink(batch_df: DataFrame, _epoch: int) -> None:
+            collected.extend(batch_df.collect())
+
+        query = (
+            out.writeStream.foreachBatch(_sink)
+            .outputMode(self._output_mode)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    def results(self) -> list:
+        return list(self._collected)
+
+    def stop(self) -> None:
+        self._transform = None
+        self._left.stop()
+        self._right.stop()
+        shutil.rmtree(self.checkpoint_dir, ignore_errors=True)
