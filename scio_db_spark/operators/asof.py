@@ -33,8 +33,19 @@ def asof_join(
     right_time: str,
     payload_cols: list[str],
     tie_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join; right ``payload_cols`` appended (null = no match)."""
+    """Left as-of join; right ``payload_cols`` appended (null = no match).
+
+    ``direction="backward"`` (default) attaches the LATEST right row
+    with ``right.time <= left.time``; ``"forward"`` the EARLIEST right
+    row with ``right.time >= left.time`` ("time to next event" /
+    next-fact lookups). Forward is the same one-shuffle merge scanned
+    in descending time order — ``last(ignorenulls)`` then carries the
+    nearest FUTURE fact backward onto each left row; a right row at
+    exactly left.time matches in both directions."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     # Fail fast on output-name collisions: a payload column named like
     # a left column would emit two same-named output columns — the
     # DataFrame builds, but the first downstream reference dies with
@@ -89,9 +100,17 @@ def asof_join(
         F.struct(*payload_cols).alias("__payload"),
     )
     merged = l_tag.unionByName(r_tag)
+    # Backward scans time ascending; forward scans descending, so the
+    # running last(ignorenulls) holds the nearest future fact instead.
+    # Either way __side keeps same-instant facts BEFORE the left row.
+    order = (
+        [F.asc("__t"), F.asc("__side")]
+        if direction == "backward"
+        else [F.desc("__t"), F.asc("__side")]
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.select(

@@ -763,6 +763,50 @@ def decile_customer_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+@register(
+    "events_value_deciles_global",
+    oracle="""
+    SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        min(vc) AS min_cents, max(vc) AS max_cents,
+        CAST(sum(vc) AS BIGINT) AS sum_cents
+    FROM (
+        SELECT ntile(10) OVER (ORDER BY vc, event_id) AS decile, vc
+        FROM (
+            SELECT CAST(floor(value * 100) AS BIGINT) AS vc, event_id
+            FROM events
+        )
+    )
+    GROUP BY decile
+    """,
+    doc="Global equi-depth deciles over FACT volume (every event's "
+    "value, not a per-entity aggregate) — the harder version of the "
+    "quantile claim: decile_customer_revenue's input is |customers| "
+    "rows, this one's is |events|. Same operators/rank.global_ntile "
+    "two-pass core: range-partition by (cents, event_id), per-"
+    "partition counts, a P-row offsets window, exact integer ntile "
+    "arithmetic — no data-sized frame ever crosses a SinglePartition "
+    "exchange at any input size. Output: per-decile count, min/max "
+    "boundaries and exact cents sum (an equi-depth histogram).",
+)
+def events_value_deciles_global(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.rank import global_ntile
+
+    ev = table(spark, sf, "events").select(
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("vc"),
+        "event_id",
+    )
+    tiled = global_ntile(
+        ev, [F.asc("vc"), F.asc("event_id")], 10, tile_col="decile"
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("vc").alias("min_cents"),
+        F.max("vc").alias("max_cents"),
+        F.sum("vc").alias("sum_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
 _BASKET_TOPK = 100
 
 

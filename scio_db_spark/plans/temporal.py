@@ -140,6 +140,70 @@ def scd2_pit_lookup(spark: SparkSession, sf: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "events_next_purchase_asof",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'view'
+    ),
+    p AS (
+        -- forward tie contract: one candidate per (user, instant),
+        -- max event_id wins (same dedup the Spark operator applies)
+        SELECT user_id, ts, event_id, value FROM (
+            SELECT user_id, ts, event_id, value,
+                row_number() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    )
+    SELECT v.event_id, v.user_id, v.ts,
+        p.event_id AS next_purchase_id,
+        p.ts AS next_purchase_ts,
+        p.value AS next_purchase_value
+    FROM v ASOF LEFT JOIN p
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+    doc="FORWARD as-of join: for every view event, the user's next "
+    "purchase at-or-after it (time-to-conversion lookups). Same "
+    "union + running last(ignorenulls) merge as the backward form, "
+    "scanned in descending time order — one keyed shuffle of "
+    "|views|+|purchases| rows, no inequality join "
+    "(operators/asof.py direction='forward'); oracle = DuckDB "
+    "native ASOF with the <= comparator. NULL payload for views "
+    "after the user's last purchase.",
+)
+def next_purchase_asof(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("next_purchase_id"),
+        F.col("value").alias("next_purchase_value"),
+        F.col("ts").alias("next_purchase_ts"),
+    )
+    return asof_join(
+        views,
+        purchases,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload_cols=[
+            "next_purchase_id",
+            "next_purchase_ts",
+            "next_purchase_value",
+        ],
+        tie_col="next_purchase_id",
+        direction="forward",
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "events_type_trend_slope",
     oracle="""
     WITH q AS (

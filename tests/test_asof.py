@@ -68,3 +68,51 @@ def test_asof_null_payload_in_latest_row_not_backfilled(spark):
         payload_cols=["fact", "other"],
     ).collect()[0]
     assert (out.fact, out.other) == (None, 8)  # the t=5 row, verbatim
+
+
+def _go_fwd(spark, left_rows, right_rows):
+    left = spark.createDataFrame(left_rows, "k string, t double, eid int")
+    right = spark.createDataFrame(
+        right_rows, "k string, rt double, fact int"
+    )
+    out = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        payload_cols=["fact"], tie_col="fact", direction="forward",
+    )
+    return {r.eid: r.fact for r in out.collect()}
+
+
+def test_asof_forward_earliest_at_or_after(spark):
+    got = _go_fwd(
+        spark,
+        [Row("a", 5.0, 1), Row("a", 10.0, 2), Row("a", 99.5, 3)],
+        [Row("a", 1.0, 100), Row("a", 7.0, 200), Row("a", 99.0, 300)],
+    )
+    assert got == {1: 200, 2: 300, 3: None}  # 99.5 follows every fact
+
+
+def test_asof_forward_same_instant_inclusive_and_ties(spark):
+    got = _go_fwd(
+        spark,
+        [Row("a", 7.0, 1)],
+        [Row("a", 7.0, 100), Row("a", 7.0, 150), Row("a", 9.0, 900)],
+    )
+    assert got == {1: 150}  # inclusive; max tie_col wins among equals
+
+
+def test_asof_forward_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    lrows = [Row("k", float(rng.randrange(100)), i) for i in range(60)]
+    rrows = [
+        Row("k", float(rng.randrange(100)), 1000 + i) for i in range(40)
+    ]
+    got = _go_fwd(spark, lrows, rrows)
+    for row in lrows:
+        after = [r for r in rrows if r[1] >= row[1]]
+        expect = None
+        if after:
+            tmin = min(r[1] for r in after)
+            expect = max(r[2] for r in after if r[1] == tmin)
+        assert got[row[2]] == expect
