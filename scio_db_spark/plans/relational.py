@@ -341,6 +341,53 @@ def window_rank(spark: SparkSession, sf: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "window_surface_order_pricing",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+        dense_rank() OVER w AS drnk,
+        percent_rank() OVER w AS pct_rnk,
+        cume_dist() OVER w AS cdist,
+        lag(o_orderkey) OVER w AS prev_key,
+        lead(o_orderkey) OVER w AS next_key,
+        nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS second_key
+    FROM orders WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Analytic-function surface in one window spec: dense_rank, "
+    "percent_rank, cume_dist, lag, lead, nth_value — all stacked on "
+    "a single (key, order) sort, so Catalyst plans ONE exchange + "
+    "one Window operator regardless of function count. percent_rank "
+    "and cume_dist are ratios of small exact integers; one IEEE "
+    "division is correctly rounded identically in both engines. "
+    "nth_value uses the explicit full-frame (Spark defaults to a "
+    "running frame; DuckDB to the full partition — pinned here).",
+)
+def window_surface_order_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("pct_rnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "semi_join_customers_with_urgent_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
