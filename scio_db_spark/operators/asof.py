@@ -102,11 +102,16 @@ def asof_join(
     merged = l_tag.unionByName(r_tag)
     # Backward scans time ascending; forward scans descending, so the
     # running last(ignorenulls) holds the nearest future fact instead.
-    # Either way __side keeps same-instant facts BEFORE the left row.
+    # Either way __side keeps same-instant facts BEFORE the left row,
+    # and NULL-time LEFT rows must sort before every fact (no
+    # right.time can compare against NULL, so their payload is NULL):
+    # ascending gets that from the NULLS FIRST default, descending
+    # must ask for it — desc's NULLS LAST default would hand NULL-time
+    # rows the earliest fact instead.
     order = (
         [F.asc("__t"), F.asc("__side")]
         if direction == "backward"
-        else [F.desc("__t"), F.asc("__side")]
+        else [F.col("__t").desc_nulls_first(), F.asc("__side")]
     )
     w = (
         Window.partitionBy("__k")

@@ -43,13 +43,20 @@ def snapshot_diff(
     ``new_<c>`` for every compared column (NULL on the absent side of
     inserts/deletes). Rows equal on all ``compare_cols`` are dropped.
     """
+    # Side presence is tracked by a non-null indicator literal, NOT by
+    # the key value: a genuinely NULL key (which equi-joins never
+    # match, so it surfaces as one D row and/or one I row — standard
+    # SQL join semantics) would otherwise read as "absent" on its own
+    # side and get the opposite op with swapped old_/new_ columns.
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
         F.struct(*compare_cols).alias("__old"),
+        F.lit(1).alias("__o_present"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
         F.struct(*compare_cols).alias("__new"),
+        F.lit(1).alias("__n_present"),
     )
     cond = None
     for k in key_cols:
@@ -57,8 +64,8 @@ def snapshot_diff(
         cond = c if cond is None else (cond & c)
     j = o.join(n, cond, "full_outer")
 
-    old_absent = F.col(f"__ok_{key_cols[0]}").isNull()
-    new_absent = F.col(f"__nk_{key_cols[0]}").isNull()
+    old_absent = F.col("__o_present").isNull()
+    new_absent = F.col("__n_present").isNull()
     op = (
         F.when(old_absent, F.lit("I"))
         .when(new_absent, F.lit("D"))

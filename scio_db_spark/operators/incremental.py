@@ -54,6 +54,11 @@ def merge_states(
     measure_cols: list[str],
 ) -> DataFrame:
     """Merge per-key states: one union + one re-aggregation by key."""
+    if not states:
+        raise ValueError(
+            "merge_states needs at least one state DataFrame; an empty "
+            "batch window should contribute an EMPTY state, not none"
+        )
     merged = states[0]
     for s in states[1:]:
         merged = merged.unionByName(s)

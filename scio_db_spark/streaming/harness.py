@@ -28,6 +28,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+def _stage_one_file(spark, rows, schema, input_dir: str) -> None:
+    """Write rows as ONE parquet file into a monitored dir (the file
+    source doesn't recurse into the directory a DataFrame write
+    creates, hence the staging-dir + rename)."""
+    df = spark.createDataFrame(rows, schema)
+    staging = tempfile.mkdtemp(prefix="stream_stage_")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(
+        f for f in os.listdir(staging)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(staging, part),
+        os.path.join(input_dir, f"batch_{uuid.uuid4().hex}.parquet"),
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def _run_available_now(
+    out: DataFrame, output_mode: str, checkpoint_dir: str, collected: list
+) -> None:
+    """One Trigger.AvailableNow pass of ``out`` into ``collected``."""
+
+    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+        collected.extend(batch_df.collect())
+
+    query = (
+        out.writeStream.foreachBatch(_sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+
 class StreamHarness:
     """Drives a streaming transform micro-batch by micro-batch.
 
@@ -65,37 +102,15 @@ class StreamHarness:
             .option("maxFilesPerTrigger", "1")  # one file = one micro-batch
             .parquet(self.input_dir)
         )
-        out = self._transform(stream)
-        collected = self._collected
-
-        def _sink(batch_df: DataFrame, _epoch: int) -> None:
-            collected.extend(batch_df.collect())
-
-        query = (
-            out.writeStream.foreachBatch(_sink)
-            .outputMode(self._output_mode)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
+        _run_available_now(
+            self._transform(stream),
+            self._output_mode,
+            self.checkpoint_dir,
+            self._collected,
         )
-        query.awaitTermination()
 
     def add_batch(self, rows: list, wait: bool = True) -> None:
-        # Write via a staging dir, then move the single part file into
-        # the monitored dir (the file source doesn't recurse into the
-        # directory a DataFrame write creates).
-        df = self.spark.createDataFrame(rows, self.schema)
-        staging = tempfile.mkdtemp(prefix="stream_stage_")
-        df.coalesce(1).write.mode("overwrite").parquet(staging)
-        part = next(
-            f for f in os.listdir(staging)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        os.rename(
-            os.path.join(staging, part),
-            os.path.join(self.input_dir, f"batch_{uuid.uuid4().hex}.parquet"),
-        )
-        shutil.rmtree(staging, ignore_errors=True)
+        _stage_one_file(self.spark, rows, self.schema, self.input_dir)
         if wait:
             self._run_pass()
 
@@ -133,8 +148,11 @@ class DualStreamHarness:
         right_schema: StructType | str,
     ):
         self.spark = spark
-        self._left = StreamHarness(spark, left_schema)
-        self._right = StreamHarness(spark, right_schema)
+        self._schemas = (left_schema, right_schema)
+        self._input_dirs = (
+            tempfile.mkdtemp(prefix="stream_in_l_"),
+            tempfile.mkdtemp(prefix="stream_in_r_"),
+        )
         self.checkpoint_dir = tempfile.mkdtemp(prefix="stream_ck2_")
         self._transform = None
         self._collected: list = []
@@ -147,40 +165,29 @@ class DualStreamHarness:
         # Stage both sides' files first, then ONE pass consumes them
         # together (maxFilesPerTrigger=1 per side keeps it one file
         # each; an empty side simply contributes no rows this batch).
-        if left_rows:
-            self._left.add_batch(left_rows, wait=False)
-        if right_rows:
-            self._right.add_batch(right_rows, wait=False)
-        l_stream = (
-            self.spark.readStream.schema(self._left.schema)
+        for rows, schema, d in zip(
+            (left_rows, right_rows), self._schemas, self._input_dirs
+        ):
+            if rows:
+                _stage_one_file(self.spark, rows, schema, d)
+        l_stream, r_stream = (
+            self.spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
-            .parquet(self._left.input_dir)
+            .parquet(d)
+            for schema, d in zip(self._schemas, self._input_dirs)
         )
-        r_stream = (
-            self.spark.readStream.schema(self._right.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(self._right.input_dir)
+        _run_available_now(
+            self._transform(l_stream, r_stream),
+            self._output_mode,
+            self.checkpoint_dir,
+            self._collected,
         )
-        out = self._transform(l_stream, r_stream)
-        collected = self._collected
-
-        def _sink(batch_df: DataFrame, _epoch: int) -> None:
-            collected.extend(batch_df.collect())
-
-        query = (
-            out.writeStream.foreachBatch(_sink)
-            .outputMode(self._output_mode)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
 
     def results(self) -> list:
         return list(self._collected)
 
     def stop(self) -> None:
         self._transform = None
-        self._left.stop()
-        self._right.stop()
+        for d in self._input_dirs:
+            shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(self.checkpoint_dir, ignore_errors=True)

@@ -116,3 +116,21 @@ def test_asof_forward_matches_brute_force(spark):
             tmin = min(r[1] for r in after)
             expect = max(r[2] for r in after if r[1] == tmin)
         assert got[row[2]] == expect
+
+
+def test_asof_forward_null_left_time_gets_null_payload(spark):
+    """No right.time compares against NULL — a NULL-time left row
+    must get a NULL payload in BOTH directions (desc's NULLS LAST
+    default would otherwise hand it the earliest fact)."""
+    got = _go_fwd(
+        spark,
+        [Row("a", None, 1), Row("a", 0.5, 2)],
+        [Row("a", 1.0, 100)],
+    )
+    assert got == {1: None, 2: 100}
+    got_b = _go(
+        spark,
+        [Row("a", None, 1), Row("a", 5.0, 2)],
+        [Row("a", 1.0, 100)],
+    )
+    assert got_b == {1: None, 2: 100}

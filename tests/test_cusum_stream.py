@@ -67,8 +67,9 @@ def _stream_scores(spark, batches, target, h):
 def test_stream_equals_batch_across_batch_boundaries(spark):
     rows = _rows("a", _drift_series()) + _rows("b", [10.0] * 60)
     expect = _batch_scores(spark, rows, target=1010, h=200)
-    # three different batchings of the SAME row order
-    for cuts in ([60], [7, 23, 41], [1] * 0 + [13, 14, 15, 16]):
+    # three different batchings of the SAME row order (incl. a 1-row
+    # micro-batch)
+    for cuts in ([60], [7, 23, 41], [1, 13, 14, 15, 16]):
         batches, i = [], 0
         order = sorted(rows, key=lambda r: (r[1], r[0]))
         for c in cuts:

@@ -189,3 +189,25 @@ def test_pit_lookup_matches_interval_containment(spark, sf_dir):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, brute.collect()))
     assert a == b
+
+
+def test_cdc_null_keys_surface_as_separate_delete_and_insert(spark):
+    """Equi-joins never match NULL keys, so a NULL-key row present in
+    both snapshots surfaces as one D and one I (standard SQL join
+    semantics) — never a misclassified op with swapped sides."""
+    from scio_db_spark.operators.cdc import snapshot_diff
+
+    old = _snap(spark, [(None, "x", 1)])
+    new = _snap(spark, [(None, "x", 1)])
+    out = [
+        r.asDict()
+        for r in snapshot_diff(
+            old, new, key_cols=["k"], compare_cols=["a", "b"]
+        ).collect()
+    ]
+    ops = sorted(r["op"] for r in out)
+    assert ops == ["D", "I"]
+    d = next(r for r in out if r["op"] == "D")
+    i = next(r for r in out if r["op"] == "I")
+    assert d["old_a"] == "x" and d["new_a"] is None
+    assert i["new_a"] == "x" and i["old_a"] is None
