@@ -1744,3 +1744,42 @@ def heavy_users_exact(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = table(spark, sf, "events")
     return heavy_hitters_exact(ev, "user_id", phi_inv=_HH_PHI_INV)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_salted_agg_census",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+            AS total_cents,
+        max(CAST(floor(value * 100) AS BIGINT)) AS max_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="Salted two-phase aggregation census: per-user count / exact "
+    "cents sum / max computed via operators/skew.salted_agg "
+    "(phase 1 on (key, random salt) spreads a hot key over 16 "
+    "reducers, phase 2 merges partials on the key) — the skewed-"
+    "aggregation fix AQE doesn't cover. The salt is nondeterministic "
+    "per row but the merged output is salt-independent for algebraic "
+    "aggregates over exact integers, which is precisely what this "
+    "hash-checked row proves on real data. The oracle is the plain "
+    "one-phase GROUP BY.",
+)
+def salted_agg_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.skew import salted_agg
+
+    ev = _events(spark, sf).select(
+        "user_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("vc"),
+    )
+    return salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "n": ("count", F.lit(1)),
+            "total_cents": ("sum", "vc"),
+            "max_cents": ("max", "vc"),
+        },
+        n_salts=16,
+    )
