@@ -446,3 +446,64 @@ def incremental_agg_census(spark: SparkSession, sf: str) -> DataFrame:
         key_cols=["o_custkey"],
         measure_cols=["n_orders", "total_cents"],
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "orders_cdc_apply_census",
+    oracle="""
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(floor(total * 100) AS BIGINT)) AS BIGINT)
+            AS total_cents
+    FROM (
+        SELECT CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS status,
+            o_totalprice AS total
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    GROUP BY status
+    """,
+    doc="CDC apply census — the roundtrip law as a gate row: the "
+    "change feed derived by orders_snapshot_cdc_diff, APPLIED back "
+    "onto the old snapshot (anti-join out deleted/changed keys, "
+    "union the upserts), must reproduce the new snapshot exactly; "
+    "the census is a per-status count + exact cents sum over the "
+    "reconstruction, while the oracle computes it from the new "
+    "snapshot DIRECTLY — any row the diff misclassified, dropped or "
+    "duplicated breaks the hash. Apply is one key shuffle over "
+    "|snapshot| + |changes| rows.",
+)
+def cdc_apply_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.cdc import snapshot_diff
+
+    o = table(spark, sf, "orders")
+    snap_old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    snap_new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    diff = snapshot_diff(
+        snap_old, snap_new,
+        key_cols=["o_orderkey"],
+        compare_cols=["status", "total"],
+    )
+    upserts = diff.filter(F.col("op") != "D").select(
+        "o_orderkey",
+        F.col("new_status").alias("status"),
+        F.col("new_total").alias("total"),
+    )
+    reconstructed = snap_old.join(
+        diff.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(upserts)
+    return reconstructed.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(sum(CAST(floor(total * 100) AS BIGINT)) AS BIGINT)")
+        .alias("total_cents"),
+    )
