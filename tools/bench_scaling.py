@@ -66,6 +66,8 @@ _QUERIES = [
     "emb_ann_ivf_trained_topk",   # trained-codebook cell equi-join ANN
     "events_top_paths",           # sessionize + path trigrams
     "events_rolling_7d_actives",  # contribution-explode rolling distinct
+    "orders_snapshot_cdc_diff",   # key-partitioned full outer join (CDC)
+    "orders_incremental_agg_census",  # mergeable-state re-aggregation
 ]
 
 
