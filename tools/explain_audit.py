@@ -94,6 +94,12 @@ WHITELIST: set[tuple[str, str]] = {
     ("global_rank_customers", "SinglePartition"),
     ("global_rank_customers", "BroadcastNestedLoopJoin"),
     ("decile_customer_revenue", "BroadcastNestedLoopJoin"),
+    # Fact-volume global deciles ride the SAME rank core: the one-row
+    # bounds-frame broadcast (BNLJ) and the one-row-per-partition
+    # offsets window (SinglePartition); the |events| frame itself
+    # stays range-partitioned end to end.
+    ("events_value_deciles_global", "SinglePartition"),
+    ("events_value_deciles_global", "BroadcastNestedLoopJoin"),
     ("pareto_customers_80", "BroadcastNestedLoopJoin"),
     ("rfm_segments", "BroadcastNestedLoopJoin"),
     # Brute-force baseline BY DESIGN: 5 query vectors broadcast against
