@@ -340,6 +340,7 @@ def cusum_drift_census(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "orders_snapshot_cdc_diff",
+    headline=True,  # round-6 change-tracking family representative
     oracle="""
     WITH snap_old AS (
         SELECT o_orderkey, o_orderstatus AS status,
