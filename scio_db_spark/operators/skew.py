@@ -8,9 +8,13 @@ reducers, phase 2 merges the partials on the key alone. Only algebraic
 aggregates decompose this way; this module implements the standard
 four (+avg via sum/count) with the merge laws applied automatically.
 
-The salt is `rand()`-derived — non-deterministic per row, but the
-merged result is salt-independent, so determinism of the OUTPUT is
-preserved (property-tested against the unsalted plan).
+The salt is a DETERMINISTIC content hash (xxhash64 over the row,
+mod n_salts) — NOT rand(): a nondeterministic salt plus task retries
+can re-shuffle rows into different phase-1 groups mid-job and corrupt
+the phase-2 merge (the SPARK-23207 class). A content hash spreads a
+hot key just as well (its non-key columns vary) while every retry
+recomputes the same salt; the merged result is salt-independent
+either way (property-tested against the unsalted plan).
 """
 
 from __future__ import annotations

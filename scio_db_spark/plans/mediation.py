@@ -1758,13 +1758,13 @@ def heavy_users_exact(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="Salted two-phase aggregation census: per-user count / exact "
     "cents sum / max computed via operators/skew.salted_agg "
-    "(phase 1 on (key, random salt) spreads a hot key over 16 "
-    "reducers, phase 2 merges partials on the key) — the skewed-"
-    "aggregation fix AQE doesn't cover. The salt is nondeterministic "
-    "per row but the merged output is salt-independent for algebraic "
-    "aggregates over exact integers, which is precisely what this "
-    "hash-checked row proves on real data. The oracle is the plain "
-    "one-phase GROUP BY.",
+    "(phase 1 on (key, salt) spreads a hot key over 16 reducers, "
+    "phase 2 merges partials on the key) — the skewed-aggregation "
+    "fix AQE doesn't cover. The salt is a deterministic content "
+    "hash (xxhash64 mod 16), retry-safe by construction; the merged "
+    "output is salt-independent for algebraic aggregates over exact "
+    "integers, which is precisely what this hash-checked row proves "
+    "on real data. The oracle is the plain one-phase GROUP BY.",
 )
 def salted_agg_census(spark: SparkSession, sf: str) -> DataFrame:
     from scio_db_spark.operators.skew import salted_agg

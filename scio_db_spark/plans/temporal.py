@@ -471,8 +471,9 @@ def incremental_agg_census(spark: SparkSession, sf: str) -> DataFrame:
     "the census is a per-status count + exact cents sum over the "
     "reconstruction, while the oracle computes it from the new "
     "snapshot DIRECTLY — any row the diff misclassified, dropped or "
-    "duplicated breaks the hash. Apply is one key shuffle over "
-    "|snapshot| + |changes| rows.",
+    "duplicated breaks the hash. The diff is cached (change-volume-"
+    "sized), so apply costs ONE diff computation + one key shuffle "
+    "over |snapshot| + |changes| rows.",
 )
 def cdc_apply_census(spark: SparkSession, sf: str) -> DataFrame:
     from scio_db_spark.operators.cdc import snapshot_diff
@@ -490,11 +491,17 @@ def cdc_apply_census(spark: SparkSession, sf: str) -> DataFrame:
         .alias("status"),
         F.col("o_totalprice").alias("total"),
     )
+    # The diff feeds two consumers (anti-join keys + upserts) whose
+    # different column pruning defeats ReuseExchange — without a cache
+    # the full outer join over both snapshots would execute twice in
+    # one action. Caching is also the right production call: the diff
+    # is CHANGE-volume-sized (the small side by construction), and
+    # .cache() is lazy so plan-only tooling never materializes it.
     diff = snapshot_diff(
         snap_old, snap_new,
         key_cols=["o_orderkey"],
         compare_cols=["status", "total"],
-    )
+    ).cache()
     upserts = diff.filter(F.col("op") != "D").select(
         "o_orderkey",
         F.col("new_status").alias("status"),

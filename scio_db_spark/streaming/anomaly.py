@@ -48,7 +48,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from scio_db_spark.streaming.exactness import _exact_int64
+from scio_db_spark.streaming.exactness import exact_int64
 
 _STATE_SCHEMA = "n long, sx long, sx2 long"
 
@@ -172,7 +172,7 @@ def _make_anomaly_fn(
         # twin filters them before its windows); without this a NULL
         # arrives as NaN and int() would kill the query.
         rows = rows[rows["__x"].notna()]
-        rows = rows.assign(__x=_exact_int64(rows["__x"]))
+        rows = rows.assign(__x=exact_int64(rows["__x"]))
         # Deterministic order inside the batch — the batch twin's
         # window ordering; across batches the state integers carry.
         rows = rows.sort_values(list(order_cols), kind="mergesort")

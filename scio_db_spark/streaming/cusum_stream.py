@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from scio_db_spark.streaming.exactness import _exact_int64
+from scio_db_spark.streaming.exactness import exact_int64
 
 _STATE_SCHEMA = "p long, runmin long, prev_s long"
 
@@ -59,7 +59,7 @@ def _make_cusum_fn(
         # NULL values carry no evidence: excluded from output and
         # state, matching the batch twin's pre-filter.
         rows = rows[rows["__x"].notna()]
-        rows = rows.assign(__x=_exact_int64(rows["__x"]))
+        rows = rows.assign(__x=exact_int64(rows["__x"]))
         rows = rows.sort_values(list(order_cols), kind="mergesort")
         out_s, out_alarm = [], []
         for cents in rows["__x"]:

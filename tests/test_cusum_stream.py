@@ -111,3 +111,22 @@ def test_stream_nulls_excluded_and_state_carries(spark):
     got = _stream_scores(spark, [rows[:4], rows[4:]], 1000, 100)
     assert ("a", 5) not in got
     assert got == expect
+
+
+def test_exact_int64_guard_recovers_or_refuses():
+    """Below 2^53 the NULL-driven float64 coercion is reversed
+    bit-exactly; at/past 2^53 the loss precedes any possible check,
+    so the guard must refuse rather than silently round."""
+    import pandas as pd
+    import pytest as pt
+
+    from scio_db_spark.streaming.exactness import exact_int64
+
+    small = pd.Series([1.0, -(2.0**52), 2.0**53 - 2.0])
+    out = exact_int64(small)
+    assert out.dtype.kind == "i"
+    assert list(out) == [1, -(2**52), 2**53 - 2]
+    ints = pd.Series([1, 2, 3], dtype="int64")
+    assert exact_int64(ints) is ints  # non-coerced passes through
+    with pt.raises(ValueError, match="2\\^53"):
+        exact_int64(pd.Series([1.0, 2.0**53]))
