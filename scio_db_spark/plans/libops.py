@@ -1084,3 +1084,111 @@ def upsert_keys_census(spark: SparkSession, sf: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ------------------------------------------------------------ PQ codebooks
+_PQ = _MODELS.get("pq_m8_k16")
+
+
+def _pq_dist_sql(s: int, cent: list[float]) -> str:
+    """DuckDB squared-L2 of subspace s vs a literal sub-centroid:
+    unrolled left-associated term chain — the same double the Spark
+    side's seeded left fold produces (the topk_cells equivalence
+    class; weights repr round-trip)."""
+    base = s * len(cent)
+    terms = [
+        f"(list_extract(embedding, {base + j + 1}) - "
+        f"CAST('{float(w)!r}' AS DOUBLE)) * "
+        f"(list_extract(embedding, {base + j + 1}) - "
+        f"CAST('{float(w)!r}' AS DOUBLE))"
+        for j, w in enumerate(cent)
+    ]
+    return " + ".join(terms)
+
+
+def _pq_oracle_sql() -> str:
+    branches = [
+        f"SELECT vec_id, {s} AS subspace, {c} AS code, "
+        f"{_pq_dist_sql(s, cent)} AS dist FROM embeddings"
+        for s, book in enumerate(_PQ["subspaces"])
+        for c, cent in enumerate(book)
+    ]
+    scored = " UNION ALL ".join(branches)
+    return f"""
+    WITH scored AS ({scored}),
+    best AS (
+        SELECT vec_id, subspace, code, dist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, subspace
+                ORDER BY dist, code) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT subspace, code, CAST(count(*) AS BIGINT) AS n_assigned,
+        CAST(sum(CAST(floor(dist * 1000000000) AS BIGINT)) AS BIGINT)
+            AS err_q
+    FROM best GROUP BY subspace, code
+    """
+
+
+def _pq_best_expr() -> str:
+    """ONE map-only Spark expression: per subspace, the argmin code +
+    its squared-L2 distance, PQ codebooks as 2-D array DATA literals
+    (the topk_cells discipline — no k·dim expression-node explosion,
+    no Window, no exchange)."""
+    d_sub = _PQ["d_sub"]
+    per_sub = []
+    for s, book in enumerate(_PQ["subspaces"]):
+        lit2d = "array(" + ", ".join(
+            "array(" + ", ".join(
+                f"CAST('{float(w)!r}' AS DOUBLE)" for w in cent
+            ) + ")"
+            for cent in book
+        ) + ")"
+        base1 = s * d_sub + 1  # slice() is 1-based
+        per_sub.append(
+            f"array_sort(transform(sequence(0, {len(book) - 1}), c -> "
+            f"named_struct("
+            f"'dist', aggregate(zip_with("
+            f"slice(embedding, {base1}, {d_sub}), "
+            f"element_at({lit2d}, c + 1), "
+            f"(x, w) -> (x - w) * (x - w)), "
+            f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + t), "
+            f"'code', c)))[0]"
+        )
+    return "array(" + ", ".join(per_sub) + ")"
+
+
+if _PQ is not None:
+    @register(
+        "emb_pq_assign_census",
+        oracle=_pq_oracle_sql(),
+        doc="Product-quantization assignment census under the TRAINED "
+        "m=8 x k=16 Euclidean codebooks (committed literals, "
+        "tools/train_vector_models.py --pq): each vector's 64 dims "
+        "split into 8 subspaces, each subvector assigned to its "
+        "nearest sub-centroid — the 8-byte code an IVF+PQ index "
+        "stores per vector at billion scale. The argmin is ONE "
+        "map-only expression per subspace (codebooks as 2-D array "
+        "DATA literals, zip_with squared-L2 fold, per-row array_sort "
+        "— the topk_cells discipline: no expression-node explosion, "
+        "no Window, no exchange before the census groupBy). Census = "
+        "per (subspace, code) count + exact-integer quantization "
+        "error (floor(dist x 1e9) summed — identical doubles both "
+        "engines, so exact). Oracle = 128-branch UNION scoring + "
+        "row_number argmin.",
+    )
+    def pq_assign_census(spark: SparkSession, sf: str) -> DataFrame:
+        e = table(spark, sf, "embeddings")
+        best = e.select(
+            "vec_id",
+            F.posexplode(F.expr(_pq_best_expr())).alias("subspace", "b"),
+        )
+        return best.groupBy(
+            "subspace", F.col("b.code").alias("code")
+        ).agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.sum(
+                F.expr("CAST(floor(b.dist * 1000000000) AS BIGINT)")
+            ).alias("err_q"),
+        )

@@ -71,6 +71,58 @@ def main() -> int:
               f"iters={km.iterations} converged={km.converged}")
         return 0
 
+    if "--pq" in sys.argv:
+        # Product-quantization codebooks: m=8 subspaces of 8 dims,
+        # k=16 EUCLIDEAN Lloyd centroids each (PQ quantizes residual
+        # geometry, so L2 — not the spherical/cosine objective the
+        # coarse codebooks use). Training is a one-shot offline
+        # driver-side numpy loop over the 2000x8 subvector matrices —
+        # tiny by construction; the committed literals are what the
+        # registered queries (and correctness) depend on. Add-only:
+        # existing literals stay byte-identical.
+        import numpy as np
+
+        sf_dir = pos[0] if pos else "/root/testdata/sf0.1"
+        emb = table(spark, sf_dir, "embeddings")
+        mat = np.array(
+            [r["embedding"] for r in emb.select("embedding").collect()],
+            dtype=np.float64,
+        )
+        m, sub_k, d_sub = 8, 16, mat.shape[1] // 8
+        rng = np.random.default_rng(2024)
+        books = []
+        for s in range(m):
+            x = mat[:, s * d_sub:(s + 1) * d_sub]
+            cents = x[rng.choice(len(x), sub_k, replace=False)].copy()
+            for _ in range(25):
+                d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(2)
+                assign = d2.argmin(1)
+                new = np.array([
+                    x[assign == c].mean(0) if (assign == c).any()
+                    else cents[c]
+                    for c in range(sub_k)
+                ])
+                if np.allclose(new, cents, rtol=0, atol=1e-12):
+                    cents = new
+                    break
+                cents = new
+            books.append([[float(v) for v in c] for c in cents])
+        with open(_OUT) as f:
+            doc = json.load(f)
+        doc["pq_m8_k16"] = {
+            "subspaces": books,
+            "m": m,
+            "k": sub_k,
+            "d_sub": d_sub,
+            "sf_dir": sf_dir,
+            "n_rows": int(len(mat)),
+        }
+        with open(_OUT, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"merged pq_m8_k16: m={m} k={sub_k} d_sub={d_sub} "
+              f"n={len(mat)}")
+        return 0
+
     sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
     emb = table(spark, sf_dir, "embeddings")
 
