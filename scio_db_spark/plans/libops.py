@@ -1192,3 +1192,124 @@ if _PQ is not None:
                 F.expr("CAST(floor(b.dist * 1000000000) AS BIGINT)")
             ).alias("err_q"),
         )
+
+
+def _pq_codes_expr() -> str:
+    """array<int> of the row's 8 PQ codes (map-only)."""
+    return f"transform({_pq_best_expr()}, b -> b.code)"
+
+
+def _pq_lut_expr() -> str:
+    """array<array<double>>: per subspace, the query row's squared-L2
+    distance to each of the 16 sub-centroids — the ADC lookup table,
+    built from the SAME distance expression the encoder uses."""
+    d_sub = _PQ["d_sub"]
+    subs = []
+    for s, book in enumerate(_PQ["subspaces"]):
+        lit2d = "array(" + ", ".join(
+            "array(" + ", ".join(
+                f"CAST('{float(w)!r}' AS DOUBLE)" for w in cent
+            ) + ")"
+            for cent in book
+        ) + ")"
+        base1 = s * d_sub + 1
+        subs.append(
+            f"transform(sequence(0, {len(book) - 1}), j -> "
+            f"aggregate(zip_with(slice(embedding, {base1}, {d_sub}), "
+            f"element_at({lit2d}, j + 1), (x, w) -> (x - w) * (x - w)), "
+            f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + t))"
+        )
+    return "array(" + ", ".join(subs) + ")"
+
+
+def _pq_adc_oracle_sql() -> str:
+    qids = "(0, 1, 2, 3, 4)"
+    best = [
+        f"SELECT vec_id, {s} AS subspace, {c} AS code, "
+        f"{_pq_dist_sql(s, cent)} AS dist FROM embeddings"
+        for s, book in enumerate(_PQ["subspaces"])
+        for c, cent in enumerate(book)
+    ]
+    lut = [
+        f"SELECT vec_id AS q_id, {s} AS subspace, {c} AS code, "
+        f"CAST(floor(({_pq_dist_sql(s, cent)}) * 1000000000) AS BIGINT) "
+        f"AS pd_q FROM embeddings WHERE vec_id IN {qids}"
+        for s, book in enumerate(_PQ["subspaces"])
+        for c, cent in enumerate(book)
+    ]
+    return f"""
+    WITH scored AS ({" UNION ALL ".join(best)}),
+    codes AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, subspace
+                ORDER BY dist, code) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    lut AS ({" UNION ALL ".join(lut)}),
+    adc AS (
+        SELECT l.q_id, c.vec_id,
+            CAST(sum(l.pd_q) AS BIGINT) AS adc_q
+        FROM codes c JOIN lut l
+          ON l.subspace = c.subspace AND l.code = c.code
+        WHERE c.vec_id != l.q_id
+        GROUP BY l.q_id, c.vec_id
+    )
+    SELECT q_id, vec_id, adc_q FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc_q, vec_id) AS rn
+        FROM adc
+    ) WHERE rn <= 5
+    """
+
+
+if _PQ is not None:
+    @register(
+        "emb_pq_adc_topk",
+        oracle=_pq_adc_oracle_sql(),
+        doc="PQ search by asymmetric distance (ADC): top-5 per query "
+        "by sum of per-subspace LUT lookups — exactly how an IVF+PQ "
+        "index answers queries at 10^9 vectors. Each query builds an "
+        "8x16 distance LUT (one broadcastable row, SAME expression "
+        "tree as the encoder); candidates carry only their 8 codes "
+        "(map-only encode); the per-pair cost is 8 integer lookups + "
+        "7 adds, never a 64-dim float dot. Each LUT term is floor-"
+        "quantized to integer nano-units BEFORE the sum, so the ADC "
+        "score is exact integer arithmetic in both engines (double "
+        "SUM order would otherwise be engine-dependent). Oracle = "
+        "UNION-branch codes + LUT equi-join + row_number top-k.",
+    )
+    def pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        e = table(spark, sf, "embeddings")
+        qids = (0, 1, 2, 3, 4)
+        # every vector is a candidate except the query ITSELF (the
+        # join's != below) — query vectors can be neighbors of other
+        # queries, same contract as emb_cosine_topk's oracle.
+        cand = e.select(
+            "vec_id", F.expr(_pq_codes_expr()).alias("codes")
+        )
+        q = e.filter(F.col("vec_id").isin(*qids)).select(
+            F.col("vec_id").alias("q_id"),
+            F.expr(_pq_lut_expr()).alias("lut"),
+        )
+        adc_terms = " + ".join(
+            f"CAST(floor(element_at(element_at(lut, {s + 1}), "
+            f"element_at(codes, {s + 1}) + 1) * 1000000000) AS BIGINT)"
+            for s in range(_PQ["m"])
+        )
+        scored = (
+            F.broadcast(q)
+            .join(cand, F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", F.expr(adc_terms).alias("adc_q"))
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.asc("adc_q"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("q_id", "vec_id", "adc_q")
+        )

@@ -105,6 +105,12 @@ WHITELIST: set[tuple[str, str]] = {
     # Brute-force baseline BY DESIGN: 5 query vectors broadcast against
     # the table (the scale path is emb_ann_lsh_topk's bucket equi-join).
     ("emb_cosine_topk", "BroadcastNestedLoopJoin"),
+    # ADC search: the broadcast side is the FIVE one-row query LUTs
+    # (8x16 doubles each); every candidate row does 8 integer lookups
+    # against them — a constant-size probe, not a cross product. At
+    # scale the LUT broadcast is what an IVF+PQ engine ships to every
+    # scanner anyway.
+    ("emb_pq_adc_topk", "BroadcastNestedLoopJoin"),
     # Recall eval's exact ground truth: same 5-query-vector broadcast
     # brute force BY DESIGN (you cannot evaluate an ANN index without
     # the exact answer); the IVF side under eval is equi-join pruned.
