@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # is unaffected.
 # tools/update_driver_verified.py regenerates this set after each
 # round (latest-round-wins) and `--check` fails when it drifts.
-_DRIVER_VERIFIED_ROUND = 5
+_DRIVER_VERIFIED_ROUND = 6
 _DRIVER_VERIFIED = frozenset({
     "agg_orders_by_status",
     "anti_join_customers_without_orders",
@@ -69,6 +69,7 @@ _DRIVER_VERIFIED = frozenset({
     "docs_duplicate_spans",
     "docs_exact_dedup",
     "docs_fingerprint",
+    "docs_incremental_lsh_dedup",
     "docs_lang_id",
     "docs_lang_rebalance",
     "docs_len_histogram",
@@ -77,6 +78,7 @@ _DRIVER_VERIFIED = frozenset({
     "docs_ngram_jaccard_topk",
     "docs_ngram_novelty",
     "docs_pack_plan",
+    "docs_phrase_search_inverted",
     "docs_pipeline_corpus_stats",
     "docs_quality_score",
     "docs_repetition_signals",
@@ -100,6 +102,7 @@ _DRIVER_VERIFIED = frozenset({
     "emb_ann_ivf_trained_topk",
     "emb_ann_lsh_topk",
     "emb_ann_recall_census",
+    "emb_ann_recall_sqrtn_census",
     "emb_cosine_topk",
     "emb_kmeans_assign",
     "emb_kmeans_trained_census",
@@ -107,6 +110,8 @@ _DRIVER_VERIFIED = frozenset({
     "emb_near_dup_pairs",
     "emb_norms",
     "emb_pca_projection",
+    "emb_pq_adc_topk",
+    "emb_pq_assign_census",
     "emb_quantize_roundtrip",
     "emb_semantic_dedup",
     "emb_semantic_dedup_trained",
@@ -115,6 +120,7 @@ _DRIVER_VERIFIED = frozenset({
     "events_asof_latest_order",
     "events_conversion_latency",
     "events_csv_parse_toxic",
+    "events_cusum_drift_census",
     "events_daily_retention",
     "events_dedup_first_per_key",
     "events_dedup_mark_duplicates",
@@ -123,26 +129,33 @@ _DRIVER_VERIFIED = frozenset({
     "events_funnel_steps",
     "events_funnel_view_purchase",
     "events_gap_histogram",
+    "events_heavy_users_exact",
     "events_initial_load_tag",
     "events_json_extract",
     "events_key_extraction",
     "events_moving_hour_stats",
+    "events_next_purchase_asof",
     "events_orders_range_count",
     "events_pii_redaction_census",
     "events_purchase_attribution",
     "events_resample_hourly_ffill",
     "events_response_classification",
     "events_retry_increment",
+    "events_rolling_7d_actives",
     "events_rolling_anomaly_census",
     "events_rollup_hourly",
+    "events_salted_agg_census",
+    "events_scd2_user_state",
     "events_semi_join_duplicated",
     "events_session_windows",
     "events_time_weighted_value",
     "events_top_paths",
     "events_type_hour_profile",
     "events_type_transition_matrix",
+    "events_type_trend_slope",
     "events_validity_ko_routing",
     "events_validity_ok_count",
+    "events_value_deciles_global",
     "events_value_mad_outliers",
     "events_weekly_cohort_matrix",
     "events_weekly_type_momentum",
@@ -155,7 +168,13 @@ _DRIVER_VERIFIED = frozenset({
     "mm_frame_sample",
     "mm_payload_metadata",
     "multi_pattern_timestamp_parse",
+    "orders_cdc_apply_census",
     "orders_delete_keys_census",
+    "orders_incremental_agg_census",
+    "orders_priority_sample",
+    "orders_scd2_pit_lookup",
+    "orders_snapshot_cdc_diff",
+    "orders_upsert_keys_census",
     "pareto_customers_80",
     "pivot_order_counts",
     "q01_pricing_summary",
@@ -189,6 +208,7 @@ _DRIVER_VERIFIED = frozenset({
     "topk_customers_by_revenue",
     "union_priority_tiers",
     "window_rank_orders",
+    "window_surface_order_pricing",
 })
 
 
@@ -197,10 +217,7 @@ _DRIVER_VERIFIED = frozenset({
 # green row exists, so the change earns a fresh driver verification.
 # tools/update_driver_verified.py folds the new green back to the
 # canonical name next round; clear this set when that happens.
-_REVERIFY = frozenset({
-    "events_value_mad_outliers",   # r6: percentile outputs → exact ints
-    "events_conversion_latency",   # r6: percentile outputs → exact ints
-})
+_REVERIFY = frozenset()
 
 
 def _driver_key(name: str) -> str:
