@@ -45,18 +45,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 
-def _mg_partial_fn(key_col: str, m: int):
+def _mg_partial_fn(key_col: str, m: int, integral_key: bool):
     """Vectorized mergeable-summaries form: add each Arrow batch's
     value_counts, then — when over budget — subtract the (m+1)-th
     largest count and keep positives (the MG merge reduction; error
     per partition ≤ n_p/(m+1), which preserves the superset
     guarantee). NULL keys are excluded here and force-added as a
-    candidate downstream, so their guarantee is unconditional."""
+    candidate downstream, so their guarantee is unconditional.
+
+    ``integral_key``: a NULL-bearing int64 chunk arrives float64-
+    coerced from Arrow; a key ≥ 2^53 would be silently rounded BEFORE
+    value_counts, so a heavy key could vanish from the candidate
+    superset. Apply the exact_int64 refusal guard (after dropping the
+    NULLs, which are handled downstream) so the coercion is either
+    reversed bit-exactly or refused loudly — never silent."""
+    from scio_db_spark.streaming.exactness import exact_int64
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters = pd.Series(dtype="int64")
         for pdf in batches:
-            vc = pdf[key_col].value_counts(dropna=True)
+            col = pdf[key_col]
+            if integral_key and col.dtype.kind == "f":
+                col = exact_int64(col.dropna())
+            vc = col.value_counts(dropna=True)
             counters = (
                 vc
                 if counters.empty
@@ -101,7 +112,15 @@ def heavy_hitters_exact(
         [(None,)], StructType([partial_schema[0]])
     )
     candidates = (
-        keys.mapInPandas(_mg_partial_fn(key_col, m), schema=partial_schema)
+        keys.mapInPandas(
+            _mg_partial_fn(
+                key_col,
+                m,
+                integral_key=key_field.dataType.typeName()
+                in ("long", "integer", "short", "byte"),
+            ),
+            schema=partial_schema,
+        )
         .select(key_col)
         .unionByName(null_cand)
         .distinct()

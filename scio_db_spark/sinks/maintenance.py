@@ -43,6 +43,49 @@ _TARGET_BYTES_DEFAULT = 128 * 1024 * 1024
 # leftovers idempotently).
 _SWAP_MANIFEST = ".compact-inprogress"
 
+# Upsert-in-progress manifest: written AFTER the update rows are staged
+# (as a dot-prefixed file readers and _parquet_files both ignore) but
+# BEFORE delete_keys removes any matched row. The staged file carries
+# the update rows themselves — including the key column — so a crash
+# anywhere between the manifest write and the final rename rolls
+# FORWARD to the exact MERGE result: re-run the (idempotent) delete
+# with keys re-read from the staged file, then make the file visible.
+# Without it, a crash between delete and append lost every matched row
+# undetectably.
+_UPSERT_MANIFEST = ".upsert-inprogress"
+
+
+def _write_manifest_atomic(manifest_path: str, state: dict) -> None:
+    """Write a JSON manifest via temp-name + os.rename (atomic on
+    POSIX), so a crash mid-write can never leave truncated JSON that
+    bricks every subsequent maintenance call on the table."""
+    import json
+
+    tmp = manifest_path + ".__tmp"
+    with open(tmp, "w") as mf:
+        json.dump(state, mf)
+        mf.flush()
+        os.fsync(mf.fileno())
+    os.rename(tmp, manifest_path)
+
+
+def _read_manifest(manifest_path: str) -> dict:
+    import json
+
+    try:
+        with open(manifest_path) as f:
+            return json.load(f)
+    except json.JSONDecodeError as e:
+        raise RuntimeError(
+            f"maintenance manifest {manifest_path} is unparseable "
+            f"({e}). This should be impossible with the atomic "
+            f"temp+rename writer; if the file was hand-edited or the "
+            f"filesystem corrupted it, inspect the table directory "
+            f"(dot-prefixed staged files are invisible to readers and "
+            f"safe to keep), restore or delete the manifest, and "
+            f"re-run."
+        ) from e
+
 
 def finish_compact_swap(path: str) -> int:
     """Repair a crashed compact() swap; returns files removed.
@@ -58,13 +101,10 @@ def finish_compact_swap(path: str) -> int:
     delete_keys(); readers that care about exactness can call it
     before scanning.
     """
-    import json
-
     manifest = os.path.join(path, _SWAP_MANIFEST)
     if not os.path.exists(manifest):
         return 0
-    with open(manifest) as f:
-        state = json.load(f)
+    state = _read_manifest(manifest)
     doomed, incoming = state["doomed"], state["incoming"]
     tmp = os.path.join(os.path.dirname(path.rstrip("/")), state["tmp"])
     removed = 0
@@ -121,6 +161,7 @@ def compact(
     partition pruning survives; this operates on one leaf.
     """
     finish_compact_swap(path)
+    finish_upsert(spark, path)
     files = _parquet_files(path)
     if len(files) <= 1:
         return {
@@ -154,19 +195,16 @@ def compact(
     # state the next compact()/delete_keys()/finish_compact_swap()
     # repairs exactly (remove surviving listed originals), instead of
     # a permanent undetectable superset.
-    import json
-
     new_files = _parquet_files(tmp)
     manifest = os.path.join(path, _SWAP_MANIFEST)
-    with open(manifest, "w") as mf:
-        json.dump(
-            {
-                "doomed": [os.path.basename(f) for f in files],
-                "incoming": [os.path.basename(f) for f in new_files],
-                "tmp": os.path.basename(tmp.rstrip("/")),
-            },
-            mf,
-        )
+    _write_manifest_atomic(
+        manifest,
+        {
+            "doomed": [os.path.basename(f) for f in files],
+            "incoming": [os.path.basename(f) for f in new_files],
+            "tmp": os.path.basename(tmp.rstrip("/")),
+        },
+    )
     for f in new_files:
         os.rename(f, os.path.join(path, os.path.basename(f)))
     for f in files:
@@ -181,11 +219,49 @@ def compact(
     }
 
 
+def finish_upsert(spark: SparkSession, path: str) -> bool:
+    """Repair a crashed upsert_keys(); returns True if one was found.
+
+    The staged update file (dot-prefixed, invisible to readers and to
+    _parquet_files) carries the update rows INCLUDING the key column,
+    so recovery always rolls FORWARD to the exact MERGE result:
+    re-run the idempotent delete with keys re-read from the staged
+    file, rename it visible, drop the manifest. If the staged file is
+    already gone the original run reached its final rename — only the
+    manifest cleanup remained. Idempotent no-op without a manifest.
+    """
+    manifest = os.path.join(path, _UPSERT_MANIFEST)
+    if not os.path.exists(manifest):
+        return False
+    state = _read_manifest(manifest)
+    staged = os.path.join(path, state["staged"])
+    final = os.path.join(path, state["final"])
+    if os.path.exists(staged):
+        # The dot-prefixed staged file is hidden from Spark readers
+        # even when addressed directly — copy it to a visible temp
+        # sibling to re-read the keys (|updates|-sized, cheap).
+        tmp = f"{path.rstrip('/')}__upsert_recover_{uuid.uuid4().hex}"
+        os.makedirs(tmp)
+        shutil.copy(staged, os.path.join(tmp, "staged.parquet"))
+        try:
+            up = spark.read.parquet(tmp).localCheckpoint(eager=True)
+            delete_keys(
+                spark, path, state["key_col"],
+                up.select(state["key_col"]), _recover=False,
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        os.rename(staged, final)
+    os.remove(manifest)
+    return True
+
+
 def delete_keys(
     spark: SparkSession,
     path: str,
     key_col: str,
     keys: DataFrame,
+    _recover: bool = True,
 ) -> dict:
     """Delete rows whose ``key_col`` appears in ``keys`` (a one-column
     DataFrame), rewriting ONLY the files that contain matches.
@@ -193,6 +269,8 @@ def delete_keys(
     Returns {files_scanned, files_rewritten, rows_deleted}.
     """
     finish_compact_swap(path)
+    if _recover:
+        finish_upsert(spark, path)
     # Pin the key set BEFORE any file is rewritten: a lazy ``keys``
     # derived from the TARGET table itself (the dedup-reduce pattern:
     # doomed ids = table ⟕ kept) would otherwise be re-evaluated
@@ -301,15 +379,50 @@ def upsert_keys(
     ALL are replaced by the update rows for that key (count may
     shrink) — MERGE semantics, documented here rather than guessed.
 
+    Crash safety: the update rows are STAGED first, as a dot-prefixed
+    parquet file inside the table directory (invisible to readers),
+    and the .upsert-inprogress manifest — naming the staged file, its
+    final visible name, and the key column — is committed atomically
+    BEFORE delete_keys removes anything. A crash at any later point
+    rolls forward via finish_upsert(): the staged file itself holds
+    the keys to (idempotently) re-delete, so matched rows can never be
+    lost — the defect in the previous delete-then-append ordering,
+    where a crash between the two silently dropped every matched row.
+
     Returns {files_scanned, files_rewritten, rows_deleted,
     rows_upserted}.
     """
     finish_compact_swap(path)
+    finish_upsert(spark, path)
     cols = spark.read.parquet(path).columns
     up = updates.select(*cols).localCheckpoint(eager=True)
-    stats = delete_keys(spark, path, key_col, up.select(key_col))
     n_up = up.count()
-    up.write.mode("append").parquet(path)
+    # Stage: write to a tmp sibling, move the parquet into the table
+    # under a dot name (invisible), THEN commit the manifest. A crash
+    # before the manifest leaves only an orphaned dot file (harmless);
+    # after it, finish_upsert rolls forward to the exact MERGE result.
+    token = uuid.uuid4().hex
+    tmp = f"{path.rstrip('/')}__upsert_{token}"
+    up.coalesce(1).write.mode("overwrite").parquet(tmp)
+    written = _parquet_files(tmp)
+    staged_name = f".upsert-staged-{token}.parquet"
+    final_name = f"part-upsert-{token}.parquet"
+    if written:
+        os.rename(written[0], os.path.join(path, staged_name))
+    shutil.rmtree(tmp, ignore_errors=True)
+    _write_manifest_atomic(
+        os.path.join(path, _UPSERT_MANIFEST),
+        {"staged": staged_name, "final": final_name, "key_col": key_col},
+    )
+    stats = delete_keys(
+        spark, path, key_col, up.select(key_col), _recover=False
+    )
+    if written:
+        os.rename(
+            os.path.join(path, staged_name),
+            os.path.join(path, final_name),
+        )
+    os.remove(os.path.join(path, _UPSERT_MANIFEST))
     return {
         "files_scanned": stats["files_scanned"],
         "files_rewritten": stats["files_rewritten"],

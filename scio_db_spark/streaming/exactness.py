@@ -21,7 +21,7 @@ _EXACT_LIMIT = 1 << 53  # float64 represents every |int| < 2^53 exactly
 def exact_int64(xs: "pd.Series") -> "pd.Series":
     """Undo pandas' NULL-driven int64->float64 coercion, exactly.
 
-    Values with \|x\| < 2^53 are recovered bit-exactly; any larger
+    Values with abs(x) < 2^53 are recovered bit-exactly; any larger
     magnitude is refused outright (by the time this runs, a >=2^53
     value may ALREADY have been rounded by the coercion itself, so it
     cannot be verified — refusal is the only non-silent option).

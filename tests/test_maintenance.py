@@ -290,3 +290,97 @@ def test_upsert_insert_only_touches_no_files(spark, tmp_path):
     assert stats["files_rewritten"] == 0
     assert stats["rows_deleted"] == 0
     assert spark.read.parquet(path).filter("id = 9000").count() == 1
+
+
+def test_upsert_crash_after_delete_rolls_forward(spark, tmp_path, monkeypatch):
+    """Crash between delete_keys and the final rename: the staged file
+    + manifest roll FORWARD to the exact MERGE result — the matched
+    rows can never be lost (the old delete-then-append defect)."""
+    import scio_db_spark.sinks.maintenance as m
+
+    path = str(tmp_path / "crash1")
+    _write_small_files(spark, path, n_files=3)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def dying_rename(src, dst):
+        # the staged->final rename happens after delete_keys; kill it
+        if ".upsert-staged-" in src:
+            raise RuntimeError("simulated crash before final rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(m.os, "rename", dying_rename)
+    updates = spark.createDataFrame(
+        [(5, 99), (9000, 1)], "id long, k long"
+    )
+    try:
+        m.upsert_keys(spark, path, "id", updates)
+        assert False, "expected simulated crash"
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(m.os, "rename", real_rename)
+
+    # crashed state: matched row already deleted, update rows invisible
+    mid = spark.read.parquet(path)
+    assert mid.filter("id = 5").count() == 0
+    assert mid.filter("id = 9000").count() == 0
+    assert os.path.exists(os.path.join(path, m._UPSERT_MANIFEST))
+
+    # any subsequent maintenance call repairs it
+    assert m.finish_upsert(spark, path) is True
+    got = {r.id: r.k for r in spark.read.parquet(path).collect()}
+    assert got[5] == 99 and got[9000] == 1
+    assert len(got) == 151  # 150 originals - 1 replaced + 1 replaced + 1 new
+    assert not os.path.exists(os.path.join(path, m._UPSERT_MANIFEST))
+
+
+def test_upsert_crash_before_delete_rolls_forward(spark, tmp_path):
+    """Crash right after the manifest commit (delete never ran):
+    finish_upsert re-runs the delete from the staged file's own keys
+    and completes the merge."""
+    import uuid as _uuid
+
+    import scio_db_spark.sinks.maintenance as m
+
+    path = str(tmp_path / "crash2")
+    _write_small_files(spark, path, n_files=3)
+
+    # hand-build the crashed state: staged dot file + manifest, no delete
+    token = _uuid.uuid4().hex
+    tmp = str(tmp_path / "stage")
+    spark.createDataFrame(
+        [(7, 77)], "id long, k long"
+    ).coalesce(1).write.parquet(tmp)
+    staged = f".upsert-staged-{token}.parquet"
+    os.rename(m._parquet_files(tmp)[0], os.path.join(path, staged))
+    m._write_manifest_atomic(
+        os.path.join(path, m._UPSERT_MANIFEST),
+        {"staged": staged, "final": f"part-upsert-{token}.parquet",
+         "key_col": "id"},
+    )
+    # staged dot file is invisible to readers
+    assert spark.read.parquet(path).filter("k = 77").count() == 0
+
+    # delete_keys' own preamble triggers the recovery
+    stats = m.delete_keys(
+        spark, path, "id",
+        spark.createDataFrame([(9999,)], "id long"),
+    )
+    assert stats["rows_deleted"] == 0
+    got = {r.id: r.k for r in spark.read.parquet(path).collect()}
+    assert got[7] == 77
+    assert len(got) == 150
+
+
+def test_unparseable_manifest_raises_actionable_error(spark, tmp_path):
+    import pytest
+
+    import scio_db_spark.sinks.maintenance as m
+
+    path = str(tmp_path / "bad")
+    _write_small_files(spark, path, n_files=2)
+    with open(os.path.join(path, m._UPSERT_MANIFEST), "w") as f:
+        f.write('{"staged": "x.parquet", "fin')  # truncated JSON
+    with pytest.raises(RuntimeError, match="unparseable"):
+        m.finish_upsert(spark, path)

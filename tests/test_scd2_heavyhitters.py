@@ -131,3 +131,28 @@ class TestHeavyHitters:
         keys = list(range(500))
         df = spark.createDataFrame([(k,) for k in keys], "k long")
         assert heavy_hitters_exact(df, "k", phi_inv=100).count() == 0
+
+
+def test_heavy_hitters_exact_int64_guard_with_nulls(spark):
+    """A NULL-bearing chunk float-coerces an int64 key; sub-2^53 keys
+    must survive bit-exactly and huge keys must refuse loudly rather
+    than silently rounding out of the candidate superset."""
+    import pytest
+
+    from scio_db_spark.operators.heavyhitters import heavy_hitters_exact
+
+    big = (1 << 53) - 2  # exactly representable; round-trips
+    rows = [(big,)] * 40 + [(None,)] * 5 + [(7,)] * 3
+    df = spark.createDataFrame(rows, "k long").coalesce(1)
+    got = {
+        r.k: r.cnt
+        for r in heavy_hitters_exact(df, "k", phi_inv=4).collect()
+    }
+    assert got[big] == 40  # recovered exactly through the coercion
+
+    toobig = 1 << 53  # not verifiable after float64 coercion
+    df2 = spark.createDataFrame(
+        [(toobig,)] * 40 + [(None,)] * 5, "k long"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="2\\^53"):
+        heavy_hitters_exact(df2, "k", phi_inv=4).collect()
