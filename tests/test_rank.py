@@ -135,3 +135,48 @@ def test_global_ntile_no_single_partition_exchange(spark):
     # harmless) and the P-row offsets window. All tiny frames.
     assert "hashpartitioning(__pid" in plan
     assert plan.count("SinglePartition") <= 3
+
+
+def test_rank_null_order_key_refuses_loudly(spark):
+    """ADVICE r6: NULL order keys used to silently mis-rank (NULL
+    compares as a tie in the boundary comparator while the per-pid
+    Window honors NULLS FIRST/LAST, and both plan branches agree so
+    the divergence guard can't fire). The non-NULL contract is now a
+    runtime assert folded into __pid."""
+    import pytest
+
+    from scio_db_spark.operators.rank import global_rank
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (3,)], "v long"
+    )
+    with pytest.raises(Exception, match="NULL order key"):
+        global_rank(df, [F.asc("v")], num_partitions=4).collect()
+
+
+def test_rank_binary_search_matches_many_partition_counts(spark):
+    """The O(log P) probe must agree with the window oracle at every
+    P, including P > n (some empty pids) and P = 1 (no bounds)."""
+    from pyspark.sql import Window
+
+    from scio_db_spark.operators.rank import global_rank
+
+    df = spark.range(500).select(
+        (F.col("id") * 2654435761 % 1000).alias("v"),
+        F.col("id").alias("tb"),
+    )
+    oracle = {
+        (r.v, r.tb): r.rk
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.asc("v"), F.asc("tb")))
+        ).collect()
+    }
+    # 701 > n exercises empty pids at the tail of the bounds array
+    for p in (1, 2, 7, 32, 701):
+        got = {
+            (r.v, r.tb): r.rank
+            for r in global_rank(
+                df, [F.asc("v"), F.asc("tb")], num_partitions=p
+            ).collect()
+        }
+        assert got == oracle, f"mismatch at P={p}"

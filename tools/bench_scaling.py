@@ -102,7 +102,71 @@ def _build(factor: int) -> str:
     return out
 
 
+def _rank_psweep(passes: int, out_path: str | None) -> int:
+    """Fixed data, growing partition count: the per-row boundary-probe
+    cost is the one rank-core constant that scales with CLUSTER size
+    (P ≈ 2-3× cores), not data size. Flat-ish seconds across the sweep
+    = the probe is sub-linear in P (two-level √P search above
+    _TWO_LEVEL_MIN_P); the round-6 linear probe grew ~P here."""
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.operators.rank import _with_pid
+    from scio_db_spark.session import SessionFactory
+
+    spark = SessionFactory.create("bench-rank-psweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    # The probe is isolated from the downstream windows deliberately:
+    # varying P also varies the window shuffle's TASK count, and on
+    # local[32] with gate-sized data the scheduler overhead of 2048
+    # tiny tasks swamps the per-row signal this sweep exists to
+    # measure. The __pid projection alone runs at the scan's task
+    # count regardless of P, so seconds here ∝ per-row probe cost.
+    sf_dir = _build(100)  # 10M events
+    ev = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).select(F.col("value"), F.col("event_id"))
+    n = ev.count()
+    times: dict[str, float] = {}
+    for p in (32, 256, 1024, 2048):
+        pided = _with_pid(
+            ev,
+            [F.desc("value"), F.asc("event_id")],
+            num_partitions=p,
+            sample_mod=64,
+        )
+        pided.write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            pided.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[str(p)] = round(best, 3)
+        print(f"P={p}: {times[str(p)]}", file=sys.stderr)
+    result = {
+        "metric": "rank_probe_psweep",
+        "rows": n,
+        "passes": passes,
+        "seconds_by_partitions": times,
+        "load_1m": list(os.getloadavg()[:2]),
+    }
+    line = json.dumps(result)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    return 0
+
+
 def main() -> int:
+    if "--rank-psweep" in sys.argv:
+        return _rank_psweep(
+            int(sys.argv[sys.argv.index("--passes") + 1])
+            if "--passes" in sys.argv
+            else 2,
+            sys.argv[sys.argv.index("--out") + 1]
+            if "--out" in sys.argv
+            else None,
+        )
     factors = [
         int(x)
         for x in (
