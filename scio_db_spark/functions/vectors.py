@@ -38,6 +38,20 @@ def norm_sql(col: str, at: str, dim: int = DIM) -> str:
     return f"sqrt({dot_sql(col, col, at, dim)})"
 
 
+def l2_sql(left: str, right: str, at: str, dim: int = DIM) -> str:
+    """Squared L2 distance as a left-associated term chain — the same
+    double in Spark and DuckDB (the dot_sql equivalence class), so
+    re-rank scores can be hash-compared across engines."""
+    terms = " + ".join(
+        f"(CAST({at}({left}, {i}) AS DOUBLE) - "
+        f"CAST({at}({right}, {i}) AS DOUBLE)) * "
+        f"(CAST({at}({left}, {i}) AS DOUBLE) - "
+        f"CAST({at}({right}, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    return "(" + terms + ")"
+
+
 def cosine_sql(left: str, right: str, at: str, dim: int = DIM) -> str:
     # nullif guards the zero-norm case UNIFORMLY: Spark (non-ANSI)
     # returns NULL for x/0.0 while DuckDB IEEE division returns

@@ -50,6 +50,7 @@ from scio_db_spark.functions.vectors import (
     DUCK_AT,
     SPARK_AT,
     dot_sql,
+    l2_sql,
     norm_sql,
 )
 from scio_db_spark.plans.catalog import table
@@ -1312,4 +1313,202 @@ if _PQ is not None:
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 5)
             .select("q_id", "vec_id", "adc_q")
+        )
+
+
+def _ivfpq_oracle_sql(nprobe: int = _IVF_T_NPROBE, topk: int = 5) -> str:
+    """DuckDB twin of the composed IVF+PQ search: trained coarse cells
+    (the _ivf_trained_sql assign/qprobe CTEs) restrict which
+    candidates each query ADC-scores; scoring is the integer
+    nano-unit LUT sum of _pq_adc_oracle_sql. A candidate matches at
+    most ONE probed cell (assign keeps rn=1 and the probed cids are
+    distinct per query), so the cell join cannot duplicate pairs."""
+    qids = f"{_IVF_T_QUERY_IDS}"
+    best = [
+        f"SELECT vec_id, {s} AS subspace, {c} AS code, "
+        f"{_pq_dist_sql(s, cent)} AS dist FROM embeddings"
+        for s, book in enumerate(_PQ["subspaces"])
+        for c, cent in enumerate(book)
+    ]
+    lut = [
+        f"SELECT vec_id AS q_id, {s} AS subspace, {c} AS code, "
+        f"CAST(floor(({_pq_dist_sql(s, cent)}) * 1000000000) AS BIGINT) "
+        f"AS pd_q FROM embeddings WHERE vec_id IN {qids}"
+        for s, book in enumerate(_PQ["subspaces"])
+        for c, cent in enumerate(book)
+    ]
+    return f"""
+    WITH scored AS ({_km_scored_sql()}),
+    assign AS (
+        SELECT vec_id, c_id AS cid FROM (
+            SELECT vec_id, c_id,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, c_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS q_id, c_id AS cid FROM (
+            SELECT vec_id, c_id,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, c_id) AS rn
+            FROM scored
+            WHERE vec_id IN {qids}
+        ) WHERE rn <= {nprobe}
+    ),
+    pqscored AS ({" UNION ALL ".join(best)}),
+    codes AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, subspace
+                ORDER BY dist, code) AS rn
+            FROM pqscored
+        ) WHERE rn = 1
+    ),
+    lut AS ({" UNION ALL ".join(lut)}),
+    adc AS (
+        SELECT p.q_id, a.vec_id, CAST(sum(l.pd_q) AS BIGINT) AS adc_q
+        FROM qprobe p
+        JOIN assign a ON a.cid = p.cid AND a.vec_id != p.q_id
+        JOIN codes c ON c.vec_id = a.vec_id
+        JOIN lut l ON l.q_id = p.q_id
+                  AND l.subspace = c.subspace AND l.code = c.code
+        GROUP BY p.q_id, a.vec_id
+    )
+    SELECT q_id, vec_id, adc_q FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc_q, vec_id) AS rn
+        FROM adc
+    ) WHERE rn <= {topk}
+    """
+
+
+if _PQ is not None:
+    @register(
+        "emb_ivfpq_adc_topk",
+        oracle=_ivfpq_oracle_sql(),
+        doc="THE billion-scale ANN query shape, composed end to end: "
+        "coarse quantizer (trained k=16 codebook, map-only topk_cells "
+        "argmax) builds the inverted cells AND picks each query's "
+        "nprobe=2 probe cells; candidates carry only their 8-byte PQ "
+        "codes; scoring is asymmetric distance — 8 integer LUT "
+        "lookups + 7 adds per pair, restricted to the probed cells "
+        "(never the whole collection, never a 64-d float dot). At "
+        "10^9 vectors this plan touches nprobe/k of the codes "
+        "(~12.5%% here) and broadcasts only the 5-query LUT frame; "
+        "cells are equi-join partitioned, so scale-out is the cid "
+        "shuffle, which AQE can skew-split. Reference pattern: "
+        "IVFADC (Jegou et al., TPAMI 2011). Pieces proven separately "
+        "by emb_ann_ivf_trained_topk (probe) and emb_pq_adc_topk "
+        "(ADC over all candidates); this row pins their composition.",
+    )
+    def ivfpq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+        return _ivfpq_adc_frame(spark, sf, topk=5)
+
+    def _ivfpq_adc_frame(
+        spark: SparkSession, sf: str, topk: int
+    ) -> DataFrame:
+        from pyspark.sql import Window
+
+        e = table(spark, sf, "embeddings")
+        inv = _trained_cells(e, keep=1).select(
+            "vec_id",
+            "cid",
+            F.expr(_pq_codes_expr()).alias("codes"),
+        )
+        q = _trained_cells(
+            e.filter(F.col("vec_id").isin(*_IVF_T_QUERY_IDS)),
+            keep=_IVF_T_NPROBE,
+        ).select(
+            F.col("vec_id").alias("q_id"),
+            "cid",
+            F.expr(_pq_lut_expr()).alias("lut"),
+        )
+        adc_terms = " + ".join(
+            f"CAST(floor(element_at(element_at(lut, {s + 1}), "
+            f"element_at(codes, {s + 1}) + 1) * 1000000000) AS BIGINT)"
+            for s in range(_PQ["m"])
+        )
+        scored = (
+            F.broadcast(q)
+            .join(inv, on=["cid"])
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", F.expr(adc_terms).alias("adc_q"))
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.asc("adc_q"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= topk)
+            .select("q_id", "vec_id", "adc_q")
+        )
+
+
+_IVFPQ_RERANK_R = 100
+
+
+def _ivfpq_rerank_oracle_sql(
+    shortlist: int = _IVFPQ_RERANK_R, topk: int = 5
+) -> str:
+    """ADC shortlist (integer, so identical across engines) → exact
+    squared-L2 re-rank (left-associated term chain, bit-identical
+    doubles) → top-k."""
+    return f"""
+    WITH short AS (
+        SELECT q_id, vec_id FROM (
+            {_ivfpq_oracle_sql(topk=shortlist)}
+        )
+    )
+    SELECT q_id, vec_id, l2 FROM (
+        SELECT s.q_id, s.vec_id,
+            {l2_sql("q.embedding", "e.embedding", DUCK_AT)} AS l2,
+            row_number() OVER (PARTITION BY s.q_id
+                ORDER BY {l2_sql("q.embedding", "e.embedding", DUCK_AT)},
+                         s.vec_id) AS rn
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.q_id
+        JOIN embeddings e ON e.vec_id = s.vec_id
+    ) WHERE rn <= {topk}
+    """
+
+
+if _PQ is not None:
+    @register(
+        "emb_ivfpq_rerank_topk",
+        oracle=_ivfpq_rerank_oracle_sql(),
+        doc="The production IVFADC+rerank query: coarse probe -> "
+        "integer ADC shortlist (R=100, never a float dot) -> exact "
+        "squared-L2 re-rank of ONLY the shortlist -> top-5. Measured "
+        "at sf0.1: the re-rank recovers the PQ distortion completely "
+        "- recall@5 climbs 16% (raw ADC top-5) -> 28% at R=100, "
+        "exactly the IVF cell-restriction ceiling of the k=16 "
+        "codebook (SCALE.md round-6 table), so the remaining recall "
+        "lever is the sqrt(N) codebook rule, not the PQ. At 10^9 "
+        "vectors the re-rank touches R full vectors per query vs "
+        "nprobe/k of the corpus for codes - the standard IVFADC "
+        "deployment shape (Jegou et al., TPAMI 2011).",
+    )
+    def ivfpq_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        e = table(spark, sf, "embeddings")
+        short = (
+            _ivfpq_adc_frame(spark, sf, topk=_IVFPQ_RERANK_R)
+            .select("q_id", "vec_id")
+        )
+        qe = e.filter(F.col("vec_id").isin(*_IVF_T_QUERY_IDS)).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("__qe"),
+        )
+        ce = e.select("vec_id", F.col("embedding").alias("__ce"))
+        l2 = F.expr(l2_sql("__qe", "__ce", SPARK_AT))
+        w = Window.partitionBy("q_id").orderBy(F.asc("l2"), F.asc("vec_id"))
+        return (
+            short.join(F.broadcast(qe), "q_id")
+            .join(ce, "vec_id")
+            .select("q_id", "vec_id", l2.alias("l2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("q_id", "vec_id", "l2")
         )
