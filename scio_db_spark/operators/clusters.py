@@ -1,25 +1,48 @@
-"""Connected components by min-label propagation (dedup clustering).
+"""Connected components for dedup clustering — bounded-round star
+algorithm, with the min-label propagation baseline kept for reference.
 
 The final step of near-duplicate detection: candidate pairs (MinHash
 LSH, SimHash, embedding near-dups) form edges; each connected component
 is one duplicate cluster; the canonical document is the minimum id in
 the component ("keep one per cluster").
 
-Spark-first iterative algorithm (no GraphX/graphframes dependency):
-label(v) starts as v, then each iteration takes the min label over v and
-its neighbors, until a fixpoint. Converges in O(diameter) iterations —
-near-dup clusters are shallow (stars/cliques), so typically 2-4. Each
-iteration is one shuffle join on the edge list; ``localCheckpoint``
-cuts the lineage so plans stay constant-size. This is the standard
-large-graph CC formulation: at 100 TB the edge list is orders of
-magnitude smaller than the corpus (candidates only), and every step is
-an equi-join — no driver-side collection of the graph.
+Two implementations, identical output contract ((v, label) with label =
+min id of v's component; the DuckDB oracle is the same recursive-CTE
+fixpoint for both):
+
+- ``connected_components`` (default): alternating LARGE-STAR /
+  SMALL-STAR (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC 2014 — public algorithm). Each operation is one
+  grouped aggregation + one equi-join on the edge list; rounds are
+  O(log² n) worst case and a handful in practice, INDEPENDENT of
+  component diameter. This matters at 100 TB because one pathological
+  chain-shaped dup cluster (boilerplate runs, near-identical page
+  sequences) would otherwise serialize the whole job into a
+  diameter-long chain of Spark jobs.
+- ``connected_components_propagation``: the previous min-label
+  propagation — one neighbor-min join per round, O(diameter) rounds.
+  Kept as the measured baseline for the scaling harness
+  (tools/bench_scaling.py --cc-chain) and for tiny shallow graphs
+  where its per-round cost is marginally lower.
+
+Neither touches the corpus: the edge list (candidates only) is orders
+of magnitude smaller, every step is an equi-join or grouped agg —
+no driver-side collection of the graph.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return (
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+    )
 
 
 def connected_components(
@@ -30,8 +53,114 @@ def connected_components(
 ) -> DataFrame:
     """(src, dst) edge list → (v, label) with label = min id reachable.
 
-    Vertices are those appearing in edges; isolated docs are their own
+    Alternating large-star/small-star; see module docstring. Vertices
+    are those appearing in edges; isolated docs are their own
     canonical and can be unioned in by the caller.
+    """
+    labels, _rounds = _cc_star(edges, src, dst, max_iterations)
+    return labels
+
+
+def cc_star_rounds(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> int:
+    """Rounds the star algorithm took to reach its fixpoint — the
+    scaling harness's measurement hook."""
+    _labels, rounds = _cc_star(edges, src, dst, max_iterations)
+    return rounds
+
+
+def _cc_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int,
+) -> tuple[DataFrame, int]:
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if e.limit(1).count() == 0:
+        # no edges: every vertex would be isolated; empty label frame
+        return (
+            e.select(F.col("a").alias("v"), F.col("b").alias("label")),
+            0,
+        )
+    prev: DataFrame | None = None
+    prev_cnt = -1
+    for rounds in range(1, max_iterations + 1):
+        # LARGE-STAR: per node u, connect every LARGER neighbor to
+        # m = min(Γ(u) ∪ {u}). Output edges all point "down" toward
+        # local minima; connectivity is preserved (SoCC'14, Lemma 1).
+        sym = _symmetrize(e)
+        lmin = sym.groupBy("a").agg(F.min("b").alias("__mn"))
+        lmin = lmin.select(
+            "a", F.least(F.col("a"), F.col("__mn")).alias("__m")
+        )
+        e1 = (
+            sym.join(lmin, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("__m").alias("b"))
+            .distinct()
+        )
+        # SMALL-STAR: per node u, route u and its SMALLER neighbors to
+        # m = min of that set. Every output edge (v, m) has m < v, so
+        # the result is canonically oriented.
+        sym1 = _symmetrize(e1)
+        grp = sym1.filter(F.col("b") < F.col("a"))
+        smin = grp.groupBy("a").agg(F.min("b").alias("__m"))
+        out1 = (
+            grp.join(smin, "a")
+            .filter(F.col("b") != F.col("__m"))
+            .select(F.col("b").alias("a"), F.col("__m").alias("b"))
+        )
+        out2 = smin.select("a", F.col("__m").alias("b"))
+        e2 = (
+            out1.unionByName(out2)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cnt = e2.count()
+        if prev is not None and cnt == prev_cnt:
+            gone = (
+                e2.join(prev, ["a", "b"], "left_anti").limit(1).count()
+            )
+            if gone == 0:
+                # fixpoint: every component is a star centered at its
+                # minimum — the edge list IS the label map
+                labels = e2.select(
+                    F.col("a").alias("v"), F.col("b").alias("label")
+                ).unionByName(
+                    e2.select(F.col("b").alias("v")).distinct()
+                    .withColumn("label", F.col("v"))
+                )
+                return labels, rounds
+        prev, prev_cnt = e2, cnt
+        e = e2
+    # Silently-wrong cluster labels would split duplicate clusters
+    # downstream — fail loudly instead (raise, never truncate).
+    raise RuntimeError(
+        f"connected_components (star) did not converge in "
+        f"{max_iterations} rounds; raise max_iterations"
+    )
+
+
+def connected_components_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Min-label propagation baseline: O(diameter) rounds, one
+    neighbor-min join each. Superseded by the star algorithm as the
+    default (bounded rounds); kept for the measured comparison in
+    tools/bench_scaling.py --cc-chain.
     """
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -71,12 +200,10 @@ def connected_components(
             converged = True
             break
     if not converged:
-        # Silently-wrong cluster labels would split duplicate clusters
-        # downstream — fail loudly instead (raise, never truncate).
         raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            "iterations; raise max_iterations (component diameter "
-            "exceeds it)"
+            f"connected_components_propagation did not converge in "
+            f"{max_iterations} iterations; raise max_iterations "
+            "(component diameter exceeds it)"
         )
     return labels
 
@@ -95,11 +222,11 @@ def dedup_keep_canonical(
     cluster label itself) plus every document in no cluster.
 
     This is the step that turns pair DETECTION into corpus REDUCTION.
-    Scale shape: connected_components is iterative equi-joins on the
-    (bounded) pair list, then ONE left-anti equi-join of the corpus
-    against the non-canonical ids — the corpus streams through a
-    single hash join keyed by id, and the anti side is at most
-    |pairs| rows, usually a small fraction of the corpus.
+    Scale shape: connected_components is a bounded number of equi-join
+    rounds on the (bounded) pair list, then ONE left-anti equi-join of
+    the corpus against the non-canonical ids — the corpus streams
+    through a single hash join keyed by id, and the anti side is at
+    most |pairs| rows, usually a small fraction of the corpus.
     """
     labels = connected_components(
         pairs, src=src, dst=dst, max_iterations=max_iterations

@@ -105,3 +105,62 @@ def test_dedup_keep_canonical_composes_with_minhash_detector(spark, sf_dir):
     expect = (all_ids - clustered) | canon
     assert kept == expect
     assert plist, "detector found no pairs — test is vacuous"
+
+
+def test_star_cc_bounded_rounds_on_chain(spark):
+    """Worst-case diameter: a 300-node chain. The star algorithm must
+    converge in O(log n) rounds where propagation needs O(n); both
+    must produce the identical label map (min id per component)."""
+    import pytest
+
+    from scio_db_spark.operators.clusters import (
+        cc_star_rounds,
+        connected_components,
+        connected_components_propagation,
+    )
+
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels = {
+        r.v: r.label for r in connected_components(edges).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+
+    rounds = cc_star_rounds(edges)
+    assert rounds <= 12, f"star took {rounds} rounds on a {n}-chain"
+
+    # the propagation baseline cannot converge within the default cap
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_propagation(edges, max_iterations=20)
+
+
+def test_star_cc_matches_propagation_on_random_graph(spark):
+    import random
+
+    from scio_db_spark.operators.clusters import (
+        connected_components,
+        connected_components_propagation,
+    )
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    star = {
+        r.v: r.label for r in connected_components(df).collect()
+    }
+    prop = {
+        r.v: r.label
+        for r in connected_components_propagation(
+            df, max_iterations=50
+        ).collect()
+    }
+    # propagation labels every vertex incl. self-loop-only ones; the
+    # star variant drops self-loops up front — compare the overlap and
+    # make sure star covers every vertex with a real edge
+    assert set(star) == {v for v, l in prop.items()
+                         if any(a != b and v in (a, b) for a, b in edges)}
+    assert all(prop[v] == l for v, l in star.items())

@@ -157,7 +157,83 @@ def _rank_psweep(passes: int, out_path: str | None) -> int:
     return 0
 
 
+def _cc_chain(passes: int, out_path: str | None) -> int:
+    """Worst-case-diameter connected components: a chain built from
+    real doc_ids. Star CC (default) must hold rounds ~log n while the
+    propagation baseline's rounds = diameter — the pathological dup
+    graph (boilerplate runs) that would serialize a 100-TB dedup job
+    into a diameter-long chain of Spark rounds."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.operators.clusters import (
+        cc_star_rounds,
+        connected_components,
+        connected_components_propagation,
+    )
+    from scio_db_spark.session import SessionFactory
+
+    spark = SessionFactory.create("bench-cc-chain")
+    spark.sparkContext.setLogLevel("ERROR")
+    ids = (
+        spark.read.parquet(os.path.join(_SRC, "documents.parquet"))
+        .select("doc_id")
+    )
+    result: dict[str, dict] = {}
+    for n in (256, 2048, 20000):
+        chain = (
+            ids.orderBy("doc_id")
+            .limit(n)
+            .withColumn(
+                "nxt",
+                F.lead("doc_id").over(Window.orderBy("doc_id")),
+            )
+            .filter(F.col("nxt").isNotNull())
+            .select(
+                F.col("doc_id").alias("src"), F.col("nxt").alias("dst")
+            )
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.perf_counter()
+        rounds = cc_star_rounds(chain, max_iterations=40)
+        star_sec = round(time.perf_counter() - t0, 2)
+        entry: dict = {"star_rounds": rounds, "star_sec": star_sec}
+        if n <= 256:
+            # propagation at larger n = n Spark rounds — measured only
+            # where that is affordable; the point is the rounds column
+            t0 = time.perf_counter()
+            connected_components_propagation(
+                chain, max_iterations=n + 1
+            )
+            entry["propagation_rounds"] = n - 1
+            entry["propagation_sec"] = round(time.perf_counter() - t0, 2)
+        # correctness at every n: one component labeled by the min id
+        labs = connected_components(chain, max_iterations=40)
+        distinct = labs.select("label").distinct().count()
+        entry["components"] = distinct
+        result[str(n)] = entry
+        print(f"chain n={n}: {entry}", file=sys.stderr)
+    out = {
+        "metric": "cc_chain_rounds",
+        "chains": result,
+        "load_1m": list(os.getloadavg()[:2]),
+    }
+    line = json.dumps(out)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    return 0
+
+
 def main() -> int:
+    if "--cc-chain" in sys.argv:
+        return _cc_chain(
+            1,
+            sys.argv[sys.argv.index("--out") + 1]
+            if "--out" in sys.argv
+            else None,
+        )
     if "--rank-psweep" in sys.argv:
         return _rank_psweep(
             int(sys.argv[sys.argv.index("--passes") + 1])
