@@ -106,3 +106,50 @@ def test_library_minhash_rejects_bad_band_config(spark):
         lsh_candidate_pairs(sigs, "doc_id", k=8, bands=16)  # bands > k
     with _pytest.raises(ValueError):
         lsh_candidate_pairs(sigs, "doc_id", k=10, bands=4)  # non-divisor
+
+
+def test_ppjoin_exact_no_false_negatives_and_prunes(spark, sf_dir):
+    """PPJoin candidate set must (a) be a SUPERSET of every pair at
+    Jaccard >= t over the same shingle-hash domain (exactness — the
+    guarantee LSH doesn't give), and (b) be much smaller than the
+    all-shared-token pair space (the point of prefix filtering)."""
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.plans.textops import (
+        _PPJOIN_T,
+        _doc_shingle_hashes,
+        _ppjoin_candidates,
+    )
+
+    ds = _doc_shingle_hashes(spark, sf_dir)
+    tok = {}
+    for r in ds.collect():
+        tok.setdefault(r.doc_id, set()).add(r.h)
+    import itertools
+
+    true_pairs = set()
+    shared_pairs = 0
+    for a, b in itertools.combinations(sorted(tok), 2):
+        inter = len(tok[a] & tok[b])
+        if inter == 0:
+            continue
+        shared_pairs += 1
+        if inter / len(tok[a] | tok[b]) >= _PPJOIN_T:
+            true_pairs.add((a, b))
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in _ppjoin_candidates(spark, sf_dir).collect()
+    }
+    assert true_pairs <= cand, "prefix filter dropped a true pair"
+    assert len(cand) < shared_pairs / 2, (
+        f"no pruning: {len(cand)} candidates vs "
+        f"{shared_pairs} shared-token pairs"
+    )
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in all_queries()["docs_ppjoin_similarity_pairs"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == true_pairs
