@@ -65,3 +65,65 @@ def merge_states(
     return merged.groupBy(*key_cols).agg(
         *[F.sum(c).alias(c) for c in measure_cols]
     )
+
+
+def retract_merge(
+    state: DataFrame,
+    retractions: DataFrame,
+    additions: DataFrame,
+    key_cols: list[str],
+    measure_cols: list[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Apply a change feed to a stored aggregate state WITHOUT touching
+    the base data: retractions contribute their measures NEGATED,
+    additions contribute them as-is, then one merge by key; groups
+    whose count reaches zero are dropped (the group no longer exists
+    in the maintained view).
+
+    This is the retraction half the plain merge law can't express —
+    deletes and updates in a CDC feed must SUBTRACT the old row's
+    contribution before adding the new one. Sound only for
+    group-invertible measures (counts, exact-integer sums; avg via
+    (n, sum)); min/max are NOT retractable — deleting the current min
+    needs a group rescan, so refuse them upstream rather than drift.
+
+    Cost ∝ |state| + |changes|; the base table is never rescanned.
+    """
+    neg = retractions.select(
+        *key_cols,
+        *[(-F.col(c)).alias(c) for c in [count_col, *measure_cols]],
+    )
+    pos = additions.select(
+        *key_cols, count_col, *measure_cols
+    )
+    merged = merge_states(
+        [state, neg, pos],
+        key_cols=key_cols,
+        measure_cols=[count_col, *measure_cols],
+    )
+    return merged.filter(F.col(count_col) != 0)
+
+
+def delta_join(
+    a_old: DataFrame,
+    d_a: DataFrame,
+    b_old: DataFrame,
+    d_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Delta of an inner-join view under inserts on BOTH sides:
+
+        Δ(A ⋈ B) = (dA ⋈ B_old) ∪ (A_new ⋈ dB),   A_new = A_old ∪ dA
+
+    so V_new = V_old ∪ Δ — the materialized join is maintained by two
+    joins sized by the DELTAS (each join has a delta on one side),
+    never by recomputing A_old ⋈ B_old. The dA ⋈ dB cross-delta pairs
+    are covered exactly once: they appear in the A_new ⋈ dB term and
+    are excluded from dA ⋈ B_old because B_old excludes dB. Classic
+    incremental view maintenance (counting/delta rules, e.g.
+    Gupta & Mumick's survey); insert-only here — deletes compose via
+    retract_merge on the downstream aggregate instead of row removal.
+    """
+    a_new = a_old.unionByName(d_a)
+    return d_a.join(b_old, on).unionByName(a_new.join(d_b, on))

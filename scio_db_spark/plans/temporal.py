@@ -515,3 +515,143 @@ def cdc_apply_census(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("CAST(sum(CAST(floor(total * 100) AS BIGINT)) AS BIGINT)")
         .alias("total_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "orders_agg_retraction_census",
+    oracle="""
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(floor(total * 100) AS BIGINT)) AS BIGINT)
+            AS total_cents
+    FROM (
+        SELECT CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS status,
+            o_totalprice AS total
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    GROUP BY status
+    """,
+    doc="Retraction-aware aggregate maintenance: the per-status "
+    "(count, exact cents) view is maintained through the CDC feed by "
+    "STATE ARITHMETIC alone — deletes/updates retract the old row's "
+    "contribution (negated measures), inserts/updates add the new "
+    "one, one merge by key, zero-count groups dropped "
+    "(operators/incremental.py::retract_merge). Oracle = direct "
+    "aggregate of the new snapshot; the hash proves the retraction "
+    "law on real data. Same oracle as orders_cdc_apply_census by "
+    "design — THAT row reconstructs rows (cost ~ |snapshot|); this "
+    "one never touches the snapshot after the diff: cost ~ |state| + "
+    "|changes|, the only shape that works when the view is 10^4x "
+    "smaller than the 100-TB base. min/max are refused upstream "
+    "(not group-invertible), see the operator docstring.",
+)
+def agg_retraction_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.cdc import snapshot_diff
+    from scio_db_spark.operators.incremental import (
+        agg_state,
+        retract_merge,
+    )
+
+    o = table(spark, sf, "orders")
+    snap_old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    snap_new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    cents = F.expr("CAST(floor(total * 100) AS BIGINT)")
+    state = agg_state(
+        snap_old.select("status", cents.alias("__c")),
+        key_cols=["status"],
+        sum_cols={"total_cents": F.col("__c")},
+        count_col="n",
+    )
+    # diff feeds retraction AND addition branches — cache it
+    # (change-volume-sized), same reasoning as cdc_apply_census
+    diff = snapshot_diff(
+        snap_old, snap_new,
+        key_cols=["o_orderkey"],
+        compare_cols=["status", "total"],
+    ).cache()
+    retr = agg_state(
+        diff.filter(F.col("op").isin("D", "U")).select(
+            F.col("old_status").alias("status"),
+            F.expr("CAST(floor(old_total * 100) AS BIGINT)").alias("__c"),
+        ),
+        key_cols=["status"],
+        sum_cols={"total_cents": F.col("__c")},
+        count_col="n",
+    )
+    adds = agg_state(
+        diff.filter(F.col("op").isin("I", "U")).select(
+            F.col("new_status").alias("status"),
+            F.expr("CAST(floor(new_total * 100) AS BIGINT)").alias("__c"),
+        ),
+        key_cols=["status"],
+        sum_cols={"total_cents": F.col("__c")},
+        count_col="n",
+    )
+    return retract_merge(
+        state, retr, adds,
+        key_cols=["status"],
+        measure_cols=["total_cents"],
+        count_col="n",
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "orders_delta_join_census",
+    oracle=f"""
+    SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    doc="Incremental JOIN-view maintenance: the orders-x-customer "
+    "join view is maintained under inserts on BOTH sides (a date "
+    "batch of new orders AND a late-arriving customer batch) via the "
+    "delta rule d(A JOIN B) = dA JOIN B_old UNION A_new JOIN dB "
+    "(operators/incremental.py::delta_join; Gupta-Mumick IVM rules). "
+    "V_old JOIN work is never redone: both maintenance joins carry a "
+    "DELTA on one side, so maintaining the view costs "
+    "|dA|x + |dB|-proportional work, not |A|x|B|. The census "
+    "aggregates the incrementally-built view per nation; the oracle "
+    "recomputes the full join directly — the hash proves the delta "
+    "rule covers every pair exactly once (cross-delta pairs appear "
+    "ONLY in the A_new JOIN dB term).",
+)
+def delta_join_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.incremental import delta_join
+
+    cutoff = F.lit(_INC_CUTOFF).cast("timestamp")
+    o = table(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    c = table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    a_old = o.filter(F.col("o_orderdate") < cutoff).drop("o_orderdate")
+    d_a = o.filter(F.col("o_orderdate") >= cutoff).drop("o_orderdate")
+    b_old = c.filter(F.col("o_custkey") % 3 != 0)
+    d_b = c.filter(F.col("o_custkey") % 3 == 0)
+    v_old = a_old.join(b_old, "o_custkey")
+    v_new = v_old.unionByName(
+        delta_join(a_old, d_a, b_old, d_b, on=["o_custkey"])
+    )
+    return v_new.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )

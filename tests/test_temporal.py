@@ -211,3 +211,75 @@ def test_cdc_null_keys_surface_as_separate_delete_and_insert(spark):
     i = next(r for r in out if r["op"] == "I")
     assert d["old_a"] == "x" and d["new_a"] is None
     assert i["new_a"] == "x" and i["old_a"] is None
+
+
+def test_delta_join_law_on_random_splits(spark):
+    """d(A JOIN B) must cover every pair exactly once for ANY split
+    of either side — including cross-delta pairs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.operators.incremental import delta_join
+
+    rng = random.Random(3)
+    a_rows = [(rng.randrange(20), i) for i in range(200)]
+    b_rows = [(k, k * 10) for k in range(20)]
+    a = spark.createDataFrame(a_rows, "k long, av long")
+    b = spark.createDataFrame(b_rows, "k long, bv long")
+    full = sorted(
+        (r.k, r.av, r.bv) for r in a.join(b, "k").collect()
+    )
+    for seed in (1, 2, 3):
+        r2 = random.Random(seed)
+        amask = [r2.random() < 0.3 for _ in a_rows]
+        bmask = [r2.random() < 0.3 for _ in b_rows]
+        a_old = spark.createDataFrame(
+            [r for r, m in zip(a_rows, amask) if not m], "k long, av long"
+        )
+        d_a = spark.createDataFrame(
+            [r for r, m in zip(a_rows, amask) if m], "k long, av long"
+        )
+        b_old = spark.createDataFrame(
+            [r for r, m in zip(b_rows, bmask) if not m], "k long, bv long"
+        )
+        d_b = spark.createDataFrame(
+            [r for r, m in zip(b_rows, bmask) if m], "k long, bv long"
+        )
+        v = a_old.join(b_old, "k").unionByName(
+            delta_join(a_old, d_a, b_old, d_b, on=["k"])
+        )
+        got = sorted((r.k, r.av, r.bv) for r in v.collect())
+        assert got == full, f"delta rule broke at seed {seed}"
+
+
+def test_retract_merge_drops_vanished_groups(spark):
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.operators.incremental import (
+        agg_state,
+        retract_merge,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "k string, v long"
+    )
+    state = agg_state(
+        base, key_cols=["k"], sum_cols={"s": F.col("v")}, count_col="n"
+    )
+    # delete BOTH 'a' rows, add one 'c'
+    retr = agg_state(
+        spark.createDataFrame([("a", 10), ("a", 20)], "k string, v long"),
+        key_cols=["k"], sum_cols={"s": F.col("v")}, count_col="n",
+    )
+    adds = agg_state(
+        spark.createDataFrame([("c", 7)], "k string, v long"),
+        key_cols=["k"], sum_cols={"s": F.col("v")}, count_col="n",
+    )
+    got = {
+        r.k: (r.n, r.s)
+        for r in retract_merge(
+            state, retr, adds, key_cols=["k"], measure_cols=["s"]
+        ).collect()
+    }
+    assert got == {"b": (1, 5), "c": (1, 7)}  # 'a' vanished entirely
