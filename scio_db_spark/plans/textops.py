@@ -1544,3 +1544,105 @@ def _ppjoin_candidates(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+_DSIR_BUCKETS = 4096
+_DSIR_SCALE = 1000000
+_DSIR_TOPK = 50
+
+
+@register(
+    "docs_dsir_importance_topk",
+    oracle=f"""
+    WITH ds AS ({_DOC_SHINGLE_HASHES_SQL}),
+    feats AS (
+        SELECT doc_id, h % {_DSIR_BUCKETS} AS f,
+            CAST(count(*) AS BIGINT) AS c
+        FROM ds GROUP BY doc_id, h % {_DSIR_BUCKETS}
+    ),
+    raw AS (SELECT f, sum(c) AS raw_c FROM feats GROUP BY f),
+    tgt AS (
+        SELECT f, sum(c) AS tgt_c FROM feats
+        JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY f
+    ),
+    tot AS (
+        SELECT (SELECT sum(raw_c) FROM raw) AS n_raw,
+               (SELECT coalesce(sum(tgt_c), 0) FROM tgt) AS n_tgt
+    ),
+    ratio AS (
+        SELECT r.f,
+            CAST(({_DSIR_SCALE} * coalesce(t.tgt_c, 0) * tot.n_raw)
+                 // (r.raw_c * tot.n_tgt) AS BIGINT) AS rq
+        FROM raw r LEFT JOIN tgt t ON t.f = r.f CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT fe.doc_id, CAST(sum(fe.c * ra.rq) AS BIGINT) AS score
+        FROM feats fe JOIN ratio ra ON ra.f = fe.f
+        GROUP BY fe.doc_id
+    )
+    SELECT s.doc_id, d.lang, s.score FROM scored s
+    JOIN documents d USING (doc_id)
+    ORDER BY s.score DESC, s.doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+    doc="Data Selection by Importance Resampling (DSIR, Xie et al. "
+    "NeurIPS'23) over hashed n-gram features: score every raw doc by "
+    "how target-like its feature distribution is (target = lang='en' "
+    "here), keep the top slice. Features are shingle hashes folded "
+    "into 4096 buckets; the per-feature weight is an EXACT integer "
+    "surrogate of the DSIR ratio — (SCALE * tgt_f * N_raw) DIV "
+    "(raw_f * N_tgt), i.e. the target/raw probability ratio in "
+    "millionths, truncated — instead of the paper's log-ratio, "
+    "because ln() differs across engines in the last ulp and would "
+    "flake the cross-engine hash; the pytest pins rank agreement "
+    "with the true log-ratio scoring. Features absent from the "
+    "target weigh 0 (hard exclusion; production smooths). Plan "
+    "shape: two feature aggregations + one equi-join back to the "
+    "per-doc counts — every step keyed on the feature bucket, no "
+    "all-pairs, scales with corpus token volume. Integer headroom: "
+    "SCALE*tgt_f*N_raw < 2^63 up to ~10^5x this SF; beyond that, "
+    "production shards the count or moves to log-space doubles.",
+)
+def dsir_importance_topk(spark: SparkSession, sf: str) -> DataFrame:
+    ds = _doc_shingle_hashes(spark, sf)
+    feats = (
+        ds.select(
+            "doc_id", (F.col("h") % _DSIR_BUCKETS).alias("f")
+        )
+        .groupBy("doc_id", "f")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    docs = table(spark, sf, "documents").select("doc_id", "lang")
+    raw = feats.groupBy("f").agg(F.sum("c").alias("raw_c"))
+    tgt = (
+        feats.join(docs, "doc_id")
+        .filter(F.col("lang") == "en")
+        .groupBy("f")
+        .agg(F.sum("c").alias("tgt_c"))
+    )
+    totals = raw.agg(F.sum("raw_c").alias("n_raw")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("tgt_c"), F.lit(0)).alias("n_tgt"))
+    )
+    ratio = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "f",
+            F.expr(
+                f"CAST(({_DSIR_SCALE} * coalesce(tgt_c, 0) * n_raw) "
+                f"DIV (raw_c * n_tgt) AS BIGINT)"
+            ).alias("rq"),
+        )
+    )
+    scored = (
+        feats.join(ratio, "f")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("rq")).cast("long").alias("score"))
+    )
+    return (
+        scored.join(docs, "doc_id")
+        .select("doc_id", "lang", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+    )

@@ -153,3 +153,53 @@ def test_ppjoin_exact_no_false_negatives_and_prunes(spark, sf_dir):
         .collect()
     }
     assert got == true_pairs
+
+
+def test_dsir_integer_surrogate_tracks_log_ratio(spark, sf_dir):
+    """The integer ratio surrogate must (a) enrich the target language
+    in the selected slice and (b) rank-agree with the true DSIR
+    log-ratio scoring computed independently in Python."""
+    import math
+
+    from scio_db_spark.plans.textops import (
+        _DSIR_BUCKETS,
+        _doc_shingle_hashes,
+    )
+    from scio_db_spark.plans.catalog import table
+
+    top = all_queries()["docs_dsir_importance_topk"].spark(
+        spark, sf_dir
+    ).collect()
+    langs = [r.lang for r in top]
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n_docs = docs.count()
+    n_en = docs.filter("lang = 'en'").count()
+    assert langs.count("en") / len(langs) > n_en / n_docs, (
+        "selection did not enrich the target language"
+    )
+
+    # true log-ratio DSIR weights, smoothed, computed driver-side
+    feats = {}
+    for r in _doc_shingle_hashes(spark, sf_dir).collect():
+        feats.setdefault(r.doc_id, []).append(r.h % _DSIR_BUCKETS)
+    lang = {r.doc_id: r.lang for r in docs.collect()}
+    raw, tgt = {}, {}
+    for d, fs in feats.items():
+        for f in fs:
+            raw[f] = raw.get(f, 0) + 1
+            if lang[d] == "en":
+                tgt[f] = tgt.get(f, 0) + 1
+    n_raw = sum(raw.values())
+    n_tgt = sum(tgt.values())
+    def log_score(d):
+        return sum(
+            math.log(((tgt.get(f, 0) + 0.5) / (n_tgt + 1))
+                     / ((raw[f] + 0.5) / (n_raw + 1)))
+            for f in feats[d]
+        )
+    true_rank = sorted(feats, key=lambda d: -log_score(d))[:50]
+    overlap = len(set(true_rank) & {r.doc_id for r in top})
+    assert overlap >= 25, (
+        f"integer surrogate diverged from log-ratio DSIR: "
+        f"{overlap}/50 overlap"
+    )
