@@ -1783,3 +1783,79 @@ def salted_agg_census(spark: SparkSession, sf: str) -> DataFrame:
         },
         n_salts=16,
     )
+
+
+# --------------------------------------------------------------------------
+_EPS_CENTS = 5
+
+
+@register(
+    "events_value_twins_eps",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+            CAST(floor(value * 100) AS BIGINT) AS cents,
+            CAST(ts AS DATE) AS d
+        FROM events
+    )
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+        a.cents AS cents_a, b.cents AS cents_b
+    FROM e a JOIN e b
+      ON a.event_type = b.event_type AND a.d = b.d
+     AND a.event_id < b.event_id AND a.user_id <> b.user_id
+     AND abs(a.cents - b.cents) <= {_EPS_CENTS}
+    """,
+    doc="Coordinated-value screen: pairs of same-type same-day events "
+    "from DIFFERENT users whose amounts agree within 5 cents — the "
+    "near-equality self-join Spark has no native strategy for (the "
+    "theta join plans as a nested loop). Banding makes it an "
+    "equi-join: width-eps buckets, 3-band probe, exact filter "
+    "(operators/bandjoin.py — every qualifying pair meets exactly "
+    "once because the build side holds one band per row). Oracle = "
+    "the naive range join, which DuckDB's IEJoin can afford at gate "
+    "SF. Scale: |bands| = |events|, fan-out 3x, shuffle keyed on "
+    "(type, day, band) — skew-splittable by AQE.",
+)
+def events_value_twins_eps(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.bandjoin import epsilon_self_join
+
+    e = table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        F.col("ts").cast("date").alias("d"),
+    )
+    pairs = epsilon_self_join(
+        e.select("event_id", "event_type", "d", "cents", "user_id"),
+        id_col="event_id",
+        value_col="cents",
+        eps=_EPS_CENTS,
+        partition_cols=["event_type", "d"],
+    )
+    # the operator keeps only partition/id/value columns: re-attach
+    # user ids to filter same-user pairs out
+    u = e.select("event_id", "user_id")
+    return (
+        pairs.join(
+            u.select(
+                F.col("event_id").alias("event_id_a"),
+                F.col("user_id").alias("ua"),
+            ),
+            "event_id_a",
+        )
+        .join(
+            u.select(
+                F.col("event_id").alias("event_id_b"),
+                F.col("user_id").alias("ub"),
+            ),
+            "event_id_b",
+        )
+        .filter(F.col("ua") != F.col("ub"))
+        .select(
+            F.col("event_id_a").alias("event_a"),
+            F.col("event_id_b").alias("event_b"),
+            "cents_a",
+            "cents_b",
+        )
+    )

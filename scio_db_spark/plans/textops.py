@@ -464,13 +464,14 @@ def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
     FROM reach GROUP BY v
     """,
     doc="Dedup clustering: connected components over MinHash-LSH "
-    "candidate pairs via iterative min-label propagation; canonical = "
-    "min doc_id per cluster (the 'keep one per cluster' step).",
+    "candidate pairs via bounded-round large-star/small-star; "
+    "canonical = min doc_id per cluster ('keep one per cluster').",
 )
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """Iterative-join label propagation (operators/clusters.py) — each
-    iteration one equi-join shuffle, O(cluster diameter) iterations.
-    The oracle expresses the same fixpoint as a recursive CTE."""
+    """Star-algorithm connected components (operators/clusters.py) —
+    O(log n) grouped-agg + equi-join rounds, independent of cluster
+    diameter (measured in SCALE.md round-7). The oracle expresses the
+    same fixpoint as a recursive CTE."""
     from scio_db_spark.operators.clusters import connected_components
 
     pairs = minhash_lsh_pairs(spark, sf)
@@ -1646,3 +1647,105 @@ def dsir_importance_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(_DSIR_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "docs_leakage_safe_split_census",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM sym),
+    reach(v, u) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.v, s.b FROM reach r JOIN sym s ON s.a = r.u
+    ),
+    labels AS (SELECT v, min(u) AS label FROM reach GROUP BY v),
+    assign AS (
+        SELECT d.doc_id,
+            coalesce(l.label, d.doc_id) AS grp,
+            CASE WHEN {str_hash60_sql(
+                "CAST(coalesce(l.label, d.doc_id) AS VARCHAR)"
+            )} % 10 < 8 THEN 'train' ELSE 'val' END AS split
+        FROM documents d LEFT JOIN labels l ON l.v = d.doc_id
+    )
+    SELECT
+        CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_train,
+        CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_val,
+        CAST(count(DISTINCT CASE WHEN split = 'train' THEN grp END)
+            AS BIGINT) AS groups_train,
+        CAST(count(DISTINCT CASE WHEN split = 'val' THEN grp END)
+            AS BIGINT) AS groups_val,
+        (SELECT CAST(count(*) AS BIGINT) FROM pairs p
+         JOIN assign x ON x.doc_id = p.doc_a
+         JOIN assign y ON y.doc_id = p.doc_b
+         WHERE x.split <> y.split) AS pairs_crossing
+    FROM assign
+    """,
+    doc="Leakage-safe train/val split: near-duplicate documents MUST "
+    "land in the same split or eval contamination silently inflates "
+    "benchmarks — the standard failure of hashing doc_ids directly. "
+    "Split unit = the dedup CLUSTER (star connected components over "
+    "the LSH pairs; singletons are their own group), assigned by the "
+    "cross-engine md5 hash of the group id. The census pins the "
+    "contract in one row: split sizes, group counts, and "
+    "pairs_crossing — the count of near-dup pairs straddling splits, "
+    "0 BY CONSTRUCTION (hash of a shared group id can't differ). "
+    "Scale: clusters are bounded rounds over the pair list; the "
+    "assignment is one left join + map-side hash over the corpus.",
+)
+def leakage_safe_split_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.clusters import connected_components
+
+    pairs = minhash_lsh_pairs(spark, sf).cache()
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    docs = table(spark, sf, "documents").select("doc_id")
+    assign = (
+        docs.join(cc, docs["doc_id"] == cc["v"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("grp"),
+        )
+        .withColumn(
+            "split",
+            F.when(
+                str_hash60(F.col("grp").cast("string")) % 10 < 8,
+                F.lit("train"),
+            ).otherwise(F.lit("val")),
+        )
+        .cache()
+    )
+    xa = assign.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+    )
+    xb = assign.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+    )
+    crossing = (
+        pairs.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).alias("pairs_crossing"))
+    )
+    census = assign.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.countDistinct(
+            F.when(F.col("split") == "train", F.col("grp"))
+        ).alias("groups_train"),
+        F.countDistinct(
+            F.when(F.col("split") == "val", F.col("grp"))
+        ).alias("groups_val"),
+    )
+    return census.crossJoin(crossing)

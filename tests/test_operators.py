@@ -171,3 +171,38 @@ def test_distinct_by_key_requires_keys(spark):
     df = spark.range(3)
     with _pytest.raises(ValueError, match="at least one key"):
         distinct_by_key(df)
+
+
+def test_epsilon_self_join_no_nested_loop_and_exact(spark):
+    """The band join must (a) match brute force exactly and (b) plan
+    as an equi-join — no BroadcastNestedLoopJoin/CartesianProduct."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.operators.bandjoin import epsilon_self_join
+
+    rows = [(i, i % 3, (i * 37) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g long, v long")
+    out = epsilon_self_join(
+        df, id_col="id", value_col="v", eps=4, partition_cols=["g"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    want = {
+        (a, b)
+        for (a, ga, va), (b, gb, vb) in itertools.combinations(rows, 2)
+        if ga == gb and abs(va - vb) <= 4
+    }
+    assert got == want
+
+    # eps=0: degenerates to value equality, still no duplicates
+    out0 = epsilon_self_join(df, "id", "v", eps=0, partition_cols=["g"])
+    got0 = sorted((r.id_a, r.id_b) for r in out0.collect())
+    want0 = sorted(
+        (a, b)
+        for (a, ga, va), (b, gb, vb) in itertools.combinations(rows, 2)
+        if ga == gb and va == vb
+    )
+    assert got0 == want0
