@@ -73,3 +73,42 @@ def priority_sample(
         .limit(k)
         .select(*df.columns, F.col("__q").alias("priority"))
     )
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight: Column,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """k-row weighted sample PER GROUP (stratified priority sampling):
+    the same Duffield-Lund-Thorup priority draw, ranked inside each
+    group by a Window row_number instead of a global sort+limit.
+
+    One shuffle keyed on the group columns; each group's heap is
+    independent, so a skewed group bounds only its own partition (and
+    the window is per-group top-k, never a global sort). Contract for
+    ``weight``/``salt`` matches priority_sample.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w_int = weight.cast("long")
+    hashed = df.withColumn(
+        "__w", w_int
+    ).filter(F.col("__w") > 0).withColumn(
+        "__u",
+        str_hash60(F.concat_ws(":", F.lit(salt), F.col(id_col))),
+    )
+    pri = hashed.withColumn("__q", F.expr("__u DIV __w"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__q").asc(), F.col(id_col).asc()
+    )
+    return (
+        pri.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(*df.columns, F.col("__q").alias("priority"))
+    )

@@ -1090,3 +1090,54 @@ def orders_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
         _PRIO_SAMPLE_K,
         salt="r6",
     )
+
+
+_PRIO_GRP_K = 20
+
+
+@register(
+    "orders_priority_sample_by_status",
+    oracle=f"""
+    WITH h AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS w,
+            CAST('0x' || substr(
+                md5('r7:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                AS BIGINT) AS u
+        FROM orders
+    ),
+    ranked AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+            u // w AS priority,
+            row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY u // w, o_orderkey) AS rn
+        FROM h WHERE w > 0
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice, priority
+    FROM ranked WHERE rn <= {_PRIO_GRP_K}
+    """,
+    doc="Stratified weighted sampling: the Duffield-Lund-Thorup "
+    "priority draw of orders_priority_sample, taken PER order status "
+    "(operators/sampling.py::priority_sample_per_group) — the "
+    "stratified form a training-data pipeline uses to sample every "
+    "slice (language, source, quality band) without letting a "
+    "dominant stratum starve the rest. One shuffle keyed on the "
+    "stratum; per-group top-k window, never a global sort; identical "
+    "integer-exact priority arithmetic (salt 'r7').",
+)
+def orders_priority_sample_by_status(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from scio_db_spark.operators.sampling import priority_sample_per_group
+
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return priority_sample_per_group(
+        o,
+        ["o_orderstatus"],
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"),
+        _PRIO_GRP_K,
+        salt="r7",
+    )

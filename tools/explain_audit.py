@@ -40,6 +40,17 @@ from scio_db_spark.session import SessionFactory
 # fire because Catalyst's window-group-limit / TakeOrderedAndProject
 # rewrite collects top-k without a SinglePartition exchange.
 WHITELIST: set[tuple[str, str]] = {
+    # DSIR totals: two global scalar aggs over the 4096-row FEATURE
+    # frame (one row out each), cross-joined as a broadcast ONE-ROW
+    # constants frame onto the per-feature ratio projection — the BNLJ
+    # "loop" is a constant lookup per feature row, never data x data.
+    ("docs_dsir_importance_topk", "SinglePartition"),
+    ("docs_dsir_importance_topk", "BroadcastNestedLoopJoin"),
+    # Census rows: the two global aggregates each emit ONE row (over
+    # the already-reduced assignment and pair frames), and the final
+    # crossJoin glues two one-row frames into the single census row.
+    ("docs_leakage_safe_split_census", "SinglePartition"),
+    ("docs_leakage_safe_split_census", "BroadcastNestedLoopJoin"),
     # Global scalar aggregate: ONE row crosses the exchange (partial
     # agg map-side, final agg on the single row set).
     ("q06_forecast_revenue", "SinglePartition"),
