@@ -933,3 +933,138 @@ def write_windowed_avro(
 
     res = tagged.mapInArrow(write_part, "path string, rows long")
     return [(r["path"], r["rows"]) for r in res.collect()]
+
+
+# ---------------------------------------------------------------------------
+# Schema resolution (Avro spec "Schema Resolution"): decode data
+# written with an OLD schema under a NEW reader schema — the evolution
+# path every long-lived queue pipeline needs (producers upgrade before
+# or after consumers; reference: PubSubConsumer's subject-versioned
+# schemas). Supported core: record fields matched BY NAME in writer
+# order (reordering is free), writer-only fields skipped, reader-only
+# fields filled from their "default", numeric promotions
+# (int->long->float->double), string<->bytes promotion, union branch
+# re-resolution, and recursive resolution through arrays/maps/records.
+# Unsupported (refused loudly): aliases, enum symbol evolution.
+# ---------------------------------------------------------------------------
+
+
+_PROMOTIONS = {
+    ("int", "long"),
+    ("int", "float"),
+    ("int", "double"),
+    ("long", "float"),
+    ("long", "double"),
+    ("float", "double"),
+    ("string", "bytes"),
+    ("bytes", "string"),
+}
+
+
+def _promote(value, wt: str, rt: str):
+    if rt in ("float", "double"):
+        return float(value)
+    if rt == "long":
+        return int(value)
+    if rt == "string":
+        return value.decode("utf-8")
+    if rt == "bytes":
+        return value.encode("utf-8")
+    return value
+
+
+def _resolve_value(writer, reader, dec: BinaryDecoder):
+    wt, rt = _schema_type(writer), _schema_type(reader)
+    if wt == "union":
+        # the wire carries the writer's branch index; resolve the
+        # chosen branch against the reader schema
+        return _resolve_value(writer[dec.read_long()], reader, dec)
+    if rt == "union":
+        # writer non-union read into a reader union: first matching
+        # or promotable branch wins (spec resolution order)
+        for branch in reader:
+            bt = _schema_type(branch)
+            if bt == wt or (wt, bt) in _PROMOTIONS:
+                return _resolve_value(writer, branch, dec)
+        raise ValueError(
+            f"schema resolution: writer {wt!r} matches no reader "
+            f"union branch"
+        )
+    if wt != rt:
+        if (wt, rt) in _PROMOTIONS:
+            return _promote(_decode_value(writer, dec), wt, rt)
+        raise ValueError(
+            f"schema resolution: writer {wt!r} -> reader {rt!r} is "
+            f"not a legal promotion"
+        )
+    if wt == "record":
+        rfields = {f["name"]: f for f in reader["fields"]}
+        out = {}
+        seen = set()
+        for wf in writer["fields"]:  # wire order = writer order
+            rf = rfields.get(wf["name"])
+            if rf is None:
+                _decode_value(wf["type"], dec)  # skip writer-only
+            else:
+                out[wf["name"]] = _resolve_value(
+                    wf["type"], rf["type"], dec
+                )
+                seen.add(wf["name"])
+        for rf in reader["fields"]:  # reader-only: defaults
+            if rf["name"] in seen:
+                continue
+            if "default" not in rf:
+                raise ValueError(
+                    f"schema resolution: reader field "
+                    f"{rf['name']!r} absent from writer data and has "
+                    f"no default"
+                )
+            out[rf["name"]] = rf["default"]
+        return out
+    if wt == "array":
+        inner_w, inner_r = writer["items"], reader["items"]
+        out = []
+        while True:
+            n = dec.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                dec.read_long()
+            for _ in range(n):
+                out.append(_resolve_value(inner_w, inner_r, dec))
+        return out
+    if wt == "map":
+        inner_w, inner_r = writer["values"], reader["values"]
+        out = {}
+        while True:
+            n = dec.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                dec.read_long()
+            for _ in range(n):
+                k = dec.read_string()
+                out[k] = _resolve_value(inner_w, inner_r, dec)
+        return out
+    if wt == "enum":
+        if writer.get("symbols") != reader.get("symbols"):
+            raise ValueError(
+                "schema resolution: enum symbol evolution is not "
+                "supported (refusing rather than mis-mapping ordinals)"
+            )
+        return _decode_value(writer, dec)
+    return _decode_value(writer, dec)
+
+
+def decode_record_resolved(
+    writer_schema, reader_schema, data: bytes
+) -> dict:
+    """Decode a single-record binary body written under
+    ``writer_schema`` into the shape of ``reader_schema``."""
+    return _resolve_value(
+        parse_schema(writer_schema),
+        parse_schema(reader_schema),
+        BinaryDecoder(data),
+    )

@@ -1749,3 +1749,62 @@ def leakage_safe_split_census(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("groups_val"),
     )
     return census.crossJoin(crossing)
+
+
+# --------------------------------------------------------------------------
+_MIX_SCALE = 1000000000000  # 10^12: positions resolve up to 10^12 docs/stratum
+_MIX_TOPK = 50
+
+
+@register(
+    "docs_mixture_schedule_topk",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+            row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                AS rn,
+            count(*) OVER (PARTITION BY lang) AS n_l
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn,
+        CAST((rn * {_MIX_SCALE}) // n_l AS BIGINT) AS pos
+    FROM ranked
+    ORDER BY pos, lang, doc_id
+    LIMIT {_MIX_TOPK}
+    """,
+    doc="Proportional mixture schedule (curriculum interleave): every "
+    "stratum (language) is spread evenly across the training order by "
+    "its fractional position pos = rn/|stratum| — so a batch cut at "
+    "any point contains each stratum in corpus proportion, and every "
+    "stratum finishes together (the property round-robin by count "
+    "lacks when strata differ 10x in size). Positions are exact "
+    "integers (rn * 10^12 DIV n_l) — no float accumulation to "
+    "reorder docs between engines or runs. Plan: one per-stratum "
+    "window + arithmetic; the full schedule is a sort by pos, here "
+    "top-50 via TakeOrderedAndProject (no global sort at gate).",
+)
+def mixture_schedule_topk(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy("lang").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n_l"),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "lang",
+            "rn",
+            F.expr(f"(rn * {_MIX_SCALE}) DIV n_l").alias("pos"),
+        )
+        .orderBy("pos", "lang", "doc_id")
+        .limit(_MIX_TOPK)
+    )

@@ -598,3 +598,67 @@ def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("cos_sim") >= _SEMDEDUP_TAU)
         .select("vec_a", "vec_b", "cluster", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+_HARDNEG_CAP = 0.9
+
+
+@register(
+    "emb_hard_negatives_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id IN {_QUERY_IDS}
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+            {cosine_sql("q.q_emb", "e.embedding", DUCK_AT)} AS cos_sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+        SELECT q_id, vec_id, cos_sim,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored WHERE cos_sim < {_HARDNEG_CAP}
+    ) WHERE rn <= {_TOPK}
+    """,
+    doc="Hard-negative mining for contrastive training: per query, "
+    "the top-k MOST similar candidates that are still BELOW the "
+    "positive/near-dup ceiling (cos < 0.9) — the 'hard' band that "
+    "drives embedding-model training signal, excluding near-"
+    "duplicates that would be false negatives. Same broadcast + "
+    "hoisted-norm pair scoring as emb_cosine_topk with the ceiling "
+    "pushed below the ranking window; at corpus scale the scoring "
+    "side swaps in the IVF probe (emb_ivfpq_* path) unchanged.",
+)
+def hard_negatives_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = _emb(spark, sf)
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("q_norm"),
+    )
+    e_n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("e_norm"),
+    )
+    pair_cos = (
+        f"({dot_sql('q_emb', 'embedding', SPARK_AT)}) / "
+        f"nullif(q_norm * e_norm, 0.0)"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e_n, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.expr(pair_cos).alias("cos_sim"))
+        .filter(F.col("cos_sim") < _HARDNEG_CAP)
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "vec_id", "cos_sim")
+    )

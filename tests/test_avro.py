@@ -620,3 +620,101 @@ def test_windowed_avro_backfill_many_windows_bounded_fds(spark, tmp_path):
         _, rs = A.read_container(open(os.path.join(out, n), "rb").read())
         got.extend(rs)
     assert {r["k"] for r in got} == {f"r{i}" for i in range(70)}
+
+
+class TestSchemaResolution:
+    W = {
+        "type": "record", "name": "E", "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "gone", "type": "string"},
+            {"name": "amt", "type": "float"},
+            {"name": "tags", "type": {"type": "array", "items": "int"}},
+        ],
+    }
+    R = {
+        "type": "record", "name": "E", "fields": [
+            {"name": "amt", "type": "double"},       # reordered + promoted
+            {"name": "id", "type": "long"},          # promoted
+            {"name": "added", "type": "string", "default": "x"},
+            {"name": "tags", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+
+    def test_reorder_skip_default_promote(self):
+        from scio_db_spark.functions.avroio import (
+            decode_record_resolved,
+            encode_record,
+        )
+
+        data = encode_record(
+            self.W, {"id": 7, "gone": "bye", "amt": 2.5, "tags": [1, 2]}
+        )
+        got = decode_record_resolved(self.W, self.R, data)
+        assert got == {
+            "amt": 2.5, "id": 7, "added": "x", "tags": [1, 2]
+        }
+        assert isinstance(got["id"], int)
+        assert isinstance(got["amt"], float)
+        assert "gone" not in got
+
+    def test_identity_resolution_matches_plain_decode(self):
+        from scio_db_spark.functions.avroio import (
+            decode_record,
+            decode_record_resolved,
+            encode_record,
+        )
+
+        rec = {"id": 1, "gone": "g", "amt": 1.5, "tags": []}
+        data = encode_record(self.W, rec)
+        assert decode_record_resolved(self.W, self.W, data) == \
+            decode_record(self.W, data)
+
+    def test_missing_default_refuses(self):
+        import pytest
+
+        from scio_db_spark.functions.avroio import (
+            decode_record_resolved,
+            encode_record,
+        )
+
+        bad_reader = {
+            "type": "record", "name": "E", "fields": [
+                {"name": "id", "type": "int"},
+                {"name": "nodefault", "type": "string"},
+            ],
+        }
+        data = encode_record(
+            self.W, {"id": 1, "gone": "", "amt": 0.0, "tags": []}
+        )
+        with pytest.raises(ValueError, match="no default"):
+            decode_record_resolved(self.W, bad_reader, data)
+
+    def test_union_branch_reresolution(self):
+        from scio_db_spark.functions.avroio import (
+            decode_record_resolved,
+            encode_record,
+        )
+
+        w = {"type": "record", "name": "U", "fields": [
+            {"name": "v", "type": ["null", "int"]}]}
+        r = {"type": "record", "name": "U", "fields": [
+            {"name": "v", "type": ["null", "long"]}]}
+        for val in (None, 42):
+            data = encode_record(w, {"v": val})
+            assert decode_record_resolved(w, r, data) == {"v": val}
+
+    def test_illegal_demotion_refuses(self):
+        import pytest
+
+        from scio_db_spark.functions.avroio import (
+            decode_record_resolved,
+            encode_record,
+        )
+
+        w = {"type": "record", "name": "D", "fields": [
+            {"name": "v", "type": "double"}]}
+        r = {"type": "record", "name": "D", "fields": [
+            {"name": "v", "type": "int"}]}
+        data = encode_record(w, {"v": 1.5})
+        with pytest.raises(ValueError, match="not a legal promotion"):
+            decode_record_resolved(w, r, data)
