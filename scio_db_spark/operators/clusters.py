@@ -37,11 +37,11 @@ from pyspark.sql import functions as F
 
 
 def _symmetrize(e: DataFrame) -> DataFrame:
-    return (
-        e.unionByName(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        .distinct()
+    # NO distinct: the consumers aggregate with MIN (duplicate
+    # neighbors can't change a min) and the emit sets are distinct'd
+    # downstream — the dedup shuffle here was pure cost.
+    return e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
 
 
@@ -91,8 +91,6 @@ def _cc_star(
             e.select(F.col("a").alias("v"), F.col("b").alias("label")),
             0,
         )
-    prev: DataFrame | None = None
-    prev_cnt = -1
     for rounds in range(1, max_iterations + 1):
         # LARGE-STAR: per node u, connect every LARGER neighbor to
         # m = min(Γ(u) ∪ {u}). Output edges all point "down" toward
@@ -110,9 +108,12 @@ def _cc_star(
         )
         # SMALL-STAR: per node u, route u and its SMALLER neighbors to
         # m = min of that set. Every output edge (v, m) has m < v, so
-        # the result is canonically oriented.
-        sym1 = _symmetrize(e1)
-        grp = sym1.filter(F.col("b") < F.col("a"))
+        # the result is canonically oriented. Large-star's output is
+        # ALREADY canonically oriented (it emits (v, m) with v > u >=
+        # m only), so the symmetrize-then-filter(b < a) the textbook
+        # form starts from is an identity here — e1 IS the grouped
+        # view, one union+filter shuffle saved per round.
+        grp = e1
         smin = grp.groupBy("a").agg(F.min("b").alias("__m"))
         out1 = (
             grp.join(smin, "a")
@@ -126,22 +127,35 @@ def _cc_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        cnt = e2.count()
-        if prev is not None and cnt == prev_cnt:
-            gone = (
-                e2.join(prev, ["a", "b"], "left_anti").limit(1).count()
+        # In-round fixpoint test — no confirm round (which would
+        # double the rounds on the shallow graphs dedup actually
+        # produces): e2 is a star FOREST iff no edge target is also a
+        # source AND no source carries two targets. A star forest
+        # spanning each original component must be centered at the
+        # component MINIMUM (edges always point down, so the min can't
+        # be a leaf), so stopping here yields the correct labels.
+        chained = e2.select(F.col("b").alias("x")).join(
+            e2.select(F.col("a").alias("x")), "x"
+        )
+        multi = (
+            e2.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > 1)
+        )
+        not_star = (
+            chained.select(F.lit(1).alias("one"))
+            .unionByName(multi.select(F.lit(1).alias("one")))
+            .limit(1)
+            .count()
+        )
+        if not_star == 0:
+            labels = e2.select(
+                F.col("a").alias("v"), F.col("b").alias("label")
+            ).unionByName(
+                e2.select(F.col("b").alias("v")).distinct()
+                .withColumn("label", F.col("v"))
             )
-            if gone == 0:
-                # fixpoint: every component is a star centered at its
-                # minimum — the edge list IS the label map
-                labels = e2.select(
-                    F.col("a").alias("v"), F.col("b").alias("label")
-                ).unionByName(
-                    e2.select(F.col("b").alias("v")).distinct()
-                    .withColumn("label", F.col("v"))
-                )
-                return labels, rounds
-        prev, prev_cnt = e2, cnt
+            return labels, rounds
         e = e2
     # Silently-wrong cluster labels would split duplicate clusters
     # downstream — fail loudly instead (raise, never truncate).
