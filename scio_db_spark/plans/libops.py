@@ -1512,3 +1512,224 @@ if _PQ is not None:
             .filter(F.col("rn") <= 5)
             .select("q_id", "vec_id", "l2")
         )
+
+
+# --------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_SCALE = 1000000000
+_RRF_TOPK = 20
+
+
+def _bm25_q4_sql() -> str:
+    """The docs_bm25_scores oracle body, reused as a CTE-able block."""
+    return f"""
+    WITH lengths AS (
+        SELECT doc_id, len({_TOKS_SQL}) AS dl FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl FROM lengths
+    ),
+    hits AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+        ) WHERE word IN {_BM25_TERMS}
+    ),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM hits GROUP BY doc_id, word
+    ),
+    dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    idf AS (
+        SELECT word, ln(1.0 + ((CAST((SELECT n FROM stats) AS DOUBLE) - df)
+                               + 0.5) / (df + 0.5)) AS idf
+        FROM dfq
+    ),
+    per_term AS (
+        SELECT tf.doc_id,
+            idf.idf * tf.tf * CAST('{(_BM25_K1 + 1)!r}' AS DOUBLE)
+            / (tf.tf + CAST('{_BM25_K1!r}' AS DOUBLE)
+               * (CAST('{(1 - _BM25_B)!r}' AS DOUBLE)
+                  + (CAST('{_BM25_B!r}' AS DOUBLE) * lengths.dl)
+                    / (SELECT avgdl FROM stats))) AS contrib
+        FROM tf
+        JOIN idf USING (word)
+        JOIN lengths USING (doc_id)
+    )
+    SELECT doc_id,
+        CAST(floor(sum(contrib) * 10000.0) AS BIGINT) AS score_q4
+    FROM per_term GROUP BY doc_id
+    """
+
+
+@register(
+    "docs_hybrid_rrf_topk",
+    oracle=f"""
+    WITH bm25 AS ({_bm25_q4_sql()}),
+    rawtf AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS qtf FROM (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+        ) WHERE word IN {_BM25_TERMS} GROUP BY doc_id
+    ),
+    r1 AS (
+        SELECT doc_id, row_number() OVER (
+            ORDER BY score_q4 DESC, doc_id) AS rnk FROM bm25
+    ),
+    r2 AS (
+        SELECT doc_id, row_number() OVER (
+            ORDER BY qtf DESC, doc_id) AS rnk FROM rawtf
+    ),
+    fused AS (
+        SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+            coalesce({_RRF_SCALE} // ({_RRF_K} + r1.rnk), 0)
+            + coalesce({_RRF_SCALE} // ({_RRF_K} + r2.rnk), 0) AS rrf_q
+        FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+    )
+    SELECT doc_id, rrf_q FROM fused
+    ORDER BY rrf_q DESC, doc_id LIMIT {_RRF_TOPK}
+    """,
+    doc="Hybrid retrieval fusion by Reciprocal Rank Fusion "
+    "(Cormack et al., SIGIR'09): two retrieval signals for the same "
+    "query (BM25 and raw query-term frequency) are fused by "
+    "rrf = sum 1/(60 + rank) — ranks only, so incomparable score "
+    "scales need no calibration; the production pairing swaps the "
+    "second leg for the ANN cosine list (emb_ivfpq_* path) "
+    "unchanged, since RRF never looks at scores. Contributions are "
+    "exact integers (10^9 DIV (60+rank)); ranks come from the "
+    "already-quantized score_q4, so the whole fusion is "
+    "engine-exact. Plan: two ranked lists (window over the scored "
+    "frames) + ONE full outer equi-join on doc_id + "
+    "TakeOrderedAndProject.",
+)
+def hybrid_rrf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from scio_db_spark.operators.relevance import bm25_scores
+
+    d = table(spark, sf, "documents")
+    bm25 = bm25_scores(
+        d, list(_BM25_TERMS),
+        id_col="doc_id", text_col="text", k1=_BM25_K1, b=_BM25_B,
+    ).select(
+        "doc_id",
+        F.floor(F.col("score") * 10000.0).cast("bigint").alias("q4"),
+    )
+    from scio_db_spark.functions.text import tokens as _tokens
+
+    toks = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word").isin(*_BM25_TERMS))
+    rawtf = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("qtf")
+    )
+    r1 = bm25.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("q4"), F.asc("doc_id")))
+        .alias("rnk1"),
+    )
+    r2 = rawtf.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("qtf"), F.asc("doc_id")))
+        .alias("rnk2"),
+    )
+    fused = (
+        r1.join(r2, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"{_RRF_SCALE} DIV ({_RRF_K} + rnk1)"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr(f"{_RRF_SCALE} DIV ({_RRF_K} + rnk2)"),
+                    F.lit(0),
+                )
+            ).alias("rrf_q"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_q"), F.asc("doc_id")).limit(
+        _RRF_TOPK
+    )
+
+
+def _l2_topk_sql(topk: int = 5) -> str:
+    return f"""
+    SELECT q_id, vec_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id,
+            row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY {l2_sql("q.embedding", "e.embedding", DUCK_AT)},
+                         e.vec_id) AS rn
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id IN {_IVF_T_QUERY_IDS}
+    ) WHERE rn <= {topk}
+    """
+
+
+if _PQ is not None:
+    @register(
+        "emb_ivfpq_recall_census",
+        oracle=f"""
+        WITH ivfpq AS ({_ivfpq_rerank_oracle_sql()}),
+        exact AS ({_l2_topk_sql()})
+        SELECT e.q_id,
+            CAST(count(*) AS BIGINT) AS n_exact,
+            CAST(coalesce(sum(CASE WHEN i.vec_id IS NOT NULL
+                                   THEN 1 END), 0) AS BIGINT) AS n_hits,
+            CAST(coalesce(sum(CASE WHEN i.vec_id IS NOT NULL
+                                   THEN 1 END), 0) * 1000
+                 // count(*) AS BIGINT) AS recall_permille
+        FROM exact e LEFT JOIN ivfpq i
+          ON i.q_id = e.q_id AND i.vec_id = e.vec_id
+        GROUP BY e.q_id
+        """,
+        doc="Recall census for the composed IVFADC+rerank path "
+        "(emb_ivfpq_rerank_topk) against the exact L2 top-5 ground "
+        "truth — the same gate-checked eval contract the IVF family "
+        "carries (emb_ann_recall_census), extended to the PQ "
+        "pipeline. Ground truth IS the brute-force L2 ranking (the "
+        "metric ADC approximates), so the census isolates "
+        "coarse-cell loss + shortlist loss; SCALE.md's round-7 "
+        "ladder shows the re-rank recovers ALL PQ distortion at "
+        "R=100, pinning the residual on the k=16 codebook.",
+    )
+    def ivfpq_recall_census(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        e = table(spark, sf, "embeddings")
+        q = e.filter(
+            F.col("vec_id").isin(*_IVF_T_QUERY_IDS)
+        ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("__qe"),
+        )
+        ce = e.select("vec_id", F.col("embedding").alias("__ce"))
+        l2 = F.expr(l2_sql("__qe", "__ce", SPARK_AT))
+        w = Window.partitionBy("q_id").orderBy(
+            F.asc("__l2"), F.asc("vec_id")
+        )
+        exact = (
+            F.broadcast(q)
+            .join(ce, F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", l2.alias("__l2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("q_id", "vec_id")
+        )
+        got = ivfpq_rerank_topk(spark, sf).select(
+            "q_id", "vec_id", F.lit(1).alias("hit")
+        )
+        return (
+            exact.join(got, ["q_id", "vec_id"], "left")
+            .groupBy("q_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.coalesce(F.sum("hit"), F.lit(0))
+                .cast("long")
+                .alias("n_hits"),
+                F.expr(
+                    "CAST(coalesce(sum(hit), 0) * 1000 DIV count(*) "
+                    "AS BIGINT)"
+                ).alias("recall_permille"),
+            )
+        )
