@@ -443,3 +443,73 @@ def global_running_sum(
         .withColumnRenamed("__total_v", total_col)
         .drop("__grank", "__total_n")
     )
+
+
+def global_running_max(
+    df: DataFrame,
+    order_by: list[Column],
+    val_col: str,
+    cum_col: str = "cum_max",
+    rank_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``max(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` (and
+    optionally the global rank) without a SinglePartition window.
+
+    Same two-pass shape as global_running_sum: per-pid local running
+    max, plus a P-row offsets frame whose prefix combine is GREATEST
+    instead of +. Max is not invertible but it IS associative and
+    commutative, which is all the decomposition needs. ``val_col``
+    must be an orderable exact type (integers here; the guard rides
+    the shared core).
+    """
+    pided = _with_pid(df, order_by, num_partitions, 64)
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    numbered = pided.withColumn(
+        "__lrn", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "__lmax",
+        F.max(val_col).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    counts = pided.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max(val_col).alias("__mx"),
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        F.col("__pid"),
+        F.col("__n"),
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+        F.max("__mx").over(w_off).alias("__moff"),  # NULL for pid 0
+    )
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("__lrn") <= F.col("__n"),
+            F.lit(
+                "rank core: partition-id derivation diverged between "
+                "branches (see operators/rank.py)"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    out = numbered.join(F.broadcast(offsets), "__pid").withColumn(
+        cum_col,
+        # greatest() skips NULLs, so an empty prefix (pid 0) falls
+        # back to the local running max alone
+        F.greatest(F.col("__moff"), F.col("__lmax")),
+    )
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col,
+            (F.col("__off") + F.col("__lrn") + guard).cast("long"),
+        )
+    else:
+        out = out.withColumn(
+            cum_col,
+            F.col(cum_col) + (guard - guard),  # keep guard alive
+        )
+    return out.drop("__pid", "__lrn", "__lmax", "__off", "__n", "__moff")

@@ -1141,3 +1141,78 @@ def orders_priority_sample_by_status(
         _PRIO_GRP_K,
         salt="r7",
     )
+
+
+@register(
+    "cust_pareto_skyline",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS spend_cents,
+            CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, spend_cents, n_orders FROM rev a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM rev b
+        WHERE b.spend_cents >= a.spend_cents
+          AND b.n_orders >= a.n_orders
+          AND (b.spend_cents > a.spend_cents
+               OR b.n_orders > a.n_orders)
+    )
+    """,
+    doc="2-D Pareto skyline (maximal vectors): customers not "
+    "dominated on (total spend, order count) — the classic skyline "
+    "operator, whose naive form is an O(n^2) NOT-EXISTS self-join. "
+    "Distributed shape: reduce to one row per DISTINCT spend (group "
+    "max of n), then ONE pass of rank-core global running max over "
+    "the spend-descending order (operators/rank.py::"
+    "global_running_max — two-pass, no SinglePartition); a customer "
+    "is in the skyline iff its n equals its spend-group's max AND "
+    "strictly exceeds the running max of every higher-spend group "
+    "(fetched by an equi-join on rank-1 — no window lag funnel). "
+    "Oracle = the quadratic dominance anti-join, affordable at gate "
+    "SF; the Spark path is O(n log n)-ish work and fully "
+    "partitioned.",
+)
+def cust_pareto_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.rank import global_running_max
+
+    o = table(spark, sf, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT)"
+        ).alias("spend_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    groups = rev.groupBy("spend_cents").agg(
+        F.max("n_orders").alias("gmax")
+    )
+    inc = global_running_max(
+        groups,
+        [F.desc("spend_cents")],
+        "gmax",
+        cum_col="inc_max",
+        rank_col="rk",
+    )
+    prev = inc.select(
+        (F.col("rk") + 1).alias("rk"),
+        F.col("inc_max").alias("excl_max"),
+    )
+    ginfo = (
+        inc.join(prev, "rk", "left")
+        .select("spend_cents", "gmax", "excl_max")
+    )
+    return (
+        rev.join(ginfo, "spend_cents")
+        .filter(
+            (F.col("n_orders") == F.col("gmax"))
+            & (
+                F.col("excl_max").isNull()
+                | (F.col("n_orders") > F.col("excl_max"))
+            )
+        )
+        .select("o_custkey", "spend_cents", "n_orders")
+    )

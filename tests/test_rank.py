@@ -180,3 +180,41 @@ def test_rank_binary_search_matches_many_partition_counts(spark):
             ).collect()
         }
         assert got == oracle, f"mismatch at P={p}"
+
+
+def test_global_running_max_matches_window_oracle(spark):
+    from pyspark.sql import Window
+
+    from scio_db_spark.operators.rank import global_running_max
+
+    df = spark.range(2000).select(
+        (F.col("id") * 2654435761 % 997).alias("s"),
+        F.col("id").alias("tb"),
+        ((F.col("id") * 48271) % 313).alias("v"),
+    )
+    oracle = {
+        (r.s, r.tb): r.m
+        for r in df.withColumn(
+            "m",
+            F.max("v").over(
+                Window.orderBy(F.desc("s"), F.asc("tb")).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).collect()
+    }
+    for p in (4, 32, 200):
+        got = {
+            (r.s, r.tb): (r.cum_max, r.rk)
+            for r in global_running_max(
+                df,
+                [F.desc("s"), F.asc("tb")],
+                "v",
+                rank_col="rk",
+                num_partitions=p,
+            ).collect()
+        }
+        assert {k: v[0] for k, v in got.items()} == oracle, f"P={p}"
+        assert sorted(v[1] for v in got.values()) == list(
+            range(1, 2001)
+        )
