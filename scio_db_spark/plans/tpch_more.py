@@ -665,3 +665,37 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("promo_pct")
         )
     )
+
+
+# --------------------------------------------------------------------------
+_SQL_GROUPING_SETS = """
+    SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+             AS BIGINT) AS gid,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register(
+    "orders_grouping_sets_census",
+    oracle=_SQL_GROUPING_SETS,
+    doc="GROUPING SETS surface: three aggregation grains in ONE scan "
+    "(per status, per priority, grand total), distinguished by "
+    "grouping() flags — the ad-hoc-grain companion to "
+    "cube_order_status_priority, executed as raw spark.sql() text "
+    "over the registered catalog views. Spark plans one Expand + one "
+    "hash aggregate: the fact table is read once for all grains, the "
+    "property dashboards need at 100 TB (three separate GROUP BYs "
+    "would triple the scan).",
+)
+def orders_grouping_sets_census(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from scio_db_spark.plans.catalog import register_temp_views
+
+    register_temp_views(spark, sf)
+    return spark.sql(_SQL_GROUPING_SETS)
