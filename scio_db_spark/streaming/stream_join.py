@@ -86,3 +86,42 @@ def interval_stream_join(
         *[lw[c] for c in left.columns if c != key],
         *[rw[c] for c in right.columns if c != key],
     )
+
+
+def absence_detect_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within_s: int,
+    watermark_s: int,
+) -> DataFrame:
+    """Left rows with NO right match within ``within_s`` seconds —
+    the conversion-timeout / missing-follow-up detector (views that
+    never purchased, requests that never acked).
+
+    Built on the leftOuter interval join: Spark emits the null-padded
+    row for a left row ONLY once the watermark passes its last
+    possible match time (left_ts + within_s + lateness budget), so an
+    absence is a PROVEN absence, not a not-yet. The emission is
+    therefore watermark-paced by construction — batch equivalence
+    holds on the row SET once the watermark has passed every left
+    row's horizon (pinned in tests/test_stream_join.py), while
+    emission TIME depends on stream progress, which no batch twin can
+    express. State stays time-bounded exactly as the inner form.
+    """
+    j = interval_stream_join(
+        left,
+        right,
+        key=key,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        lower_s=0,
+        upper_s=within_s,
+        watermark_s=watermark_s,
+        how="leftOuter",
+    )
+    return j.filter(F.col(right_ts).isNull()).select(
+        key, *[c for c in left.columns if c != key]
+    )

@@ -120,3 +120,37 @@ def test_guards_reject_unbounded_and_ambiguous(spark):
         interval_stream_join(
             l, r2, "user", "view_ts", "buy_ts", 100, 0, 60
         )
+
+
+def test_left_outer_emits_nulls_after_watermark_horizon(spark):
+    """Outer rows must appear exactly once the watermark proves no
+    match can arrive — and never for left rows that DID match."""
+    from scio_db_spark.streaming.stream_join import absence_detect_stream
+
+    def _absence(l, r):
+        return absence_detect_stream(
+            l, r, key="user", left_ts="view_ts", right_ts="buy_ts",
+            within_s=3600, watermark_s=600,
+        )
+
+    h = DualStreamHarness(spark, L_SCHEMA, R_SCHEMA)
+    h.start(_absence, output_mode="append")
+    # user 9's view never converts; user 1 converts inside the hour
+    h.add_batches(
+        [(9, _t(0), "home"), (1, _t(1), "product")],
+        [(1, _t(5), 100)],
+    )
+    # nothing can be emitted yet: watermark hasn't passed the horizon
+    early = list(h.results())
+    # advance both watermarks far past view + 3600s + 600s lateness
+    h.add_batches(
+        [(99, datetime(2024, 1, 1, 14, 0), "advancer")],
+        [(99, datetime(2024, 1, 1, 14, 0), 1)],
+    )
+    got = sorted((r.user, r.page) for r in h.results())
+    h.stop()
+    assert (9, "home") in got
+    assert all(u != 1 for u, _ in got), "matched row leaked as absence"
+    # before the advancer batch the watermark was still at the first
+    # batch's horizon: no absence row may have been emitted yet
+    assert early == []
