@@ -42,7 +42,13 @@ def epsilon_self_join(
         raise ValueError(f"eps must be >= 0, got {eps}")
     parts = partition_cols or []
     w = max(eps, 1)
-    band = F.floor(F.col(value_col) / F.lit(w)).cast("long")
+    # floor division in PURE integer arithmetic: value/w as doubles
+    # would round for |value| >= 2^53 and put a boundary value in the
+    # wrong band (a silent false negative). pmod is non-negative, so
+    # (v - pmod(v, w)) DIV w is exact floor division for all int64.
+    band = F.expr(
+        f"({value_col} - pmod({value_col}, {w})) DIV {w}"
+    ).cast("long")
     base = df.select(
         *parts,
         F.col(id_col),

@@ -206,3 +206,24 @@ def test_epsilon_self_join_no_nested_loop_and_exact(spark):
         if ga == gb and va == vb
     )
     assert got0 == want0
+
+
+def test_epsilon_self_join_exact_at_extreme_magnitudes(spark):
+    """Band assignment must be exact integer floor division: values
+    past 2^53 (where double division rounds) and negative values must
+    still pair correctly."""
+    big = (1 << 60) + 12345
+    rows = [
+        (1, big), (2, big + 3),          # within eps at 2^60
+        (3, big + 100),                   # outside eps
+        (4, -7), (5, -4),                 # negative, within eps
+        (6, -1000),
+    ]
+    from scio_db_spark.operators.bandjoin import epsilon_self_join
+
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in epsilon_self_join(df, "id", "v", eps=4).collect()
+    )
+    assert got == [(1, 2), (4, 5)]
