@@ -239,14 +239,23 @@ def _with_pid(
     if two_level:
         m, s = p - 1, _block_size(p - 1)
         nblocks = -(-m // s)
+        # guard the EMPTY-bounds case (tiny input, no sample rows):
+        # element_at on an empty array throws — mirror the bounds
+        # fallback so every row lands in pid 0 via _pid_probe's own
+        # size()==0 arm
         bframe = bframe.select(
             F.col("__bounds"),
-            F.transform(
-                F.sequence(F.lit(1), F.lit(nblocks)),
-                lambda i: F.element_at(
-                    F.col("__bounds"),
-                    F.least(i * F.lit(s), F.lit(m)).cast("int"),
+            F.when(
+                F.size(F.col("__bounds")) > 0,
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(nblocks)),
+                    lambda i: F.element_at(
+                        F.col("__bounds"),
+                        F.least(i * F.lit(s), F.lit(m)).cast("int"),
+                    ),
                 ),
+            ).otherwise(
+                F.filter(F.col("__bounds"), lambda _: F.lit(False))
             ).alias("__blocks"),
         )
     # ONE-ROW broadcast (BroadcastNestedLoopJoin by necessity — there

@@ -125,3 +125,50 @@ def test_interval_join_matches_bruteforce_model(spark, left, right):
         if lk == rk and lt <= rt <= lt + 5
     }
     assert got == expected
+
+
+_mix_vals = st.lists(
+    st.tuples(
+        st.integers(min_value=-(1 << 62), max_value=1 << 62),
+        st.floats(
+            min_value=-1e9, max_value=1e9,
+            allow_nan=False, allow_infinity=False,
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=_mix_vals, nparts=st.sampled_from([2, 7, 150]))
+def test_global_rank_desc_mixed_types_and_two_level_probe(
+    spark, vals, nparts
+):
+    """Exercises the round-7 probe rewrite: DESC folding via
+    bitwise-NOT (long) and negation (double), extreme magnitudes, and
+    (at nparts=150 >= _TWO_LEVEL_MIN_P) the two-level block search."""
+    df = spark.createDataFrame(
+        [Row(id=i, a=a, b=float(b)) for i, (a, b) in enumerate(vals)],
+        "id long, a long, b double",
+    )
+    out = global_rank(
+        df,
+        [F.desc("a"), F.desc("b"), F.asc("id")],
+        rank_col="rk",
+        num_partitions=nparts,
+    )
+    got = {r.id: r.rk for r in out.collect()}
+    expected = {
+        i: pos + 1
+        for pos, (i, _) in enumerate(
+            sorted(
+                enumerate(vals), key=lambda t: (-t[1][0], -t[1][1], t[0])
+            )
+        )
+    }
+    assert got == expected

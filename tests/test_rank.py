@@ -218,3 +218,31 @@ def test_global_running_max_matches_window_oracle(spark):
         assert sorted(v[1] for v in got.values()) == list(
             range(1, 2001)
         )
+
+
+def test_two_level_probe_survives_empty_sample(spark):
+    """Tiny input at P >= _TWO_LEVEL_MIN_P: the hash sample is likely
+    EMPTY, so the bounds AND the block-representative arrays are empty
+    — every row must land in pid 0 instead of element_at throwing
+    (caught by hypothesis under -W error in round 7)."""
+    from scio_db_spark.operators.rank import global_rank
+
+    df = spark.createDataFrame(
+        [(i, i * 3 % 7) for i in range(5)], "id long, v long"
+    )
+    got = {
+        r.id: r.rank
+        for r in global_rank(
+            df, [F.asc("v"), F.asc("id")], num_partitions=256
+        ).collect()
+    }
+    expected = {
+        i: pos + 1
+        for pos, (i, _) in enumerate(
+            sorted(
+                ((i, i * 3 % 7) for i in range(5)),
+                key=lambda t: (t[1], t[0]),
+            )
+        )
+    }
+    assert got == expected
