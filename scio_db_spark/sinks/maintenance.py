@@ -152,18 +152,32 @@ def compact(
     spark: SparkSession,
     path: str,
     target_bytes: int = _TARGET_BYTES_DEFAULT,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """Bin-pack ``path``'s parquet files toward ``target_bytes`` each.
 
     Returns {files_before, files_after, rows}. Skips (and reports)
-    when the directory is already a single adequately-sized file.
-    Partition-dir layouts should be compacted per leaf directory so
-    partition pruning survives; this operates on one leaf.
+    when the directory is already a single adequately-sized file —
+    unless ``sort_by`` is given, which always rewrites (a layout
+    change is the point). Partition-dir layouts should be compacted
+    per leaf directory so partition pruning survives; this operates
+    on one leaf.
+
+    ``sort_by``: cluster the rewritten data on these columns
+    (repartitionByRange + sortWithinPartitions), so each output FILE
+    and each parquet ROW GROUP covers a narrow, near-disjoint range
+    of the sort key. Parquet stores per-row-group min/max statistics;
+    a filter on the sort column then skips whole row groups and —
+    with file-level stats — whole files at planning time. At 100 TB
+    this is the difference between scanning the full table and
+    touching the few files a time/key predicate selects (the same
+    lever a transactional format's OPTIMIZE ZORDER pulls; single-key
+    clustering here, which Spark expresses natively).
     """
     finish_compact_swap(path)
     finish_upsert(spark, path)
     files = _parquet_files(path)
-    if len(files) <= 1:
+    if len(files) == 0 or (len(files) <= 1 and not sort_by):
         return {
             "files_before": len(files),
             "files_after": len(files),
@@ -178,7 +192,15 @@ def compact(
     # repartition (not coalesce): coalesce would chain the upstream
     # scan tasks 1:1 into few writers and lose read parallelism of the
     # compaction job itself on big inputs.
-    df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+    if sort_by:
+        from pyspark.sql import functions as _F  # noqa: F401
+
+        clustered = df.repartitionByRange(
+            int(n_out), *sort_by
+        ).sortWithinPartitions(*sort_by)
+        clustered.write.mode("overwrite").parquet(tmp)
+    else:
+        df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
     check = spark.read.parquet(tmp).count()
     if check != n_rows:
         shutil.rmtree(tmp, ignore_errors=True)

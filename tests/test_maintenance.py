@@ -384,3 +384,43 @@ def test_unparseable_manifest_raises_actionable_error(spark, tmp_path):
         f.write('{"staged": "x.parquet", "fin')  # truncated JSON
     with pytest.raises(RuntimeError, match="unparseable"):
         m.finish_upsert(spark, path)
+
+
+def test_sort_compact_clusters_row_groups_for_skipping(spark, tmp_path):
+    """sort_by compaction must produce near-disjoint per-file key
+    ranges (parquet min/max stats), so a key predicate can skip files
+    and row groups; the data itself must be lossless."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "sorted")
+    # write interleaved keys across many files: every file initially
+    # spans the whole key range (no skipping possible)
+    for i in range(8):
+        spark.range(i, 800, 8).select(
+            F.col("id"), (F.col("id") % 13).alias("x")
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def ranges():
+        out = []
+        for f in _parquet_files(path):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # id
+                out.append((col.statistics.min, col.statistics.max))
+        return sorted(out)
+
+    before = ranges()
+    # every pre-compact file overlaps every other (full-range spans)
+    assert all(lo < 8 and hi >= 792 for lo, hi in before)
+
+    before_rows = {r.id for r in spark.read.parquet(path).collect()}
+    stats = compact(
+        spark, path, target_bytes=8 * 1024, sort_by=["id"]
+    )
+    assert not stats.get("skipped")
+    after = ranges()
+    assert len(after) >= 2
+    # clustered: consecutive ranges must not overlap
+    for (lo1, hi1), (lo2, _hi2) in zip(after, after[1:]):
+        assert hi1 <= lo2, f"overlapping ranges {(lo1,hi1)} {(lo2,_hi2)}"
+    assert {r.id for r in spark.read.parquet(path).collect()} == before_rows
