@@ -34,6 +34,7 @@ def asof_join(
     payload_cols: list[str],
     tie_col: str | None = None,
     direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """Left as-of join; right ``payload_cols`` appended (null = no match).
 
@@ -43,7 +44,13 @@ def asof_join(
     next-fact lookups). Forward is the same one-shuffle merge scanned
     in descending time order — ``last(ignorenulls)`` then carries the
     nearest FUTURE fact backward onto each left row; a right row at
-    exactly left.time matches in both directions."""
+    exactly left.time matches in both directions.
+
+    ``tolerance_s`` bounds the match horizon (pandas merge_asof's
+    ``tolerance``): a carried fact further than this many seconds from
+    the left row's time is nulled out after the fill — attribution
+    windows, staleness caps. The merge itself is unchanged (one
+    shuffle); the bound is a post-fill projection."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
     # Fail fast on output-name collisions: a payload column named like
@@ -80,8 +87,13 @@ def asof_join(
     # entire latest right ROW forward atomically — per-column fills
     # would mix values from different right rows whenever the latest
     # row holds a NULL in one payload column but not another.
+    payload_struct_cols = [F.col(c) for c in payload_cols]
+    if tolerance_s is not None:
+        # carry the matched fact's own time inside the payload struct
+        # so the horizon check can run AFTER the fill
+        payload_struct_cols.append(F.col(right_time).alias("__rt"))
     payload_type = right.select(
-        F.struct(*payload_cols).alias("__payload")
+        F.struct(*payload_struct_cols).alias("__payload")
     ).schema["__payload"].dataType
     l_tag = left.select(
         F.col(key).alias("__k"),
@@ -97,7 +109,7 @@ def asof_join(
         F.lit(None).cast(
             l_tag.schema["__left"].dataType
         ).alias("__left"),
-        F.struct(*payload_cols).alias("__payload"),
+        F.struct(*payload_struct_cols).alias("__payload"),
     )
     merged = l_tag.unionByName(r_tag)
     # Backward scans time ascending; forward scans descending, so the
@@ -123,8 +135,23 @@ def asof_join(
         "__left",
         F.last("__payload", ignorenulls=True).over(w).alias("__payload"),
     )
-    out = filled.filter(F.col("__side") == 1).select(
-        *[F.col(f"__left.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__payload.{c}").alias(c) for c in payload_cols],
+    events_only = filled.filter(F.col("__side") == 1)
+    if tolerance_s is None:
+        return events_only.select(
+            *[F.col(f"__left.{c}").alias(c) for c in left.columns],
+            *[F.col(f"__payload.{c}").alias(c) for c in payload_cols],
+        )
+    lt = F.col(f"__left.{left_time}").cast("timestamp").cast("double")
+    rt = F.col("__payload.__rt").cast("timestamp").cast("double")
+    within = (
+        (lt - rt <= F.lit(float(tolerance_s)))
+        if direction == "backward"
+        else (rt - lt <= F.lit(float(tolerance_s)))
     )
-    return out
+    return events_only.select(
+        *[F.col(f"__left.{c}").alias(c) for c in left.columns],
+        *[
+            F.when(within, F.col(f"__payload.{c}")).alias(c)
+            for c in payload_cols
+        ],
+    )

@@ -655,3 +655,83 @@ def delta_join_census(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+_ATTR_WINDOW_S = 3600
+
+
+@register(
+    "events_purchase_attribution",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id, user_id, ts,
+            CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, ts, event_type, event_id FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    ranked AS (
+        SELECT p.event_id, p.cents, t.event_type AS touch,
+            row_number() OVER (PARTITION BY p.event_id
+                               ORDER BY t.ts DESC, t.event_id DESC)
+                AS rn
+        FROM p JOIN t
+          ON t.user_id = p.user_id AND t.ts <= p.ts
+         AND epoch(p.ts) - epoch(t.ts) <= {_ATTR_WINDOW_S}.0
+    ),
+    att AS (SELECT event_id, cents, touch FROM ranked WHERE rn = 1),
+    fused AS (
+        SELECT coalesce(a.touch, 'none') AS touch, p.cents
+        FROM p LEFT JOIN att a ON a.event_id = p.event_id
+    )
+    SELECT touch, CAST(count(*) AS BIGINT) AS n_purchases,
+        CAST(sum(cents) AS BIGINT) AS cents
+    FROM fused GROUP BY touch
+    """,
+    doc="Last-touch attribution: each purchase is credited to the "
+    "user's LATEST click-or-view within a 1-hour window (ties broken "
+    "by event id), 'none' when no touch qualifies — the standard "
+    "marketing-attribution shape. Rides operators/asof.py with the "
+    "new ``tolerance_s`` horizon (pandas merge_asof parity): ONE "
+    "sort-merge fill per user, never a purchase x touch range join; "
+    "the window bound is a post-fill projection, so the join cost is "
+    "unchanged. Oracle = the quadratic ranked range join, affordable "
+    "at gate SF; both engines compare fractional-second epochs as "
+    "doubles, so the 3600 s boundary is bit-identical.",
+)
+def purchase_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.asof import asof_join
+
+    e = _events(spark, sf)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch"),
+        F.col("event_id").alias("touch_id"),
+    )
+    att = asof_join(
+        p,
+        t,
+        key="user_id",
+        left_time="ts",
+        right_time="touch_ts",
+        payload_cols=["touch"],
+        tie_col="touch_id",
+        direction="backward",
+        tolerance_s=_ATTR_WINDOW_S,
+    )
+    return att.groupBy(
+        F.coalesce(F.col("touch"), F.lit("none")).alias("touch")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("cents"),
+    )

@@ -134,3 +134,31 @@ def test_asof_forward_null_left_time_gets_null_payload(spark):
         [Row("a", 1.0, 100)],
     )
     assert got_b == {1: None, 2: 100}
+
+
+def test_asof_tolerance_bounds_the_match_horizon(spark):
+    """tolerance_s: a carried fact further than the horizon nulls out;
+    a fact exactly AT the horizon stays (inclusive, like pandas)."""
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 1000.0, 1), ("a", 5000.0, 2), ("b", 100.0, 3)],
+        "k string, t double, eid int",
+    )
+    right = spark.createDataFrame(
+        [("a", 900.0, 7), ("b", 40.0, 8)],
+        "k string, rt double, fact int",
+    )
+    out = asof_join(
+        left.withColumn("t", F.col("t").cast("timestamp")),
+        right.withColumn("rt", F.col("rt").cast("timestamp")),
+        key="k", left_time="t", right_time="rt",
+        payload_cols=["fact"], tolerance_s=100,
+    )
+    got = {r.eid: r.fact for r in out.collect()}
+    # eid 1: fact at 900, 100s before 1000 -> exactly at horizon: kept
+    # eid 2: fact 4100s stale -> nulled
+    # eid 3: fact 60s before -> kept
+    assert got == {1: 7, 2: None, 3: 8}
