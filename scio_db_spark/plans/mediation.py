@@ -1859,3 +1859,85 @@ def events_value_twins_eps(spark: SparkSession, sf: str) -> DataFrame:
             "cents_b",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# nullif guards the degenerate pooled variance (p = 0 or 1 — e.g.
+# every user converted): x/0.0 is NULL in non-ANSI Spark, an error in
+# ANSI Spark, and Inf in DuckDB — nullif makes all engines agree on
+# NULL ("test undefined"), the round-2 cosine_sql lesson.
+_AB_Z_EXPR = (
+    "((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) - "
+    "(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))) / "
+    "nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) "
+    "/ CAST(n_a + n_b AS DOUBLE)) "
+    "* (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) "
+    "* (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 0.0)"
+)
+
+
+@register(
+    "events_ab_test_census",
+    oracle=f"""
+    WITH assign AS (
+        SELECT user_id, user_id % 2 AS variant,
+            max(CASE WHEN event_type = 'purchase' AND value > 80
+                     THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    counts AS (
+        SELECT
+            CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                AS BIGINT) AS conv_a,
+            CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
+            CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                AS BIGINT) AS conv_b
+        FROM assign
+    )
+    SELECT n_a, conv_a, n_b, conv_b, {_AB_Z_EXPR} AS z
+    FROM counts
+    """,
+    doc="Two-proportion A/B test: users split by id parity, "
+    "conversion = any high-value purchase (value > 80; plain "
+    "any-purchase saturates at gate SF and degenerates the "
+    "variance); emits the per-variant counts and the "
+    "pooled two-proportion z-score — the experimentation primitive a "
+    "product pipeline runs at every rollout. The z-score is a RAW "
+    "double yet hash-exact across engines: it is one fixed expression "
+    "tree over integer counts using only +,-,*,/ and sqrt, all of "
+    "which IEEE-754 requires to be correctly rounded (unlike ln/exp, "
+    "which force this repo's other float outputs through quantization "
+    "— see docs_bm25_scores). Plan: one user-grain aggregation, one "
+    "global census row of map-side partials.",
+)
+def ab_test_census(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    assign = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 80),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).withColumn("variant", F.col("user_id") % 2)
+    counts = assign.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    return counts.select(
+        "n_a", "conv_a", "n_b", "conv_b", F.expr(_AB_Z_EXPR).alias("z")
+    )
