@@ -1600,8 +1600,7 @@ def _bm25_q4_sql() -> str:
     "TakeOrderedAndProject.",
 )
 def hybrid_rrf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from scio_db_spark.operators.rank import global_rank
     from scio_db_spark.operators.relevance import bm25_scores
 
     d = table(spark, sf, "documents")
@@ -1620,18 +1619,16 @@ def hybrid_rrf_topk(spark: SparkSession, sf: str) -> DataFrame:
     rawtf = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("qtf")
     )
-    r1 = bm25.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("q4"), F.asc("doc_id")))
-        .alias("rnk1"),
-    )
-    r2 = rawtf.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("qtf"), F.asc("doc_id")))
-        .alias("rnk2"),
-    )
+    # ranks via the rank core (two-pass, stays partitioned) — a bare
+    # row_number() OVER (ORDER BY ...) would funnel each retrieval
+    # list through Exchange SinglePartition, and at corpus scale a
+    # common query term makes those lists corpus-sized
+    r1 = global_rank(
+        bm25, [F.desc("q4"), F.asc("doc_id")], rank_col="rnk1"
+    ).select("doc_id", "rnk1")
+    r2 = global_rank(
+        rawtf, [F.desc("qtf"), F.asc("doc_id")], rank_col="rnk2"
+    ).select("doc_id", "rnk2")
     fused = (
         r1.join(r2, "doc_id", "full_outer")
         .select(

@@ -40,6 +40,22 @@ from scio_db_spark.session import SessionFactory
 # fire because Catalyst's window-group-limit / TakeOrderedAndProject
 # rewrite collects top-k without a SinglePartition exchange.
 WHITELIST: set[tuple[str, str]] = {
+    # Rank-core riders (round 7): the BNLJ is the core's ONE-ROW
+    # bounds-frame broadcast probe; the SinglePartition crossings are
+    # the P-row offsets windows (one row per pid) — the data frames
+    # stay range-partitioned (same audit as decile_customer_revenue).
+    ("cust_pareto_skyline", "BroadcastNestedLoopJoin"),
+    ("cust_pareto_skyline", "SinglePartition"),
+    ("docs_hybrid_rrf_topk", "BroadcastNestedLoopJoin"),
+    ("docs_hybrid_rrf_topk", "SinglePartition"),
+    # Exact ANN baselines: the 5-query one-row-per-query broadcast
+    # probed against the collection (vec_id != q_id has no equi key) —
+    # the documented brute-force-eval shape shared with
+    # emb_cosine_topk; the "loop" is 5 rows x collection, linear.
+    ("emb_hard_negatives_topk", "BroadcastNestedLoopJoin"),
+    ("emb_ivfpq_recall_census", "BroadcastNestedLoopJoin"),
+    # Global census row: ONE row of map-side partials crosses.
+    ("events_ab_test_census", "SinglePartition"),
     # DSIR totals: two global scalar aggs over the 4096-row FEATURE
     # frame (one row out each), cross-joined as a broadcast ONE-ROW
     # constants frame onto the per-feature ratio projection — the BNLJ
