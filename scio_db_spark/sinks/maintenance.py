@@ -451,3 +451,65 @@ def upsert_keys(
         "rows_deleted": stats["rows_deleted"],
         "rows_upserted": n_up,
     }
+
+
+def upsert_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    path: str,
+    key_col: str,
+    seq_col: str | None = None,
+) -> dict:
+    """One micro-batch of a streaming MERGE sink: collapse the batch
+    to its latest row per key (by ``seq_col``, when rows for a key can
+    co-occur in a batch), then upsert into the parquet table.
+
+    Replay-safe by CONVERGENCE rather than by epoch bookkeeping:
+    foreachBatch bodies are at-least-once, and re-applying the same
+    upsert reproduces the identical table state (delete the same keys,
+    append the same rows) — so a post-write pre-checkpoint crash
+    replays into a no-op. That is the file-layout equivalent of a
+    transactional MERGE sink (Delta's streaming merge), with cost
+    ∝ |affected files| + |batch| per epoch via upsert_keys.
+
+    First batch bootstraps the table with a plain write.
+    """
+    latest = batch_df
+    if seq_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if not _parquet_files(path):
+        latest.write.mode("overwrite").parquet(path)
+        return {
+            "files_scanned": 0,
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+            "rows_upserted": latest.count(),
+        }
+    return upsert_keys(spark, path, key_col, latest)
+
+
+def streaming_upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    key_col: str,
+    checkpoint: str,
+    seq_col: str | None = None,
+    trigger: dict | None = None,
+):
+    """Streaming MERGE sink: every micro-batch upserts into the keyed
+    parquet table via upsert_batch (returns the started query)."""
+    writer = stream_df.writeStream.foreachBatch(
+        lambda batch_df, _epoch: upsert_batch(
+            batch_df.sparkSession, batch_df, path, key_col, seq_col
+        )
+    ).option("checkpointLocation", checkpoint)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -424,3 +424,63 @@ def test_sort_compact_clusters_row_groups_for_skipping(spark, tmp_path):
     for (lo1, hi1), (lo2, _hi2) in zip(after, after[1:]):
         assert hi1 <= lo2, f"overlapping ranges {(lo1,hi1)} {(lo2,_hi2)}"
     assert {r.id for r in spark.read.parquet(path).collect()} == before_rows
+
+
+def test_upsert_batch_streaming_merge_semantics(spark, tmp_path):
+    """Micro-batch MERGE: latest-per-key within a batch wins, later
+    batches overwrite earlier keys, replaying a batch converges to
+    the identical state."""
+    from scio_db_spark.sinks.maintenance import upsert_batch
+
+    path = str(tmp_path / "merged")
+    b1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 11), (1, "a2", 12)],
+        "id long, v string, seq long",
+    )
+    upsert_batch(spark, b1, path, "id", seq_col="seq")
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a2", 2: "b"}  # in-batch latest wins
+
+    b2 = spark.createDataFrame(
+        [(2, "b2", 20), (3, "c", 21)], "id long, v string, seq long"
+    )
+    upsert_batch(spark, b2, path, "id", seq_col="seq")
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a2", 2: "b2", 3: "c"}
+
+    # replay of b2 (at-least-once foreachBatch): state must not change
+    upsert_batch(spark, b2, path, "id", seq_col="seq")
+    got2 = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got2 == got
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_streaming_upsert_sink_end_to_end(spark, tmp_path):
+    """Two micro-batches through the real foreachBatch sink: the keyed
+    table holds the latest row per key when the stream drains."""
+    from scio_db_spark.sinks.maintenance import streaming_upsert_sink
+
+    src_dir = str(tmp_path / "in")
+    path = str(tmp_path / "stream_merged")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v string, seq long"
+    # two input files = two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    spark.createDataFrame(
+        [(2, "b2", 3), (3, "c", 4)], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = streaming_upsert_sink(
+        stream, path, "id", ckpt, seq_col="seq",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
