@@ -217,7 +217,14 @@ _DRIVER_VERIFIED = frozenset({
 # green row exists, so the change earns a fresh driver verification.
 # tools/update_driver_verified.py folds the new green back to the
 # canonical name next round; clear this set when that happens.
-_REVERIFY = frozenset()
+_REVERIFY = frozenset({
+    # r7: NEW query that reuses a name a round-5 query (since removed)
+    # had earned a green row under — the artifact-derived verified set
+    # can't distinguish them, and the output semantics differ (3-row
+    # touch census vs the old 5-row shape), so it must re-earn its
+    # driver row.
+    "events_purchase_attribution",
+})
 
 
 def _driver_key(name: str) -> str:

@@ -68,6 +68,12 @@ _QUERIES = [
     "events_rolling_7d_actives",  # contribution-explode rolling distinct
     "orders_snapshot_cdc_diff",   # key-partitioned full outer join (CDC)
     "orders_incremental_agg_census",  # mergeable-state re-aggregation
+    # round-7 families
+    "docs_ppjoin_similarity_pairs",   # prefix-filter exact sim join
+    "events_value_twins_eps",         # epsilon band equi-join
+    "docs_dedup_clusters",            # bounded-round star CC
+    "events_purchase_attribution",    # bounded as-of (one merge fill)
+    "cust_pareto_skyline",            # running-max rank-core rider
 ]
 
 

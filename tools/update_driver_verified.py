@@ -66,7 +66,17 @@ def verified_names(through_round: int | None = None) -> set[str]:
                 and row.get("spark_rows") is not None
             )
             latest[canonical(name)] = ok  # later rounds overwrite
-    return {n for n, ok in latest.items() if ok}
+    # Restrict to CURRENTLY REGISTERED queries: an artifact name whose
+    # query was later removed must not linger in the verified set — a
+    # future query reusing the name would silently INHERIT the dead
+    # query's verification and skip the driver window (bit round 7:
+    # events_purchase_attribution reused a round-5 name with different
+    # output semantics and sorted itself out of the gate).
+    sys.path.insert(0, _REPO_ROOT)
+    from scio_db_spark.plans.registry import all_queries
+
+    registered = set(all_queries())
+    return {n for n, ok in latest.items() if ok and n in registered}
 
 
 def _artifact_names(through_round: int | None = None) -> set[str]:
