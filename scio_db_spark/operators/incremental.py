@@ -102,6 +102,23 @@ def retract_merge(
         key_cols=key_cols,
         measure_cols=[count_col, *measure_cols],
     )
+    # A negative count means the feed retracted rows the state never
+    # held (double-applied deletes, a diff against the wrong base) —
+    # silently keeping or dropping the group would drift the view;
+    # refuse loudly instead (assert_true is NULL on success, so the
+    # coalesce leaves the count unchanged).
+    guard = F.coalesce(
+        F.assert_true(
+            F.col(count_col) >= 0,
+            F.lit(
+                "retract_merge: negative group count — the change "
+                "feed retracts rows the state does not hold "
+                "(operators/incremental.py)"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    merged = merged.withColumn(count_col, F.col(count_col) + guard)
     return merged.filter(F.col(count_col) != 0)
 
 

@@ -283,3 +283,25 @@ def test_retract_merge_drops_vanished_groups(spark):
         ).collect()
     }
     assert got == {"b": (1, 5), "c": (1, 7)}  # 'a' vanished entirely
+
+
+def test_retract_merge_refuses_overdelete(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.operators.incremental import (
+        agg_state,
+        retract_merge,
+    )
+
+    mk = lambda rows: agg_state(
+        spark.createDataFrame(rows, "k string, v long"),
+        key_cols=["k"], sum_cols={"s": F.col("v")}, count_col="n",
+    )
+    state = mk([("a", 1)])
+    retr = mk([("a", 1), ("a", 1)])  # retracts 2 rows from a 1-row group
+    adds = mk([("b", 1)])
+    with pytest.raises(Exception, match="negative group count"):
+        retract_merge(
+            state, retr, adds, key_cols=["k"], measure_cols=["s"]
+        ).collect()
