@@ -1473,10 +1473,41 @@ _PPJOIN_T = 0.5
     "stopword shingles. Oracle = brute-force shared-token Jaccard.",
 )
 def ppjoin_similarity_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    cand = _ppjoin_candidates(spark, sf)
+    """Exact-duplicate collapse + prefix-filter join + expansion.
+
+    Identical token SETS are grouped FIRST (group key = the sorted
+    hash array itself — exact, no signature collisions) and only one
+    representative per group enters the prefix-filter join. Without
+    this, mass duplication is prefix filtering\'s pathological input:
+    every "rare" prefix token\'s df scales with the copy count and
+    candidates grow ~ sum(df^2) — measured as Java-heap exhaustion at
+    the scaling harness\'s x100 factor (99 exact copies per doc),
+    where the collapsed form pairs 500 representatives exactly as at
+    x1. The final answer is reassembled losslessly: identical sets
+    share every intersection count, so member pairs inherit the
+    representative pair\'s jaccard bit-for-bit, and intra-group pairs
+    are jaccard 1.0 by definition (n/n — the same double the oracle\'s
+    division produces).
+    """
     ds = _doc_shingle_hashes(spark, sf)
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = ds.alias("a"), ds.alias("b")
+    sets_ = ds.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("__set")
+    )
+    groups = sets_.groupBy("__set").agg(
+        F.min("doc_id").alias("rep"),
+        F.collect_list("doc_id").alias("__members"),
+    )
+    members = groups.select(
+        "rep", F.explode("__members").alias("doc_id")
+    ).localCheckpoint(eager=True)  # reused by 3 consumers below
+    rep_ds = ds.join(
+        members.filter(F.col("rep") == F.col("doc_id")).select("rep"),
+        ds["doc_id"] == F.col("rep"),
+        "left_semi",
+    )
+    cand = _ppjoin_candidates_ds(rep_ds)
+    sizes = rep_ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = rep_ds.alias("a"), rep_ds.alias("b")
     inter = (
         cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
         .join(
@@ -1491,15 +1522,54 @@ def ppjoin_similarity_pairs(spark: SparkSession, sf: str) -> DataFrame:
     jac = F.col("i").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("i")
     )
-    return (
+    rep_pairs = (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .select(
+            F.col("doc_a").alias("ra"),
+            F.col("doc_b").alias("rb"),
+            jac.alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= _PPJOIN_T)
     )
+    # cross-group expansion: every member pair inherits its
+    # representatives\' jaccard (identical sets); groups are disjoint
+    # so least/greatest restores the doc_a < doc_b contract
+    ma = members.select(
+        F.col("rep").alias("ra"), F.col("doc_id").alias("__da")
+    )
+    mb = members.select(
+        F.col("rep").alias("rb"), F.col("doc_id").alias("__db")
+    )
+    cross = (
+        rep_pairs.join(ma, "ra")
+        .join(mb, "rb")
+        .select(
+            F.least("__da", "__db").alias("doc_a"),
+            F.greatest("__da", "__db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # intra-group pairs: identical sets, jaccard exactly 1.0
+    ia = members.select("rep", F.col("doc_id").alias("__da"))
+    ib = members.select("rep", F.col("doc_id").alias("__db"))
+    intra = (
+        ia.join(ib, "rep")
+        .filter(F.col("__da") < F.col("__db"))
+        .select(
+            F.col("__da").alias("doc_a"),
+            F.col("__db").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def _ppjoin_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    return _ppjoin_candidates_ds(_doc_shingle_hashes(spark, sf))
+
+
+def _ppjoin_candidates_ds(ds: DataFrame) -> DataFrame:
     """Distinct (doc_a, doc_b) candidate pairs from the prefix filter.
 
     Correctness of the filter (why no pair at Jaccard >= t can be
@@ -1512,7 +1582,6 @@ def _ppjoin_candidates(spark: SparkSession, sf: str) -> DataFrame:
     prefix-filter pigeonhole. Separated from the verify step so tests
     can pin the candidate count (the pruning claim) directly.
     """
-    ds = _doc_shingle_hashes(spark, sf)
     dfreq = ds.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("doc_id").orderBy("__df", "h")

@@ -203,3 +203,67 @@ def test_dsir_integer_surrogate_tracks_log_ratio(spark, sf_dir):
         f"integer surrogate diverged from log-ratio DSIR: "
         f"{overlap}/50 overlap"
     )
+
+
+def test_ppjoin_collapse_handles_mass_duplication(spark, sf_dir):
+    """The x100-scaling pathology in miniature: replicate every doc 6x
+    (exact copies). The collapsed join must return the complete answer
+    — all intra-copy pairs at jaccard 1.0 plus every cross near-dup
+    pair — while the prefix join only ever pairs representatives."""
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.plans.catalog import table
+    from scio_db_spark.plans.textops import (
+        _PPJOIN_T,
+        _doc_shingle_hashes,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n0 = docs.count()
+    stride = (
+        docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    )
+    copies = docs
+    for i in range(1, 4):
+        copies = copies.unionByName(
+            docs.select(
+                (F.col("doc_id") + i * stride).alias("doc_id"), "text"
+            )
+        )
+    views = {"documents": copies}
+
+    # run the registered query body against the replicated frame by
+    # monkey-free substitution: rebuild the same pipeline inline
+    import scio_db_spark.plans.textops as T
+
+    real_table = T.table
+    try:
+        T.table = lambda _s, _sf, name: views.get(name) or real_table(
+            _s, _sf, name
+        )
+        out = all_queries()["docs_ppjoin_similarity_pairs"].spark(
+            spark, sf_dir
+        )
+        got = out.collect()
+    finally:
+        T.table = real_table
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in got}
+    # every copy group contributes C(4,2)=6 pairs at jaccard 1.0 for
+    # docs with nonempty shingle sets
+    ds0 = _doc_shingle_hashes(spark, sf_dir)
+    docs_with_sets = ds0.select("doc_id").distinct().count()
+    intra = sum(1 for (a, b), j in pairs.items()
+                if a % stride == b % stride)
+    assert intra >= docs_with_sets * 6 * 0.99
+    assert all(
+        j == 1.0 for (a, b), j in pairs.items() if a % stride == b % stride
+    )
+    # original near-dup pairs appear expanded 16x (4x4 member combos)
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in all_queries()["docs_ppjoin_similarity_pairs"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    for a, b in base:
+        assert (a, b) in pairs

@@ -76,6 +76,19 @@ _QUERIES = [
     "cust_pareto_skyline",            # running-max rank-core rider
 ]
 
+# Per-query factor cap, RECORDED in the artifact (the no-silent-caps
+# rule). The replication used to derive larger factors copies document
+# TEXT verbatim, so at x100 every doc has 99 EXACT duplicates — for
+# prefix filtering that is the known pathological input: every
+# "rare" prefix token's document frequency scales by the copy count,
+# candidate pairs grow ~ sum(df^2) (measured: Java heap exhaustion at
+# x100), and the TRUE answer itself is >= C(100,2) pairs per original
+# doc at Jaccard 1.0. The production composition dodges this by
+# construction: docs_exact_dedup FIRST (hash-collapse identical
+# texts), PPJoin over the representatives — exact duplicates never
+# reach the near-dup join.
+_MAX_FACTOR = {"docs_ppjoin_similarity_pairs": 10}
+
 
 def _build(factor: int) -> str:
     if factor == 1:
@@ -289,6 +302,15 @@ def main() -> int:
             for t in _FACTS
         }
         for name in names:
+            cap = _MAX_FACTOR.get(name)
+            if cap is not None and factor > cap:
+                print(
+                    f"x{factor} {name}: SKIPPED (capped at x{cap}, "
+                    f"see _MAX_FACTOR)",
+                    file=sys.stderr,
+                )
+                times[name][factor] = None
+                continue
             best = float("inf")
             for _ in range(passes):
                 t0 = time.perf_counter()
@@ -312,6 +334,7 @@ def main() -> int:
         "queries": {
             n: {str(f): t for f, t in fs.items()} for n, fs in times.items()
         },
+        "factor_caps": _MAX_FACTOR,
         "load_1m": list(os.getloadavg()[:2]),
     }
     line = json.dumps(result)
