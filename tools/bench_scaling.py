@@ -77,17 +77,14 @@ _QUERIES = [
 ]
 
 # Per-query factor cap, RECORDED in the artifact (the no-silent-caps
-# rule). The replication used to derive larger factors copies document
-# TEXT verbatim, so at x100 every doc has 99 EXACT duplicates — for
-# prefix filtering that is the known pathological input: every
-# "rare" prefix token's document frequency scales by the copy count,
-# candidate pairs grow ~ sum(df^2) (measured: Java heap exhaustion at
-# x100), and the TRUE answer itself is >= C(100,2) pairs per original
-# doc at Jaccard 1.0. The production composition dodges this by
-# construction: docs_exact_dedup FIRST (hash-collapse identical
-# texts), PPJoin over the representatives — exact duplicates never
-# reach the near-dup join.
-_MAX_FACTOR = {"docs_ppjoin_similarity_pairs": 10}
+# rule). Empty since the round-7 PPJoin rewrite: the pre-collapse form
+# hit the mass-duplication pathology here (99 exact copies per doc at
+# x100 → candidates ~ sum(df^2) → measured Java-heap exhaustion, and
+# 245 s at x10); the shipped query now collapses identical token sets
+# to representatives FIRST, so only ~|unique docs| enter the prefix
+# join at any factor (BENCH_LOCAL_r07_scaling_ppjoin.json has the
+# post-rewrite curve).
+_MAX_FACTOR: dict[str, int] = {}
 
 
 def _build(factor: int) -> str:
