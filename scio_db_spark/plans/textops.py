@@ -1497,9 +1497,13 @@ def ppjoin_similarity_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.min("doc_id").alias("rep"),
         F.collect_list("doc_id").alias("__members"),
     )
+    # five consumers below (rep filter, cross a/b, intra a/b) with
+    # different pruning — cache (LAZY, so plan-only tooling and the
+    # driver's build step never materialize it), the cdc_apply_census
+    # reasoning; the frame is |docs|-sized ids, small by construction
     members = groups.select(
         "rep", F.explode("__members").alias("doc_id")
-    ).localCheckpoint(eager=True)  # reused by 3 consumers below
+    ).cache()
     rep_ds = ds.join(
         members.filter(F.col("rep") == F.col("doc_id")).select("rep"),
         ds["doc_id"] == F.col("rep"),
