@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # is unaffected.
 # tools/update_driver_verified.py regenerates this set after each
 # round (latest-round-wins) and `--check` fails when it drifts.
-_DRIVER_VERIFIED_ROUND = 6
+_DRIVER_VERIFIED_ROUND = 7
 _DRIVER_VERIFIED = frozenset({
     "agg_orders_by_status",
     "anti_join_customers_without_orders",
@@ -55,6 +55,7 @@ _DRIVER_VERIFIED = frozenset({
     "broadcast_enrich_orders",
     "cube_order_status_priority",
     "cust_fuzzy_edit1_pairs",
+    "cust_pareto_skyline",
     "decile_customer_revenue",
     "distinct_order_dims",
     "docs_bigram_colloc_topk",
@@ -66,20 +67,25 @@ _DRIVER_VERIFIED = frozenset({
     "docs_contamination_screen",
     "docs_dedup_clusters",
     "docs_dedup_reduce_census",
+    "docs_dsir_importance_topk",
     "docs_duplicate_spans",
     "docs_exact_dedup",
     "docs_fingerprint",
+    "docs_hybrid_rrf_topk",
     "docs_incremental_lsh_dedup",
     "docs_lang_id",
     "docs_lang_rebalance",
+    "docs_leakage_safe_split_census",
     "docs_len_histogram",
     "docs_minhash_lsh_pairs",
     "docs_minhash_signature",
+    "docs_mixture_schedule_topk",
     "docs_ngram_jaccard_topk",
     "docs_ngram_novelty",
     "docs_pack_plan",
     "docs_phrase_search_inverted",
     "docs_pipeline_corpus_stats",
+    "docs_ppjoin_similarity_pairs",
     "docs_quality_score",
     "docs_repetition_signals",
     "docs_simhash",
@@ -104,6 +110,10 @@ _DRIVER_VERIFIED = frozenset({
     "emb_ann_recall_census",
     "emb_ann_recall_sqrtn_census",
     "emb_cosine_topk",
+    "emb_hard_negatives_topk",
+    "emb_ivfpq_adc_topk",
+    "emb_ivfpq_recall_census",
+    "emb_ivfpq_rerank_topk",
     "emb_kmeans_assign",
     "emb_kmeans_trained_census",
     "emb_lsh_bucket_histogram",
@@ -115,6 +125,7 @@ _DRIVER_VERIFIED = frozenset({
     "emb_quantize_roundtrip",
     "emb_semantic_dedup",
     "emb_semantic_dedup_trained",
+    "events_ab_test_census",
     "events_activity_streaks",
     "events_anti_join_historical",
     "events_asof_latest_order",
@@ -157,6 +168,7 @@ _DRIVER_VERIFIED = frozenset({
     "events_validity_ok_count",
     "events_value_deciles_global",
     "events_value_mad_outliers",
+    "events_value_twins_eps",
     "events_weekly_cohort_matrix",
     "events_weekly_type_momentum",
     "events_windowed_counts",
@@ -168,10 +180,14 @@ _DRIVER_VERIFIED = frozenset({
     "mm_frame_sample",
     "mm_payload_metadata",
     "multi_pattern_timestamp_parse",
+    "orders_agg_retraction_census",
     "orders_cdc_apply_census",
     "orders_delete_keys_census",
+    "orders_delta_join_census",
+    "orders_grouping_sets_census",
     "orders_incremental_agg_census",
     "orders_priority_sample",
+    "orders_priority_sample_by_status",
     "orders_scd2_pit_lookup",
     "orders_snapshot_cdc_diff",
     "orders_upsert_keys_census",
