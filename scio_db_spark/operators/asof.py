@@ -64,6 +64,19 @@ def asof_join(
             f"payload_cols {sorted(clash)} collide with left columns; "
             "alias the right-side columns before the as-of join"
         )
+    # With a tolerance the matched fact's own time travels inside the
+    # payload struct as '__rt'; a payload column with that (or any
+    # '__'-reserved) name would create a duplicate struct field and
+    # silently corrupt the horizon check — refuse loudly instead.
+    if tolerance_s is not None:
+        reserved = [c for c in payload_cols if c.startswith("__")]
+        if reserved:
+            raise ValueError(
+                f"payload_cols {sorted(reserved)} use the reserved "
+                "'__' prefix, which collides with the internal "
+                "'__rt' horizon field when tolerance_s is set; "
+                "alias them first"
+            )
     # NULL-time or NULL-key right rows can never satisfy
     # "right.time <= left.time on the same key" — drop them BEFORE the
     # merge: nulls sort first in the window, so a null-time payload

@@ -54,6 +54,17 @@ _SWAP_MANIFEST = ".compact-inprogress"
 # undetectably.
 _UPSERT_MANIFEST = ".upsert-inprogress"
 
+# Per-file delete swap manifest: written BEFORE delete_keys renames a
+# rewritten replacement file into the table, naming the doomed
+# original and its replacement. Without it, a crash between the
+# rename and os.remove(original) leaves BOTH visible with nothing
+# recording the pair; a recovery that re-runs delete_keys would then
+# rewrite the original AGAIN — permanently duplicating its unmatched
+# rows (they already live in the first replacement). The manifest
+# makes that window repairable: finish_delete_swap removes the stale
+# original instead.
+_DELETE_MANIFEST = ".delete-inprogress"
+
 
 def _write_manifest_atomic(manifest_path: str, state: dict) -> None:
     """Write a JSON manifest via temp-name + os.rename (atomic on
@@ -137,6 +148,43 @@ def finish_compact_swap(path: str) -> int:
     return removed
 
 
+def finish_delete_swap(path: str) -> int:
+    """Repair a crashed delete_keys() per-file swap; returns files
+    removed.
+
+    Roll FORWARD when the replacement named by the manifest exists
+    (it is only renamed in after being fully written and counted):
+    remove the doomed original, which otherwise permanently
+    duplicates its unmatched rows on the re-run. Roll BACK when the
+    replacement is missing (crash before the rename): the original is
+    intact, so only the manifest and any stranded ``*.__tmp`` staging
+    directory need cleaning — the delete itself re-runs idempotently.
+    Also garbage-collects staging directories orphaned by a crash
+    BEFORE the manifest write (same single-writer assumption every
+    maintenance entry point already makes). Idempotent no-op without
+    a manifest; called at the top of delete_keys().
+    """
+    removed = 0
+    manifest = os.path.join(path, _DELETE_MANIFEST)
+    if os.path.exists(manifest):
+        state = _read_manifest(manifest)
+        doomed = os.path.join(path, state["doomed"])
+        replacement = os.path.join(path, state["replacement"])
+        if os.path.exists(replacement) and os.path.exists(doomed):
+            os.remove(doomed)
+            removed += 1
+        os.remove(manifest)
+    # Staging dirs (part-del-<token>.parquet.__tmp) from a crash
+    # mid-write: invisible to Spark readers but their inner part
+    # files pollute _parquet_files and leak forever.
+    for root, dirs, _files in os.walk(path):
+        for d in list(dirs):
+            if d.startswith("part-del-") and d.endswith(".__tmp"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                dirs.remove(d)
+    return removed
+
+
 def _parquet_files(path: str) -> list[str]:
     out = []
     for root, _dirs, files in os.walk(path):
@@ -175,6 +223,7 @@ def compact(
     clustering here, which Spark expresses natively).
     """
     finish_compact_swap(path)
+    finish_delete_swap(path)
     finish_upsert(spark, path)
     files = _parquet_files(path)
     if len(files) == 0 or (len(files) <= 1 and not sort_by):
@@ -254,6 +303,7 @@ def finish_upsert(spark: SparkSession, path: str) -> bool:
     """
     manifest = os.path.join(path, _UPSERT_MANIFEST)
     if not os.path.exists(manifest):
+        _gc_orphan_staged(path)
         return False
     state = _read_manifest(manifest)
     staged = os.path.join(path, state["staged"])
@@ -266,16 +316,42 @@ def finish_upsert(spark: SparkSession, path: str) -> bool:
         os.makedirs(tmp)
         shutil.copy(staged, os.path.join(tmp, "staged.parquet"))
         try:
-            up = spark.read.parquet(tmp).localCheckpoint(eager=True)
-            delete_keys(
-                spark, path, state["key_col"],
-                up.select(state["key_col"]), _recover=False,
-            )
+            # An empty VISIBLE file set means the crashed delete
+            # already removed every matched file (or the table was
+            # bootstrapping) — nothing left to delete from, and
+            # spark.read.parquet on zero files cannot infer a schema.
+            if _parquet_files(path):
+                up = spark.read.parquet(tmp).localCheckpoint(eager=True)
+                delete_keys(
+                    spark, path, state["key_col"],
+                    up.select(state["key_col"]), _recover=False,
+                )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         os.rename(staged, final)
     os.remove(manifest)
+    _gc_orphan_staged(path)
     return True
+
+
+def _gc_orphan_staged(path: str) -> int:
+    """Remove ``.upsert-staged-*`` files no manifest references.
+
+    A crash between upsert_keys' staging rename and its manifest write
+    leaves a dot-prefixed staged file nothing ever cleans — invisible
+    to readers, but an unbounded leak across crashes. Called only
+    AFTER the current manifest (if any) has been handled, so every
+    survivor is an orphan. Same single-writer assumption as the other
+    recovery paths.
+    """
+    if not os.path.isdir(path):
+        return 0
+    removed = 0
+    for name in os.listdir(path):
+        if name.startswith(".upsert-staged-") and name.endswith(".parquet"):
+            os.remove(os.path.join(path, name))
+            removed += 1
+    return removed
 
 
 def delete_keys(
@@ -291,6 +367,10 @@ def delete_keys(
     Returns {files_scanned, files_rewritten, rows_deleted}.
     """
     finish_compact_swap(path)
+    # Unconditional even when _recover=False (the finish_upsert
+    # re-entry path): the half-swapped state is the delete loop's OWN
+    # crash artifact and must be repaired before any re-run.
+    finish_delete_swap(path)
     if _recover:
         finish_upsert(spark, path)
     # Pin the key set BEFORE any file is rewritten: a lazy ``keys``
@@ -342,11 +422,27 @@ def delete_keys(
         written = _parquet_files(tmp)
         after = spark.read.parquet(tmp).count() if written else 0
         # stage-then-commit per file: original removed only after the
-        # replacement is fully written and counted
+        # replacement is fully written and counted. The manifest goes
+        # down BEFORE the rename — between rename and remove both the
+        # replacement and the original are visible, and without a
+        # record of the pair a recovery re-running delete_keys would
+        # rewrite the original again, permanently duplicating its
+        # unmatched rows. finish_delete_swap rolls this window
+        # forward (remove the stale original) instead.
+        manifest = os.path.join(path, _DELETE_MANIFEST)
         if written:
+            _write_manifest_atomic(
+                manifest,
+                {
+                    "doomed": os.path.relpath(f, path),
+                    "replacement": os.path.relpath(replacement, path),
+                },
+            )
             os.rename(written[0], replacement)
         shutil.rmtree(tmp, ignore_errors=True)
         os.remove(f)
+        if written:
+            os.remove(manifest)
         deleted += before - after
     return {
         "files_scanned": files_scanned,  # counted BEFORE the rewrite
@@ -415,6 +511,7 @@ def upsert_keys(
     rows_upserted}.
     """
     finish_compact_swap(path)
+    finish_delete_swap(path)
     finish_upsert(spark, path)
     cols = spark.read.parquet(path).columns
     up = updates.select(*cols).localCheckpoint(eager=True)
@@ -484,6 +581,15 @@ def upsert_batch(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+    # Recover BEFORE the bootstrap emptiness check: a crashed upsert
+    # can leave the VISIBLE file set empty while a pending
+    # .upsert-inprogress manifest + staged rows hold the real state —
+    # mode('overwrite') below would silently delete both. Safe under
+    # same-batch replay only by luck; a manual or different-batch
+    # caller would lose the pending merge undetectably.
+    finish_compact_swap(path)
+    finish_delete_swap(path)
+    finish_upsert(spark, path)
     if not _parquet_files(path):
         latest.write.mode("overwrite").parquet(path)
         return {

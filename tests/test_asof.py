@@ -162,3 +162,28 @@ def test_asof_tolerance_bounds_the_match_horizon(spark):
     # eid 2: fact 4100s stale -> nulled
     # eid 3: fact 60s before -> kept
     assert got == {1: 7, 2: None, 3: 8}
+
+
+def test_asof_rejects_reserved_payload_name_with_tolerance(spark):
+    """A payload column named '__rt' (or any '__'-reserved name) would
+    duplicate the internal horizon field inside the payload struct
+    when tolerance_s is set — refused loudly, not silently corrupted."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [("a", 5.0, 1)], "k string, t double, eid int"
+    )
+    right = spark.createDataFrame(
+        [("a", 1.0, 100)], "k string, rt double, __rt int"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(
+            left, right, key="k", left_time="t", right_time="rt",
+            payload_cols=["__rt"], tolerance_s=10.0,
+        )
+    # without a tolerance the internal field is never added — allowed
+    out = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        payload_cols=["__rt"],
+    )
+    assert out.collect()[0]["__rt"] == 100

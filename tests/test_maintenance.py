@@ -484,3 +484,94 @@ def test_streaming_upsert_sink_end_to_end(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.id: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_delete_crash_between_rename_and_remove_repairs(
+    spark, tmp_path, monkeypatch
+):
+    """Crash AFTER the replacement is renamed in but BEFORE the doomed
+    original is removed: both files are visible. The per-file delete
+    manifest records the pair, so the next maintenance call removes
+    the stale original instead of re-rewriting it — which would
+    permanently duplicate its unmatched rows."""
+    import scio_db_spark.sinks.maintenance as m
+
+    path = str(tmp_path / "delcrash")
+    _write_small_files(spark, path, n_files=3)
+    keys = spark.createDataFrame([(5,), (55,)], "id long")
+
+    real_remove = os.remove
+
+    def dying_remove(p):
+        base = os.path.basename(p)
+        if base.endswith(".parquet") and not base.startswith("."):
+            raise RuntimeError("simulated crash before original removal")
+        return real_remove(p)
+
+    monkeypatch.setattr(m.os, "remove", dying_remove)
+    try:
+        m.delete_keys(spark, path, "id", keys)
+        assert False, "expected simulated crash"
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(m.os, "remove", real_remove)
+
+    # crashed state: replacement + original both visible, manifest down
+    assert os.path.exists(os.path.join(path, m._DELETE_MANIFEST))
+    dup = spark.read.parquet(path)
+    assert dup.count() > 150  # unmatched rows duplicated right now
+
+    # a re-run (what finish_upsert recovery does) must NOT duplicate:
+    # finish_delete_swap removes the stale original first
+    m.delete_keys(spark, path, "id", keys)
+    got = [r.id for r in spark.read.parquet(path).collect()]
+    assert len(got) == len(set(got)) == 148
+    assert 5 not in got and 55 not in got
+    assert not os.path.exists(os.path.join(path, m._DELETE_MANIFEST))
+
+
+def test_upsert_batch_bootstrap_recovers_pending_merge(spark, tmp_path):
+    """A crashed upsert that emptied the VISIBLE file set must not be
+    wiped by upsert_batch's bootstrap overwrite: recovery runs before
+    the emptiness check and resurfaces the staged rows."""
+    import uuid as _uuid
+
+    import scio_db_spark.sinks.maintenance as m
+
+    path = str(tmp_path / "bootcrash")
+    os.makedirs(path)
+    token = _uuid.uuid4().hex
+    stage_tmp = str(tmp_path / "stage_boot")
+    spark.createDataFrame(
+        [(7, 77)], "id long, k long"
+    ).coalesce(1).write.parquet(stage_tmp)
+    staged = f".upsert-staged-{token}.parquet"
+    os.rename(m._parquet_files(stage_tmp)[0], os.path.join(path, staged))
+    m._write_manifest_atomic(
+        os.path.join(path, m._UPSERT_MANIFEST),
+        {"staged": staged, "final": f"part-upsert-{token}.parquet",
+         "key_col": "id"},
+    )
+    assert not m._parquet_files(path)  # visible set is empty
+
+    batch = spark.createDataFrame([(8, 88)], "id long, k long")
+    m.upsert_batch(spark, batch, path, "id")
+    got = {r.id: r.k for r in spark.read.parquet(path).collect()}
+    assert got == {7: 77, 8: 88}
+    assert not os.path.exists(os.path.join(path, m._UPSERT_MANIFEST))
+
+
+def test_orphan_staged_files_garbage_collected(spark, tmp_path):
+    """A staged dot file with no manifest (crash between the staging
+    rename and the manifest write) is an orphan no recovery path
+    references — finish_upsert garbage-collects it."""
+    import scio_db_spark.sinks.maintenance as m
+
+    path = str(tmp_path / "orphan")
+    _write_small_files(spark, path, n_files=2)
+    orphan = os.path.join(path, ".upsert-staged-deadbeef.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1")
+    assert m.finish_upsert(spark, path) is False
+    assert not os.path.exists(orphan)
+    assert spark.read.parquet(path).count() == 100
