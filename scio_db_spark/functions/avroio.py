@@ -973,6 +973,65 @@ def _promote(value, wt: str, rt: str):
     return value
 
 
+_NAMED_TYPES = ("record", "enum", "fixed")
+
+
+def _fullname(schema) -> str | None:
+    """Avro fullname of a named schema (None for unnamed types). A
+    dotted ``name`` is already a fullname per the spec; otherwise the
+    ``namespace`` qualifies it."""
+    if isinstance(schema, dict) and "name" in schema:
+        name = schema["name"]
+        ns = schema.get("namespace")
+        return f"{ns}.{name}" if ns and "." not in name else name
+    return None
+
+
+def _coerce_default(schema, value):
+    """Coerce a reader field's JSON ``default`` into the runtime shape
+    decoded values take. Spec: defaults are JSON-encoded — bytes/fixed
+    as ISO-8859-1 strings, numeric defaults in whatever JSON type the
+    author wrote; returning them raw leaks ``str`` where every decoded
+    value is ``bytes`` and ``int`` where floats flow."""
+    schema = parse_schema(schema)
+    t = _schema_type(schema)
+    if t == "union":
+        # spec: a union field's default is written for the FIRST branch
+        return _coerce_default(schema[0], value)
+    if value is None:
+        return None
+    if t in ("bytes", "fixed"):
+        return value.encode("latin-1") if isinstance(value, str) else value
+    if t in ("float", "double"):
+        return float(value)
+    if t in ("int", "long"):
+        return int(value)
+    if t == "record":
+        out = {}
+        for f in schema["fields"]:
+            if f["name"] in value:
+                out[f["name"]] = _coerce_default(
+                    f["type"], value[f["name"]]
+                )
+            elif "default" in f:
+                out[f["name"]] = _coerce_default(f["type"], f["default"])
+            else:
+                raise ValueError(
+                    f"schema resolution: record default for "
+                    f"{schema.get('name')!r} omits field "
+                    f"{f['name']!r} which has no default of its own"
+                )
+        return out
+    if t == "array":
+        return [_coerce_default(schema["items"], v) for v in value]
+    if t == "map":
+        return {
+            k: _coerce_default(schema["values"], v)
+            for k, v in value.items()
+        }
+    return value
+
+
 def _resolve_value(writer, reader, dec: BinaryDecoder):
     wt, rt = _schema_type(writer), _schema_type(reader)
     if wt == "union":
@@ -981,11 +1040,30 @@ def _resolve_value(writer, reader, dec: BinaryDecoder):
         return _resolve_value(writer[dec.read_long()], reader, dec)
     if rt == "union":
         # writer non-union read into a reader union: first matching
-        # or promotable branch wins (spec resolution order)
-        for branch in reader:
-            bt = _schema_type(branch)
-            if bt == wt or (wt, bt) in _PROMOTIONS:
-                return _resolve_value(writer, branch, dec)
+        # or promotable branch wins (spec resolution order). Named
+        # types must match by FULLNAME when the union holds several
+        # branches of the same tag — a union of two records would
+        # otherwise silently decode into whichever sorts first.
+        tag_matches = [
+            b
+            for b in reader
+            if _schema_type(b) == wt
+            or (wt, _schema_type(b)) in _PROMOTIONS
+        ]
+        if wt in _NAMED_TYPES and len(tag_matches) > 1:
+            wname = _fullname(writer)
+            named = [b for b in tag_matches if _fullname(b) == wname]
+            if len(named) != 1:
+                what = "none matches" if not named else "several match"
+                raise ValueError(
+                    f"schema resolution: reader union holds "
+                    f"{len(tag_matches)} {wt!r} branches and {what} "
+                    f"writer fullname {wname!r} (refusing rather "
+                    f"than guessing a branch)"
+                )
+            return _resolve_value(writer, named[0], dec)
+        if tag_matches:
+            return _resolve_value(writer, tag_matches[0], dec)
         raise ValueError(
             f"schema resolution: writer {wt!r} matches no reader "
             f"union branch"
@@ -1019,7 +1097,7 @@ def _resolve_value(writer, reader, dec: BinaryDecoder):
                     f"{rf['name']!r} absent from writer data and has "
                     f"no default"
                 )
-            out[rf["name"]] = rf["default"]
+            out[rf["name"]] = _coerce_default(rf["type"], rf["default"])
         return out
     if wt == "array":
         inner_w, inner_r = writer["items"], reader["items"]

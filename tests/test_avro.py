@@ -718,3 +718,105 @@ class TestSchemaResolution:
         data = encode_record(w, {"v": 1.5})
         with pytest.raises(ValueError, match="not a legal promotion"):
             decode_record_resolved(w, r, data)
+
+
+class TestSchemaResolutionNamedUnions:
+    def test_multi_record_union_matches_by_fullname(self):
+        from scio_db_spark.functions.avroio import (
+            decode_record_resolved,
+            encode_record,
+        )
+
+        rec_a = {"type": "record", "name": "A", "fields": [
+            {"name": "x", "type": "int"}]}
+        rec_b = {"type": "record", "name": "B", "fields": [
+            {"name": "x", "type": "int"}]}
+        w = {"type": "record", "name": "E", "fields": [
+            {"name": "v", "type": rec_b}]}
+        # reader union lists A FIRST: tag-only matching would decode
+        # the B payload into branch A
+        r = {"type": "record", "name": "E", "fields": [
+            {"name": "v", "type": [rec_a, rec_b]}]}
+        data = encode_record(w, {"v": {"x": 9}})
+        assert decode_record_resolved(w, r, data) == {"v": {"x": 9}}
+
+    def test_multi_record_union_no_name_match_refuses(self):
+        import pytest
+
+        from scio_db_spark.functions.avroio import (
+            decode_record_resolved,
+            encode_record,
+        )
+
+        rec_a = {"type": "record", "name": "A", "fields": [
+            {"name": "x", "type": "int"}]}
+        rec_b = {"type": "record", "name": "B", "fields": [
+            {"name": "x", "type": "int"}]}
+        rec_c = {"type": "record", "name": "C", "fields": [
+            {"name": "x", "type": "int"}]}
+        w = {"type": "record", "name": "E", "fields": [
+            {"name": "v", "type": rec_c}]}
+        r = {"type": "record", "name": "E", "fields": [
+            {"name": "v", "type": [rec_a, rec_b]}]}
+        data = encode_record(w, {"v": {"x": 9}})
+        with pytest.raises(ValueError, match="none matches"):
+            decode_record_resolved(w, r, data)
+
+    def test_single_record_union_still_lenient_on_rename(self):
+        from scio_db_spark.functions.avroio import (
+            decode_record_resolved,
+            encode_record,
+        )
+
+        rec_old = {"type": "record", "name": "Old", "fields": [
+            {"name": "x", "type": "int"}]}
+        rec_new = {"type": "record", "name": "New", "fields": [
+            {"name": "x", "type": "int"}]}
+        w = {"type": "record", "name": "E", "fields": [
+            {"name": "v", "type": rec_old}]}
+        r = {"type": "record", "name": "E", "fields": [
+            {"name": "v", "type": ["null", rec_new]}]}
+        data = encode_record(w, {"v": {"x": 3}})
+        assert decode_record_resolved(w, r, data) == {"v": {"x": 3}}
+
+    def test_namespace_qualifies_fullname(self):
+        from scio_db_spark.functions.avroio import _fullname
+
+        assert _fullname({"type": "record", "name": "X",
+                          "namespace": "com.ex", "fields": []}) == "com.ex.X"
+        assert _fullname({"type": "record", "name": "com.ex.X",
+                          "namespace": "ignored", "fields": []}) == "com.ex.X"
+        assert _fullname("int") is None
+
+
+class TestSchemaResolutionDefaultCoercion:
+    def test_defaults_coerced_through_reader_types(self):
+        from scio_db_spark.functions.avroio import (
+            decode_record_resolved,
+            encode_record,
+        )
+
+        w = {"type": "record", "name": "E", "fields": [
+            {"name": "id", "type": "int"}]}
+        r = {"type": "record", "name": "E", "fields": [
+            {"name": "id", "type": "int"},
+            # spec: bytes defaults are JSON strings, ISO-8859-1 mapped
+            {"name": "blob", "type": "bytes", "default": "\u00ff\u0001"},
+            {"name": "ratio", "type": "double", "default": 1},
+            {"name": "opt", "type": ["null", "int"], "default": None},
+            {"name": "nested", "type": {
+                "type": "record", "name": "N", "fields": [
+                    {"name": "f", "type": "float"}]},
+             "default": {"f": 2}},
+            {"name": "arr", "type": {"type": "array", "items": "double"},
+             "default": [1, 2]},
+        ]}
+        data = encode_record(w, {"id": 4})
+        got = decode_record_resolved(w, r, data)
+        assert got["blob"] == b"\xff\x01"
+        assert got["ratio"] == 1.0 and isinstance(got["ratio"], float)
+        assert got["opt"] is None
+        assert got["nested"] == {"f": 2.0}
+        assert isinstance(got["nested"]["f"], float)
+        assert got["arr"] == [1.0, 2.0]
+        assert all(isinstance(v, float) for v in got["arr"])
