@@ -25,27 +25,14 @@ from scio_db_spark.session import SessionFactory  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # Loaded-box defense: the round-6 driver artifact was recorded at
-    # load_1m 2.79 and read as a phantom 5.9× regression that judge
-    # isolation disproved (4.65 s vs 0.99 s on identical code). Gate
-    # BEFORE any Spark work (the warm-up pass drives the 1m load up
-    # itself, so a later check would always fire): wait for a quiet
-    # box a bounded number of times; if it never quiets, proceed but
-    # stamp the artifact "loaded_run": true so it can't silently read
-    # as a regression.
-    load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "1.5"))
-    wait_s = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "30"))
-    retries = int(os.environ.get("SPARK_GRAFT_LOAD_RETRIES", "4"))
-    for _ in range(retries):
-        if os.getloadavg()[0] <= load_max:
-            break
-        print(
-            f"bench: load_1m {os.getloadavg()[0]:.2f} > {load_max}, "
-            f"waiting {wait_s}s for a quiet box",
-            file=sys.stderr,
-        )
-        time.sleep(wait_s)
-    preflight_load = os.getloadavg()[0]
+    # Loaded-box defense (shared across every lane — tools/benchgate.py):
+    # gate BEFORE any Spark work; a box that never quiets still runs
+    # but the artifact carries loaded_run=true so it can't silently
+    # read as a regression.
+    sys.path.insert(0, os.path.join(_REPO_ROOT, "tools"))
+    from benchgate import preflight_load_gate
+
+    _gate_stamps = preflight_load_gate("bench")
     spark = SessionFactory.create("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -109,15 +96,13 @@ def main() -> None:
         "passes": passes,
         "runs": runs,
         "load_1m": [round(load_start, 2), round(os.getloadavg()[0], 2)],
-        "load_1m_preflight": round(preflight_load, 2),
+        # A bench is its OWN load: on local[32] a healthy run drives
+        # the 1m load up (warm-up included), so neither the
+        # post-warm-up nor the end reading can be gated on. "Loaded"
+        # means the box was busy BEFORE any Spark work, post-wait.
+        **_gate_stamps,
         "measure_wall_sec": round(time.perf_counter() - wall_start, 2),
     }
-    # A bench is its OWN load: on local[32] a healthy run drives the
-    # 1m load up (warm-up included), so neither the post-warm-up nor
-    # the end reading can be gated on. "Loaded" means the box was
-    # already busy BEFORE any Spark work started, post-wait.
-    if preflight_load > load_max:
-        out["loaded_run"] = True
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

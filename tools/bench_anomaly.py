@@ -36,6 +36,7 @@ if _REPO_ROOT not in sys.path:
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from benchgate import preflight_load_gate  # noqa: E402
 from scio_db_spark.session import SessionFactory  # noqa: E402
 from scio_db_spark.streaming.anomaly import anomaly_detect_stream  # noqa: E402
 
@@ -55,6 +56,7 @@ def main() -> None:
         else "mod"
     )
 
+    _gate_stamps = preflight_load_gate("bench_anomaly")
     spark = SessionFactory.create("bench-anomaly")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -130,6 +132,7 @@ def main() -> None:
                 "idle_ms": idle_ms,
                 "elapsed_sec": round(elapsed, 2),
                 "load_1m": list(os.getloadavg())[:2],
+                **_gate_stamps,
                 "baseline_records_per_min": 200_000,
             }
         )

@@ -27,6 +27,7 @@ if _REPO_ROOT not in sys.path:
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from benchgate import preflight_load_gate  # noqa: E402
 from scio_db_spark.session import SessionFactory  # noqa: E402
 from scio_db_spark.streaming.corpus_ingest import (  # noqa: E402
     start_corpus_ingest,
@@ -46,6 +47,7 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     dup_pct = float(sys.argv[2]) if len(sys.argv) > 2 else 0.10
 
+    _gate_stamps = preflight_load_gate("bench_corpus_ingest")
     spark = SessionFactory.create("bench-corpus-ingest")
     spark.sparkContext.setLogLevel("ERROR")
     # Totals below are summed from recentProgress, which Spark caps at
@@ -145,6 +147,8 @@ def main() -> None:
                 "ok_rows_after_dedup": ok_rows,
                 "elapsed_sec": round(elapsed, 2),
                 "baseline_records_per_min": 200_000,
+                "load_1m": list(os.getloadavg())[:2],
+                **_gate_stamps,
             }
         )
     )

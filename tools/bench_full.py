@@ -84,7 +84,9 @@ def main() -> int:
 
     from scio_db_spark.plans.registry import all_queries
     from scio_db_spark.session import SessionFactory
+    from benchgate import preflight_load_gate
 
+    _gate_stamps = preflight_load_gate("bench_full")
     spark = SessionFactory.create("bench-full")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -113,6 +115,7 @@ def main() -> int:
         "n_queries": len(times),
         "skipped_effectful": skipped,
         "load_1m": list(os.getloadavg())[:2],
+        **_gate_stamps,
     }
     line = json.dumps(out)
     if out_path:

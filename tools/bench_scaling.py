@@ -128,7 +128,9 @@ def _rank_psweep(passes: int, out_path: str | None) -> int:
 
     from scio_db_spark.operators.rank import _with_pid
     from scio_db_spark.session import SessionFactory
+    from benchgate import preflight_load_gate
 
+    _gate_stamps = preflight_load_gate("bench_rank_psweep")
     spark = SessionFactory.create("bench-rank-psweep")
     spark.sparkContext.setLogLevel("ERROR")
     # The probe is isolated from the downstream windows deliberately:
@@ -164,6 +166,7 @@ def _rank_psweep(passes: int, out_path: str | None) -> int:
         "passes": passes,
         "seconds_by_partitions": times,
         "load_1m": list(os.getloadavg()[:2]),
+        **_gate_stamps,
     }
     line = json.dumps(result)
     print(line)
@@ -188,7 +191,9 @@ def _cc_chain(passes: int, out_path: str | None) -> int:
         connected_components_propagation,
     )
     from scio_db_spark.session import SessionFactory
+    from benchgate import preflight_load_gate
 
+    _gate_stamps = preflight_load_gate("bench_cc_chain")
     spark = SessionFactory.create("bench-cc-chain")
     spark.sparkContext.setLogLevel("ERROR")
     ids = (
@@ -233,6 +238,7 @@ def _cc_chain(passes: int, out_path: str | None) -> int:
         "metric": "cc_chain_rounds",
         "chains": result,
         "load_1m": list(os.getloadavg()[:2]),
+        **_gate_stamps,
     }
     line = json.dumps(out)
     print(line)
@@ -283,7 +289,9 @@ def main() -> int:
 
     from scio_db_spark.plans.registry import all_queries
     from scio_db_spark.session import SessionFactory
+    from benchgate import preflight_load_gate
 
+    _gate_stamps = preflight_load_gate("bench_scaling")
     spark = SessionFactory.create("bench-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     q = all_queries()
@@ -333,6 +341,7 @@ def main() -> int:
         },
         "factor_caps": _MAX_FACTOR,
         "load_1m": list(os.getloadavg()[:2]),
+        **_gate_stamps,
     }
     line = json.dumps(result)
     print(line)

@@ -37,6 +37,7 @@ if _REPO_ROOT not in sys.path:
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from benchgate import preflight_load_gate  # noqa: E402
 from scio_db_spark.session import SessionFactory  # noqa: E402
 from scio_db_spark.streaming.ttl_dedup import ttl_dedup  # noqa: E402
 
@@ -46,6 +47,7 @@ def main() -> None:
     n_records = int(pos[0]) if len(pos) > 0 else 1_000_000
     n_keys = int(pos[1]) if len(pos) > 1 else 1_000_000
 
+    _gate_stamps = preflight_load_gate("bench_throughput")
     spark = SessionFactory.create("bench-throughput")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -130,6 +132,7 @@ def main() -> None:
         "passes": passes,
         "runs": runs,
         "load_1m": list(os.getloadavg())[:2],
+        **_gate_stamps,
         "baseline_records_per_min": 200_000,
     }
 
