@@ -967,6 +967,22 @@ def value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _conversion_latency_us(spark: SparkSession, sf: str) -> DataFrame:
+    """One row per viewer: view→purchase latency in µs (NULL when the
+    viewer never converted). Shared by the exact census and its
+    mergeable-sketch twin."""
+    ev = _events(spark, sf)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    return _first_at_or_after(ev, v, "purchase", "v_ts", "p_ts").select(
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lat_us")
+    )
+
+
+
 # --------------------------------------------------------------------------
 @register(
     "events_conversion_latency",
@@ -1023,15 +1039,7 @@ def value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     "approx_percentile's mergeable sketch.",
 )
 def conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
-    ev = _events(spark, sf)
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("v_ts"))
-    )
-    j = _first_at_or_after(ev, v, "purchase", "v_ts", "p_ts").select(
-        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lat_us")
-    )
+    j = _conversion_latency_us(spark, sf)
     s = j.agg(
         F.count(F.lit(1)).alias("n_viewers"),
         F.count("lat_us").alias("n_converted"),
@@ -1060,6 +1068,42 @@ def conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
             "     CAST((n_converted - 1) * 9 DIV 10 + 1 AS INT))) "
             "  * ((n_converted - 1) * 9 % 10) END"
         ).alias("p90_x10_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_latency_quantile_sketch",
+    oracle=None,  # Greenwald-Khanna/KLL-style sketches differ per
+    # engine — no exact cross-engine oracle exists for an approximate
+    # quantile; the pytest suite bounds the sketch's RANK ERROR against
+    # the exact order statistics and exercises the per-partition merge
+    # path instead (rows-only driver check, documented — the HLL
+    # posture).
+    doc="The 100 TB path of events_conversion_latency: same "
+    "view→purchase latency frame, quantiles via approx_percentile's "
+    "MERGEABLE Greenwald-Khanna sketch (accuracy 10000 → rank error "
+    "≤ n/10000). The exact census funnels the sorted per-converter "
+    "array to one task (whitelisted, fine at |converters| scale); "
+    "here only FIXED-SIZE sketch partials cross the global exchange — "
+    "map-side partial sketches merge associatively, so the plan holds "
+    "at any row count. Error bound + partition-count-invariance are "
+    "pinned in tests/test_quantile_sketch.py.",
+)
+def latency_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    j = _conversion_latency_us(spark, sf)
+    s = j.agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.count("lat_us").alias("n_converted"),
+        F.percentile_approx(
+            "lat_us", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+        ).alias("__q"),
+    )
+    return s.select(
+        "n_viewers",
+        "n_converted",
+        F.col("__q")[0].alias("p50_us_est"),
+        F.col("__q")[1].alias("p90_us_est"),
     )
 
 
