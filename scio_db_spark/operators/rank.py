@@ -127,9 +127,19 @@ def _native_asc_exprs(
     return out
 
 
-def _pid_probe(bounds: Column, blocks: Column | None, key: Column, p: int) -> Column:
+def _pid_probe(
+    bounds: Column,
+    blocks: Column | None,
+    le,
+    p: int,
+) -> Column:
     """Count of boundary tuples ≤ the row's key = the row's partition
-    id, probed against the sorted bounds array.
+    id, probed against the sorted bounds array. ``le`` maps a boundary
+    tuple to the boolean "boundary ≤ this row's key" — one native
+    struct comparison on the fast path, the lexicographic comparator
+    for specs with no natural struct order (string/date DESC), so the
+    √P two-level shape below serves BOTH paths (the comparator
+    fallback was O(P)/row before this).
 
     Two shapes, both O(1)-size expressions (a giant generated
     binary-search CASE tree was measured and REJECTED: Spark's
@@ -158,16 +168,14 @@ def _pid_probe(bounds: Column, blocks: Column | None, key: Column, p: int) -> Co
     """
     m = p - 1
     if blocks is None:
-        return F.size(F.filter(bounds, lambda b: b <= key))
+        return F.size(F.filter(bounds, le))
     s = _block_size(m)
-    nb = F.size(F.filter(blocks, lambda b: b <= key))
+    nb = F.size(F.filter(blocks, le))
     # base = elements in the counted blocks; the LAST block is short
     # (m may not divide by s), so cap at m or the top block's rows
     # would overcount past the end of the array.
     base = F.least(nb * F.lit(s), F.lit(m))
-    cnt = F.size(
-        F.filter(F.slice(bounds, base + 1, s), lambda b: b <= key)
-    )
+    cnt = F.size(F.filter(F.slice(bounds, base + 1, s), le))
     return F.when(F.size(bounds) == 0, F.lit(0)).otherwise(base + cnt)
 
 
@@ -232,7 +240,7 @@ def _with_pid(
     else:
         bounds = F.filter(F.col("__arr"), lambda _: F.lit(False))
     bcols = [bounds.alias("__bounds")]
-    two_level = native is not None and p >= _TWO_LEVEL_MIN_P
+    two_level = p >= _TWO_LEVEL_MIN_P
     bframe = sample.agg(F.collect_list("__s").alias("__arr")).select(
         sorted_arr.alias("__arr")
     ).select(*bcols)
@@ -281,24 +289,22 @@ def _with_pid(
         F.lit(0),
     )
     if native is not None:
-        probe = _pid_probe(
-            F.col("__bounds"),
-            F.col("__blocks") if two_level else None,
-            row_key,
-            p,
-        )
+        le = lambda b: b <= row_key  # noqa: E731 — one native compare
     else:
-        # Comparator fallback (non-numeric DESC keys): linear filter
-        # with the lexicographic comparator. Correct for every
-        # orderable type; O(P)/row — acceptable because the fallback
-        # is rare (document in the order spec if it matters at scale).
-        probe = F.size(
-            F.filter(
-                F.col("__bounds"),
-                lambda b: _cmp(spec, lambda n: b[n], lambda n: F.col(n))
-                <= 0,
-            )
+        # Comparator fallback (non-numeric DESC keys): the same probe
+        # shapes with the lexicographic comparator as the ≤ predicate.
+        # Correct for every orderable type; O(√P)/row at
+        # P ≥ _TWO_LEVEL_MIN_P via the shared two-level block search
+        # (was O(P)/row before round 8 — the linear filter).
+        le = lambda b: (  # noqa: E731
+            _cmp(spec, lambda n: b[n], lambda n: F.col(n)) <= 0
         )
+    probe = _pid_probe(
+        F.col("__bounds"),
+        F.col("__blocks") if two_level else None,
+        le,
+        p,
+    )
     out = df.crossJoin(F.broadcast(bframe)).withColumn(
         "__pid", (probe + null_guard).cast("long")
     )

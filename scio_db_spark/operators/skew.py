@@ -30,6 +30,18 @@ _MERGE_LAWS = {
     "count": (lambda c: F.count(c), F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
+    # collect_list is mergeable by concatenation (flatten of the
+    # per-salt lists). NOTE: element order is partition-dependent in
+    # the plain form already, so the salted form is no less
+    # deterministic — callers needing order must sort afterwards.
+    # This is the kind where salting actually PAYS: sum/count/min/max
+    # collapse map-side (partial aggregation absorbs a hot key before
+    # the shuffle), but a hot key's list rows all cross the exchange
+    # into one reducer — see tools/bench_skew.py for the measurement.
+    "collect_list": (
+        F.collect_list,
+        lambda c: F.flatten(F.collect_list(c)),
+    ),
 }
 
 

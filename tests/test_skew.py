@@ -62,3 +62,27 @@ def test_salted_join_matches_plain(spark):
         for r in ls.join(rs, cols).select("k", "v", "tag").collect()
     )
     assert salted == plain
+
+
+def test_salted_collect_list_matches_plain_as_multiset(spark):
+    """collect_list is mergeable by concatenation; element ORDER is
+    partition-dependent in the plain form already, so equality is by
+    multiset per key."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    df = _skewed(spark)
+    plain = {
+        r.k: Counter(r.vs)
+        for r in df.groupBy("k")
+        .agg(F.collect_list("v").alias("vs"))
+        .collect()
+    }
+    salted = {
+        r.k: Counter(r.vs)
+        for r in salted_agg(
+            df, ["k"], {"vs": ("collect_list", "v")}, n_salts=8
+        ).collect()
+    }
+    assert salted == plain
