@@ -1216,3 +1216,145 @@ def cust_pareto_skyline(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("o_custkey", "spend_cents", "n_orders")
     )
+
+
+# --------------------------------------------------------------------------
+_PR_ITERS = 5
+_PR_SCALE = 1_000_000_000  # rank fixed-point scale (1e9 per node)
+_PR_TOPK = 20
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration PageRank twin: the same integer recurrence,
+    one CTE per iteration (DuckDB recursive CTEs cannot carry the
+    aggregate-per-step shape directly; unrolling is exact)."""
+    edges = """
+    edges AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+            SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            UNION ALL
+            SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ) GROUP BY src, dst
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges
+    ),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src)
+    """
+    prev = "r0"
+    steps = [f"r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r "
+             f"FROM nodes)"]
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+    r{i} AS (
+        SELECT n.node,
+            CAST({_PR_SCALE * 15 // 100}
+            + COALESCE(sum((({prev}.r * e.w) // o.ow) * 85 // 100), 0)
+            AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN outw o ON o.src = e.src
+        LEFT JOIN {prev} ON {prev}.node = e.src
+        GROUP BY n.node
+    )""")
+        prev = f"r{i}"
+    return (
+        "WITH " + edges + ", " + ",".join(steps)
+        + f" SELECT node, r AS rank_scaled FROM {prev} "
+        f"ORDER BY rank_scaled DESC, node LIMIT {_PR_TOPK}"
+    )
+
+
+@register(
+    "graph_pagerank_supplier_customer",
+    oracle=_pagerank_oracle(),
+    doc="Bounded-iteration PageRank over the bipartite supplier <-> "
+    "customer shipment graph (edge weight = lineitems shipped either "
+    "direction), the canonical ITERATIVE-algorithm surface: 5 "
+    "synchronous iterations of r' = 0.15*scale + 0.85 * sum_in "
+    "(r_u * w / out_u), all in INTEGER fixed-point (scale 1e9, "
+    "damping as *85//100, per-edge share as (r*w)//out first so "
+    "products stay under 2^63) — bit-identical to the oracle's "
+    "unrolled-CTE twin, no float drift across engines or iteration "
+    "counts. Dangling nodes cannot exist here (every node has an "
+    "out-edge by construction — the edge list is symmetric). Spark "
+    "side: the edge frame is built once and cached; each iteration "
+    "is one broadcast-eligible join + one partial-aggregated "
+    "groupBy, so a 100 TB graph costs 5 linear passes with rank "
+    "state of |nodes| rows, never materializing anything "
+    "quadratic. The iteration count is fixed and small because "
+    "synchronous PR converges geometrically (0.85^5 = 44% residual "
+    "-> ranking of well-separated nodes is already stable; exact "
+    "convergence is a tolerance loop in production, same plan per "
+    "round).",
+)
+def graph_pagerank_supplier_customer(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = l.join(
+        o, l["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("s_node"),
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("c_node"),
+    )
+    edges = (
+        pairs.select(
+            F.col("s_node").alias("src"), F.col("c_node").alias("dst")
+        )
+        .unionAll(
+            pairs.select(
+                F.col("c_node").alias("src"),
+                F.col("s_node").alias("dst"),
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .cache()  # reused by all 5 iterations + outw + nodes
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select("dst")
+    ).distinct()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ew = edges.join(outw, "src")
+    ranks = nodes.withColumn(
+        "r", F.lit(_PR_SCALE).cast("long")
+    )
+    base = _PR_SCALE * 15 // 100  # exact python int, matches oracle
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ew.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .select(
+                "dst",
+                # integer DIV, never `/`: long/long is DOUBLE in Spark
+                # and the numerators exceed 2^53 at scale — floor of a
+                # rounded double would drift off the oracle's exact
+                # integer recurrence.
+                F.expr("(r * w DIV ow) * 85 DIV 100").alias("share"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                ).cast("long").alias("r"),
+            )
+        )
+    return (
+        ranks.select("node", F.col("r").alias("rank_scaled"))
+        .orderBy(F.desc("rank_scaled"), "node")
+        .limit(_PR_TOPK)
+    )

@@ -731,6 +731,122 @@ def token_hll_estimate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+_CMS_W = 1024
+_CMS_D = 4
+_CMS_TOPK = 20
+_CMS_PARAMS = minhash_params(_CMS_D, seed=8)
+
+
+def _cms_oracle() -> str:
+    a_case = " ".join(
+        f"WHEN {i} THEN {a}" for i, (a, _b) in enumerate(_CMS_PARAMS)
+    )
+    b_case = " ".join(
+        f"WHEN {i} THEN {b}" for i, (_a, b) in enumerate(_CMS_PARAMS)
+    )
+    return f"""
+    WITH tf AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+        GROUP BY token
+    ),
+    h AS (
+        SELECT token, c,
+            {str_hash60_sql('token')} % {MERSENNE_P} AS h
+        FROM tf
+    ),
+    cells AS (
+        SELECT h.token, h.c, i.i AS i,
+            ((h.h * (CASE i.i {a_case} END)
+              + (CASE i.i {b_case} END)) % {MERSENNE_P}) % {_CMS_W}
+            AS bucket
+        FROM h CROSS JOIN (VALUES (0), (1), (2), (3)) i(i)
+    ),
+    counters AS (
+        SELECT i, bucket, CAST(sum(c) AS BIGINT) AS cell
+        FROM cells GROUP BY i, bucket
+    ),
+    topk AS (
+        SELECT token, c FROM tf ORDER BY c DESC, token LIMIT {_CMS_TOPK}
+    )
+    SELECT t.token AS token, t.c AS true_count,
+        min(co.cell) AS cms_est,
+        min(co.cell) - t.c AS overcount
+    FROM topk t
+    JOIN cells ce ON ce.token = t.token
+    JOIN counters co ON co.i = ce.i AND co.bucket = ce.bucket
+    GROUP BY t.token, t.c
+    ORDER BY true_count DESC, t.token
+    """
+
+
+@register(
+    "docs_token_cms_topk",
+    oracle=_cms_oracle(),
+    doc="Count-min sketch over the token stream — the MERGEABLE "
+    "heavy-hitter estimator (Cormode-Muthukrishnan): D=4 universal "
+    "hash rows x W=1024 buckets, est(token) = min over rows of its "
+    "bucket's counter, guaranteed >= true count with overcount <= "
+    "2N/W at 1-(1/2)^4 probability. Unlike the HLL twin this sketch "
+    "IS cross-engine exact: the row hashes are the md5-derived "
+    "universal family (functions/hashing.py), so DuckDB reproduces "
+    "every cell bit-for-bit and the oracle checks estimates, not "
+    "just bounds. The counter table is built from the per-token "
+    "frequency frame (sum of counts per cell == streaming inserts), "
+    "partial-aggregated map-side into a FIXED 4x1024-cell state — "
+    "the 100 TB screening path next to events heavy-hitters' exact "
+    "Misra-Gries. Output: top-20 true tokens with their estimates "
+    "and overcounts.",
+)
+def token_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    tf = (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    h = tf.withColumn(
+        "__h", str_hash60(F.col("token")) % F.lit(MERSENNE_P)
+    )
+    # operands reduced mod P=2^31-1 first: products stay < 2^62
+    cells = h.select(
+        "token",
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (perm_hash(F.col("__h"), a, b) % _CMS_W)
+                        .alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(_CMS_PARAMS)
+                ]
+            )
+        ).alias("__cell"),
+    ).select(
+        "token",
+        "c",
+        F.col("__cell.i").alias("i"),
+        F.col("__cell.bucket").alias("bucket"),
+    )
+    counters = cells.groupBy("i", "bucket").agg(F.sum("c").alias("cell"))
+    topk = tf.orderBy(F.desc("c"), "token").limit(_CMS_TOPK)
+    est = (
+        topk.join(cells.select("token", "i", "bucket"), "token")
+        .join(counters, ["i", "bucket"])
+        .groupBy("token", "c")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        F.col("c").alias("true_count"),
+        "cms_est",
+        (F.col("cms_est") - F.col("c")).alias("overcount"),
+    ).orderBy(F.desc("true_count"), "token")
+
+
+# --------------------------------------------------------------------------
 # Gopher-style repetition quality signals: highly repetitive documents
 # (boilerplate, keyword stuffing, generation loops) are poor training
 # data. Two standard signals per document: the fraction of words that

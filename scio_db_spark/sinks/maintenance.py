@@ -201,6 +201,7 @@ def compact(
     path: str,
     target_bytes: int = _TARGET_BYTES_DEFAULT,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Bin-pack ``path``'s parquet files toward ``target_bytes`` each.
 
@@ -219,14 +220,24 @@ def compact(
     with file-level stats — whole files at planning time. At 100 TB
     this is the difference between scanning the full table and
     touching the few files a time/key predicate selects (the same
-    lever a transactional format's OPTIMIZE ZORDER pulls; single-key
-    clustering here, which Spark expresses natively).
+    lever a transactional format's OPTIMIZE pulls; single-key
+    clustering, which Spark expresses natively).
+
+    ``zorder_by``: cluster on the MORTON interleave of several
+    columns (functions/zorder.py) instead — lexicographic sort_by
+    makes stats selective only for the leading column, while z-order
+    gives every participating column partial locality, so a filter on
+    ANY of them skips most row groups (OPTIMIZE ZORDER's contract;
+    pruning factors pinned in tests/test_zorder.py). Mutually
+    exclusive with ``sort_by``.
     """
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
     finish_compact_swap(path)
     finish_delete_swap(path)
     finish_upsert(spark, path)
     files = _parquet_files(path)
-    if len(files) == 0 or (len(files) <= 1 and not sort_by):
+    if len(files) == 0 or (len(files) <= 1 and not (sort_by or zorder_by)):
         return {
             "files_before": len(files),
             "files_after": len(files),
@@ -241,9 +252,17 @@ def compact(
     # repartition (not coalesce): coalesce would chain the upstream
     # scan tasks 1:1 into few writers and lose read parallelism of the
     # compaction job itself on big inputs.
-    if sort_by:
-        from pyspark.sql import functions as _F  # noqa: F401
+    if zorder_by:
+        from scio_db_spark.functions.zorder import with_z_order
 
+        clustered = (
+            with_z_order(df, zorder_by)
+            .repartitionByRange(int(n_out), "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        clustered.write.mode("overwrite").parquet(tmp)
+    elif sort_by:
         clustered = df.repartitionByRange(
             int(n_out), *sort_by
         ).sortWithinPartitions(*sort_by)

@@ -77,14 +77,24 @@ _QUERIES = [
 ]
 
 # Per-query factor cap, RECORDED in the artifact (the no-silent-caps
-# rule). Empty since the round-7 PPJoin rewrite: the pre-collapse form
-# hit the mass-duplication pathology here (99 exact copies per doc at
-# x100 → candidates ~ sum(df^2) → measured Java-heap exhaustion, and
-# 245 s at x10); the shipped query now collapses identical token sets
-# to representatives FIRST, so only ~|unique docs| enter the prefix
-# join at any factor (BENCH_LOCAL_r07_scaling_ppjoin.json has the
-# post-rewrite curve).
-_MAX_FACTOR: dict[str, int] = {}
+# rule). The round-8 ×1000 column runs the near-flat/linear families;
+# the ×100-output-bound ones are capped at 100 — their cost at ×1000
+# is the PAIR OUTPUT the verbatim-replication harness inflates
+# (999 exact copies/doc → ~k² pairs/doc; 250M+ result rows), not a
+# plan defect — the ×1/×10/×100 curves in BENCH_LOCAL_r07_scaling.json
+# already characterize them. emb_* are capped because the replication
+# multiplies the query set as well (quadratic brute-force / rerank
+# work by construction).
+_MAX_FACTOR: dict[str, int] = {
+    "basket_part_pairs_topk": 100,       # pair expansion output-bound
+    "docs_duplicate_spans": 100,         # shingle-pair output-bound
+    "docs_minhash_lsh_pairs": 100,       # k²/doc pair output (r6 lesson)
+    "docs_dedup_clusters": 100,          # edge list = LSH pairs
+    "docs_ppjoin_similarity_pairs": 100, # intra-group pairs ~ C(1000,2)/doc
+    "events_value_twins_eps": 100,       # band-pair output-bound
+    "emb_cosine_topk": 100,              # brute force: queries × corpus
+    "emb_ann_ivf_trained_topk": 100,     # candidate set × query set
+}
 
 
 def _build(factor: int) -> str:
