@@ -109,6 +109,13 @@ def _build(factor: int) -> str:
     import duckdb
 
     con = duckdb.connect()
+    # Stream the COPY instead of buffering it: with insertion-order
+    # preservation (the default) DuckDB materializes the ENTIRE cross
+    # product in memory before writing — at x1000 that's 600M lineitem
+    # rows (~40+ GB RSS, observed). Row order inside the replicated
+    # parquet is irrelevant to every query here.
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET memory_limit='24GB'")
     for t in _DIMS:
         shutil.copyfile(
             os.path.join(_SRC, f"{t}.parquet"),
