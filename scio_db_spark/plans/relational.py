@@ -1358,3 +1358,213 @@ def graph_pagerank_supplier_customer(
         .orderBy(F.desc("rank_scaled"), "node")
         .limit(_PR_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+_TRI_TOPK = 10
+
+
+@register(
+    "graph_triangle_census",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM pairs
+            UNION ALL SELECT v FROM pairs
+        ) GROUP BY node
+    ),
+    -- orient every edge from the LOWER (degree, node) endpoint to the
+    -- higher: each triangle then has exactly one wedge apex
+    oe AS (
+        SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v
+               END AS s,
+               CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u
+               END AS t
+        FROM pairs p
+        JOIN deg du ON du.node = p.u
+        JOIN deg dv ON dv.node = p.v
+    ),
+    tri AS (
+        SELECT w1.s AS a, w1.t AS b, w2.t AS c
+        FROM oe w1 JOIN oe w2
+          ON w1.s = w2.s AND w1.t < w2.t
+        JOIN oe e ON e.s = w1.t AND e.t = w2.t
+    ),
+    per_node AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT node AS partkey, n_triangles FROM per_node
+    ORDER BY n_triangles DESC, partkey LIMIT 10
+    """,
+    doc="Triangle census over the part co-purchase graph (parts "
+    "sharing an order), the classic worst-case-bounded graph pattern: "
+    "edges are ORIENTED from the lower (degree, node) endpoint to the "
+    "higher before the wedge join, so wedge generation is "
+    "sum_v C(out_deg(v), 2) with out-degrees bounded ~sqrt(|E|) "
+    "(Schank-Wagner) instead of the hub-quadratic sum_v C(deg(v), 2) "
+    "— a celebrity part cannot detonate the join. Every stage is an "
+    "equi-join + distinct (no cartesian); each triangle is counted "
+    "exactly once at its unique apex. Output: top-10 parts by "
+    "triangle participation.",
+)
+def graph_triangle_census(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = l.alias("a"), l.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        # reused by the wedge self-join AND the closing join
+        .cache()
+    )
+    w1 = oe.select(F.col("s"), F.col("t").alias("b"))
+    w2 = oe.select(F.col("s"), F.col("t").alias("c"))
+    wedges = w1.join(w2, "s").filter(F.col("b") < F.col("c"))
+    closing = oe.select(
+        F.col("s").alias("b"), F.col("t").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"]).select(
+        F.col("s").alias("a"), "b", "c"
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select("b"))
+        .unionAll(tri.select("c"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        per_node.select(F.col("node").alias("partkey"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), "partkey")
+        .limit(_TRI_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+_BFS_HOPS = 4
+
+
+def _bfs_oracle() -> str:
+    edges = """
+    edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            UNION ALL
+            SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+    ),
+    reach0 AS (SELECT 's1' AS node, 0 AS dist)
+    """
+    steps = []
+    for h in range(1, _BFS_HOPS + 1):
+        steps.append(f"""
+    reach{h} AS (
+        SELECT node, dist FROM reach{h - 1}
+        UNION ALL
+        SELECT node, {h} AS dist FROM (
+            SELECT DISTINCT e.dst AS node
+            FROM edges e
+            JOIN reach{h - 1} r ON r.node = e.src AND r.dist = {h - 1}
+        ) WHERE node NOT IN (SELECT node FROM reach{h - 1})
+    )""")
+    return (
+        "WITH " + edges + "," + ",".join(steps)
+        + f""" SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM reach{_BFS_HOPS} GROUP BY dist ORDER BY dist"""
+    )
+
+
+@register(
+    "graph_khop_reach_census",
+    oracle=_bfs_oracle(),
+    doc="K-hop BFS reachability census from supplier s1 over the "
+    "bipartite supplier<->customer shipment graph: how many nodes sit "
+    "at each shortest-path distance 0..4 — the iterative frontier-"
+    "expansion surface next to PageRank's fixed-iteration one. Each "
+    "hop is one equi-join of the CURRENT frontier against the edge "
+    "list plus an anti-join against the reached set (both "
+    "broadcast-eligible while the frontier is small, shuffle joins "
+    "once it isn't — AQE picks per hop from runtime sizes). State "
+    "after hop h = the reached set, |V| rows max, never edges x "
+    "frontier materialized beyond the per-hop join. Oracle: the "
+    "identical unrolled frontier recurrence as chained CTEs.",
+)
+def graph_khop_reach_census(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = l.join(
+        o, l["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("s_node"),
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("c_node"),
+    )
+    edges = (
+        pairs.select(
+            F.col("s_node").alias("src"), F.col("c_node").alias("dst")
+        )
+        .unionAll(
+            pairs.select(
+                F.col("c_node").alias("src"),
+                F.col("s_node").alias("dst"),
+            )
+        )
+        .distinct()
+        .cache()  # probed once per hop
+    )
+    reached = spark.createDataFrame(
+        [("s1", 0)], "node string, dist int"
+    )
+    frontier = reached.select("node")
+    for h in range(1, _BFS_HOPS + 1):
+        neighbors = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new_nodes = neighbors.join(reached, "node", "left_anti")
+        reached = reached.unionByName(
+            new_nodes.withColumn("dist", F.lit(h))
+        )
+        frontier = new_nodes
+    return reached.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    ).orderBy("dist")
