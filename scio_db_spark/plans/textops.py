@@ -737,6 +737,24 @@ _CMS_TOPK = 20
 _CMS_PARAMS = minhash_params(_CMS_D, seed=8)
 
 
+def cms_cell_array(token_col: Column) -> Column:
+    """array<struct<i,bucket>> of the D count-min cells a token
+    increments — the one definition shared by the batch census and the
+    streaming counter twin (streaming/cms_stream.py), so their
+    counter tables are bit-comparable."""
+    h = str_hash60(token_col) % F.lit(MERSENNE_P)
+    # operands reduced mod P=2^31-1 first: products stay < 2^62
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (perm_hash(h, a, b) % _CMS_W).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(_CMS_PARAMS)
+        ]
+    )
+
+
 def _cms_oracle() -> str:
     a_case = " ".join(
         f"WHEN {i} THEN {a}" for i, (a, _b) in enumerate(_CMS_PARAMS)
@@ -805,25 +823,10 @@ def token_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    h = tf.withColumn(
-        "__h", str_hash60(F.col("token")) % F.lit(MERSENNE_P)
-    )
-    # operands reduced mod P=2^31-1 first: products stay < 2^62
-    cells = h.select(
+    cells = tf.select(
         "token",
         "c",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        (perm_hash(F.col("__h"), a, b) % _CMS_W)
-                        .alias("bucket"),
-                    )
-                    for i, (a, b) in enumerate(_CMS_PARAMS)
-                ]
-            )
-        ).alias("__cell"),
+        F.explode(cms_cell_array(F.col("token"))).alias("__cell"),
     ).select(
         "token",
         "c",
