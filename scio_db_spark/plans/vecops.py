@@ -662,3 +662,100 @@ def hard_negatives_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= _TOPK)
         .select("q_id", "vec_id", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+_KNN_K = 10
+_KNN_QUERIES = 20  # vec_id < 20 are the evaluation queries
+
+
+@register(
+    "emb_knn_label_census",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, label AS true_label
+        FROM embeddings WHERE vec_id < {_KNN_QUERIES}
+    ),
+    scored AS (
+        SELECT q.q_id, q.true_label, e.label,
+            row_number() OVER (PARTITION BY q.q_id ORDER BY
+                {cosine_sql("q.q_emb", "e.embedding", DUCK_AT)} DESC,
+                e.vec_id) AS rn
+        FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    ),
+    votes AS (
+        SELECT q_id, true_label, label,
+            CAST(count(*) AS BIGINT) AS n_votes
+        FROM scored WHERE rn <= {_KNN_K}
+        GROUP BY q_id, true_label, label
+    ),
+    winner AS (
+        SELECT q_id, true_label, label AS knn_label, n_votes FROM (
+            SELECT q_id, true_label, label, n_votes,
+                row_number() OVER (PARTITION BY q_id
+                    ORDER BY n_votes DESC, label) AS r
+            FROM votes
+        ) WHERE r = 1
+    )
+    SELECT q_id, true_label, knn_label, n_votes,
+        CASE WHEN true_label = knn_label THEN 1 ELSE 0 END AS correct
+    FROM winner ORDER BY q_id
+    """,
+    doc="kNN label-vote census: classify each of the first "
+    f"{_KNN_QUERIES} vectors by the majority label of its {_KNN_K} "
+    "nearest cosine neighbors (ties -> smallest label), next to its "
+    "true label — the evaluation loop behind embedding-quality "
+    "tracking (does neighborhood structure predict labels?). Same "
+    "hoisted-norm broadcast scoring as emb_cosine_topk (bit-identical "
+    "doubles in both engines), majority vote as an integer count "
+    "window — at corpus scale the scoring side swaps in the IVF "
+    "probe unchanged.",
+)
+def knn_label_census(spark: SparkSession, sf: str) -> DataFrame:
+    e = _emb(spark, sf)
+    q = e.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("q_norm"),
+    )
+    e_n = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("e_norm"),
+    )
+    pair_cos = (
+        f"({dot_sql('q_emb', 'embedding', SPARK_AT)}) / "
+        f"nullif(q_norm * e_norm, 0.0)"
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.col("vec_id")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e_n, F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos_sim", F.expr(pair_cos))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _KNN_K)
+    )
+    votes = scored.groupBy("q_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w_win = Window.partitionBy("q_id").orderBy(
+        F.desc("n_votes"), F.col("label")
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(w_win))
+        .filter(F.col("r") == 1)
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("knn_label"),
+            "n_votes",
+            F.when(F.col("true_label") == F.col("label"), 1)
+            .otherwise(0)
+            .alias("correct"),
+        )
+        .orderBy("q_id")
+    )

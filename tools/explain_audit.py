@@ -54,6 +54,10 @@ WHITELIST: set[tuple[str, str]] = {
     # emb_cosine_topk; the "loop" is 5 rows x collection, linear.
     ("emb_hard_negatives_topk", "BroadcastNestedLoopJoin"),
     ("emb_ivfpq_recall_census", "BroadcastNestedLoopJoin"),
+    # Same brute-force-eval shape: the 20-row labeled query frame
+    # broadcast against the collection (vec_id != q_id, no equi key);
+    # 20 rows x collection, linear — the kNN vote rides on top.
+    ("emb_knn_label_census", "BroadcastNestedLoopJoin"),
     # Global census row: ONE row of map-side partials crosses.
     ("events_ab_test_census", "SinglePartition"),
     # DSIR totals: two global scalar aggs over the 4096-row FEATURE
