@@ -340,3 +340,74 @@ def test_streaming_upsert_sink_restart_converges(spark):
     # no duplicate keys ever
     ids = [r.id for r in spark.read.parquet(table).collect()]
     assert len(ids) == len(set(ids)) == 4
+
+
+@pytest.mark.slow
+def test_sessionize_state_survives_clean_restart(spark):
+    """Generalize the restart guarantee to a CUSTOM
+    applyInPandasWithState operator: per-key (last_ts, session_id)
+    state must be restored from the checkpoint, so a post-restart
+    event inside the gap continues the SAME session and one past the
+    gap increments rather than resetting to session 1 (which a lost
+    state store would produce)."""
+    from pyspark.sql import Row
+
+    from scio_db_spark.streaming.sessionize_stream import sessionize_stream
+
+    schema = "k string, ts timestamp"
+    root = tempfile.mkdtemp(prefix="sess_restart_")
+    input_dir = os.path.join(root, "in")
+    os.makedirs(input_dir)
+    ck = os.path.join(root, "ck")
+    out: list = []
+
+    def _start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(input_dir)
+        )
+        sess = sessionize_stream(
+            stream, ["k"], "ts", ttl_seconds=3600
+        )
+
+        def _sink(batch_df, _epoch):
+            out.extend(batch_df.collect())
+
+        return (
+            sess.writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def _at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    _drop_file(spark, [Row("a", _at(0)), Row("a", _at(10))], schema,
+               input_dir)
+    q = _start()
+    q.awaitTermination()
+
+    # restart: one event INSIDE the 1h gap (same session) and, later,
+    # one PAST the gap from the post-restart event (new session)
+    _drop_file(spark, [Row("a", _at(40))], schema, input_dir)
+    q = _start()
+    q.awaitTermination()
+    _drop_file(spark, [Row("a", _at(40 + 61))], schema, input_dir)
+    q = _start()
+    q.awaitTermination()
+
+    got = sorted((r.k, r.ts.minute + 60 * r.ts.hour, r.session_id)
+                 for r in out)
+    assert got == [
+        ("a", 0, 1),     # first event, session 1
+        ("a", 10, 1),    # inside gap
+        ("a", 40, 1),    # AFTER RESTART, inside gap: state survived
+        ("a", 101, 2),   # past the gap: increments (not reset to 1)
+    ], got
