@@ -37,7 +37,12 @@ def minmax_scale(col: Column, lo, hi, bits: int) -> Column:
         * F.lit(float(n_cells))
         / F.lit(float(span))
     ).cast("long")
-    return F.least(F.greatest(cell, F.lit(0)), F.lit(n_cells - 1))
+    # NULL values get cell 0 (cluster together at the low edge) —
+    # a NULL cell would null the whole interleaved z-value
+    return F.coalesce(
+        F.least(F.greatest(cell, F.lit(0)), F.lit(n_cells - 1)),
+        F.lit(0),
+    )
 
 
 def z_value(cols: list[Column], bits: int = 12) -> Column:
@@ -71,13 +76,35 @@ def with_z_order(
     """Append the Morton value for ``cols``, min-max scaling each
     column from ONE stats pass over ``df`` (driver-side two numbers
     per column — cheap next to the rewrite that follows)."""
+    numeric = ("long", "integer", "short", "byte", "double", "float",
+               "date", "timestamp", "timestamp_ntz")
+    exprs: dict[str, Column] = {}
+    for c in cols:
+        dt = df.schema[c].dataType.typeName()
+        if not (dt in numeric or dt.startswith("decimal")):
+            raise ValueError(
+                f"z-order column {c!r} has type {dt}; only numeric/"
+                f"temporal columns have the ordered grid the Morton "
+                f"interleave needs (hash or dictionary-encode strings "
+                f"first)"
+            )
+        # date has no direct double cast; day number preserves order
+        exprs[c] = (
+            F.unix_date(F.col(c)).cast("double")
+            if dt == "date"
+            else F.col(c).cast("double")
+        )
     stats = df.agg(
-        *[F.min(c).alias(f"__lo_{c}") for c in cols],
-        *[F.max(c).alias(f"__hi_{c}") for c in cols],
+        *[F.min(exprs[c]).alias(f"__lo_{c}") for c in cols],
+        *[F.max(exprs[c]).alias(f"__hi_{c}") for c in cols],
     ).collect()[0]
     scaled = [
+        # all-NULL/empty input: constant cell 0 (nothing to cluster)
         minmax_scale(
-            F.col(c), stats[f"__lo_{c}"], stats[f"__hi_{c}"], bits
+            exprs[c],
+            stats[f"__lo_{c}"] if stats[f"__lo_{c}"] is not None else 0,
+            stats[f"__hi_{c}"] if stats[f"__hi_{c}"] is not None else 0,
+            bits,
         )
         for c in cols
     ]

@@ -95,3 +95,24 @@ def test_z_value_bit_budget_guard():
         z_value([F.lit(1)] * 8, bits=12)  # 96 bits
     with pytest.raises(ValueError, match="at least one"):
         z_value([], bits=12)
+
+
+def test_zorder_guards_and_edge_inputs(spark, tmp_path):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.functions.zorder import with_z_order
+
+    df = spark.range(10).select(
+        F.col("id").alias("x"),
+        F.lit("s").alias("name"),
+        F.lit(None).cast("long").alias("all_null"),
+        F.to_date(F.lit("2024-01-01")).alias("d"),
+    )
+    with pytest.raises(ValueError, match="ordered grid"):
+        with_z_order(df, ["name"])
+    # all-NULL column degrades to constant cell; date maps via day
+    # number — both produce a non-NULL z for every row
+    z = with_z_order(df, ["x", "all_null", "d"])
+    assert z.filter(F.col("__z").isNull()).count() == 0
