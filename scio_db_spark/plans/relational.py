@@ -1579,3 +1579,141 @@ def graph_khop_reach_census(spark: SparkSession, sf: str) -> DataFrame:
     return reached.groupBy("dist").agg(
         F.count(F.lit(1)).alias("n_nodes")
     ).orderBy("dist")
+
+
+# --------------------------------------------------------------------------
+_DLT_K = 50
+_HASH_ONE = 1 << 60  # u is uniform on [0, 2^60)
+
+
+@register(
+    "orders_priority_sample_total_estimate",
+    oracle=f"""
+    WITH h AS (
+        SELECT o_orderkey,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS w,
+            CAST('0x' || substr(
+                md5('r8:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                AS BIGINT) AS u
+        FROM orders
+    ),
+    pri AS (
+        SELECT o_orderkey, w, u, u // w AS q FROM h WHERE w > 0
+    ),
+    top AS (
+        SELECT * FROM pri ORDER BY q, o_orderkey LIMIT {_DLT_K + 1}
+    ),
+    nxt AS (
+        SELECT w AS w_next, u AS u_next, o_orderkey AS next_id
+        FROM top ORDER BY q DESC, o_orderkey DESC LIMIT 1
+    ),
+    smp AS (
+        SELECT t.w, n.w_next, n.u_next FROM top t CROSS JOIN nxt n
+        WHERE t.o_orderkey <> n.next_id
+    ),
+    est AS (
+        SELECT
+            CAST(sum(CASE WHEN CAST(w AS HUGEINT) * u_next
+                    >= CAST(w_next AS HUGEINT) * {_HASH_ONE}
+                    THEN w ELSE 0 END) AS HUGEINT) AS a,
+            CAST(sum(CASE WHEN CAST(w AS HUGEINT) * u_next
+                    < CAST(w_next AS HUGEINT) * {_HASH_ONE}
+                    THEN 1 ELSE 0 END) AS HUGEINT) AS m,
+            max(w_next) AS w_next, max(u_next) AS u_next
+        FROM smp
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+            CAST(sum(w) AS BIGINT) AS exact_total_cents
+        FROM pri
+    )
+    SELECT t.n_orders, t.exact_total_cents,
+        CAST({_DLT_K} AS BIGINT) AS n_sample,
+        CAST(e.a + (e.m * CAST(e.w_next AS HUGEINT) * {_HASH_ONE})
+             // e.u_next AS BIGINT) AS est_total_cents,
+        CAST(abs(CAST(e.a + (e.m * CAST(e.w_next AS HUGEINT)
+                 * {_HASH_ONE}) // e.u_next AS BIGINT)
+             - t.exact_total_cents) * 1000
+             // t.exact_total_cents AS BIGINT) AS err_permille
+    FROM tot t CROSS JOIN est e
+    """,
+    doc="Duffield-Lund-Thorup subset-sum ESTIMATOR on the priority "
+    f"sample: draw the {_DLT_K} smallest priorities q = u DIV w "
+    "(operators/sampling.py's integer-exact DLT draw), take tau from "
+    "the (k+1)-th priority, and estimate the spend total as "
+    "sum(max(w_i, tau)) over the sample — the published unbiased "
+    "estimator that makes a 50-row sample answer 'total spend' "
+    "questions at 100 TB without scanning. All arithmetic exact: "
+    "w_i >= tau compares as w_i*u_next >= w_next*2^60 in 128-bit "
+    "(DECIMAL(38,0) Spark / HUGEINT DuckDB), the tau tail folds in "
+    "one integer division, and the single-row census carries the "
+    "exact total next to the estimate with its err_permille. Plan: "
+    "two TakeOrderedAndProject heaps (k+1 rows each) + one-row "
+    "broadcast constants — the fact table is scanned once.",
+)
+def orders_priority_sample_total_estimate(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from scio_db_spark.functions.hashing import str_hash60
+
+    o = table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    h = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("w"),
+        str_hash60(
+            F.concat_ws(
+                ":", F.lit("r8"), F.col("o_orderkey").cast("string")
+            )
+        ).alias("u"),
+    ).filter(F.col("w") > 0)
+    pri = h.withColumn("q", F.expr("u DIV w"))
+    top = pri.orderBy("q", "o_orderkey").limit(_DLT_K + 1)
+    nxt = (
+        top.orderBy(F.desc("q"), F.desc("o_orderkey"))
+        .limit(1)
+        .select(
+            F.col("w").alias("w_next"),
+            F.col("u").alias("u_next"),
+            F.col("o_orderkey").alias("next_id"),
+        )
+    )
+    big = "decimal(38,0)"
+    smp = top.crossJoin(F.broadcast(nxt)).filter(
+        F.col("o_orderkey") != F.col("next_id")
+    )
+    in_head = (
+        F.col("w").cast(big) * F.col("u_next").cast(big)
+        >= F.col("w_next").cast(big) * F.lit(_HASH_ONE).cast(big)
+    )
+    est = smp.agg(
+        F.sum(F.when(in_head, F.col("w")).otherwise(0))
+        .cast(big).alias("a"),
+        F.sum(F.when(in_head, 0).otherwise(1)).cast(big).alias("m"),
+        F.max("w_next").alias("w_next"),
+        F.max("u_next").alias("u_next"),
+    )
+    tot = pri.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("w").cast("long").alias("exact_total_cents"),
+    )
+    tail = F.expr(
+        f"CAST((m * CAST(w_next AS {big}) * CAST({_HASH_ONE} AS {big}))"
+        f" DIV CAST(u_next AS {big}) AS {big})"
+    )
+    est_total = (F.col("a") + tail).cast("long")
+    return (
+        tot.crossJoin(F.broadcast(est))
+        .select(
+            "n_orders",
+            "exact_total_cents",
+            F.lit(_DLT_K).cast("long").alias("n_sample"),
+            est_total.alias("est_total_cents"),
+        )
+        .withColumn(
+            "err_permille",
+            F.expr(
+                "abs(est_total_cents - exact_total_cents) * 1000 "
+                "DIV exact_total_cents"
+            ),
+        )
+    )

@@ -60,6 +60,12 @@ WHITELIST: set[tuple[str, str]] = {
     ("emb_knn_label_census", "BroadcastNestedLoopJoin"),
     # Global census row: ONE row of map-side partials crosses.
     ("events_ab_test_census", "SinglePartition"),
+    # DLT estimator census: the SinglePartition crossings are the two
+    # TakeOrderedAndProject heads (k+1 = 51 rows each) and the scalar
+    # total agg (one row of map-side partials); the BNLJs glue the
+    # one-row tau-constants and estimate frames onto one-row censuses.
+    ("orders_priority_sample_total_estimate", "SinglePartition"),
+    ("orders_priority_sample_total_estimate", "BroadcastNestedLoopJoin"),
     # DSIR totals: two global scalar aggs over the 4096-row FEATURE
     # frame (one row out each), cross-joined as a broadcast ONE-ROW
     # constants frame onto the per-feature ratio projection — the BNLJ
