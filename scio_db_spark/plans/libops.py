@@ -1730,3 +1730,97 @@ if _PQ is not None:
                 ).alias("recall_permille"),
             )
         )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit probabilities as integer micro-units, computed
+# OFFLINE (floor(log10(1+1/d)*1e6)) so neither engine's libm is in the
+# data path at all — the expectation is a literal lookup table.
+_BENFORD_MICRO = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+@register(
+    "orders_benford_digit_census",
+    oracle=f"""
+    WITH w AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice > 0
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+            AS digit
+        FROM w
+    ),
+    obs AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d
+        GROUP BY digit
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    exp AS (
+        SELECT e.digit, t.n * e.p_micro // 1000000 AS n_exp
+        FROM (VALUES {", ".join(f"({d}, {p})"
+                                for d, p in _BENFORD_MICRO.items())})
+            e(digit, p_micro)
+        CROSS JOIN tot t
+    )
+    SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs, e.n_exp,
+        CASE WHEN e.n_exp = 0 THEN 0 ELSE
+            (COALESCE(o.n_obs, 0) - e.n_exp)
+            * (COALESCE(o.n_obs, 0) - e.n_exp)
+            * 1000000 // e.n_exp END AS dev_micro
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit
+    ORDER BY e.digit
+    """,
+    doc="Benford first-digit data-quality census over order totals: "
+    "observed vs expected first-significant-digit counts with a "
+    "per-digit chi-square-style deviation — the classic synthetic-/"
+    "fabricated-data detector for monetary columns. The Benford "
+    "expectation is an OFFLINE integer literal table "
+    "(floor(log10(1+1/d)*1e6)) so no libm runs in either engine; "
+    "first digit comes from the cents value's decimal string (both "
+    "engines print integers identically); deviations are exact "
+    "integer micro-units. One scan, one 9-group aggregate.",
+)
+def orders_benford_digit_census(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    expected = spark.createDataFrame(
+        [(k, v) for k, v in _BENFORD_MICRO.items()],
+        "digit long, p_micro long",
+    )
+    exp = expected.crossJoin(F.broadcast(tot)).select(
+        "digit", F.expr("n * p_micro DIV 1000000").alias("n_exp")
+    )
+    return (
+        exp.join(obs, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            "n_exp",
+        )
+        .withColumn(
+            "dev_micro",
+            F.expr(
+                "CASE WHEN n_exp = 0 THEN 0 ELSE "
+                "(n_obs - n_exp) * (n_obs - n_exp) * 1000000 "
+                "DIV n_exp END"
+            ),
+        )
+        .orderBy("digit")
+    )

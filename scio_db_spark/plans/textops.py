@@ -2038,3 +2038,69 @@ def mixture_schedule_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("pos", "lang", "doc_id")
         .limit(_MIX_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "docs_source_diversity_census",
+    oracle="""
+    WITH bylang AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_l
+        FROM documents GROUP BY source, lang
+    ),
+    terms AS (
+        SELECT source, lang, n_l,
+            n_l * CAST(floor(ln(n_l) * 1000000) AS BIGINT) AS t_l
+        FROM bylang
+    ),
+    per_src AS (
+        SELECT source,
+            CAST(sum(n_l) AS BIGINT) AS n_docs,
+            CAST(count(*) AS BIGINT) AS n_langs,
+            CAST(sum(t_l) AS BIGINT) AS s
+        FROM terms GROUP BY source
+    )
+    SELECT source, n_docs, n_langs,
+        CAST(floor(ln(n_docs) * 1000000) AS BIGINT) - s // n_docs
+            AS entropy_micro_nats
+    FROM per_src ORDER BY source
+    """,
+    doc="Per-source language-diversity census: Shannon entropy of the "
+    "lang distribution in integer micro-nats via the identity "
+    "H = ln(N) - (1/N) * sum(n_l * ln(n_l)) — the mixture-health "
+    "check a training-data pipeline runs per provenance bucket "
+    "(entropy 0 = monolingual source; drops flag collapsing "
+    "diversity after a filter change). Float policy identical to "
+    "docs_zipf_fit: every ln is quantized to floor(ln*1e6) BEFORE "
+    "any arithmetic, so sums and the final division are exact "
+    "integers; term-level 1-ulp ln drift can flip a floor only "
+    "within ~1e-12 of a boundary (verified empirically at both gate "
+    "SFs). One scan, one (source, lang) aggregate, one source "
+    "rollup.",
+)
+def source_diversity_census(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    bylang = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    terms = bylang.withColumn(
+        "t_l",
+        F.col("n_l")
+        * F.floor(F.log(F.col("n_l").cast("double")) * 1000000)
+        .cast("long"),
+    )
+    per_src = terms.groupBy("source").agg(
+        F.sum("n_l").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum("t_l").alias("s"),
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        (
+            F.floor(F.log(F.col("n_docs").cast("double")) * 1000000)
+            .cast("long")
+            - F.expr("s DIV n_docs")
+        ).alias("entropy_micro_nats"),
+    ).orderBy("source")

@@ -60,6 +60,11 @@ WHITELIST: set[tuple[str, str]] = {
     ("emb_knn_label_census", "BroadcastNestedLoopJoin"),
     # Global census row: ONE row of map-side partials crosses.
     ("events_ab_test_census", "SinglePartition"),
+    # Benford census: the SinglePartition crossing is the scalar
+    # total-count agg (one row of map-side partials); the BNLJ glues
+    # that one-row total onto the 9-row literal expectation table.
+    ("orders_benford_digit_census", "SinglePartition"),
+    ("orders_benford_digit_census", "BroadcastNestedLoopJoin"),
     # DLT estimator census: the SinglePartition crossings are the two
     # TakeOrderedAndProject heads (k+1 = 51 rows each) and the scalar
     # total agg (one row of map-side partials); the BNLJs glue the
