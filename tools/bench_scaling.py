@@ -74,6 +74,15 @@ _QUERIES = [
     "docs_dedup_clusters",            # bounded-round star CC
     "events_purchase_attribution",    # bounded as-of (one merge fill)
     "cust_pareto_skyline",            # running-max rank-core rider
+    # round-8 families
+    "graph_pagerank_supplier_customer",  # 5-iteration integer PR
+    "graph_triangle_census",             # degree-ordered wedge join
+    "graph_khop_reach_census",           # frontier-expansion BFS
+    "docs_token_cms_topk",               # mergeable count-min sketch
+    "emb_knn_label_census",              # 20-query kNN vote
+    "orders_priority_sample_total_estimate",  # DLT estimator census
+    "orders_benford_digit_census",       # digit-distribution DQ
+    "docs_source_diversity_census",      # quantized-entropy census
 ]
 
 # Per-query factor cap, RECORDED in the artifact (the no-silent-caps
@@ -94,6 +103,7 @@ _MAX_FACTOR: dict[str, int] = {
     "events_value_twins_eps": 100,       # band-pair output-bound
     "emb_cosine_topk": 100,              # brute force: queries × corpus
     "emb_ann_ivf_trained_topk": 100,     # candidate set × query set
+    "emb_knn_label_census": 100,         # 20 queries × replicated corpus
 }
 
 
