@@ -267,3 +267,57 @@ def test_ppjoin_collapse_handles_mass_duplication(spark, sf_dir):
     }
     for a, b in base:
         assert (a, b) in pairs
+
+
+def test_ppjoin_positional_filter_exact_on_random_sets(spark):
+    """Adversarial check of the positional filter's no-false-negative
+    proof on RANDOM token sets (the corpus test can't exercise df-tie
+    orderings, equal-size boundaries, or alpha edge cases): for every
+    seeded universe, the candidate set must contain every pair with
+    Jaccard >= t. Uses the raw (doc_id, h) frame contract of
+    _doc_shingle_hashes."""
+    import itertools
+    import random
+
+    from scio_db_spark.plans.textops import (
+        _PPJOIN_T,
+        _ppjoin_candidates_ds,
+    )
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        universe = list(range(1, 40))
+        docs = {}
+        base = rng.sample(universe, rng.randint(4, 10))
+        for d in range(14):
+            if rng.random() < 0.6 and docs:
+                # perturb an existing doc: near-dups with high overlap
+                src = docs[rng.choice(list(docs))]
+                s = set(src)
+                for _ in range(rng.randint(0, 3)):
+                    if rng.random() < 0.5 and len(s) > 2:
+                        s.discard(rng.choice(list(s)))
+                    else:
+                        s.add(rng.choice(universe))
+                docs[d] = sorted(s)
+            else:
+                docs[d] = sorted(
+                    set(rng.sample(universe, rng.randint(2, 12)))
+                )
+        true_pairs = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(docs), 2)
+            if len(set(docs[a]) & set(docs[b]))
+            / len(set(docs[a]) | set(docs[b]))
+            >= _PPJOIN_T
+        }
+        rows = [(d, h) for d, hs in docs.items() for h in hs]
+        ds = spark.createDataFrame(rows, "doc_id long, h long")
+        cand = {
+            (r.doc_a, r.doc_b)
+            for r in _ppjoin_candidates_ds(ds).collect()
+        }
+        assert true_pairs <= cand, (
+            f"seed {seed}: positional filter dropped "
+            f"{sorted(true_pairs - cand)}; docs={docs}"
+        )
