@@ -1,0 +1,164 @@
+"""Distributed graph operators: integer PageRank, degree-ordered
+triangle counting, bounded-hop BFS.
+
+Library cores behind the ``graph_*`` registry queries
+(plans/relational.py builds the shipment / co-purchase graphs and
+delegates here), factored out so random-graph tests can drive them
+directly against Python brute force — the same split the rank core
+and cluster operators use.
+
+Scale postures (measured in BENCH_LOCAL_r08_scaling_newops.json):
+- ``pagerank``: one equi-join + partial-aggregated groupBy per
+  iteration over a lazily-checkpointed edge frame (lineage truncation
+  measured 2.7× over cache at sf0.01); rank state is |V| rows.
+- ``triangle_counts``: edges oriented from the lower (degree, node)
+  endpoint (Schank-Wagner), bounding wedge generation by
+  sum C(out_deg, 2) with out-degrees ~sqrt(|E|) — hub-immune.
+- ``khop_census``: per-hop frontier equi-join + anti-join against the
+  reached set; state bounded by |V|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000  # fixed-point rank scale (1e9 per node)
+
+
+def checkpointed(edges: DataFrame) -> DataFrame:
+    """Lazy lineage truncation for a frame consumed by many stages of
+    an iterative plan (see module doc; lazy so plan-only tooling never
+    materializes it)."""
+    return edges.localCheckpoint(eager=False)
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 5, scale: int = PR_SCALE
+) -> DataFrame:
+    """Bounded-iteration PageRank over a weighted directed edge frame
+    ``(src, dst, w)`` in integer fixed-point: r' = 0.15*scale +
+    0.85 * sum_in((r_u * w) / out_u), every step floor-divided in the
+    fixed order ``(r*w) DIV ow`` then ``*85 DIV 100`` so products stay
+    under 2^63 and any engine reproduces the integers bit-for-bit.
+    Nodes = src ∪ dst; dangling nodes (no out-edge) simply leak their
+    mass — callers wanting the classic redistribution must add
+    self-loops. Returns ``(node, r)``."""
+    edges = checkpointed(edges)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ew = edges.join(outw, "src")
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    base = scale * 15 // 100  # exact python int, matches oracles
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                "dst",
+                # integer DIV, never `/`: long/long is DOUBLE in Spark
+                # and the numerators exceed 2^53 at scale.
+                F.expr("(r * w DIV ow) * 85 DIV 100").alias("share"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        ranks = nodes.join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.coalesce(F.col("inflow"), F.lit(0))
+            ).cast("long").alias("r"),
+        )
+    return ranks
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an UNDIRECTED edge
+    frame ``(u, v)`` with u < v (deduplicated). Degree-ordered wedge
+    join: each triangle is found exactly once at its unique apex.
+    Returns ``(node, n_triangles)`` for nodes in >= 1 triangle."""
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # every oriented edge goes ≺-low → ≺-high in the (degree, node)
+    # total order; t's degree rides along because the wedge filter
+    # below must use the SAME ≺ — ordering wedge endpoints by node id
+    # alone loses every triangle whose closing edge crosses the two
+    # orders (found by the random-graph brute-force test; the id-
+    # ordered form passed the oracle because the SQL twin shared the
+    # bug — consistent and wrong).
+    oe = checkpointed(
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(lower, F.col("dv")).otherwise(F.col("du"))
+            .alias("dt"),
+        )
+    )
+    w1 = oe.select(
+        F.col("s"), F.col("t").alias("b"), F.col("dt").alias("db")
+    )
+    w2 = oe.select(
+        F.col("s"), F.col("t").alias("c"), F.col("dt").alias("dc")
+    )
+    wedges = w1.join(w2, "s").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oe.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select(
+        F.col("s").alias("a"), "b", "c"
+    )
+    return (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select("b"))
+        .unionAll(tri.select("c"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def khop_census(
+    edges: DataFrame, source, hops: int
+) -> DataFrame:
+    """Shortest-path distance histogram from ``source`` over a
+    directed edge frame ``(src, dst)``: ``(dist, n_nodes)`` for
+    dist 0..hops (unreached nodes excluded)."""
+    spark = edges.sparkSession
+    edges = checkpointed(edges.select("src", "dst").distinct())
+    reached = spark.createDataFrame(
+        [(source, 0)], "node string, dist int"
+    )
+    frontier = reached.select("node")
+    for h in range(1, hops + 1):
+        neighbors = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new_nodes = neighbors.join(reached, "node", "left_anti")
+        reached = reached.unionByName(
+            new_nodes.withColumn("dist", F.lit(h))
+        )
+        frontier = new_nodes
+    return (
+        reached.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("dist")
+    )

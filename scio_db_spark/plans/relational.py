@@ -1294,6 +1294,8 @@ def _pagerank_oracle() -> str:
 def graph_pagerank_supplier_customer(
     spark: SparkSession, sf: str
 ) -> DataFrame:
+    from scio_db_spark.operators.graph import pagerank
+
     l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     pairs = l.join(
@@ -1314,54 +1316,8 @@ def graph_pagerank_supplier_customer(
         )
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        # lazy localCheckpoint, not cache(): the edge frame feeds the
-        # node set, the out-weight agg AND all 5 iteration joins — as
-        # an InMemoryRelation each consumer re-plans the full upstream
-        # tree and AQE re-optimizes it per stage (measured 8-10 s at
-        # sf0.01); truncating the lineage to one materialized RDD cuts
-        # the same query to ~3 s. Lazy, so plan-only tooling
-        # (explain_audit) never materializes it. Executor-loss
-        # recompute nondeterminism (the localCheckpoint caveat) is
-        # irrelevant: the frame is deterministic.
-        .localCheckpoint(eager=False)
     )
-    nodes = edges.select(F.col("src").alias("node")).union(
-        edges.select("dst")
-    ).distinct()
-    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    ew = edges.join(outw, "src")
-    ranks = nodes.withColumn(
-        "r", F.lit(_PR_SCALE).cast("long")
-    )
-    base = _PR_SCALE * 15 // 100  # exact python int, matches oracle
-    for _ in range(_PR_ITERS):
-        contrib = (
-            ew.join(
-                ranks.withColumnRenamed("node", "src"), "src"
-            )
-            .select(
-                "dst",
-                # integer DIV, never `/`: long/long is DOUBLE in Spark
-                # and the numerators exceed 2^53 at scale — floor of a
-                # rounded double would drift off the oracle's exact
-                # integer recurrence.
-                F.expr("(r * w DIV ow) * 85 DIV 100").alias("share"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("share").alias("inflow"))
-        )
-        ranks = (
-            nodes.join(
-                contrib.withColumnRenamed("dst", "node"), "node", "left"
-            )
-            .select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + F.coalesce(F.col("inflow"), F.lit(0))
-                ).cast("long").alias("r"),
-            )
-        )
+    ranks = pagerank(edges, iters=_PR_ITERS, scale=_PR_SCALE)
     return (
         ranks.select("node", F.col("r").alias("rank_scaled"))
         .orderBy(F.desc("rank_scaled"), "node")
@@ -1388,12 +1344,17 @@ _TRI_TOPK = 10
         ) GROUP BY node
     ),
     -- orient every edge from the LOWER (degree, node) endpoint to the
-    -- higher: each triangle then has exactly one wedge apex
+    -- higher: each triangle then has exactly one wedge apex. The
+    -- wedge pair must be ordered by the SAME (degree, node) order —
+    -- node id alone loses triangles whose closing edge crosses the
+    -- two orders (caught by the random-graph brute-force test).
     oe AS (
         SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v
                END AS s,
                CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u
-               END AS t
+               END AS t,
+               CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN dv.d ELSE du.d
+               END AS dt
         FROM pairs p
         JOIN deg du ON du.node = p.u
         JOIN deg dv ON dv.node = p.v
@@ -1401,7 +1362,7 @@ _TRI_TOPK = 10
     tri AS (
         SELECT w1.s AS a, w1.t AS b, w2.t AS c
         FROM oe w1 JOIN oe w2
-          ON w1.s = w2.s AND w1.t < w2.t
+          ON w1.s = w2.s AND (w1.dt, w1.t) < (w2.dt, w2.t)
         JOIN oe e ON e.s = w1.t AND e.t = w2.t
     ),
     per_node AS (
@@ -1426,6 +1387,8 @@ _TRI_TOPK = 10
     "triangle participation.",
 )
 def graph_triangle_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.graph import triangle_counts
+
     l = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     a, b = l.alias("a"), l.alias("b")
     pairs = (
@@ -1440,43 +1403,7 @@ def graph_triangle_census(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select("v"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    lower = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oe = (
-        pairs.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
-        )
-        # reused by the wedge self-join AND the closing join
-        .cache()
-    )
-    w1 = oe.select(F.col("s"), F.col("t").alias("b"))
-    w2 = oe.select(F.col("s"), F.col("t").alias("c"))
-    wedges = w1.join(w2, "s").filter(F.col("b") < F.col("c"))
-    closing = oe.select(
-        F.col("s").alias("b"), F.col("t").alias("c")
-    )
-    tri = wedges.join(closing, ["b", "c"]).select(
-        F.col("s").alias("a"), "b", "c"
-    )
-    per_node = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select("b"))
-        .unionAll(tri.select("c"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    per_node = triangle_counts(pairs)
     return (
         per_node.select(F.col("node").alias("partkey"), "n_triangles")
         .orderBy(F.desc("n_triangles"), "partkey")
@@ -1536,6 +1463,8 @@ def _bfs_oracle() -> str:
     "identical unrolled frontier recurrence as chained CTEs.",
 )
 def graph_khop_reach_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.graph import khop_census
+
     l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     pairs = l.join(
@@ -1544,41 +1473,14 @@ def graph_khop_reach_census(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("s_node"),
         F.concat(F.lit("c"), F.col("o_custkey")).alias("c_node"),
     )
-    edges = (
+    edges = pairs.select(
+        F.col("s_node").alias("src"), F.col("c_node").alias("dst")
+    ).unionAll(
         pairs.select(
-            F.col("s_node").alias("src"), F.col("c_node").alias("dst")
+            F.col("c_node").alias("src"), F.col("s_node").alias("dst")
         )
-        .unionAll(
-            pairs.select(
-                F.col("c_node").alias("src"),
-                F.col("s_node").alias("dst"),
-            )
-        )
-        .distinct()
-        # lazy localCheckpoint for the same reason as the PageRank
-        # edge frame: probed once per hop by 4 chained joins
-        .localCheckpoint(eager=False)
     )
-    reached = spark.createDataFrame(
-        [("s1", 0)], "node string, dist int"
-    )
-    frontier = reached.select("node")
-    for h in range(1, _BFS_HOPS + 1):
-        neighbors = (
-            edges.join(
-                frontier.withColumnRenamed("node", "src"), "src"
-            )
-            .select(F.col("dst").alias("node"))
-            .distinct()
-        )
-        new_nodes = neighbors.join(reached, "node", "left_anti")
-        reached = reached.unionByName(
-            new_nodes.withColumn("dist", F.lit(h))
-        )
-        frontier = new_nodes
-    return reached.groupBy("dist").agg(
-        F.count(F.lit(1)).alias("n_nodes")
-    ).orderBy("dist")
+    return khop_census(edges, "s1", _BFS_HOPS)
 
 
 # --------------------------------------------------------------------------

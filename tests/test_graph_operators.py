@@ -1,0 +1,106 @@
+"""Random-graph verification of operators/graph.py against Python
+brute force — the registry queries pin the TPC-H-derived graphs via
+the DuckDB oracle; these pin the operator cores on adversarial random
+topologies (hubs, ties, disconnected pieces, dangling nodes)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from scio_db_spark.operators.graph import (
+    khop_census,
+    pagerank,
+    triangle_counts,
+)
+
+
+def _random_pairs(rng, n_nodes, p):
+    return [
+        (u, v)
+        for u, v in itertools.combinations(range(n_nodes), 2)
+        if rng.random() < p
+    ]
+
+
+def test_triangle_counts_match_brute_force(spark):
+    for seed in range(5):
+        rng = random.Random(seed)
+        pairs = _random_pairs(rng, 14, 0.35)
+        if seed == 3:  # adversarial hub: node 0 connected to everyone
+            pairs = sorted(set(pairs) | {(0, v) for v in range(1, 14)})
+        adj = {}
+        for u, v in pairs:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        expected = {}
+        for a, b, c in itertools.combinations(sorted(adj), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for n in (a, b, c):
+                    expected[n] = expected.get(n, 0) + 1
+        df = spark.createDataFrame(pairs, "u long, v long")
+        got = {
+            r.node: r.n_triangles for r in triangle_counts(df).collect()
+        }
+        assert got == expected, f"seed {seed}"
+
+
+def test_pagerank_matches_python_recurrence(spark):
+    scale = 1_000_000_000
+    for seed in range(3):
+        rng = random.Random(100 + seed)
+        edges = [
+            (f"n{u}", f"n{v}", rng.randint(1, 5))
+            for u, v in itertools.permutations(range(8), 2)
+            if rng.random() < 0.3
+        ]
+        if not edges:
+            continue
+        nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+        outw = {}
+        for s, _d, w in edges:
+            outw[s] = outw.get(s, 0) + w
+        r = {n: scale for n in nodes}
+        base = scale * 15 // 100
+        for _ in range(5):
+            inflow = {n: 0 for n in nodes}
+            for s, d, w in edges:
+                inflow[d] += (r[s] * w // outw[s]) * 85 // 100
+            r = {n: base + inflow[n] for n in nodes}
+        df = spark.createDataFrame(edges, "src string, dst string, w long")
+        got = {row.node: row.r for row in pagerank(df, iters=5).collect()}
+        assert got == r, f"seed {seed}"
+
+
+def test_khop_census_matches_bfs(spark):
+    for seed in range(3):
+        rng = random.Random(200 + seed)
+        edges = [
+            (f"n{u}", f"n{v}")
+            for u in range(12)
+            for v in range(12)
+            if u != v and rng.random() < 0.15
+        ]
+        edges.append(("s1", "n0"))  # guarantee the source exists
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+        dist = {"s1": 0}
+        frontier = ["s1"]
+        for h in range(1, 5):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.append(v)
+            frontier = nxt
+        expected = {}
+        for d in dist.values():
+            expected[d] = expected.get(d, 0) + 1
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r.dist: r.n_nodes
+            for r in khop_census(df, "s1", 4).collect()
+        }
+        assert got == expected, f"seed {seed}"
