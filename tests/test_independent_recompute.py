@@ -1,0 +1,176 @@
+"""Independent Python recomputation of mirrored-algorithm queries.
+
+The DuckDB oracle twins deliberately mirror each query's algorithm —
+which means an ALGORITHMIC bug shared by both sides passes the gate
+(exactly what happened to the triangle census's wedge ordering until
+a brute-force test caught it). This suite recomputes the round-8
+mirrored queries a THIRD way, in plain Python, from the raw parquet:
+
+- DLT estimator: pure integer arithmetic, including the md5 hash.
+- Benford census: integer recount.
+- CMS estimates: hashlib md5 -> universal-hash buckets -> counters.
+- kNN label vote: LEFT-ASSOCIATIVE float dot/norm chains replicating
+  the generated expression order bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import duckdb
+
+SF = "/root/testdata/sf0.001"
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_dlt_estimator_recomputed_in_python(spark):
+    from scio_db_spark.plans.registry import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, CAST(floor(o_totalprice*100) AS BIGINT) "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    pri = sorted(
+        (_md5_60(f"r8:{k}") // w, k, w) for k, w in rows if w > 0
+    )
+    k = 50
+    top, nxt = pri[:k], pri[k]
+    w_next, u_next = nxt[2], _md5_60(f"r8:{nxt[1]}")
+    a = m = 0
+    for _q, kk, w in top:
+        if w * u_next >= w_next * (1 << 60):
+            a += w
+        else:
+            m += 1
+    est = a + (m * w_next * (1 << 60)) // u_next
+    exact = sum(w for _k, w in rows if w > 0)
+    got = (
+        all_queries()["orders_priority_sample_total_estimate"]
+        .spark(spark, SF)
+        .collect()[0]
+    )
+    assert got.exact_total_cents == exact
+    assert got.est_total_cents == est
+    assert got.err_permille == abs(est - exact) * 1000 // exact
+
+
+def test_benford_recomputed_in_python(spark):
+    from scio_db_spark.plans.registry import all_queries
+    from scio_db_spark.plans.libops import _BENFORD_MICRO
+
+    cents = [
+        c
+        for (c,) in duckdb.sql(
+            f"SELECT CAST(floor(o_totalprice*100) AS BIGINT) "
+            f"FROM read_parquet('{SF}/orders.parquet') "
+            f"WHERE o_totalprice > 0"
+        ).fetchall()
+    ]
+    obs = Counter(int(str(c)[0]) for c in cents)
+    n = len(cents)
+    got = {
+        r.digit: (r.n_obs, r.n_exp, r.dev_micro)
+        for r in all_queries()["orders_benford_digit_census"]
+        .spark(spark, SF)
+        .collect()
+    }
+    for d, p in _BENFORD_MICRO.items():
+        n_exp = n * p // 1_000_000
+        n_obs = obs.get(d, 0)
+        dev = (
+            0 if n_exp == 0
+            else (n_obs - n_exp) ** 2 * 1_000_000 // n_exp
+        )
+        assert got[d] == (n_obs, n_exp, dev), f"digit {d}"
+
+
+def test_cms_estimates_recomputed_in_python(spark):
+    from scio_db_spark.functions.hashing import MERSENNE_P
+    from scio_db_spark.functions.text import tokens_sql
+    from scio_db_spark.plans.registry import all_queries
+    from scio_db_spark.plans.textops import _CMS_PARAMS, _CMS_W
+
+    # tokenization via the SQL twin (the shared-risk algorithm under
+    # test is the sketch arithmetic, not the tokenizer — which has its
+    # own cross-engine pin); everything after unnest is plain Python
+    toks = [
+        t
+        for (t,) in duckdb.sql(
+            f"SELECT unnest({tokens_sql('text')}) FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    ]
+    tf = Counter(toks)
+    counters: Counter = Counter()
+    buckets = {}
+    for tok, c in tf.items():
+        h = _md5_60(tok) % MERSENNE_P
+        cells = [
+            (i, ((h * a + b) % MERSENNE_P) % _CMS_W)
+            for i, (a, b) in enumerate(_CMS_PARAMS)
+        ]
+        buckets[tok] = cells
+        for cell in cells:
+            counters[cell] += c
+    top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = {
+        r.token: (r.true_count, r.cms_est, r.overcount)
+        for r in all_queries()["docs_token_cms_topk"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert len(got) == 20
+    for tok, c in top:
+        est = min(counters[cell] for cell in buckets[tok])
+        assert got[tok] == (c, est, est - c), tok
+
+
+def test_knn_label_vote_recomputed_in_python(spark):
+    from scio_db_spark.plans.registry import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    ).fetchall()
+    embs = {vid: list(map(float, e)) for vid, e, _l in rows}
+    labels = {vid: l for vid, _e, l in rows}
+
+    def chain_dot(x, y):
+        # LEFT-ASSOCIATIVE accumulation: replicates the generated
+        # a1*b1 + a2*b2 + ... expression tree bit-for-bit
+        acc = 0.0
+        for a, b in zip(x, y):
+            acc = acc + a * b
+        return acc
+
+    def norm(x):
+        return math.sqrt(chain_dot(x, x))
+
+    expected = {}
+    for q in range(20):
+        qe, qn = embs[q], norm(embs[q])
+        scored = []
+        for vid, e in embs.items():
+            if vid == q:
+                continue
+            den = qn * norm(e)
+            cos = chain_dot(qe, e) / den if den != 0.0 else None
+            scored.append((cos, vid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        votes = Counter(labels[vid] for _c, vid in scored[:10])
+        lab, n = sorted(
+            votes.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        expected[q] = (labels[q], lab, n, int(labels[q] == lab))
+    got = {
+        r.q_id: (r.true_label, r.knn_label, r.n_votes, r.correct)
+        for r in all_queries()["emb_knn_label_census"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert got == expected
