@@ -174,3 +174,36 @@ def test_knn_label_vote_recomputed_in_python(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_basket_pairs_recomputed_in_python(spark):
+    """Market-basket pair mining is oracle-mirrored (both sides expand
+    per-order sorted pairs); recount the top-k pairs independently."""
+    from scio_db_spark.plans.registry import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT l_orderkey, l_partkey FROM "
+        f"read_parquet('{SF}/lineitem.parquet')"
+    ).fetchall()
+    by_order: dict = {}
+    for ok, pk in rows:
+        by_order.setdefault(ok, []).append(pk)
+    pair_n: Counter = Counter()
+    for parts in by_order.values():
+        # row-level multiplicity: a part on two lineitems of one
+        # order pairs twice (the query's count(*) over the row join)
+        cnt = Counter(parts)
+        ks = sorted(cnt)
+        for i, a in enumerate(ks):
+            for b in ks[i + 1:]:
+                pair_n[(a, b)] += cnt[a] * cnt[b]
+    got = [
+        ((r.p1, r.p2), r.n)
+        for r in all_queries()["basket_part_pairs_topk"]
+        .spark(spark, SF)
+        .collect()
+    ]
+    expected = sorted(
+        pair_n.items(), key=lambda kv: (-kv[1], kv[0])
+    )[: len(got)]
+    assert got == expected
