@@ -207,3 +207,70 @@ def test_basket_pairs_recomputed_in_python(spark):
         pair_n.items(), key=lambda kv: (-kv[1], kv[0])
     )[: len(got)]
     assert got == expected
+
+
+def test_pq_adc_topk_recomputed_in_python(spark):
+    """Round-7's PQ/ADC search has a MIRRORED oracle (same codes, same
+    LUT quantization) — apply the round-8 lesson backwards: recompute
+    encode -> LUT -> ADC -> top-5 in plain Python with the identical
+    left-associative float folds and floor quantization."""
+    from scio_db_spark.plans.libops import _PQ
+    from scio_db_spark.plans.registry import all_queries
+
+    if _PQ is None:
+        import pytest
+
+        pytest.skip("pq model not committed")
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    ).fetchall()
+    embs = {vid: [float(x) for x in e] for vid, e in rows}
+    d_sub, books = _PQ["d_sub"], _PQ["subspaces"]
+
+    def sub_dist(vec, s, cent):
+        acc = 0.0
+        base = s * d_sub
+        for j, w in enumerate(cent):
+            t = (vec[base + j] - float(w))
+            acc = acc + t * t
+        return acc
+
+    def codes(vec):
+        out = []
+        for s, book in enumerate(books):
+            out.append(
+                min(
+                    (sub_dist(vec, s, cent), c)
+                    for c, cent in enumerate(book)
+                )[1]
+            )
+        return out
+
+    enc = {vid: codes(v) for vid, v in embs.items()}
+    expected = {}
+    for q in range(5):
+        lut = [
+            [sub_dist(embs[q], s, cent) for cent in book]
+            for s, book in enumerate(books)
+        ]
+        scored = []
+        for vid, cs in enc.items():
+            if vid == q:
+                continue
+            adc = sum(
+                math.floor(lut[s][cs[s]] * 1_000_000_000)
+                for s in range(len(books))
+            )
+            scored.append((adc, vid))
+        scored.sort()
+        expected[q] = scored[:5]
+    got = {}
+    for r in (
+        all_queries()["emb_pq_adc_topk"].spark(spark, SF).collect()
+    ):
+        got.setdefault(r.q_id, []).append((r.adc_q, r.vec_id))
+    for q in got:
+        got[q].sort()
+    assert got == expected
