@@ -274,3 +274,40 @@ def test_pq_adc_topk_recomputed_in_python(spark):
     for q in got:
         got[q].sort()
     assert got == expected
+
+
+def test_pack_plan_recomputed_in_python(spark):
+    """The packing plan is oracle-mirrored (same cumsum-before /
+    budget-floor algebra both sides); recompute the greedy packer
+    independently with an explicit running loop."""
+    import re
+
+    from scio_db_spark.plans.registry import all_queries
+    from scio_db_spark.plans.textops import _PACK_BUDGET
+
+    rows = duckdb.sql(
+        f"SELECT lang, doc_id, text FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    by_lang: dict = {}
+    for lang, did, text in rows:
+        toks = len(re.split(r"[ \t\n\f\r]+", text))
+        by_lang.setdefault(lang, []).append((did, toks))
+    expected: Counter = Counter()
+    totals: Counter = Counter()
+    for lang, docs in by_lang.items():
+        cum = 0
+        for _did, toks in sorted(docs):
+            pack = cum // _PACK_BUDGET
+            expected[(lang, pack)] += 1
+            totals[(lang, pack)] += toks
+            cum += toks
+    got = {
+        (r.lang, r.pack_id): (r.n_docs, r.total_toks)
+        for r in all_queries()["docs_pack_plan"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert got == {
+        k: (expected[k], totals[k]) for k in expected
+    }
