@@ -1985,3 +1985,126 @@ def ab_test_census(spark: SparkSession, sf: str) -> DataFrame:
     return counts.select(
         "n_a", "conv_a", "n_b", "conv_b", F.expr(_AB_Z_EXPR).alias("z")
     )
+
+
+# --------------------------------------------------------------------------
+_FUNNEL_WINDOW_DAYS = 7
+
+
+def _first_within(
+    ev: DataFrame,
+    base: DataFrame,
+    etype: str,
+    lower: str,
+    out: str,
+    window_days: int,
+) -> DataFrame:
+    """Bounded variant of _first_at_or_after: the first `etype` event
+    in [lower, lower + window_days] per user (NULL when the previous
+    step is NULL — the join bound is NULL-safe by SQL semantics)."""
+    probe = ev.filter(F.col("event_type") == etype).select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    keys = list(base.columns)
+    return (
+        base.join(
+            probe,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col(lower))
+            & (
+                F.col("p_ts")
+                <= F.col(lower)
+                + F.expr(f"INTERVAL {window_days} DAYS")
+            ),
+            "left",
+        )
+        .groupBy(*keys)
+        .agg(F.min("p_ts").alias(out))
+    )
+
+
+@register(
+    "events_windowed_funnel_census",
+    oracle=f"""
+    WITH u1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    u2 AS (
+        SELECT u1.user_id, u1.t1, min(v.ts) AS t2
+        FROM u1 LEFT JOIN events v
+          ON v.user_id = u1.user_id AND v.event_type = 'view'
+         AND v.ts >= u1.t1
+         AND v.ts <= u1.t1 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+        GROUP BY u1.user_id, u1.t1
+    ),
+    u3 AS (
+        SELECT u2.user_id, u2.t1, u2.t2, min(c.ts) AS t3
+        FROM u2 LEFT JOIN events c
+          ON c.user_id = u2.user_id AND c.event_type = 'click'
+         AND c.ts >= u2.t2
+         AND c.ts <= u2.t2 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+        GROUP BY u2.user_id, u2.t1, u2.t2
+    ),
+    u4 AS (
+        SELECT u3.user_id, u3.t1, u3.t2, u3.t3, min(p.ts) AS t4
+        FROM u3 LEFT JOIN events p
+          ON p.user_id = u3.user_id AND p.event_type = 'purchase'
+         AND p.ts >= u3.t3
+         AND p.ts <= u3.t3 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+        GROUP BY u3.user_id, u3.t1, u3.t2, u3.t3
+    )
+    SELECT CAST(count(t1) AS BIGINT) AS n_signup,
+        CAST(count(t2) AS BIGINT) AS n_view_7d,
+        CAST(count(t3) AS BIGINT) AS n_click_7d,
+        CAST(count(t4) AS BIGINT) AS n_purchase_7d,
+        count(t2) * 1000 // count(t1) AS view_permille,
+        CASE WHEN count(t2) = 0 THEN NULL
+             ELSE count(t3) * 1000 // count(t2) END AS click_permille,
+        CASE WHEN count(t3) = 0 THEN NULL
+             ELSE count(t4) * 1000 // count(t3) END
+            AS purchase_permille
+    FROM u4
+    """,
+    doc="TIME-BOUNDED ordered funnel: signup → view → click → "
+    f"purchase, each step within {_FUNNEL_WINDOW_DAYS} days of the "
+    "PREVIOUS step's event (the product-analytics funnel with "
+    "attribution windows — the unbounded events_funnel_steps "
+    "overstates conversion for long-lived users). Each step is one "
+    "equi-join on user_id against the already user-reduced previous "
+    "frame with both time bounds as residual predicates; the census "
+    "aggregates one row per signup user. Step rates in exact integer "
+    "permille.",
+)
+def windowed_funnel_census(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events(spark, sf)
+    u1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    u2 = _first_within(ev, u1, "view", "t1", "t2", _FUNNEL_WINDOW_DAYS)
+    u3 = _first_within(ev, u2, "click", "t2", "t3", _FUNNEL_WINDOW_DAYS)
+    u4 = _first_within(
+        ev, u3, "purchase", "t3", "t4", _FUNNEL_WINDOW_DAYS
+    )
+    return u4.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_view_7d"),
+        F.count("t3").alias("n_click_7d"),
+        F.count("t4").alias("n_purchase_7d"),
+    ).select(
+        "n_signup",
+        "n_view_7d",
+        "n_click_7d",
+        "n_purchase_7d",
+        F.expr("n_view_7d * 1000 DIV n_signup").alias("view_permille"),
+        F.expr(
+            "CASE WHEN n_view_7d = 0 THEN NULL "
+            "ELSE n_click_7d * 1000 DIV n_view_7d END"
+        ).alias("click_permille"),
+        F.expr(
+            "CASE WHEN n_click_7d = 0 THEN NULL "
+            "ELSE n_purchase_7d * 1000 DIV n_click_7d END"
+        ).alias("purchase_permille"),
+    )

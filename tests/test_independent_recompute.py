@@ -311,3 +311,31 @@ def test_pack_plan_recomputed_in_python(spark):
     assert got == {
         k: (expected[k], totals[k]) for k in expected
     }
+
+
+def test_chunk_plan_recomputed_in_python(spark):
+    """Chunker re-derived with an explicit Python loop (stride walk +
+    clipped window length). NOTE on length semantics: both engines
+    measure CHARACTERS of the substring (python len of the slice)."""
+    from scio_db_spark.plans.registry import all_queries
+    from scio_db_spark.plans.textops import _CHUNK_LEN, _CHUNK_STRIDE
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    expected = {}
+    for did, text in rows:
+        n = len(text)
+        i = 1
+        while i <= max(n - _CHUNK_STRIDE, 1):
+            chunk = text[i - 1 : i - 1 + _CHUNK_LEN]
+            expected[(did, (i - 1) // _CHUNK_STRIDE)] = (i, len(chunk))
+            i += _CHUNK_STRIDE
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_start, r.chunk_len)
+        for r in all_queries()["docs_chunk_plan"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert got == expected

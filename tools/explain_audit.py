@@ -122,6 +122,8 @@ WHITELIST: set[tuple[str, str]] = {
     # the global exchange (the user-level probes are all equi-joins
     # upstream of it).
     ("events_funnel_steps", "SinglePartition"),
+    # Same shape, time-bounded variant.
+    ("events_windowed_funnel_census", "SinglePartition"),
     # global_running_sum (rank.py two-pass) + final scalar census:
     # the SinglePartition crossings are the one-row-per-partition
     # offsets window and the one-row census agg — the |customers|
