@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # is unaffected.
 # tools/update_driver_verified.py regenerates this set after each
 # round (latest-round-wins) and `--check` fails when it drifts.
-_DRIVER_VERIFIED_ROUND = 7
+_DRIVER_VERIFIED_ROUND = 8
 _DRIVER_VERIFIED = frozenset({
     "agg_orders_by_status",
     "anti_join_customers_without_orders",
@@ -90,8 +90,10 @@ _DRIVER_VERIFIED = frozenset({
     "docs_repetition_signals",
     "docs_simhash",
     "docs_simhash_near_pairs",
+    "docs_source_diversity_census",
     "docs_stratified_sample",
     "docs_tfidf_topk",
+    "docs_token_cms_topk",
     "docs_token_df_topk",
     "docs_token_hll_estimate",
     "docs_token_stats",
@@ -116,6 +118,7 @@ _DRIVER_VERIFIED = frozenset({
     "emb_ivfpq_rerank_topk",
     "emb_kmeans_assign",
     "emb_kmeans_trained_census",
+    "emb_knn_label_census",
     "emb_lsh_bucket_histogram",
     "emb_near_dup_pairs",
     "emb_norms",
@@ -144,6 +147,7 @@ _DRIVER_VERIFIED = frozenset({
     "events_initial_load_tag",
     "events_json_extract",
     "events_key_extraction",
+    "events_latency_quantile_sketch",
     "events_moving_hour_stats",
     "events_next_purchase_asof",
     "events_orders_range_count",
@@ -172,7 +176,11 @@ _DRIVER_VERIFIED = frozenset({
     "events_weekly_cohort_matrix",
     "events_weekly_type_momentum",
     "events_windowed_counts",
+    "events_windowed_funnel_census",
     "global_rank_customers",
+    "graph_khop_reach_census",
+    "graph_pagerank_supplier_customer",
+    "graph_triangle_census",
     "histogram_order_totals",
     "median_order_total",
     "mm_byte_features",
@@ -181,6 +189,7 @@ _DRIVER_VERIFIED = frozenset({
     "mm_payload_metadata",
     "multi_pattern_timestamp_parse",
     "orders_agg_retraction_census",
+    "orders_benford_digit_census",
     "orders_cdc_apply_census",
     "orders_delete_keys_census",
     "orders_delta_join_census",
@@ -188,6 +197,7 @@ _DRIVER_VERIFIED = frozenset({
     "orders_incremental_agg_census",
     "orders_priority_sample",
     "orders_priority_sample_by_status",
+    "orders_priority_sample_total_estimate",
     "orders_scd2_pit_lookup",
     "orders_snapshot_cdc_diff",
     "orders_upsert_keys_census",
