@@ -979,12 +979,60 @@ _NAMED_TYPES = ("record", "enum", "fixed")
 def _fullname(schema) -> str | None:
     """Avro fullname of a named schema (None for unnamed types). A
     dotted ``name`` is already a fullname per the spec; otherwise the
-    ``namespace`` qualifies it."""
+    ``namespace`` qualifies it. Namespace INHERITANCE (a nested named
+    type inherits the most tightly enclosing namespace) is applied
+    ahead of time by :func:`_stamp_namespaces`, so this stays
+    dict-local."""
     if isinstance(schema, dict) and "name" in schema:
         name = schema["name"]
         ns = schema.get("namespace")
         return f"{ns}.{name}" if ns and "." not in name else name
     return None
+
+
+def _alias_fullnames(schema) -> tuple[str, ...]:
+    """Reader-side ``aliases`` of a named schema as fullnames. Per the
+    spec an unqualified alias is qualified with the namespace of the
+    schema it belongs to."""
+    if not isinstance(schema, dict):
+        return ()
+    fn = _fullname(schema)
+    ns = fn.rsplit(".", 1)[0] if fn and "." in fn else None
+    return tuple(
+        a if "." in a or not ns else f"{ns}.{a}"
+        for a in schema.get("aliases", ())
+    )
+
+
+def _stamp_namespaces(schema, enclosing: str | None = None):
+    """Copy of ``schema`` with the Avro namespace-inheritance rule
+    applied (spec 'Names'): a named type whose ``name`` is undotted
+    and that carries no explicit ``namespace`` inherits the most
+    tightly enclosing namespace. An explicit ``"namespace": ""``
+    means the null namespace and stops inheritance, per spec."""
+    if isinstance(schema, list):
+        return [_stamp_namespaces(b, enclosing) for b in schema]
+    if not isinstance(schema, dict):
+        return schema
+    out = dict(schema)
+    if _schema_type(out) in _NAMED_TYPES:
+        name = out.get("name", "")
+        if "." in name:
+            enclosing = name.rsplit(".", 1)[0]
+        elif "namespace" in out:
+            enclosing = out["namespace"] or None
+        elif enclosing:
+            out["namespace"] = enclosing
+    if "fields" in out:
+        out["fields"] = [
+            {**f, "type": _stamp_namespaces(f["type"], enclosing)}
+            for f in out["fields"]
+        ]
+    if "items" in out:
+        out["items"] = _stamp_namespaces(out["items"], enclosing)
+    if "values" in out:
+        out["values"] = _stamp_namespaces(out["values"], enclosing)
+    return out
 
 
 def _coerce_default(schema, value):
@@ -1052,7 +1100,11 @@ def _resolve_value(writer, reader, dec: BinaryDecoder):
         ]
         if wt in _NAMED_TYPES and len(tag_matches) > 1:
             wname = _fullname(writer)
-            named = [b for b in tag_matches if _fullname(b) == wname]
+            named = [
+                b
+                for b in tag_matches
+                if _fullname(b) == wname or wname in _alias_fullnames(b)
+            ]
             if len(named) != 1:
                 what = "none matches" if not named else "several match"
                 raise ValueError(
@@ -1142,7 +1194,7 @@ def decode_record_resolved(
     """Decode a single-record binary body written under
     ``writer_schema`` into the shape of ``reader_schema``."""
     return _resolve_value(
-        parse_schema(writer_schema),
-        parse_schema(reader_schema),
+        _stamp_namespaces(parse_schema(writer_schema)),
+        _stamp_namespaces(parse_schema(reader_schema)),
         BinaryDecoder(data),
     )

@@ -26,8 +26,11 @@ def minmax_scale(col: Column, lo, hi, bits: int) -> Column:
     """Affine-map a numeric column from [lo, hi] onto the integer grid
     [0, 2^bits), saturating at the edges (values outside [lo, hi] —
     e.g. inserted after the stats were taken — still get a valid
-    cell). Integer arithmetic when lo/hi are ints and the span fits;
-    the grid cell, not the value, is what z-ordering needs."""
+    cell). The computation is ALWAYS double: long values beyond 2^53
+    may land one cell off near a boundary, which affects clustering
+    quality only (the z-value orders rows; no data passes through it),
+    and the row-group min/max stats pruning relies on remain exact
+    because they are computed from the original column."""
     if hi <= lo:
         return F.lit(0).cast("long")
     n_cells = 1 << bits

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 PR_SCALE = 1_000_000_000  # fixed-point rank scale (1e9 per node)
 
@@ -141,9 +142,20 @@ def khop_census(
     directed edge frame ``(src, dst)``: ``(dist, n_nodes)`` for
     dist 0..hops (unreached nodes excluded)."""
     spark = edges.sparkSession
+    src_type = edges.schema["src"].dataType
     edges = checkpointed(edges.select("src", "dst").distinct())
+    # Seed the frontier in the EDGE frame's key type: a string seed
+    # against bigint edges would otherwise equi-join through implicit
+    # double casts and mis-match ids beyond 2^53. createDataFrame with
+    # an explicit StructType raises loudly on an unrepresentable seed.
     reached = spark.createDataFrame(
-        [(source, 0)], "node string, dist int"
+        [(source, 0)],
+        T.StructType(
+            [
+                T.StructField("node", src_type, False),
+                T.StructField("dist", T.IntegerType(), False),
+            ]
+        ),
     )
     frontier = reached.select("node")
     for h in range(1, hops + 1):

@@ -54,13 +54,18 @@ def salted_agg(
     """Two-phase salted aggregation.
 
     ``aggs`` maps output name → (kind, column) with kind in
-    {sum, count, min, max, avg}. Example::
+    {sum, count, min, max, avg, collect_list}. ``collect_list``
+    flattens the per-salt lists in phase 2; element order is
+    NONDETERMINISTIC across salts (same caveat as unsalted
+    collect_list across partitions) — sort downstream if order
+    matters. Example::
 
         salted_agg(df, ["user_id"], {
             "n": ("count", F.lit(1)),
             "total": ("sum", "value"),
             "biggest": ("max", "value"),
             "mean": ("avg", "value"),
+            "payloads": ("collect_list", "value"),
         }, n_salts=32)
     """
     phase1_cols: list[Column] = []

@@ -788,6 +788,70 @@ class TestSchemaResolutionNamedUnions:
                           "namespace": "ignored", "fields": []}) == "com.ex.X"
         assert _fullname("int") is None
 
+    def test_nested_named_type_inherits_enclosing_namespace(self):
+        # spec 'Names': a nested named type with no namespace of its
+        # own inherits the most tightly enclosing one. Writer nests a
+        # bare-named record inside a namespaced envelope; the reader
+        # union branch spells the fullname explicitly — dict-local
+        # fullname computation would see 'A' vs 'com.ex.A' and refuse.
+        from scio_db_spark.functions.avroio import (
+            decode_record_resolved,
+            encode_record,
+        )
+
+        w = {"type": "record", "name": "E", "namespace": "com.ex",
+             "fields": [
+                 {"name": "v", "type": {
+                     "type": "record", "name": "A",  # inherits com.ex
+                     "fields": [{"name": "x", "type": "int"}]}}]}
+        r_a = {"type": "record", "name": "A", "namespace": "com.ex",
+               "fields": [{"name": "x", "type": "int"}]}
+        r_b = {"type": "record", "name": "B", "namespace": "com.ex",
+               "fields": [{"name": "x", "type": "int"}]}
+        r = {"type": "record", "name": "E", "namespace": "com.ex",
+             "fields": [{"name": "v", "type": [r_b, r_a]}]}
+        data = encode_record(w, {"v": {"x": 5}})
+        assert decode_record_resolved(w, r, data) == {"v": {"x": 5}}
+
+    def test_explicit_empty_namespace_stops_inheritance(self):
+        from scio_db_spark.functions.avroio import (
+            _fullname,
+            _stamp_namespaces,
+        )
+
+        w = _stamp_namespaces(
+            {"type": "record", "name": "E", "namespace": "com.ex",
+             "fields": [
+                 {"name": "v", "type": {
+                     "type": "record", "name": "A", "namespace": "",
+                     "fields": [{"name": "x", "type": "int"}]}}]}
+        )
+        inner = w["fields"][0]["type"]
+        assert _fullname(inner) == "A"  # null namespace, not com.ex.A
+
+    def test_reader_alias_matches_writer_fullname(self):
+        # reader renamed Old -> New but carries aliases: ["Old"];
+        # the alias is qualified with the reader branch's namespace.
+        from scio_db_spark.functions.avroio import (
+            decode_record_resolved,
+            encode_record,
+        )
+
+        w_old = {"type": "record", "name": "Old", "namespace": "com.ex",
+                 "fields": [{"name": "x", "type": "int"}]}
+        w = {"type": "record", "name": "E", "fields": [
+            {"name": "v", "type": w_old}]}
+        r_new = {"type": "record", "name": "New", "namespace": "com.ex",
+                 "aliases": ["Old"],
+                 "fields": [{"name": "x", "type": "int"}]}
+        r_other = {"type": "record", "name": "Other",
+                   "namespace": "com.ex",
+                   "fields": [{"name": "x", "type": "int"}]}
+        r = {"type": "record", "name": "E", "fields": [
+            {"name": "v", "type": [r_other, r_new]}]}
+        data = encode_record(w, {"v": {"x": 8}})
+        assert decode_record_resolved(w, r, data) == {"v": {"x": 8}}
+
 
 class TestSchemaResolutionDefaultCoercion:
     def test_defaults_coerced_through_reader_types(self):

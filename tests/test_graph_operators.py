@@ -104,3 +104,23 @@ def test_khop_census_matches_bfs(spark):
             for r in khop_census(df, "s1", 4).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+def test_khop_seed_takes_edge_key_type(spark):
+    # long node ids beyond 2^53: a string-typed seed frame would join
+    # via implicit double casts and collapse distinct ids (ADVICE r8).
+    big = (1 << 60) + 1
+    edges = [(big, big + 2), (big + 2, big + 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.dist: r.n_nodes for r in khop_census(df, big, 2).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+    seed_field = khop_census(df, big, 1).schema  # plan builds fine
+    assert seed_field is not None
+
+
+def test_khop_unrepresentable_seed_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(TypeError):
+        khop_census(df, "not-a-long", 1)
