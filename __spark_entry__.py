@@ -244,12 +244,12 @@ _DRIVER_VERIFIED = frozenset({
 # tools/update_driver_verified.py folds the new green back to the
 # canonical name next round; clear this set when that happens.
 _REVERIFY = frozenset({
-    # r7: NEW query that reuses a name a round-5 query (since removed)
-    # had earned a green row under — the artifact-derived verified set
-    # can't distinguish them, and the output semantics differ (3-row
-    # touch census vs the old 5-row shape), so it must re-earn its
-    # driver row.
-    "events_purchase_attribution",
+    # r9: both rows-only sketches were rebuilt as DETERMINISTIC twins
+    # with full DuckDB oracles (md5-register HLL; log-grid quantile
+    # histogram) — their old green rows were rows-only no_oracle
+    # checks, so each must earn a fresh HASH-verified driver row.
+    "docs_token_hll_estimate",
+    "events_latency_quantile_sketch",
 })
 
 

@@ -1072,38 +1072,115 @@ def conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Log-grid quantile sketch resolution: values bucket to their top
+# (_GRID_BITS+1) significant bits, so the bucket floor under-reports a
+# value by < 2^-_GRID_BITS relative (1.6%). Bucket count is bounded by
+# 2^_GRID_BITS per octave x 63 octaves for ANY input volume.
+_GRID_BITS = 6
+_GRID_SHIFT = f"greatest(length(bin(lat_us)) - 1 - {_GRID_BITS}, 0)"
+# ranks match events_conversion_latency's lower order statistics
+_P50_RANK = "(n_converted - 1) DIV 2 + 1"
+_P90_RANK = "(n_converted - 1) * 9 DIV 10 + 1"
+
+
 @register(
     "events_latency_quantile_sketch",
-    oracle=None,  # Greenwald-Khanna/KLL-style sketches differ per
-    # engine — no exact cross-engine oracle exists for an approximate
-    # quantile; the pytest suite bounds the sketch's RANK ERROR against
-    # the exact order statistics and exercises the per-partition merge
-    # path instead (rows-only driver check, documented — the HLL
-    # posture).
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    j AS (
+        SELECT v.user_id, v.v_ts, min(p.ts) AS p_ts
+        FROM v LEFT JOIN events p
+          ON p.user_id = v.user_id AND p.event_type = 'purchase'
+         AND p.ts >= v.v_ts
+        GROUP BY v.user_id, v.v_ts
+    ),
+    l AS (SELECT epoch_us(p_ts) - epoch_us(v_ts) AS lat_us FROM j),
+    b AS (
+        SELECT CASE WHEN lat_us IS NULL THEN NULL ELSE
+            (lat_us >> greatest(length(bin(lat_us)) - 1 - {_GRID_BITS}, 0))
+            << greatest(length(bin(lat_us)) - 1 - {_GRID_BITS}, 0)
+            END AS blo,
+            CAST(count(*) AS BIGINT) AS cnt
+        FROM l GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_viewers,
+            coalesce(CAST(sum(cnt) FILTER (WHERE blo IS NOT NULL)
+                          AS BIGINT), 0) AS n_converted
+        FROM b
+    ),
+    c AS (
+        SELECT blo, sum(cnt) OVER (ORDER BY blo) AS cum
+        FROM b WHERE blo IS NOT NULL
+    )
+    SELECT n_viewers, n_converted,
+        (SELECT min(blo) FROM c
+         WHERE cum >= (n_converted - 1) // 2 + 1) AS p50_us_est,
+        (SELECT min(blo) FROM c
+         WHERE cum >= (n_converted - 1) * 9 // 10 + 1) AS p90_us_est
+    FROM tot
+    """,
     doc="The 100 TB path of events_conversion_latency: same "
-    "view→purchase latency frame, quantiles via approx_percentile's "
-    "MERGEABLE Greenwald-Khanna sketch (accuracy 10000 → rank error "
-    "≤ n/10000). The exact census funnels the sorted per-converter "
+    "view→purchase latency frame, quantiles from a DETERMINISTIC "
+    "log-grid histogram sketch — each latency buckets to its top 7 "
+    "significant bits (HdrHistogram-style), bucket counts sum "
+    "(trivially mergeable, fixed <= 63*64-cell state), and the "
+    "quantile is the first bucket floor whose cumulative count "
+    "reaches the exact census's rank, under-reporting by < 2^-6 "
+    "relative. The exact census funnels the sorted per-converter "
     "array to one task (whitelisted, fine at |converters| scale); "
-    "here only FIXED-SIZE sketch partials cross the global exchange — "
-    "map-side partial sketches merge associatively, so the plan holds "
-    "at any row count. Error bound + partition-count-invariance are "
-    "pinned in tests/test_quantile_sketch.py.",
+    "here the shuffle carries BUCKET COUNTS, so the plan holds at "
+    "any row count — and unlike approx_percentile's GK summary "
+    "(whose merge order is engine-internal; kept as the operator-"
+    "level alternative, error-bounded in tests/test_quantile_sketch) "
+    "the grid is bit-reproducible in DuckDB, making the estimate "
+    "itself oracle-checked. Relative-error bound pinned in "
+    "tests/test_quantile_sketch.py.",
 )
 def latency_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     j = _conversion_latency_us(spark, sf)
-    s = j.agg(
-        F.count(F.lit(1)).alias("n_viewers"),
-        F.count("lat_us").alias("n_converted"),
-        F.percentile_approx(
-            "lat_us", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
-        ).alias("__q"),
+    b = j.groupBy(
+        F.expr(
+            f"CASE WHEN lat_us IS NULL THEN NULL ELSE "
+            f"shiftleft(shiftright(lat_us, {_GRID_SHIFT}), "
+            f"{_GRID_SHIFT}) END"
+        ).alias("blo")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    hist = b.agg(
+        F.sum("cnt").alias("n_viewers"),
+        F.coalesce(
+            F.sum(F.when(F.col("blo").isNotNull(), F.col("cnt"))),
+            F.lit(0),
+        ).alias("n_converted"),
+        # when() drops non-converter rows from the list; struct order
+        # sorts by blo (first field) — the cumulative walk's order
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("blo").isNotNull(), F.struct("blo", "cnt")
+                )
+            )
+        ).alias("__h"),
     )
-    return s.select(
+
+    def _walk(rank_sql: str) -> str:
+        return (
+            "aggregate(__h, "
+            "struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS v), "
+            "(acc, x) -> struct(acc.cum + x.cnt, "
+            f"CASE WHEN acc.v IS NULL AND acc.cum + x.cnt >= {rank_sql} "
+            "THEN x.blo ELSE acc.v END), "
+            "acc -> acc.v)"
+        )
+
+    return hist.select(
         "n_viewers",
         "n_converted",
-        F.col("__q")[0].alias("p50_us_est"),
-        F.col("__q")[1].alias("p90_us_est"),
+        F.expr(_walk(_P50_RANK)).alias("p50_us_est"),
+        F.expr(_walk(_P90_RANK)).alias("p90_us_est"),
     )
 
 

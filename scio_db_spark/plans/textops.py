@@ -709,24 +709,136 @@ def clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# Deterministic-register HyperLogLog. approx_count_distinct's HLL++
+# has no cross-engine twin (its xxhash64 + bias tables are
+# Spark-internal), which kept this query rows-only for seven rounds.
+# Replacing the hash with the repo's md5-derived str_hash60 makes the
+# REGISTERS — and therefore the estimate — bit-reproducible in DuckDB:
+# the same CMS move (textops.py docs_token_cms_topk) applied to
+# cardinality. All estimator arithmetic is integer (the 2^-M[j]
+# harmonic sum is scaled by 2^50 so it is an exact BIGINT; the alpha_m
+# bias constant is the rational 7213*1000*m / (10000*(1000m+1079));
+# linear-counting's ln is micro-nat quantized BEFORE any arithmetic,
+# the docs_source_diversity_census float policy).
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P  # 4096 registers -> rsd ~ 1.04/sqrt(m) = 1.6%
+# str_hash60 is 60 bits: low 12 index the register, high 48 feed the
+# leading-zero count, so rho ranges 1..49 and 2^(50-rho) fits a long.
+_HLL_RHO_MAX = 60 - _HLL_P + 1
+_HLL_NUM = 7213 * 1000 * _HLL_M**3 * (1 << 50)
+_HLL_DEN = 10000 * (1000 * _HLL_M + 1079)
+_HLL_LC_THRESHOLD = 5 * _HLL_M // 2  # small-range correction cutoff
+
+
 @register(
     "docs_token_hll_estimate",
-    oracle=None,  # HLL implementations differ per engine — no exact
-    # cross-engine oracle exists for an approximate sketch; the pytest
-    # suite bounds the estimate against the exact count instead
-    # (rows-only driver check, documented).
-    doc="Sketch surface: HyperLogLog distinct-token estimate per lang "
-    "(approx_count_distinct, rsd=5%) next to the exact count's cost.",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT lang, token
+        FROM (SELECT lang, unnest({_TOKS_SQL}) AS token FROM documents)
+    ),
+    h AS (SELECT lang, {str_hash60_sql('token')} AS h FROM d),
+    cells AS (
+        SELECT lang, h % {_HLL_M} AS idx, h // {_HLL_M} AS rest FROM h
+    ),
+    regs AS (
+        SELECT lang, idx,
+            max(CASE WHEN rest > 0
+                     THEN {_HLL_RHO_MAX} - length(bin(rest))
+                     ELSE {_HLL_RHO_MAX} END) AS mj
+        FROM cells GROUP BY lang, idx
+    ),
+    per AS (
+        SELECT lang, count(*) AS nregs,
+            CAST(sum(1::BIGINT << (50 - mj)) AS BIGINT) AS sp
+        FROM regs GROUP BY lang
+    ),
+    st AS (
+        SELECT lang, {_HLL_M} - nregs AS v,
+            sp + ({_HLL_M} - nregs) * (1::BIGINT << 50) AS s
+        FROM per
+    ),
+    est AS (
+        SELECT lang, v,
+            CAST(CAST('{_HLL_NUM}' AS HUGEINT)
+                 // ({_HLL_DEN}::HUGEINT * s::HUGEINT) AS BIGINT)
+            AS e_raw
+        FROM st
+    )
+    SELECT lang,
+        CASE WHEN v > 0 AND e_raw <= {_HLL_LC_THRESHOLD}
+             THEN ({_HLL_M} *
+                   (CAST(floor(ln({_HLL_M}) * 1000000) AS BIGINT)
+                    - CAST(floor(ln(v) * 1000000) AS BIGINT)))
+                  // 1000000
+             ELSE e_raw END AS distinct_tokens_est,
+        v AS zero_registers
+    FROM est
+    """,
+    doc="Sketch surface: deterministic-register HyperLogLog distinct-"
+    "token estimate per lang. Register state is FIXED (4096 x 6-bit "
+    "max-rho cells) and max-mergeable, so at 100 TB the shuffle "
+    "carries registers, not tokens — same posture as "
+    "approx_count_distinct, but with md5-derived hashing so the "
+    "DuckDB oracle reproduces registers AND estimate bit-for-bit "
+    "(the CMS pattern; accuracy vs exact counts pinned in "
+    "tests/test_clusters.py). Small-range linear counting uses the "
+    "micro-nat quantized ln policy of docs_source_diversity_census.",
 )
 def token_hll_estimate(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
-    tok = d.select(
-        "lang", F.explode(X.tokens(F.col("text"))).alias("token")
-    )
-    return tok.groupBy("lang").agg(
-        F.approx_count_distinct("token", rsd=0.05).alias(
-            "distinct_tokens_est"
+    # hash each (lang, token) once behind a projection boundary;
+    # idx/rest both derive from the same materialized column
+    hashed = (
+        d.select(
+            "lang", F.explode(X.tokens(F.col("text"))).alias("token")
         )
+        .dropDuplicates(["lang", "token"])
+        .select("lang", str_hash60(F.col("token")).alias("h"))
+    )
+    parts = hashed.select(
+        "lang",
+        (F.col("h") % _HLL_M).alias("idx"),
+        F.expr(f"h DIV {_HLL_M}").alias("rest"),
+    )
+    rho = F.when(
+        F.col("rest") > 0,
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin("rest")),
+    ).otherwise(F.lit(_HLL_RHO_MAX))
+    regs = parts.select("lang", "idx", rho.cast("int").alias("rho")) \
+        .groupBy("lang", "idx").agg(F.max("rho").alias("mj"))
+    per = regs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("nregs"),
+        F.sum(F.expr("shiftleft(1L, 50 - mj)")).alias("sp"),
+    )
+    st = per.select(
+        "lang",
+        (F.lit(_HLL_M) - F.col("nregs")).alias("v"),
+        (
+            F.col("sp")
+            + (F.lit(_HLL_M) - F.col("nregs")) * F.lit(1 << 50)
+        ).alias("s"),
+    )
+    est = st.select(
+        "lang",
+        "v",
+        F.expr(
+            f"CAST('{_HLL_NUM}' AS DECIMAL(38,0)) DIV "
+            f"(CAST({_HLL_DEN} AS DECIMAL(20,0)) * CAST(s AS DECIMAL(20,0)))"
+        ).alias("e_raw"),
+    )
+    lnm = f"CAST(floor(ln({_HLL_M}) * 1000000) AS BIGINT)"
+    return est.select(
+        "lang",
+        F.expr(
+            f"CASE WHEN v > 0 AND e_raw <= {_HLL_LC_THRESHOLD} "
+            f"THEN ({_HLL_M} * ({lnm} "
+            f"      - CAST(floor(ln(v) * 1000000) AS BIGINT))) "
+            f"     DIV 1000000 "
+            f"ELSE e_raw END"
+        ).alias("distinct_tokens_est"),
+        F.col("v").alias("zero_registers"),
     )
 
 

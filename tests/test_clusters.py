@@ -39,7 +39,11 @@ def test_components_cycle(spark):
 
 
 def test_token_hll_estimate_within_rsd(spark):
-    # The sketch has no cross-engine oracle; bound it vs exact here.
+    # The deterministic-register HLL is oracle-checked bit-for-bit
+    # (estimates match DuckDB exactly); ACCURACY vs the exact distinct
+    # count is a separate property, bounded here. rsd for m=4096 is
+    # ~1.6%; 15% absorbs the n < 2.5m linear-counting / raw-HLL
+    # crossover bias region at the test SF.
     from scio_db_spark.plans.textops import token_df_topk  # noqa: F401
     from scio_db_spark.plans.registry import all_queries
 

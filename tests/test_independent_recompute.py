@@ -339,3 +339,103 @@ def test_chunk_plan_recomputed_in_python(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_hll_estimate_recomputed_in_python(spark):
+    """r9: deterministic-register HLL — registers, harmonic sum,
+    rational-alpha raw estimate, and the micro-nat linear-counting
+    branch all rebuilt from hashlib md5 in plain Python."""
+    from scio_db_spark.functions.text import tokens_sql
+    from scio_db_spark.plans.registry import all_queries
+    from scio_db_spark.plans.textops import (
+        _HLL_DEN,
+        _HLL_LC_THRESHOLD,
+        _HLL_M,
+        _HLL_NUM,
+        _HLL_RHO_MAX,
+    )
+
+    pairs = set(
+        duckdb.sql(
+            f"SELECT lang, unnest({tokens_sql('text')}) FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    )
+    regs: dict = {}
+    for lang, tok in pairs:
+        h = _md5_60(tok)
+        idx, rest = h % _HLL_M, h // _HLL_M
+        rho = _HLL_RHO_MAX - rest.bit_length() if rest else _HLL_RHO_MAX
+        key = (lang, idx)
+        regs[key] = max(regs.get(key, 0), rho)
+    expected = {}
+    for lang in {l for l, _ in regs}:
+        mjs = [mj for (l, _), mj in regs.items() if l == lang]
+        v = _HLL_M - len(mjs)
+        s = v * (1 << 50) + sum(1 << (50 - mj) for mj in mjs)
+        e_raw = _HLL_NUM // (_HLL_DEN * s)
+        if v > 0 and e_raw <= _HLL_LC_THRESHOLD:
+            lnm = math.floor(math.log(_HLL_M) * 1000000)
+            lnv = math.floor(math.log(v) * 1000000)
+            est = (_HLL_M * (lnm - lnv)) // 1000000
+        else:
+            est = e_raw
+        expected[lang] = (est, v)
+    got = {
+        r.lang: (r.distinct_tokens_est, r.zero_registers)
+        for r in all_queries()["docs_token_hll_estimate"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert got == expected
+
+
+def test_grid_quantiles_recomputed_in_python(spark):
+    """r9: log-grid quantile sketch — the funnel latencies, bucket
+    floors, and cumulative-rank walk all rebuilt in plain Python from
+    the raw events parquet."""
+    from scio_db_spark.plans.registry import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type, epoch_us(ts) FROM "
+        f"read_parquet('{SF}/events.parquet') "
+        f"WHERE event_type IN ('view', 'purchase')"
+    ).fetchall()
+    views: dict = {}
+    for u, et, ts in rows:
+        if et == "view" and (u not in views or ts < views[u]):
+            views[u] = ts
+    first_p: dict = {}
+    for u, et, ts in rows:
+        if et == "purchase" and u in views and ts >= views[u]:
+            if u not in first_p or ts < first_p[u]:
+                first_p[u] = ts
+    lats = sorted(first_p[u] - views[u] for u in first_p)
+    n_viewers, n = len(views), len(lats)
+    # bit-equality needs presence, not statistics (error bounds are
+    # tests/test_quantile_sketch.py's job at sf0.01)
+    assert n > 5
+
+    def bucket_floor(x: int) -> int:
+        shift = max(x.bit_length() - 1 - 6, 0)
+        return (x >> shift) << shift
+
+    hist = sorted(Counter(bucket_floor(x) for x in lats).items())
+
+    def grid_q(rank: int) -> int:
+        cum = 0
+        for blo, cnt in hist:
+            cum += cnt
+            if cum >= rank:
+                return blo
+        raise AssertionError("rank beyond histogram")
+
+    got = (
+        all_queries()["events_latency_quantile_sketch"]
+        .spark(spark, SF)
+        .collect()[0]
+    )
+    assert got.n_viewers == n_viewers
+    assert got.n_converted == n
+    assert got.p50_us_est == grid_q((n - 1) // 2 + 1)
+    assert got.p90_us_est == grid_q((n - 1) * 9 // 10 + 1)

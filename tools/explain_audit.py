@@ -114,9 +114,10 @@ WHITELIST: set[tuple[str, str]] = {
     # the single-row result is the query's contract. Scale path:
     # approx_percentile (mergeable sketch, map-side partials).
     ("events_conversion_latency", "SinglePartition"),
-    # The sketch twin of the above: only FIXED-SIZE approx_percentile
-    # (Greenwald-Khanna) partial sketches cross the global exchange —
-    # map-side partials merge associatively; this IS the 100 TB path.
+    # The sketch twin of the above: the global exchange carries the
+    # log-grid BUCKET HISTOGRAM (<= 63*64 fixed cells, count partials
+    # merged map-side on blo first), never rows; this IS the 100 TB
+    # path.
     ("events_latency_quantile_sketch", "SinglePartition"),
     # Final scalar funnel census: only map-side partial COUNTS cross
     # the global exchange (the user-level probes are all equi-joins
