@@ -309,6 +309,7 @@ def _trained_cells(
     df: DataFrame,
     keep: int = 1,
     cents: list[list[float]] | None = None,
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """(vec_id, embedding, nrm, cid, sim): each vector's `keep` best
     trained cells — the Spark twin of _km_scored_sql + rn<=keep.
@@ -335,15 +336,16 @@ def _trained_cells(
         df.select(
             "vec_id",
             "embedding",
+            *extra,
             F.expr(norm_sql("embedding", SPARK_AT)).alias("nrm"),
             topk_cells("embedding", cents, keep).alias("_cells"),
         )
         .select(
-            "vec_id", "embedding", "nrm",
+            "vec_id", "embedding", *extra, "nrm",
             F.explode("_cells").alias("_c"),
         )
         .select(
-            "vec_id", "embedding", "nrm",
+            "vec_id", "embedding", *extra, "nrm",
             F.col("_c.cid").alias("cid"),
             F.col("_c.sim").alias("sim"),
         )
@@ -997,6 +999,136 @@ if _KM_SQRTN is not None:
                     "AS BIGINT)"
                 ).alias("recall_permille"),
             )
+        )
+
+    # ------------------------------------------- IVF-probe kNN census
+    _KNN_IVF_K = 10
+    _KNN_IVF_QUERIES = 20  # same query set as emb_knn_label_census
+
+    @register(
+        "emb_knn_ivf_label_census",
+        oracle=f"""
+        WITH scored AS ({_km_scored_sql(_KM_SQRTN)}),
+        assign AS (
+            SELECT s.vec_id, e.embedding, e.label,
+                s.c_id AS cid,
+                {norm_sql("e.embedding", DUCK_AT)} AS e_nrm
+            FROM (
+                SELECT vec_id, c_id,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, c_id) AS rn
+                FROM scored
+            ) s JOIN embeddings e ON e.vec_id = s.vec_id
+            WHERE s.rn = 1
+        ),
+        qprobe AS (
+            SELECT s.vec_id AS q_id, e.embedding AS q_emb,
+                e.label AS true_label, s.c_id AS cid,
+                {norm_sql("e.embedding", DUCK_AT)} AS q_nrm
+            FROM (
+                SELECT vec_id, c_id,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, c_id) AS rn
+                FROM scored
+                WHERE vec_id < {_KNN_IVF_QUERIES}
+            ) s JOIN embeddings e ON e.vec_id = s.vec_id
+            WHERE s.rn <= {_SQRTN_NPROBE}
+        ),
+        ranked AS (
+            SELECT q.q_id, q.true_label, a.label,
+                row_number() OVER (PARTITION BY q.q_id ORDER BY
+                    ({dot_sql("q.q_emb", "a.embedding", DUCK_AT)})
+                        / nullif(q.q_nrm * a.e_nrm, 0.0) DESC,
+                    a.vec_id) AS rn
+            FROM qprobe q JOIN assign a
+              ON a.cid = q.cid AND a.vec_id <> q.q_id
+        ),
+        votes AS (
+            SELECT q_id, true_label, label,
+                CAST(count(*) AS BIGINT) AS n_votes
+            FROM ranked WHERE rn <= {_KNN_IVF_K}
+            GROUP BY q_id, true_label, label
+        )
+        SELECT q_id, true_label, label AS knn_label, n_votes,
+            CASE WHEN true_label = label THEN 1 ELSE 0 END AS correct
+        FROM (
+            SELECT q_id, true_label, label, n_votes,
+                row_number() OVER (PARTITION BY q_id
+                    ORDER BY n_votes DESC, label) AS r
+            FROM votes
+        ) WHERE r = 1
+        ORDER BY q_id
+        """,
+        doc="The corpus-scale swap-in emb_knn_label_census's docstring "
+        "names, REGISTERED: the same 20-query kNN label vote, but "
+        "candidates come from the √N-rule trained-IVF probe (k=45 "
+        f"cells, nprobe={_SQRTN_NPROBE}) instead of the full corpus — "
+        "per query only ~nprobe/k of the vectors are scored, and the "
+        "probe is a broadcast equi-join on cid, so the exact census's "
+        "queries×corpus product never forms. At 100 TB the codebook "
+        "grows with √N (tools/train_vector_models.py retrain), "
+        "keeping per-query candidates ~√N. Label agreement vs the "
+        "exact census is pinned in tests/test_ann_recall.py.",
+    )
+    def knn_ivf_label_census(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        e = table(spark, sf, "embeddings")
+        inv = _trained_cells(
+            e, keep=1, cents=_KM_SQRTN, extra=("label",)
+        ).select(
+            "vec_id", "embedding", "label",
+            F.col("nrm").alias("e_nrm"), "cid",
+        )
+        qprobe = _trained_cells(
+            e.filter(F.col("vec_id") < _KNN_IVF_QUERIES),
+            keep=_SQRTN_NPROBE,
+            cents=_KM_SQRTN,
+            extra=("label",),
+        ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("true_label"),
+            F.col("nrm").alias("q_nrm"),
+            "cid",
+        )
+        pair_cos = F.expr(
+            f"({dot_sql('q_emb', 'embedding', SPARK_AT)}) / "
+            f"nullif(q_nrm * e_nrm, 0.0)"
+        )
+        w_rank = Window.partitionBy("q_id").orderBy(
+            F.desc("cos_sim"), F.col("vec_id")
+        )
+        scored = (
+            F.broadcast(qprobe)
+            .join(inv, on=["cid"])
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id", "true_label", "vec_id", "label",
+                pair_cos.alias("cos_sim"),
+            )
+            .withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") <= _KNN_IVF_K)
+        )
+        votes = scored.groupBy("q_id", "true_label", "label").agg(
+            F.count(F.lit(1)).alias("n_votes")
+        )
+        w_win = Window.partitionBy("q_id").orderBy(
+            F.desc("n_votes"), F.col("label")
+        )
+        return (
+            votes.withColumn("r", F.row_number().over(w_win))
+            .filter(F.col("r") == 1)
+            .select(
+                "q_id",
+                "true_label",
+                F.col("label").alias("knn_label"),
+                "n_votes",
+                F.when(F.col("true_label") == F.col("label"), 1)
+                .otherwise(0)
+                .alias("correct"),
+            )
+            .orderBy("q_id")
         )
 
 

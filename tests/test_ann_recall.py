@@ -64,3 +64,98 @@ def test_cosine_zero_norm_is_null_on_both_engines(spark):
         "[1.0,0.0,0.0,0.0]::DOUBLE[] b)"
     ).fetchone()[0]
     assert duck is None
+
+
+def test_knn_ivf_census_recall_and_agreement(spark):
+    """The IVF-probe kNN census (emb_knn_ivf_label_census) is the
+    corpus-scale swap-in for the exact emb_knn_label_census; this
+    gate pins how much of the exact evaluation it preserves, AT THE
+    SF THE CODEBOOK WAS TRAINED ON (sf0.1 — on the off-distribution
+    sf0.01 sample the k45 cells blur and recall drops to ~20%, the
+    same in-distribution requirement every deployed IVF has).
+    Measured: mean neighbor recall@10 = 0.885, label agreement
+    14/20; floors leave retrain margin but catch a broken probe."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.functions.vectors import (
+        SPARK_AT,
+        dot_sql,
+        norm_sql,
+    )
+    from scio_db_spark.plans.catalog import table
+    from scio_db_spark.plans.libops import (
+        _KM_SQRTN,
+        _SQRTN_NPROBE,
+        _trained_cells,
+    )
+
+    sf, k, nq = "/root/testdata/sf0.1", 10, 20
+    e = table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("q_nrm"),
+    )
+    en = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("e_nrm"),
+    )
+    pc = F.expr(
+        f"({dot_sql('q_emb', 'embedding', SPARK_AT)}) / "
+        f"nullif(q_nrm * e_nrm, 0.0)"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    exact = (
+        F.broadcast(q)
+        .join(en, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", pc.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r.q_id, set()).add(r.vec_id)
+
+    inv = _trained_cells(e, keep=1, cents=_KM_SQRTN).select(
+        "vec_id", "embedding", F.col("nrm").alias("e_nrm"), "cid"
+    )
+    qp = _trained_cells(
+        e.filter(F.col("vec_id") < nq),
+        keep=_SQRTN_NPROBE,
+        cents=_KM_SQRTN,
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "cid",
+    )
+    probe = (
+        F.broadcast(qp)
+        .join(inv, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", pc.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    got = {}
+    for r in probe.collect():
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    recall = _mean_recall(got, truth)
+    assert recall >= 0.75, f"IVF-probe recall@10 collapsed: {recall:.2f}"
+
+    exact_lbl = {
+        r.q_id: r.knn_label
+        for r in all_queries()["emb_knn_label_census"]
+        .spark(spark, sf)
+        .collect()
+    }
+    ivf_lbl = {
+        r.q_id: r.knn_label
+        for r in all_queries()["emb_knn_ivf_label_census"]
+        .spark(spark, sf)
+        .collect()
+    }
+    agree = sum(1 for qq in exact_lbl if ivf_lbl.get(qq) == exact_lbl[qq])
+    assert agree >= 11, f"label agreement collapsed: {agree}/20"

@@ -83,6 +83,10 @@ _QUERIES = [
     "orders_priority_sample_total_estimate",  # DLT estimator census
     "orders_benford_digit_census",       # digit-distribution DQ
     "docs_source_diversity_census",      # quantized-entropy census
+    # round-9 families
+    "emb_knn_ivf_label_census",          # IVF-probe kNN vote (swap-in)
+    "docs_token_hll_estimate",           # deterministic-register HLL
+    "events_latency_quantile_sketch",    # log-grid quantile histogram
 ]
 
 # Per-query factor cap, RECORDED in the artifact (the no-silent-caps
@@ -104,6 +108,7 @@ _MAX_FACTOR: dict[str, int] = {
     "emb_cosine_topk": 100,              # brute force: queries × corpus
     "emb_ann_ivf_trained_topk": 100,     # candidate set × query set
     "emb_knn_label_census": 100,         # 20 queries × replicated corpus
+    "emb_knn_ivf_label_census": 100,     # same query-set replication
 }
 
 
