@@ -35,16 +35,27 @@ def checkpointed(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(
-    edges: DataFrame, iters: int = 5, scale: int = PR_SCALE
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = PR_SCALE,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Bounded-iteration PageRank over a weighted directed edge frame
     ``(src, dst, w)`` in integer fixed-point: r' = 0.15*scale +
     0.85 * sum_in((r_u * w) / out_u), every step floor-divided in the
     fixed order ``(r*w) DIV ow`` then ``*85 DIV 100`` so products stay
     under 2^63 and any engine reproduces the integers bit-for-bit.
-    Nodes = src ∪ dst; dangling nodes (no out-edge) simply leak their
-    mass — callers wanting the classic redistribution must add
-    self-loops. Returns ``(node, r)``."""
+    Nodes = src ∪ dst. Dangling nodes (no out-edge): by default they
+    leak their mass (callers may add self-loops); with
+    ``redistribute_dangling=True`` the classic uniform redistribution
+    runs instead — per iteration, one extra scalar aggregate collects
+    the dangling ranks and every node receives
+    ``(dsum DIV n_nodes) * 85 DIV 100`` (same floor-div order as the
+    per-edge share). In that mode each iteration's rank frame is
+    lazily localCheckpoint-ed: two consumers (the contribution join
+    and the dangling aggregate) would otherwise double the logical
+    tree per iteration — 2^iters plan growth. Returns ``(node, r)``.
+    """
     edges = checkpointed(edges)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -55,7 +66,12 @@ def pagerank(
     ew = edges.join(outw, "src")
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
     base = scale * 15 // 100  # exact python int, matches oracles
+    ncnt = nodes.agg(F.count(F.lit(1)).alias("n")) if (
+        redistribute_dangling
+    ) else None
     for _ in range(iters):
+        if redistribute_dangling:
+            ranks = checkpointed(ranks)
         contrib = (
             ew.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
@@ -67,15 +83,39 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("share").alias("inflow"))
         )
-        ranks = nodes.join(
+        new_ranks = nodes.join(
             contrib.withColumnRenamed("dst", "node"), "node", "left"
-        ).select(
-            "node",
-            (
-                F.lit(base).cast("long")
-                + F.coalesce(F.col("inflow"), F.lit(0))
-            ).cast("long").alias("r"),
         )
+        if redistribute_dangling:
+            # 1-row x 1-row x |V| broadcasts: the dangling mass and
+            # node count ride a scalar cross join (the one-row
+            # bounds-broadcast pattern; BNLJ is benign at one row)
+            uni = (
+                ranks.join(
+                    outw.select(F.col("src").alias("node")),
+                    "node",
+                    "left_anti",
+                )
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dsum"))
+                .crossJoin(ncnt)
+                .select(F.expr("(dsum DIV n) * 85 DIV 100").alias("uni"))
+            )
+            ranks = new_ranks.crossJoin(F.broadcast(uni)).select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                    + F.col("uni")
+                ).cast("long").alias("r"),
+            )
+        else:
+            ranks = new_ranks.select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                ).cast("long").alias("r"),
+            )
     return ranks
 
 

@@ -1071,15 +1071,8 @@ if _KM_SQRTN is not None:
         "exact census is pinned in tests/test_ann_recall.py.",
     )
     def knn_ivf_label_census(spark: SparkSession, sf: str) -> DataFrame:
-        from pyspark.sql import Window
-
         e = table(spark, sf, "embeddings")
-        inv = _trained_cells(
-            e, keep=1, cents=_KM_SQRTN, extra=("label",)
-        ).select(
-            "vec_id", "embedding", "label",
-            F.col("nrm").alias("e_nrm"), "cid",
-        )
+        inv = knn_ivf_index(e)
         qprobe = _trained_cells(
             e.filter(F.col("vec_id") < _KNN_IVF_QUERIES),
             keep=_SQRTN_NPROBE,
@@ -1092,6 +1085,26 @@ if _KM_SQRTN is not None:
             F.col("nrm").alias("q_nrm"),
             "cid",
         )
+        return knn_ivf_vote(inv, qprobe)
+
+    def knn_ivf_index(e: DataFrame) -> DataFrame:
+        """The inverted-list side of the census: every vector assigned
+        to its best trained cell, norms precomputed. In production
+        this is INGEST-TIME state (written once per corpus like a
+        zorder compaction, amortized over every query batch);
+        tools/bench_scaling.py --knn-ivf times it separately from the
+        probe for exactly that reason."""
+        return _trained_cells(
+            e, keep=1, cents=_KM_SQRTN, extra=("label",)
+        ).select(
+            "vec_id", "embedding", "label",
+            F.col("nrm").alias("e_nrm"), "cid",
+        )
+
+    def knn_ivf_vote(inv: DataFrame, qprobe: DataFrame) -> DataFrame:
+        """Probe + vote over a (pre-built or inline) inverted list."""
+        from pyspark.sql import Window
+
         pair_cos = F.expr(
             f"({dot_sql('q_emb', 'embedding', SPARK_AT)}) / "
             f"nullif(q_nrm * e_nrm, 0.0)"

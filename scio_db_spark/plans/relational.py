@@ -1328,6 +1328,102 @@ def graph_pagerank_supplier_customer(
     )
 
 
+def _pagerank_classic_oracle() -> str:
+    """Unrolled twin of the DANGLING-REDISTRIBUTING recurrence: the
+    purchase-flow graph is one-directional (customer -> supplier), so
+    every supplier node is dangling; each iteration adds the uniform
+    term (dsum DIV n) * 85 DIV 100 — floor-div order identical to the
+    per-edge share, so the integers match bit-for-bit."""
+    edges = f"""
+    edges AS (
+        SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+            CAST(count(*) AS BIGINT) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY src, dst
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges
+    ),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM nodes)
+    """
+    prev = "r0"
+    steps = [f"r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r "
+             f"FROM nodes)"]
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+    u{i} AS (
+        SELECT (COALESCE(sum({prev}.r), 0) // (SELECT n FROM nn))
+               * 85 // 100 AS uni
+        FROM {prev} LEFT JOIN outw ON outw.src = {prev}.node
+        WHERE outw.src IS NULL
+    ),
+    r{i} AS (
+        SELECT n.node,
+            CAST({_PR_SCALE * 15 // 100}
+            + COALESCE(sum((({prev}.r * e.w) // o.ow) * 85 // 100), 0)
+            + (SELECT uni FROM u{i})
+            AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN outw o ON o.src = e.src
+        LEFT JOIN {prev} ON {prev}.node = e.src
+        GROUP BY n.node
+    )""")
+        prev = f"r{i}"
+    return (
+        "WITH " + edges + ", " + ",".join(steps)
+        + f" SELECT node, r AS rank_scaled FROM {prev} "
+        f"ORDER BY rank_scaled DESC, node LIMIT {_PR_TOPK}"
+    )
+
+
+@register(
+    "graph_pagerank_purchase_flow",
+    oracle=_pagerank_classic_oracle(),
+    doc="CLASSIC PageRank (dangling mass redistributed uniformly) "
+    "over the one-directional customer -> supplier purchase-flow "
+    "graph, where every supplier is dangling by construction — the "
+    "redistribution path graph_pagerank_supplier_customer cannot "
+    "exercise (its symmetric edges leave no dangling nodes). Per "
+    "iteration the operator adds ONE scalar aggregate (the dangling "
+    "ranks, anti-joined against out-edge sources) broadcast back as "
+    "a 1-row cross join; the rank frame is lazily localCheckpoint-ed "
+    "per iteration because two consumers would otherwise double the "
+    "logical tree (2^iters plan growth). Same integer fixed-point "
+    "recurrence, floor-div order pinned, random-dangling-graph brute "
+    "force in tests/test_graph_operators.py.",
+)
+def graph_pagerank_purchase_flow(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from scio_db_spark.operators.graph import pagerank
+
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(
+        edges,
+        iters=_PR_ITERS,
+        scale=_PR_SCALE,
+        redistribute_dangling=True,
+    )
+    return (
+        ranks.select("node", F.col("r").alias("rank_scaled"))
+        .orderBy(F.desc("rank_scaled"), "node")
+        .limit(_PR_TOPK)
+    )
+
+
 # --------------------------------------------------------------------------
 _TRI_TOPK = 10
 

@@ -145,6 +145,8 @@ def finish_compact_swap(path: str) -> int:
                 removed += 1
         shutil.rmtree(tmp, ignore_errors=True)
     os.remove(manifest)
+    if os.path.exists(os.path.join(path, _SNAPSHOT)):
+        publish_snapshot(path)  # re-sync after the repaired swap
     return removed
 
 
@@ -182,6 +184,8 @@ def finish_delete_swap(path: str) -> int:
             if d.startswith("part-del-") and d.endswith(".__tmp"):
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
                 dirs.remove(d)
+    if removed and os.path.exists(os.path.join(path, _SNAPSHOT)):
+        publish_snapshot(path)  # re-sync after the repaired swap
     return removed
 
 
@@ -194,6 +198,118 @@ def _parquet_files(path: str) -> list[str]:
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Snapshot isolation for readers racing maintenance.
+#
+# Directory listing is not a snapshot: compact()'s rename-in-then-
+# remove swap exposes a transient SUPERSET (every row duplicated) and
+# delete/upsert expose partial mixes to any reader that lists the
+# directory mid-swap. The fix is the one every transactional table
+# format uses — reads resolve a manifest, not the listing:
+#
+# - ``_snapshot.json`` names the exact file set of the current
+#   version (leading underscore: invisible to Spark listings and to
+#   _parquet_files). It is replaced atomically (temp + rename), so a
+#   racing reader resolves EITHER the old version OR the new one.
+# - Maintenance ops publish at their commit point, ordered so that a
+#   published file set is always fully on disk: compact publishes
+#   after the rename-in loop and BEFORE removing originals;
+#   delete_keys publishes after each per-file replacement lands and
+#   before its original is removed; upsert_keys suppresses the
+#   per-file publishes and publishes ONCE after the update file's
+#   final rename — a MERGE is atomic to snapshot readers.
+# - A reader holding version N can still lose files mid-scan when the
+#   writer commits N+1 and removes N's files (plain filesystems have
+#   no reference counting). ``with_snapshot`` wraps the read in the
+#   standard optimistic retry: on a vanished-file error, re-resolve
+#   the manifest and re-run. Production deployments keep a version-
+#   retention window instead; same protocol, longer grace.
+#
+# Residual gap (What's missing #4): atomic-rename publication holds
+# on POSIX and HDFS. On S3-class stores os.rename is copy+delete and
+# listings are eventually consistent — the manifest flip must become
+# a conditional PUT of a pointer object (or a catalog service); the
+# READER protocol (resolve pointer -> read exact file set -> retry on
+# conflict) carries over unchanged.
+_SNAPSHOT = "_snapshot.json"
+
+
+def publish_snapshot(path: str, files: list[str] | None = None) -> dict:
+    """Atomically publish the table's current (or given) visible file
+    set as the new snapshot version. Maintenance ops call this at
+    their commit points; appending sinks that want their output
+    visible to snapshot readers call it after appending."""
+    manifest = os.path.join(path, _SNAPSHOT)
+    prev = _read_manifest(manifest) if os.path.exists(manifest) else {}
+    state = {
+        "version": int(prev.get("version", 0)) + 1,
+        "files": sorted(
+            os.path.relpath(f, path)
+            for f in (files if files is not None else _parquet_files(path))
+        ),
+    }
+    _write_manifest_atomic(manifest, state)
+    return state
+
+
+def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """One consistent version of the table: the snapshot manifest's
+    exact file list (legacy directory listing when no manifest
+    exists — pre-snapshot tables keep working). The returned frame
+    plans over that file set; if a concurrent writer commits and
+    removes the version's files before the caller's action runs, the
+    action fails with a vanished-file error — wrap the action in
+    ``with_snapshot`` for the optimistic retry."""
+    manifest = os.path.join(path, _SNAPSHOT)
+    if not os.path.exists(manifest):
+        return spark.read.parquet(path)
+    state = _read_manifest(manifest)
+    if not state["files"]:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(
+        *[os.path.join(path, f) for f in state["files"]]
+    )
+
+
+def with_snapshot(
+    spark: SparkSession,
+    path: str,
+    action,
+    max_attempts: int = 20,
+    backoff_s: float = 0.25,
+):
+    """Run ``action(df)`` against one snapshot version, retrying with
+    a freshly resolved snapshot when the version's files vanish under
+    the scan (a concurrent maintenance commit). Every successful
+    return therefore reflects EXACTLY one published version — the
+    isolation property tests/test_maintenance_isolation.py pins."""
+    import time
+
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        try:
+            # resolution INSIDE the retry: spark.read.parquet validates
+            # paths eagerly, so a vanished version file raises here,
+            # not just at action time
+            return action(read_snapshot(spark, path))
+        except Exception as e:  # vanished files surface as analysis
+            # or task failures wrapping FileNotFound / "does not exist"
+            msg = str(e)
+            if (
+                "FileNotFoundException" not in msg
+                and "does not exist" not in msg
+                and "PATH_NOT_FOUND" not in msg
+                and "FILE_NOT_EXIST" not in msg
+            ):
+                raise
+            last = e
+            time.sleep(backoff_s)
+    raise RuntimeError(
+        f"with_snapshot: no stable version within {max_attempts} "
+        f"attempts (writer holding the table?)"
+    ) from last
 
 
 def compact(
@@ -297,6 +413,14 @@ def compact(
     )
     for f in new_files:
         os.rename(f, os.path.join(path, os.path.basename(f)))
+    # Snapshot commit point: the incoming set is fully on disk, the
+    # originals still are too (superset on the FILESYSTEM, but
+    # snapshot readers never see it — they resolve either the old
+    # version or this one).
+    publish_snapshot(
+        path,
+        [os.path.join(path, os.path.basename(f)) for f in new_files],
+    )
     for f in files:
         os.remove(f)
     os.remove(manifest)
@@ -343,13 +467,16 @@ def finish_upsert(spark: SparkSession, path: str) -> bool:
                 up = spark.read.parquet(tmp).localCheckpoint(eager=True)
                 delete_keys(
                     spark, path, state["key_col"],
-                    up.select(state["key_col"]), _recover=False,
+                    up.select(state["key_col"]),
+                    _recover=False, _publish=False,
                 )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         os.rename(staged, final)
     os.remove(manifest)
     _gc_orphan_staged(path)
+    if os.path.exists(os.path.join(path, _SNAPSHOT)):
+        publish_snapshot(path)  # re-sync after the rolled-forward MERGE
     return True
 
 
@@ -379,6 +506,7 @@ def delete_keys(
     key_col: str,
     keys: DataFrame,
     _recover: bool = True,
+    _publish: bool = True,
 ) -> dict:
     """Delete rows whose ``key_col`` appears in ``keys`` (a one-column
     DataFrame), rewriting ONLY the files that contain matches.
@@ -459,6 +587,15 @@ def delete_keys(
             )
             os.rename(written[0], replacement)
         shutil.rmtree(tmp, ignore_errors=True)
+        if _publish:
+            # per-file snapshot commit: replacement (if any) is fully
+            # on disk, the original is excluded — each published
+            # version is a consistent partial-progress state (upsert
+            # suppresses these and publishes the MERGE atomically)
+            publish_snapshot(
+                path,
+                [x for x in _parquet_files(path) if x != f],
+            )
         os.remove(f)
         if written:
             os.remove(manifest)
@@ -553,13 +690,18 @@ def upsert_keys(
         {"staged": staged_name, "final": final_name, "key_col": key_col},
     )
     stats = delete_keys(
-        spark, path, key_col, up.select(key_col), _recover=False
+        spark, path, key_col, up.select(key_col),
+        _recover=False, _publish=False,
     )
     if written:
         os.rename(
             os.path.join(path, staged_name),
             os.path.join(path, final_name),
         )
+    # Snapshot commit point: delete + insert land as ONE version —
+    # snapshot readers see pre-MERGE or post-MERGE, never the
+    # deleted-but-not-yet-inserted middle.
+    publish_snapshot(path)
     os.remove(os.path.join(path, _UPSERT_MANIFEST))
     return {
         "files_scanned": stats["files_scanned"],

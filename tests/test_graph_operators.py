@@ -124,3 +124,57 @@ def test_khop_unrepresentable_seed_raises(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(TypeError):
         khop_census(df, "not-a-long", 1)
+
+
+def test_pagerank_redistributes_dangling_mass(spark):
+    scale = 1_000_000_000
+    for seed in range(3):
+        rng = random.Random(300 + seed)
+        # directed edges over 8 nodes; nodes 6 and 7 NEVER source an
+        # edge -> guaranteed dangling (plus whatever chance adds)
+        edges = [
+            (f"n{u}", f"n{v}", rng.randint(1, 5))
+            for u in range(6)
+            for v in range(8)
+            if u != v and rng.random() < 0.3
+        ]
+        edges.append(("n0", "n7", 1))  # keep the dangling nodes in V
+        edges.append(("n1", "n6", 2))
+        nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+        outw = {}
+        for s, _d, w in edges:
+            outw[s] = outw.get(s, 0) + w
+        dangling = [n for n in nodes if n not in outw]
+        assert dangling, "topology must exercise the redistribution"
+        r = {n: scale for n in nodes}
+        base = scale * 15 // 100
+        for _ in range(5):
+            dsum = sum(r[n] for n in dangling)
+            uni = (dsum // len(nodes)) * 85 // 100
+            inflow = {n: 0 for n in nodes}
+            for s, d, w in edges:
+                inflow[d] += (r[s] * w // outw[s]) * 85 // 100
+            r = {n: base + inflow[n] + uni for n in nodes}
+        df = spark.createDataFrame(edges, "src string, dst string, w long")
+        got = {
+            row.node: row.r
+            for row in pagerank(
+                df, iters=5, redistribute_dangling=True
+            ).collect()
+        }
+        assert got == r, f"seed {seed}"
+
+
+def test_pagerank_redistribute_noop_without_dangling(spark):
+    """On a graph with no dangling nodes the classic form must be
+    bit-identical to the default (uniform term is exactly 0)."""
+    edges = [("a", "b", 1), ("b", "c", 2), ("c", "a", 3)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    plain = {r.node: r.r for r in pagerank(df, iters=4).collect()}
+    classic = {
+        r.node: r.r
+        for r in pagerank(
+            df, iters=4, redistribute_dangling=True
+        ).collect()
+    }
+    assert plain == classic

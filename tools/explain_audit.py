@@ -119,6 +119,14 @@ WHITELIST: set[tuple[str, str]] = {
     # merged map-side on blo first), never rows; this IS the 100 TB
     # path.
     ("events_latency_quantile_sketch", "SinglePartition"),
+    # Classic PageRank: per iteration ONE scalar aggregate (dangling
+    # mass + node count, each a single row) crosses a SinglePartition
+    # exchange and rides back over the rank frame as a 1-row
+    # broadcast cross join — the one-row bounds-broadcast pattern;
+    # the data path (contribution join + groupBy) stays hash-
+    # partitioned throughout.
+    ("graph_pagerank_purchase_flow", "SinglePartition"),
+    ("graph_pagerank_purchase_flow", "BroadcastNestedLoopJoin"),
     # Final scalar funnel census: only map-side partial COUNTS cross
     # the global exchange (the user-level probes are all equi-joins
     # upstream of it).
