@@ -1077,6 +1077,21 @@ def conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
 # value by < 2^-_GRID_BITS relative (1.6%). Bucket count is bounded by
 # 2^_GRID_BITS per octave x 63 octaves for ANY input volume.
 _GRID_BITS = 6
+
+
+def grid_bucket_sql(col: str) -> str:
+    """SQL fragment mapping a non-negative integer column to its
+    log-grid bucket FLOOR — the one definition shared by the batch
+    census and the streaming counter twin
+    (streaming/quantile_stream.py), so their histograms are
+    bit-comparable. NULL stays NULL."""
+    shift = f"greatest(length(bin({col})) - 1 - {_GRID_BITS}, 0)"
+    return (
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"shiftleft(shiftright({col}, {shift}), {shift}) END"
+    )
+
+
 _GRID_SHIFT = f"greatest(length(bin(lat_us)) - 1 - {_GRID_BITS}, 0)"
 # ranks match events_conversion_latency's lower order statistics
 _P50_RANK = "(n_converted - 1) DIV 2 + 1"
@@ -1143,11 +1158,7 @@ _P90_RANK = "(n_converted - 1) * 9 DIV 10 + 1"
 def latency_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     j = _conversion_latency_us(spark, sf)
     b = j.groupBy(
-        F.expr(
-            f"CASE WHEN lat_us IS NULL THEN NULL ELSE "
-            f"shiftleft(shiftright(lat_us, {_GRID_SHIFT}), "
-            f"{_GRID_SHIFT}) END"
-        ).alias("blo")
+        F.expr(grid_bucket_sql("lat_us")).alias("blo")
     ).agg(F.count(F.lit(1)).alias("cnt"))
     hist = b.agg(
         F.sum("cnt").alias("n_viewers"),

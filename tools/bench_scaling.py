@@ -291,6 +291,81 @@ def _knn_ivf_lane(passes: int, out_path: str | None) -> int:
     return 0
 
 
+def _scd2_spill_lane(passes: int, out_path: str | None) -> int:
+    """Pin the SCD2 ×1000 spill story with metrics, not assertions.
+
+    events_scd2_user_state grew 14.3× for 10× data at ×1000
+    (BENCH_LOCAL_r08_scaling_x1000.json); SCALE.md attributed it to
+    per-key window-sort spill at the default 32 shuffle partitions
+    (100M rows / 32 ≈ 3.1M rows per sort buffer) — asserted, never
+    measured. This lane runs the registered query at ×1000 across a
+    shuffle-partition sweep and scrapes task spill totals
+    (memoryBytesSpilled / diskBytesSpilled) from the Spark REST API
+    per run. If the hypothesis holds, spill bytes collapse and
+    wall-time flattens as partitions grow ∝ data — a CONFIG lever
+    (partitions ∝ data is exactly what a real cluster sets), not a
+    plan defect; if not, the plan needs work and this artifact says
+    so."""
+    import json as _json
+    import urllib.request
+
+    from scio_db_spark.plans.registry import all_queries
+    from scio_db_spark.session import SessionFactory
+    from benchgate import preflight_load_gate
+
+    _gate_stamps = preflight_load_gate("bench_scd2_spill")
+    spark = SessionFactory.create("bench-scd2-spill")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = _build(1000)
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+
+    def _completed_stages() -> list[dict]:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete"
+        ) as r:
+            return _json.load(r)
+
+    run = all_queries()["events_scd2_user_state"].spark
+    results: dict[str, dict] = {}
+    for p in (32, 128, 512):
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        best: dict | None = None
+        for _ in range(passes):
+            prev = {s["stageId"] for s in _completed_stages()}
+            t0 = time.perf_counter()
+            run(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sec = time.perf_counter() - t0
+            new = [
+                s for s in _completed_stages() if s["stageId"] not in prev
+            ]
+            entry = {
+                "sec": round(sec, 3),
+                "memory_spill_gb": round(
+                    sum(s["memoryBytesSpilled"] for s in new) / 2**30, 2
+                ),
+                "disk_spill_gb": round(
+                    sum(s["diskBytesSpilled"] for s in new) / 2**30, 2
+                ),
+                "stages": len(new),
+            }
+            if best is None or entry["sec"] < best["sec"]:
+                best = entry
+        results[str(p)] = best
+        print(f"P={p}: {best}", file=sys.stderr)
+    line = json.dumps(
+        {"metric": "scd2_spill_sweep", "factor": 1000,
+         "passes": passes, "by_partitions": results, **_gate_stamps}
+    )
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    return 0
+
+
 def _cc_chain(passes: int, out_path: str | None) -> int:
     """Worst-case-diameter connected components: a chain built from
     real doc_ids. Star CC (default) must hold rounds ~log n while the
@@ -364,6 +439,15 @@ def _cc_chain(passes: int, out_path: str | None) -> int:
 
 
 def main() -> int:
+    if "--scd2-spill" in sys.argv:
+        return _scd2_spill_lane(
+            int(sys.argv[sys.argv.index("--passes") + 1])
+            if "--passes" in sys.argv
+            else 2,
+            sys.argv[sys.argv.index("--out") + 1]
+            if "--out" in sys.argv
+            else None,
+        )
     if "--knn-ivf" in sys.argv:
         return _knn_ivf_lane(
             int(sys.argv[sys.argv.index("--passes") + 1])
