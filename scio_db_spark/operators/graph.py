@@ -214,3 +214,70 @@ def khop_census(
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("dist")
     )
+
+
+def kcore(
+    pairs: DataFrame, k: int, max_iterations: int = 30
+) -> DataFrame:
+    """Edges of the k-core of an undirected ``(u, v)`` graph (u < v,
+    deduplicated): the maximal subgraph where every node keeps degree
+    >= k. Synchronous peel — each round removes EVERY node currently
+    below k at once (degree recounted against survivors), so rounds =
+    peel depth, not node count; each round is one symmetrized degree
+    count + two semi-joins, and the surviving edge frame is eagerly
+    localCheckpoint-ed (same discipline as the CC star rounds: the
+    next round's plan starts from materialized data, not a growing
+    lineage). Returns the surviving edge frame; empty when no k-core
+    exists. Core-number census use: LLM web-data curation treats core
+    number as a spam/quality signal (link farms peel late)."""
+    edges, _rounds = _kcore_peel(pairs, k, max_iterations)
+    return edges
+
+
+def kcore_rounds(
+    pairs: DataFrame, k: int, max_iterations: int = 30
+) -> int:
+    """Peel rounds to fixpoint — pins the oracle's unroll margin
+    (the SQL twin unrolls a FIXED round count; peeling past the
+    fixpoint is a no-op, so the twin is exact iff rounds fit)."""
+    _edges, rounds = _kcore_peel(pairs, k, max_iterations)
+    return rounds
+
+
+def _kcore_peel(
+    pairs: DataFrame, k: int, max_iterations: int
+) -> tuple[DataFrame, int]:
+    e = (
+        pairs.select("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for rounds in range(max_iterations + 1):
+        sym = e.select(F.col("u").alias("node")).unionAll(
+            e.select(F.col("v").alias("node"))
+        )
+        survivors = (
+            sym.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("node")
+        )
+        kept = (
+            e.join(
+                survivors.withColumnRenamed("node", "u"), "u", "left_semi"
+            )
+            .join(
+                survivors.withColumnRenamed("node", "v"), "v", "left_semi"
+            )
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if kept.count() == e.count():
+            return kept, rounds
+        e = kept
+        if e.isEmpty():
+            return e, rounds + 1
+    raise RuntimeError(
+        f"k-core peel did not converge in {max_iterations} rounds"
+    )

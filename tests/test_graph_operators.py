@@ -178,3 +178,80 @@ def test_pagerank_redistribute_noop_without_dangling(spark):
         ).collect()
     }
     assert plain == classic
+
+
+def test_kcore_matches_brute_force(spark):
+    from scio_db_spark.operators.graph import kcore, kcore_rounds
+
+    for seed in range(4):
+        rng = random.Random(400 + seed)
+        pairs = _random_pairs(rng, 16, 0.25)
+        if seed == 2:  # adversarial: a clique that must survive any k<=5
+            pairs = sorted(
+                set(pairs) | set(itertools.combinations(range(6), 2))
+            )
+        if not pairs:
+            continue
+        for k in (2, 3, 4):
+            # python peel
+            edges = set(pairs)
+            while True:
+                deg = {}
+                for u, v in edges:
+                    deg[u] = deg.get(u, 0) + 1
+                    deg[v] = deg.get(v, 0) + 1
+                doomed = {n for n, d in deg.items() if d < k}
+                if not doomed:
+                    break
+                edges = {
+                    (u, v)
+                    for u, v in edges
+                    if u not in doomed and v not in doomed
+                }
+            df = spark.createDataFrame(pairs, "u long, v long")
+            got = {(r.u, r.v) for r in kcore(df, k).collect()}
+            assert got == edges, f"seed {seed} k {k}"
+            assert kcore_rounds(df, k) <= 16
+
+
+def test_kcore_empty_graph_and_total_peel(spark):
+    from scio_db_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    # a path has no 2-core
+    assert kcore(df, 2).count() == 0
+    # and trivially survives k=1
+    assert kcore(df, 1).count() == 2
+
+
+def test_kcore_census_rounds_fit_oracle_unroll(spark):
+    """The census oracle unrolls a FIXED peel depth; the margin is a
+    pinned measurement, not an assumption — at both gate SFs every
+    registered k reaches its fixpoint well inside the unroll."""
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.operators.graph import kcore_rounds
+    from scio_db_spark.plans.catalog import table
+    from scio_db_spark.plans.relational import _KCORE_KS, _KCORE_UNROLL
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        l = table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        a, b = l.alias("a"), l.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        for k in _KCORE_KS:
+            r = kcore_rounds(pairs, k, max_iterations=_KCORE_UNROLL)
+            assert r <= _KCORE_UNROLL - 4, (sf, k, r)

@@ -87,6 +87,8 @@ _QUERIES = [
     "emb_knn_ivf_label_census",          # IVF-probe kNN vote (swap-in)
     "docs_token_hll_estimate",           # deterministic-register HLL
     "events_latency_quantile_sketch",    # log-grid quantile histogram
+    "graph_pagerank_purchase_flow",      # classic PR (dangling mass)
+    "graph_kcore_census",                # iterative peel decomposition
 ]
 
 # Per-query factor cap, RECORDED in the artifact (the no-silent-caps

@@ -127,6 +127,12 @@ WHITELIST: set[tuple[str, str]] = {
     # partitioned throughout.
     ("graph_pagerank_purchase_flow", "SinglePartition"),
     ("graph_pagerank_purchase_flow", "BroadcastNestedLoopJoin"),
+    # k-core census: the OUTPUT is three scalar (nodes, edges) pairs —
+    # each is a 1-row aggregate over the already-peeled (checkpointed)
+    # core, cross-joined 1-row x 1-row; the peel itself is semi-joins
+    # + hash aggregates, all key-partitioned.
+    ("graph_kcore_census", "SinglePartition"),
+    ("graph_kcore_census", "BroadcastNestedLoopJoin"),
     # Final scalar funnel census: only map-side partial COUNTS cross
     # the global exchange (the user-level probes are all equi-joins
     # upstream of it).
