@@ -268,9 +268,46 @@ def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
     state = _read_manifest(manifest)
     if not state["files"]:
         return spark.read.parquet(path).limit(0)
-    return spark.read.parquet(
+    df = spark.read.parquet(
         *[os.path.join(path, f) for f in state["files"]]
     )
+    _verify_snapshot_listing(df, path, state)
+    return df
+
+
+def _verify_snapshot_listing(df: DataFrame, path: str, state: dict) -> None:
+    """Raise (retryably) unless the frame's planned scan covers the
+    snapshot's EXACT file set.
+
+    ``spark.read.parquet`` checks path existence at resolution, but a
+    file vanishing between that check and the leaf-file listing is
+    TOLERATED by Spark's InMemoryFileIndex (it logs "was it deleted
+    very recently?" and lists the path as empty) — so a reader racing
+    a maintenance swap could otherwise silently scan a strict SUBSET
+    of the version it resolved (observed as a 7-of-8-file "partial
+    MERGE" read under suite load). Comparing ``df.inputFiles()``
+    against the manifest closes the listing window; a vanish AFTER
+    planning still fails loudly at task time (ignoreMissingFiles stays
+    false), so no silent path remains. The raised message says "does
+    not exist" so ``with_snapshot`` retries onto the next version.
+    """
+    from urllib.parse import unquote, urlparse
+
+    planned = {
+        os.path.realpath(unquote(urlparse(u).path) if "://" in u or
+                         u.startswith("file:") else unquote(u))
+        for u in df.inputFiles()
+    }
+    missing = [
+        f
+        for f in state["files"]
+        if os.path.realpath(os.path.join(path, f)) not in planned
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"snapshot version {state.get('version')} file(s) vanished "
+            f"during listing — does not exist: {missing}"
+        )
 
 
 def with_snapshot(

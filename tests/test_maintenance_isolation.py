@@ -191,6 +191,22 @@ def test_upsert_merge_is_atomic_to_readers(spark, tmp_path, monkeypatch):
         )
 
 
+def test_listing_guard_rejects_partial_scan(spark, tmp_path):
+    """The inputFiles-vs-manifest guard: a plan that silently covers
+    only a subset of the snapshot's file set (Spark's InMemoryFileIndex
+    tolerates files vanishing between the existence check and the leaf
+    listing) must raise retryably, never return the partial frame."""
+    path = _make_table(spark, tmp_path)
+    state = M._read_manifest(os.path.join(path, M._SNAPSHOT))
+    full = M.read_snapshot(spark, path)
+    M._verify_snapshot_listing(full, path, state)  # complete: no raise
+    partial = spark.read.parquet(
+        *[os.path.join(path, f) for f in state["files"][1:]]
+    )
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        M._verify_snapshot_listing(partial, path, state)
+
+
 def test_read_snapshot_legacy_table_without_manifest(spark, tmp_path):
     path = str(tmp_path / "legacy")
     spark.range(10).write.parquet(path)
