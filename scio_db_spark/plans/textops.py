@@ -731,6 +731,23 @@ _HLL_DEN = 10000 * (1000 * _HLL_M + 1079)
 _HLL_LC_THRESHOLD = 5 * _HLL_M // 2  # small-range correction cutoff
 
 
+def hll_register_entry(token_col: Column) -> Column:
+    """``struct<idx,rho>`` — the register a token updates and the
+    rank value it offers (registers keep the MAX). The one definition
+    shared by the batch estimate below and the streaming register twin
+    (streaming/hll_stream.py), so their register tables are
+    bit-comparable. ``shiftright``/``%`` equal the oracle's ``//`` /
+    ``%`` because str_hash60 is non-negative (< 2^60)."""
+    h = str_hash60(token_col)
+    rest = F.shiftright(h, _HLL_P)
+    rho = F.when(
+        rest > 0, F.lit(_HLL_RHO_MAX) - F.length(F.bin(rest))
+    ).otherwise(F.lit(_HLL_RHO_MAX))
+    return F.struct(
+        (h % _HLL_M).alias("idx"), rho.cast("int").alias("rho")
+    )
+
+
 @register(
     "docs_token_hll_estimate",
     oracle=f"""
@@ -788,26 +805,17 @@ _HLL_LC_THRESHOLD = 5 * _HLL_M // 2  # small-range correction cutoff
 )
 def token_hll_estimate(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
-    # hash each (lang, token) once behind a projection boundary;
-    # idx/rest both derive from the same materialized column
-    hashed = (
-        d.select(
-            "lang", F.explode(X.tokens(F.col("text"))).alias("token")
-        )
-        .dropDuplicates(["lang", "token"])
-        .select("lang", str_hash60(F.col("token")).alias("h"))
+    # No pre-dedup: max-merge absorbs duplicate tokens, and the
+    # partial aggregation reduces every map partition to <= m cells
+    # per lang BEFORE the single shuffle (one exchange, not two).
+    entries = d.select(
+        "lang", F.explode(X.tokens(F.col("text"))).alias("token")
+    ).select("lang", hll_register_entry(F.col("token")).alias("e"))
+    regs = (
+        entries.select("lang", "e.idx", "e.rho")
+        .groupBy("lang", "idx")
+        .agg(F.max("rho").alias("mj"))
     )
-    parts = hashed.select(
-        "lang",
-        (F.col("h") % _HLL_M).alias("idx"),
-        F.expr(f"h DIV {_HLL_M}").alias("rest"),
-    )
-    rho = F.when(
-        F.col("rest") > 0,
-        F.lit(_HLL_RHO_MAX) - F.length(F.bin("rest")),
-    ).otherwise(F.lit(_HLL_RHO_MAX))
-    regs = parts.select("lang", "idx", rho.cast("int").alias("rho")) \
-        .groupBy("lang", "idx").agg(F.max("rho").alias("mj"))
     per = regs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("nregs"),
         F.sum(F.expr("shiftleft(1L, 50 - mj)")).alias("sp"),
