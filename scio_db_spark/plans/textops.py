@@ -970,6 +970,210 @@ def token_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bloom-filter membership screen: the incremental-crawl primitive. At
+# 100 TB a new crawl batch is screened against the EXISTING corpus
+# before any pairwise dedup runs; shipping the historical key set to
+# every probe task is impossible, shipping a fixed bit array is free.
+# The committed filter is deliberately UNDERSIZED (m=1024 bits, k=3)
+# so the gate-SF census exercises the false-positive path with
+# non-trivial integers; production sizes m ~ 1.44 * n * log2(1/fp)
+# (m grows with the historical corpus, and words merge by bit_or, so
+# daily filters union for free — the same mergeable-state posture as
+# the CMS/HLL registers). Hashing is md5-derived + the minhash
+# universal family, so DuckDB reproduces the bit array — and every
+# probe verdict — bit-for-bit.
+_BLOOM_BITS = 1024
+_BLOOM_WORD = 32  # bits per mask word: 1 << (bit % 32) stays positive
+_BLOOM_K = 3
+_BLOOM_PARAMS = minhash_params(_BLOOM_K, seed=17)
+
+
+def bloom_bits_from_hash(h_col: Column) -> Column:
+    """``array<int>`` of the K bloom bit positions for an already
+    str_hash60-hashed key — the one definition shared by build, probe,
+    and the oracle SQL, so filters built anywhere are
+    probe-compatible."""
+    h = h_col % F.lit(MERSENNE_P)
+    return F.array(
+        *[
+            (perm_hash(h, a, b) % _BLOOM_BITS).cast("int")
+            for a, b in _BLOOM_PARAMS
+        ]
+    )
+
+
+def bloom_bit_positions(key_col: Column) -> Column:
+    """K bloom bit positions for a string key."""
+    return bloom_bits_from_hash(str_hash60(key_col))
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """Fixed ``(w, mask)`` word table for a string key column: at most
+    ``_BLOOM_BITS / _BLOOM_WORD`` rows regardless of corpus size.
+    Partial aggregation reduces every map partition to the word table
+    BEFORE the single exchange; merging two filters is ``union`` +
+    ``bit_or`` regroup."""
+    return (
+        keys.select(
+            F.explode(bloom_bit_positions(F.col(key_col))).alias("bit")
+        )
+        .groupBy(F.expr(f"bit DIV {_BLOOM_WORD}").alias("w"))
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(1L, CAST(bit % {_BLOOM_WORD} AS INT)))"
+            ).alias("mask")
+        )
+    )
+
+
+def bloom_probe(probes: DataFrame, words: DataFrame, key_col: str) -> DataFrame:
+    """Input rows + ``bloom_hit`` (int 0/1): 1 iff every one of the
+    key's K bits is set. The word table is broadcast (it is bounded by
+    construction); the probe is a map-side join + groupBy on the input
+    row's own key — no shuffle of the historical corpus anywhere."""
+    cells = probes.withColumn(
+        "__bit", F.explode(bloom_bit_positions(F.col(key_col)))
+    ).withColumn("__w", F.expr(f"__bit DIV {_BLOOM_WORD}"))
+    hit = (
+        F.coalesce(F.col("mask"), F.lit(0)).bitwiseAND(
+            F.expr(f"shiftleft(1L, CAST(__bit % {_BLOOM_WORD} AS INT))")
+        )
+        != 0
+    ).cast("int")
+    return (
+        cells.join(
+            F.broadcast(words.withColumnRenamed("w", "__w")), "__w", "left"
+        )
+        .withColumn("__hit", hit)
+        .groupBy(*probes.columns)
+        .agg(F.min("__hit").alias("bloom_hit"))
+    )
+
+
+def _bloom_bits_sql(h_expr: str) -> list[str]:
+    return [
+        f"(({perm_hash_sql(h_expr, a, b)}) % {_BLOOM_BITS})"
+        for a, b in _BLOOM_PARAMS
+    ]
+
+
+_BLOOM_ORACLE = f"""
+    WITH hist AS (
+        SELECT {str_hash60_sql('text')} AS hh FROM documents
+        WHERE doc_id % 2 = 0
+    ),
+    hbits AS (
+        SELECT unnest([{', '.join(_bloom_bits_sql(f'(hh % {MERSENNE_P})'))}])
+            AS bit
+        FROM hist
+    ),
+    words AS (
+        SELECT bit // {_BLOOM_WORD} AS w,
+            bit_or(1::BIGINT << CAST(bit % {_BLOOM_WORD} AS INT)) AS mask
+        FROM hbits GROUP BY 1
+    ),
+    inc AS (
+        SELECT doc_id, lang, {str_hash60_sql('text')} AS hh
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    icells AS (
+        SELECT doc_id, lang, hh,
+            unnest([{', '.join(_bloom_bits_sql(f'(hh % {MERSENNE_P})'))}])
+            AS bit
+        FROM inc
+    ),
+    per_doc AS (
+        SELECT doc_id, lang, hh,
+            min(CASE WHEN (coalesce(words.mask, 0)
+                           & (1::BIGINT << CAST(bit % {_BLOOM_WORD} AS INT)))
+                          != 0
+                     THEN 1 ELSE 0 END) AS bloom_hit
+        FROM icells LEFT JOIN words ON bit // {_BLOOM_WORD} = words.w
+        GROUP BY doc_id, lang, hh
+    ),
+    flags AS (
+        SELECT p.lang, p.bloom_hit,
+            CASE WHEN EXISTS (SELECT 1 FROM hist h WHERE h.hh = p.hh)
+                 THEN 1 ELSE 0 END AS ex
+        FROM per_doc p
+    )
+    SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_incoming,
+        CAST(sum(bloom_hit) AS BIGINT) AS bloom_positive,
+        CAST(sum(ex) AS BIGINT) AS exact_duplicate,
+        CAST(sum(CASE WHEN bloom_hit = 1 AND ex = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS false_positive
+    FROM flags GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "docs_bloom_membership_census",
+    oracle=_BLOOM_ORACLE,
+    doc="Incremental-crawl membership screen: build a fixed bloom word "
+    "table over the even-doc_id half of the corpus, probe the odd "
+    "half, census per lang (probes / bloom positives / exact "
+    "duplicates / false positives). The filter is 32 words broadcast "
+    "to every probe task; the exact check (a hash semi-join) exists "
+    "to MEASURE the FP rate — production screens on the bloom alone "
+    "and only routes positives to the exact path, which is the whole "
+    "point: the anti-join shrinks from |new x old| to |positives|. "
+    "No-false-negative law and FP-rate-vs-theory pinned in "
+    "tests/test_bloom_screen.py.",
+)
+def bloom_membership_census(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    inc = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", str_hash60(F.col("text")).alias("hh")
+    )
+    words = bloom_build(hist.select("text"), "text")
+    # probe on the PRE-HASHED key: rebuild the bit array from hh so
+    # the text column isn't carried through the explode
+    cells = inc.withColumn(
+        "__bit", F.explode(bloom_bits_from_hash(F.col("hh")))
+    ).withColumn("__w", F.expr(f"__bit DIV {_BLOOM_WORD}"))
+    hit = (
+        F.coalesce(F.col("mask"), F.lit(0)).bitwiseAND(
+            F.expr(f"shiftleft(1L, CAST(__bit % {_BLOOM_WORD} AS INT))")
+        )
+        != 0
+    ).cast("int")
+    per_doc = (
+        cells.join(
+            F.broadcast(words.withColumnRenamed("w", "__w")), "__w", "left"
+        )
+        .withColumn("__hit", hit)
+        .groupBy("doc_id", "lang", "hh")
+        .agg(F.min("__hit").alias("bloom_hit"))
+    )
+    hist_hh = (
+        hist.select(str_hash60(F.col("text")).alias("hh"))
+        .distinct()
+        .withColumn("ex", F.lit(1))
+    )
+    flags = per_doc.join(hist_hh, "hh", "left").select(
+        "lang",
+        "bloom_hit",
+        F.coalesce(F.col("ex"), F.lit(0)).alias("ex"),
+    )
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.sum("bloom_hit").alias("bloom_positive"),
+            F.sum("ex").alias("exact_duplicate"),
+            F.sum(
+                ((F.col("bloom_hit") == 1) & (F.col("ex") == 0)).cast(
+                    "long"
+                )
+            ).alias("false_positive"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
 # Gopher-style repetition quality signals: highly repetitive documents
 # (boilerplate, keyword stuffing, generation loops) are poor training
 # data. Two standard signals per document: the fraction of words that
