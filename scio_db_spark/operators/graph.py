@@ -244,6 +244,62 @@ def kcore_rounds(
     return rounds
 
 
+def label_propagation(pairs: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous label propagation over an undirected ``(u, v)``
+    graph (u != v, deduplicated): every node starts labeled with its
+    own id; each round every node adopts the most frequent label among
+    its NEIGHBORS, ties broken by the smallest label — fully
+    deterministic (the classic async/random-order LPA is not, which
+    is what makes this variant oracle-checkable). Fixed round count,
+    synchronous update (all nodes flip on round r+1 from round-r
+    labels), so an unrolled SQL twin reproduces labels exactly.
+
+    Communities != components: connected-component clustering
+    (operators/clusters.py) merges everything reachable; LPA splits a
+    connected graph into locally-dense regions — the signal web-data
+    curation uses for host-cluster / spam-farm structure.
+
+    Per round: one equi-join of the symmetric adjacency against the
+    |V|-row label frame, a partial-aggregated (node, lab) count, and
+    a per-node argmax window (hash exchange on node, no global sort);
+    label frames are lazily localCheckpoint-ed so plan depth stays
+    O(1) per round. Returns ``(node, lab)``.
+    """
+    from pyspark.sql import Window
+
+    adj = checkpointed(
+        pairs.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(
+            pairs.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+        .distinct()
+    )
+    labels = adj.select("node").distinct().withColumn(
+        "lab", F.col("node")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    )
+    for _ in range(rounds):
+        cnt = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("lab")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
 def _kcore_peel(
     pairs: DataFrame, k: int, max_iterations: int
 ) -> tuple[DataFrame, int]:

@@ -1614,6 +1614,97 @@ def graph_kcore_census(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous-LPA twin: identical per-round recurrence
+    (neighbor-label counts, argmax with smallest-label tie-break,
+    synchronous flip) as chained CTEs."""
+    ctes = ["""
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS MATERIALIZED (
+        SELECT u AS node, v AS nbr FROM pairs
+        UNION ALL SELECT v, u FROM pairs
+    ),
+    lab0 AS MATERIALIZED (
+        SELECT DISTINCT node, node AS lab FROM adj
+    )"""]
+    for i in range(1, _LPA_ROUNDS + 1):
+        ctes.append(f"""
+    lab{i} AS MATERIALIZED (
+        SELECT node, lab FROM (
+            SELECT a.node, l.lab,
+                row_number() OVER (
+                    PARTITION BY a.node
+                    ORDER BY count(*) DESC, l.lab ASC
+                ) AS rn
+            FROM adj a JOIN lab{i - 1} l ON a.nbr = l.node
+            GROUP BY a.node, l.lab
+        ) WHERE rn = 1
+    )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+    SELECT CAST(sz AS BIGINT) AS community_size,
+        CAST(count(*) AS BIGINT) AS n_communities
+    FROM (SELECT lab, count(*) AS sz FROM lab{_LPA_ROUNDS} GROUP BY lab)
+    GROUP BY sz ORDER BY community_size"""
+    )
+
+
+@register(
+    "graph_lpa_community_census",
+    oracle=_lpa_oracle(),
+    doc="Label-propagation community census over the part co-purchase "
+    "graph: community-size histogram after 4 synchronous LPA rounds "
+    "(every node adopts its neighbors' most frequent label, smallest "
+    "label on ties — the deterministic variant, which is what makes "
+    "an unrolled SQL twin possible; classic async LPA is run-order "
+    "dependent). Communities != components: the CC operator merges "
+    "everything reachable, LPA splits the giant component into "
+    "locally-dense regions — the host-cluster / spam-farm structure "
+    "signal in web-data curation. Per round: one adjacency equi-join "
+    "+ partial-aggregated (node, label) count + per-node argmax "
+    "window (hash exchange on node, no global sort); label frames "
+    "lazily localCheckpoint-ed (operators/graph.py::"
+    "label_propagation), brute-force-tested on random topologies.",
+)
+def graph_lpa_community_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.graph import label_propagation
+
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = l.alias("a"), l.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    labels = label_propagation(pairs, rounds=_LPA_ROUNDS)
+    return (
+        labels.groupBy("lab")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_communities"))
+        .select(
+            F.col("sz").alias("community_size"), "n_communities"
+        )
+        .orderBy("community_size")
+    )
+
+
+# --------------------------------------------------------------------------
 _BFS_HOPS = 4
 
 

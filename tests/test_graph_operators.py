@@ -255,3 +255,46 @@ def test_kcore_census_rounds_fit_oracle_unroll(spark):
         for k in _KCORE_KS:
             r = kcore_rounds(pairs, k, max_iterations=_KCORE_UNROLL)
             assert r <= _KCORE_UNROLL - 4, (sf, k, r)
+
+
+def test_label_propagation_matches_python_recurrence(spark):
+    """Synchronous LPA with smallest-label tie-break, re-derived in
+    plain Python on random topologies (including a hub and a
+    disconnected piece) — every node's label after R rounds must
+    match exactly."""
+    from scio_db_spark.operators.graph import label_propagation
+
+    for seed in range(4):
+        rng = random.Random(200 + seed)
+        pairs = _random_pairs(rng, 12, 0.3)
+        if seed == 1:  # hub
+            pairs = sorted(set(pairs) | {(0, v) for v in range(1, 12)})
+        if seed == 2:  # disconnected clique alongside
+            pairs = sorted(
+                set(pairs) | {(20, 21), (20, 22), (21, 22)}
+            )
+        if not pairs:
+            continue
+        adj = {}
+        for u, v in pairs:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        labels = {n: n for n in adj}
+        rounds = 3
+        for _ in range(rounds):
+            nxt = {}
+            for n, nbrs in adj.items():
+                cnt = {}
+                for m in nbrs:
+                    cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+                # most frequent, ties -> smallest label
+                nxt[n] = min(
+                    cnt, key=lambda lab: (-cnt[lab], lab)
+                )
+            labels = nxt
+        df = spark.createDataFrame(pairs, "u long, v long")
+        got = {
+            r.node: r.lab
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+        assert got == labels, f"seed {seed}"

@@ -89,6 +89,8 @@ _QUERIES = [
     "events_latency_quantile_sketch",    # log-grid quantile histogram
     "graph_pagerank_purchase_flow",      # classic PR (dangling mass)
     "graph_kcore_census",                # iterative peel decomposition
+    "docs_bloom_membership_census",      # fixed-word-table crawl screen
+    "docs_quality_classifier_census",    # hashed-BoW integer scorer
 ]
 
 # Per-query factor cap, RECORDED in the artifact (the no-silent-caps
