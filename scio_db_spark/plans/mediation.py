@@ -1196,6 +1196,113 @@ def latency_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Mergeable-sketch rollup: WHY sketches win at 100 TB. Day-level HLL
+# register tables are the pre-aggregated cube cells a production
+# pipeline materializes once per partition; any coarser distinct-count
+# (per type, per month, whole corpus) is a max-merge of CELLS — no raw
+# re-scan, no shuffle of user ids. count(DISTINCT) offers nothing to
+# merge: every rollup level re-shuffles the raw keys.
+def _hll_rollup_oracle() -> str:
+    from scio_db_spark.functions.hashing import str_hash60_sql
+    from scio_db_spark.plans.textops import (
+        _HLL_M,
+        _HLL_RHO_MAX,
+        hll_estimate_select_sql,
+    )
+
+    uid = str_hash60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH h AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, {uid} AS h
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, day, h % {_HLL_M} AS idx, h // {_HLL_M} AS rest
+        FROM h
+    ),
+    dayregs AS (
+        SELECT event_type, day, idx,
+            max(CASE WHEN rest > 0
+                     THEN {_HLL_RHO_MAX} - length(bin(rest))
+                     ELSE {_HLL_RHO_MAX} END) AS mj
+        FROM cells GROUP BY event_type, day, idx
+    ),
+    regs AS (
+        SELECT event_type, idx, max(mj) AS mj
+        FROM dayregs GROUP BY event_type, idx
+    ),
+    est AS ({hll_estimate_select_sql('regs', 'event_type',
+                                     'distinct_users_est')}),
+    ex AS (
+        SELECT event_type,
+            CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+            CAST(count(DISTINCT user_id) AS BIGINT)
+                AS distinct_users_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT ex.event_type, ex.n_days, ex.distinct_users_exact,
+        est.distinct_users_est
+    FROM ex JOIN est ON ex.event_type = est.event_type
+    ORDER BY ex.event_type
+    """
+
+
+@register(
+    "events_distinct_users_hll_rollup",
+    oracle=_hll_rollup_oracle(),
+    doc="Mergeable-sketch rollup: distinct users per event_type "
+    "computed by MERGING day-level HLL register tables (max over "
+    "cells), never re-scanning raw user ids — the pre-aggregated-"
+    "cube-cell pattern that makes sketches the 100 TB answer where "
+    "count(DISTINCT) re-shuffles raw keys at every rollup level. "
+    "Registers use the deterministic md5 hashing of "
+    "docs_token_hll_estimate (shared hll_register_entry /"
+    "hll_estimate_over), so the DuckDB twin reproduces day cells, "
+    "merged registers, AND the estimate bit-for-bit; the exact "
+    "distinct count rides along to expose the estimator error "
+    "(within the 4096-register rsd, pinned in "
+    "tests/test_hll_stream.py's estimator suite and the census "
+    "itself).",
+)
+def distinct_users_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.plans.textops import (
+        hll_estimate_over,
+        hll_register_entry,
+    )
+
+    e = _events(spark, sf)
+    day_regs = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            hll_register_entry(F.col("user_id").cast("string")).alias(
+                "e"
+            ),
+        )
+        .groupBy("event_type", "day", F.col("e.idx").alias("idx"))
+        .agg(F.max("e.rho").alias("mj"))
+    )
+    merged = day_regs.groupBy("event_type", "idx").agg(
+        F.max("mj").alias("mj")
+    )
+    est = hll_estimate_over(merged, "event_type", "distinct_users_est")
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.countDistinct("user_id").alias("distinct_users_exact"),
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "distinct_users_exact",
+            "distinct_users_est",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 @register(
     "events_weekly_cohort_matrix",
     oracle="""

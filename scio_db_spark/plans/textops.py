@@ -816,12 +816,22 @@ def token_hll_estimate(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("lang", "idx")
         .agg(F.max("rho").alias("mj"))
     )
-    per = regs.groupBy("lang").agg(
+    return hll_estimate_over(regs, "lang", "distinct_tokens_est")
+
+
+def hll_estimate_over(
+    regs: DataFrame, group_col: str, est_alias: str
+) -> DataFrame:
+    """``(group_col, est_alias, zero_registers)`` from a register
+    frame ``(group_col, idx, mj)`` — the integer HLL estimator shared
+    by the token census and the mergeable events rollup (and mirrored
+    exactly by :func:`hll_estimate_select_sql`)."""
+    per = regs.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("nregs"),
         F.sum(F.expr("shiftleft(1L, 50 - mj)")).alias("sp"),
     )
     st = per.select(
-        "lang",
+        group_col,
         (F.lit(_HLL_M) - F.col("nregs")).alias("v"),
         (
             F.col("sp")
@@ -829,7 +839,7 @@ def token_hll_estimate(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("s"),
     )
     est = st.select(
-        "lang",
+        group_col,
         "v",
         F.expr(
             f"CAST('{_HLL_NUM}' AS DECIMAL(38,0)) DIV "
@@ -838,16 +848,48 @@ def token_hll_estimate(spark: SparkSession, sf: str) -> DataFrame:
     )
     lnm = f"CAST(floor(ln({_HLL_M}) * 1000000) AS BIGINT)"
     return est.select(
-        "lang",
+        group_col,
         F.expr(
             f"CASE WHEN v > 0 AND e_raw <= {_HLL_LC_THRESHOLD} "
             f"THEN ({_HLL_M} * ({lnm} "
             f"      - CAST(floor(ln(v) * 1000000) AS BIGINT))) "
             f"     DIV 1000000 "
             f"ELSE e_raw END"
-        ).alias("distinct_tokens_est"),
+        ).alias(est_alias),
         F.col("v").alias("zero_registers"),
     )
+
+
+def hll_estimate_select_sql(
+    regs_cte: str, group_col: str, est_alias: str
+) -> str:
+    """DuckDB fragment ``(group_col, est_alias, zero_registers)`` over
+    a register CTE ``(group_col, idx, mj)`` — the oracle twin of
+    :func:`hll_estimate_over`."""
+    return f"""
+    SELECT {group_col},
+        CASE WHEN v > 0 AND e_raw <= {_HLL_LC_THRESHOLD}
+             THEN ({_HLL_M} *
+                   (CAST(floor(ln({_HLL_M}) * 1000000) AS BIGINT)
+                    - CAST(floor(ln(v) * 1000000) AS BIGINT)))
+                  // 1000000
+             ELSE e_raw END AS {est_alias},
+        v AS zero_registers
+    FROM (
+        SELECT {group_col}, v,
+            CAST(CAST('{_HLL_NUM}' AS HUGEINT)
+                 // ({_HLL_DEN}::HUGEINT * s::HUGEINT) AS BIGINT)
+            AS e_raw
+        FROM (
+            SELECT {group_col}, {_HLL_M} - nregs AS v,
+                sp + ({_HLL_M} - nregs) * (1::BIGINT << 50) AS s
+            FROM (
+                SELECT {group_col}, count(*) AS nregs,
+                    CAST(sum(1::BIGINT << (50 - mj)) AS BIGINT) AS sp
+                FROM {regs_cte} GROUP BY {group_col}
+            )
+        )
+    )"""
 
 
 # --------------------------------------------------------------------------

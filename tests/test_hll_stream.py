@@ -118,3 +118,51 @@ def test_estimator_reproduces_registered_query(spark, sf_dir):
         for lang, regs in by_lang.items()
     }
     assert got == expected
+
+
+def test_rollup_merge_equals_direct_registers(spark, sf_dir):
+    """The rollup census's day-level max-merge must land on exactly
+    the registers a direct (no day split) build produces — the
+    mergeability law the pre-aggregated-cube pattern rests on, pinned
+    on the real events table."""
+    from scio_db_spark.plans.catalog import table
+    from scio_db_spark.plans.textops import hll_register_entry
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        hll_register_entry(F.col("user_id").cast("string")).alias("e"),
+    )
+    merged = {
+        (r.event_type, r.idx): r.mj
+        for r in e.groupBy(
+            "event_type", "day", F.col("e.idx").alias("idx")
+        )
+        .agg(F.max("e.rho").alias("mj"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("mj").alias("mj"))
+        .collect()
+    }
+    direct = {
+        (r.event_type, r.idx): r.mj
+        for r in e.groupBy("event_type", F.col("e.idx").alias("idx"))
+        .agg(F.max("e.rho").alias("mj"))
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_rollup_estimate_within_rsd(spark, sf_dir):
+    """Estimator error on the rollup census stays inside ~3x the
+    4096-register rsd (1.6%) against the exact count it carries."""
+    from scio_db_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["events_distinct_users_hll_rollup"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        err = abs(r.distinct_users_est - r.distinct_users_exact)
+        assert err <= max(5, 0.05 * r.distinct_users_exact), r
