@@ -258,3 +258,126 @@ def media_chunk_plan(
             F.lit(chunk_bytes).cast("long"), F.col("__nb") - start
         ).alias("byte_len"),
     )
+
+
+# ------------------------------------------------------------------ WAV
+# REAL audio codec: RIFF/WAVE PCM is self-describing and uncompressed,
+# so it is fully decodable with numpy alone — no external audio
+# library. This upgrades the audio leg of the multimodal surface from
+# the capability-gated fake to a genuine encode → parse → DSP-feature
+# path; compressed codecs (MP3/AAC/JPEG/MP4) stay gated behind
+# NotImplementedError because they need libraries this environment
+# lacks.
+
+
+def wav_encode_pcm16(samples, sample_rate: int) -> bytes:
+    """Minimal RIFF/WAVE PCM16 mono encoder (numpy int16 in, bytes
+    out). Exists so tests and synthetic pipelines can produce REAL
+    WAV containers for the real decoder below."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    data = s.tobytes()
+    n = len(data)
+
+    def le(v: int, w: int) -> bytes:
+        return int(v).to_bytes(w, "little")
+
+    fmt = (
+        b"fmt " + le(16, 4)
+        + le(1, 2)              # PCM
+        + le(1, 2)              # mono
+        + le(sample_rate, 4)
+        + le(sample_rate * 2, 4)  # byte rate
+        + le(2, 2)              # block align
+        + le(16, 2)             # bits
+    )
+    payload = b"WAVE" + fmt + b"data" + le(n, 4) + data
+    return b"RIFF" + le(len(payload), 4) + payload
+
+
+def wav_decode_pcm16(b: bytes):
+    """REAL RIFF/WAVE parser: walks the chunk list (word-aligned,
+    unknown chunks skipped), validates PCM16, returns
+    ``(sample_rate, n_channels, bits, samples int16 ndarray)``.
+    Raises ``ValueError`` on malformed or non-PCM16 input — a poison
+    payload must fail loudly at the record level so the caller can
+    dead-letter it (W9 contract), never mis-parse silently."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only PCM16 is decodable without external codecs "
+            f"(format={audio_format}, bits={bits})"
+        )
+    samples = np.frombuffer(
+        data[: (len(data) // 2) * 2], dtype="<i2"
+    )
+    return sample_rate, n_channels, bits, samples
+
+
+def wav_audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode + DSP features for a WAV PCM16 binary column, Arrow-
+    batched: container metadata from the REAL parser plus exact
+    integer features (peak = max |sample|, sum_sq = sum of squared
+    samples, zero_crossings = sign flips between adjacent samples) —
+    integer-exact so an oracle that KNOWS the synthesis parameters can
+    predict every value without touching bytes."""
+    import numpy as np
+
+    out_schema = (
+        f"{id_col} long, sample_rate long, n_channels long, bits long, "
+        "n_samples long, peak long, sum_sq long, zero_crossings long"
+    )
+
+    def _feats(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if i is None or b is None:
+                    continue  # NULL rows skipped, never a crash
+                rate, ch, bits, s = wav_decode_pcm16(bytes(b))
+                s64 = s.astype(np.int64)
+                n = len(s64)
+                peak = int(np.abs(s64).max()) if n else 0
+                sum_sq = int((s64 * s64).sum())
+                zc = (
+                    int((np.sign(s64[1:]) != np.sign(s64[:-1])).sum())
+                    if n > 1
+                    else 0
+                )
+                rows.append(
+                    (int(i), rate, ch, bits, n, peak, sum_sq, zc)
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        id_col, "sample_rate", "n_channels", "bits",
+                        "n_samples", "peak", "sum_sq", "zero_crossings",
+                    ],
+                )
+
+    return df.select(id_col, payload_col).mapInPandas(_feats, out_schema)

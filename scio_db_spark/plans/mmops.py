@@ -113,3 +113,79 @@ def mm_payload_metadata(spark: SparkSession, sf: str) -> DataFrame:
         F.col("media_meta.n_bytes").alias("n_bytes"),
         "source",
     )
+
+
+# --------------------------------------------------------------------------
+# REAL codec leg: synthesize genuine RIFF/WAVE PCM16 containers from
+# per-doc parameters, run them through the REAL chunk-walking parser +
+# integer DSP features (functions/multimodal.py::wav_decode_pcm16 /
+# wav_audio_features), and let the oracle predict every output value
+# from the SAME parameters arithmetically — the oracle never touches
+# bytes, so a single mis-parsed header field or off-by-one in the
+# feature math fails the hash. Square waves make the features exact
+# integers: peak = amp, sum_sq = n * amp^2, zero crossings = block
+# count - 1.
+_WAV_RATE = 8000
+
+
+@register(
+    "mm_wav_pcm_roundtrip",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+            2 + doc_id % 7 AS half,
+            1000 + (doc_id % 100) * 10 AS amp,
+            800 + (doc_id % 50) * 16 AS n
+        FROM documents
+    )
+    SELECT doc_id,
+        CAST(8000 AS BIGINT) AS sample_rate,
+        CAST(1 AS BIGINT) AS n_channels,
+        CAST(16 AS BIGINT) AS bits,
+        CAST(n AS BIGINT) AS n_samples,
+        CAST(amp AS BIGINT) AS peak,
+        CAST(n AS BIGINT) * amp * amp AS sum_sq,
+        CAST((n + half - 1) // half - 1 AS BIGINT) AS zero_crossings
+    FROM p ORDER BY doc_id
+    """,
+    doc="REAL audio decode path: encode a per-doc square wave as a "
+    "genuine RIFF/WAVE PCM16 container (numpy-only encoder), parse it "
+    "back with the real chunk-walking decoder, and extract exact "
+    "integer DSP features — all inside Arrow-batched mapInPandas, the "
+    "shape a production codec step has at 100 TB (only the binary "
+    "payload crosses into Python; scan, partitioning and the census "
+    "stay columnar). The oracle predicts every value from the "
+    "synthesis parameters WITHOUT touching bytes, so the container "
+    "layout, the parser, and the feature math are all on the hook. "
+    "Compressed codecs stay capability-gated (NotImplementedError) — "
+    "WAV/PCM is the format class honestly decodable with numpy alone.",
+)
+def mm_wav_pcm_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from scio_db_spark.functions.multimodal import (
+        wav_audio_features,
+        wav_encode_pcm16,
+    )
+
+    d = table(spark, sf, "documents").select("doc_id")
+
+    def _synth(pdfs):
+        for pdf in pdfs:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                half = 2 + i % 7
+                amp = 1000 + (i % 100) * 10
+                n = 800 + (i % 50) * 16
+                idx = np.arange(n)
+                s = np.where(
+                    (idx // half) % 2 == 0, amp, -amp
+                ).astype(np.int16)
+                rows.append((i, wav_encode_pcm16(s, _WAV_RATE)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    wav = d.mapInPandas(_synth, "doc_id long, payload binary")
+    return wav_audio_features(wav).orderBy("doc_id")
