@@ -189,3 +189,83 @@ def mm_wav_pcm_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     wav = d.mapInPandas(_synth, "doc_id long, payload binary")
     return wav_audio_features(wav).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# REAL image codec leg, the BMP sibling of mm_wav_pcm_roundtrip. The
+# pixel formula is position-dependent and the census carries
+# position-WEIGHTED sums, so the oracle's byte-free prediction fails
+# on exactly the mistakes a hand-rolled BMP path invites: BGR order
+# (sum_g/sum_b swap), bottom-up rows (wsum_ry), row padding (wsum_rx),
+# decimation phase (dec_sum_r).
+@register(
+    "mm_bmp_rgb_roundtrip",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, 5 + doc_id % 12 AS w, 3 + doc_id % 9 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h, tx.x AS x, ty.y AS y,
+            (3 * tx.x + 7 * ty.y + doc_id) % 256 AS r,
+            (tx.x + ty.y) % 256 AS g,
+            (5 * tx.x + doc_id) % 256 AS b
+        FROM p,
+            unnest(generate_series(0, w - 1)) AS tx(x),
+            unnest(generate_series(0, h - 1)) AS ty(y)
+    )
+    SELECT doc_id,
+        CAST(any_value(w) AS BIGINT) AS width,
+        CAST(any_value(h) AS BIGINT) AS height,
+        CAST(sum(r) AS BIGINT) AS sum_r,
+        CAST(sum(g) AS BIGINT) AS sum_g,
+        CAST(sum(b) AS BIGINT) AS sum_b,
+        CAST(sum(r * x) AS BIGINT) AS wsum_rx,
+        CAST(sum(r * y) AS BIGINT) AS wsum_ry,
+        CAST(sum(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN r ELSE 0 END)
+             AS BIGINT) AS dec_sum_r
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="REAL image decode path: synthesize genuine uncompressed "
+    "24-bit BMPs (BGR, bottom-up, row-padded — the true on-disk "
+    "layout) from a position-dependent pixel formula, parse them back "
+    "with the real numpy-only decoder, integer-decimate 2x (a real "
+    "resize), and census exact integer features. Position-weighted "
+    "sums put the layout itself on the hook: the oracle predicts "
+    "every value from the formula without touching bytes. Compressed "
+    "formats (JPEG/PNG) stay capability-gated — uncompressed BMP is "
+    "the image class honestly decodable with numpy alone.",
+)
+def mm_bmp_rgb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from scio_db_spark.functions.multimodal import (
+        bmp_encode_rgb24,
+        bmp_image_features,
+    )
+
+    d = table(spark, sf, "documents").select("doc_id")
+
+    def _synth(pdfs):
+        for pdf in pdfs:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 5 + i % 12, 3 + i % 9
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                px = np.stack(
+                    [
+                        (3 * xs + 7 * ys + i) % 256,
+                        (xs + ys + 0 * ys) % 256,
+                        (5 * xs + i + 0 * ys) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                rows.append((i, bmp_encode_rgb24(px)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    bmp = d.mapInPandas(_synth, "doc_id long, payload binary")
+    return bmp_image_features(bmp).orderBy("doc_id")
