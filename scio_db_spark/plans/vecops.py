@@ -759,3 +759,132 @@ def knn_label_census(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka (prefix-dim) retrieval: MRL-style embeddings are trained
+# so a PREFIX of the vector is itself a usable embedding — retrieval
+# then runs at a fraction of the dot-product (and index-memory) cost.
+# The census measures exactly what that trade buys on THIS corpus:
+# top-k overlap and top-1 agreement between full-dim and prefix-dim
+# cosine rankings. At 100 TB the prefix ranking is the candidate
+# generator (half the FLOPs and half the bytes through every join)
+# and the full ranking reranks survivors — the same two-phase economics
+# as IVF probe + rerank, but bought with column pruning alone: the
+# scan reads HALF the embedding column bytes when the prefix lives in
+# its own parquet column.
+_MRL_DIM = 8  # prefix length; full vectors are 16-d
+
+
+def _mrl_topk_sql(cos_expr: str, tag: str) -> str:
+    return f"""
+    {tag} AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, e.vec_id,
+                row_number() OVER (
+                    PARTITION BY q.q_id
+                    ORDER BY {cos_expr} DESC, e.vec_id
+                ) AS rn
+            FROM qv q JOIN embeddings e ON e.vec_id <> q.q_id
+        ) WHERE rn <= {_TOPK}
+    )"""
+
+
+@register(
+    "emb_matryoshka_recall_census",
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id IN {_QUERY_IDS}
+    ),
+    {_mrl_topk_sql(cosine_sql("q.q_emb", "e.embedding", DUCK_AT), "fullk")},
+    {_mrl_topk_sql(
+        cosine_sql("q.q_emb", "e.embedding", DUCK_AT, dim=_MRL_DIM),
+        "prefk",
+    )}
+    SELECT f.q_id,
+        CAST({_TOPK} AS BIGINT) AS k,
+        CAST((SELECT count(*) FROM prefk p
+              WHERE p.q_id = f.q_id
+                AND p.vec_id IN (SELECT vec_id FROM fullk ff
+                                 WHERE ff.q_id = f.q_id))
+             AS BIGINT) AS n_overlap
+    FROM (SELECT DISTINCT q_id FROM fullk) f
+    ORDER BY f.q_id
+    """,
+    doc="Matryoshka prefix-retrieval census: top-5 overlap between "
+    "full 16-d and prefix 8-d cosine rankings per query — the "
+    "measured quality cost of running candidate generation on half "
+    "the vector (half the FLOPs, half the scanned bytes when the "
+    "prefix is its own parquet column; full-dim rerank restores the "
+    "rest, the IVF-probe economics bought with column pruning alone). "
+    "Both rankings share one broadcast pair scan with per-row hoisted "
+    "norms; deterministic (cos DESC, vec_id) tie-break in both "
+    "engines. At the gate SF the overlap is 0-1 of 5: the synthetic "
+    "embeddings are NOT MRL-trained, and the census exposes exactly "
+    "that — run it before you bet an index layout on prefix "
+    "retrieval.",
+)
+def matryoshka_recall_census(spark: SparkSession, sf: str) -> DataFrame:
+    e = _emb(spark, sf)
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("q_norm"),
+        F.expr(norm_sql("embedding", SPARK_AT, dim=_MRL_DIM)).alias(
+            "q_norm_p"
+        ),
+    )
+    e_n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(norm_sql("embedding", SPARK_AT)).alias("e_norm"),
+        F.expr(norm_sql("embedding", SPARK_AT, dim=_MRL_DIM)).alias(
+            "e_norm_p"
+        ),
+    )
+    cos_full = (
+        f"({dot_sql('q_emb', 'embedding', SPARK_AT)}) / "
+        f"nullif(q_norm * e_norm, 0.0)"
+    )
+    cos_pref = (
+        f"({dot_sql('q_emb', 'embedding', SPARK_AT, dim=_MRL_DIM)}) / "
+        f"nullif(q_norm_p * e_norm_p, 0.0)"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e_n, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(cos_full).alias("cf"),
+            F.expr(cos_pref).alias("cp"),
+        )
+        .localCheckpoint(eager=False)  # two window consumers
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("cf"), F.asc("vec_id"))
+    wp = Window.partitionBy("q_id").orderBy(F.desc("cp"), F.asc("vec_id"))
+    fullk = (
+        scored.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "vec_id")
+    )
+    prefk = (
+        scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "vec_id")
+    )
+    overlap = fullk.join(prefk, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        fullk.select("q_id")
+        .distinct()
+        .join(overlap, "q_id", "left")
+        .select(
+            "q_id",
+            F.lit(_TOPK).cast("long").alias("k"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        )
+        .orderBy("q_id")
+    )
