@@ -119,6 +119,63 @@ def pagerank(
     return ranks
 
 
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Personalized PageRank: identical integer recurrence to
+    :func:`pagerank` except the teleport term lands ONLY on the seed
+    set — r0 = ``scale`` on seeds / 0 elsewhere, and per iteration
+    ``r' = 1[seed] * (15*scale/100) + 0.85 * inflow``. Rank mass
+    localizes around the seeds (the graph-feature form recsys and
+    node-similarity pipelines actually use); ranks are comparable
+    WITHIN a seed set, not across runs with different seeds.
+    ``seeds`` is a one-column ``node`` frame (broadcast — seed sets
+    are small by definition). Returns ``(node, r)``.
+    """
+    edges = checkpointed(edges)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    flagged = checkpointed(
+        nodes.join(
+            F.broadcast(seeds.select("node").withColumn("sd", F.lit(1))),
+            "node",
+            "left",
+        ).select("node", F.coalesce(F.col("sd"), F.lit(0)).alias("sd"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ew = edges.join(outw, "src")
+    base = scale * 15 // 100
+    ranks = flagged.select(
+        "node", (F.col("sd") * F.lit(scale)).cast("long").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                "dst",
+                F.expr("(r * w DIV ow) * 85 DIV 100").alias("share"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        ranks = flagged.join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.col("sd") * F.lit(base)
+                + F.coalesce(F.col("inflow"), F.lit(0))
+            ).cast("long").alias("r"),
+        )
+    return ranks
+
+
 def triangle_counts(pairs: DataFrame) -> DataFrame:
     """Per-node triangle participation counts over an UNDIRECTED edge
     frame ``(u, v)`` with u < v (deduplicated). Degree-ordered wedge

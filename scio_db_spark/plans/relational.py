@@ -1425,6 +1425,110 @@ def graph_pagerank_purchase_flow(
 
 
 # --------------------------------------------------------------------------
+_PPR_SEEDS = ("s1", "s2", "s3")
+
+
+def _ppr_oracle() -> str:
+    """Unrolled twin of the PERSONALIZED recurrence: identical to the
+    global form except r0 and the per-iteration teleport term land
+    only on the seed set."""
+    seeds = "(" + ", ".join(f"'{s}'" for s in _PPR_SEEDS) + ")"
+    edges = """
+    edges AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+            SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            UNION ALL
+            SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ) GROUP BY src, dst
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges
+    ),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src)
+    """
+    prev = "r0"
+    steps = [
+        f"r0 AS (SELECT node, CAST(CASE WHEN node IN {seeds} "
+        f"THEN {_PR_SCALE} ELSE 0 END AS BIGINT) AS r FROM nodes)"
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+    r{i} AS (
+        SELECT n.node,
+            CAST(CASE WHEN n.node IN {seeds}
+                 THEN {_PR_SCALE * 15 // 100} ELSE 0 END
+            + COALESCE(sum((({prev}.r * e.w) // o.ow) * 85 // 100), 0)
+            AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN outw o ON o.src = e.src
+        LEFT JOIN {prev} ON {prev}.node = e.src
+        GROUP BY n.node
+    )""")
+        prev = f"r{i}"
+    return (
+        "WITH " + edges + ", " + ",".join(steps)
+        + f" SELECT node, r AS rank_scaled FROM {prev} "
+        f"ORDER BY rank_scaled DESC, node LIMIT {_PR_TOPK}"
+    )
+
+
+@register(
+    "graph_ppr_seed_suppliers",
+    oracle=_ppr_oracle(),
+    doc="Personalized PageRank from seed suppliers {s1,s2,s3} over the "
+    "bipartite shipment graph: the teleport term lands only on the "
+    "seeds, so rank mass localizes around their customer "
+    "neighborhoods — the node-similarity / graph-feature form recsys "
+    "pipelines use, as opposed to the global centrality of "
+    "graph_pagerank_supplier_customer. Same integer fixed-point "
+    "recurrence, same one-join-one-groupBy iteration cost, seeds "
+    "broadcast (operators/graph.py::pagerank_personalized); "
+    "brute-force-tested on random digraphs against a Python "
+    "recompute. Oracle: the identical unrolled-CTE twin with "
+    "seed-conditional teleport.",
+)
+def graph_ppr_seed_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.graph import pagerank_personalized
+
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = l.join(
+        o, l["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("s_node"),
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("c_node"),
+    )
+    edges = (
+        pairs.select(
+            F.col("s_node").alias("src"), F.col("c_node").alias("dst")
+        )
+        .unionAll(
+            pairs.select(
+                F.col("c_node").alias("src"),
+                F.col("s_node").alias("dst"),
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    seeds = spark.createDataFrame(
+        [(s,) for s in _PPR_SEEDS], "node string"
+    )
+    ranks = pagerank_personalized(
+        edges, seeds, iters=_PR_ITERS, scale=_PR_SCALE
+    )
+    return (
+        ranks.select("node", F.col("r").alias("rank_scaled"))
+        .orderBy(F.desc("rank_scaled"), "node")
+        .limit(_PR_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
 _TRI_TOPK = 10
 
 

@@ -298,3 +298,42 @@ def test_label_propagation_matches_python_recurrence(spark):
             for r in label_propagation(df, rounds=rounds).collect()
         }
         assert got == labels, f"seed {seed}"
+
+
+def test_personalized_pagerank_matches_python_recurrence(spark):
+    """Seed-conditional teleport, re-derived in plain Python on random
+    digraphs; non-seed nodes must start AND teleport at zero."""
+    from scio_db_spark.operators.graph import pagerank_personalized
+
+    scale = 1_000_000_000
+    for seed in range(3):
+        rng = random.Random(300 + seed)
+        edges = [
+            (f"n{u}", f"n{v}", rng.randint(1, 5))
+            for u, v in itertools.permutations(range(8), 2)
+            if rng.random() < 0.3
+        ]
+        if not edges:
+            continue
+        nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+        seeds = nodes[:2]
+        outw = {}
+        for s, _d, w in edges:
+            outw[s] = outw.get(s, 0) + w
+        r = {n: (scale if n in seeds else 0) for n in nodes}
+        base = scale * 15 // 100
+        for _ in range(5):
+            inflow = {n: 0 for n in nodes}
+            for s, d, w in edges:
+                inflow[d] += (r[s] * w // outw[s]) * 85 // 100
+            r = {
+                n: (base if n in seeds else 0) + inflow[n]
+                for n in nodes
+            }
+        df = spark.createDataFrame(edges, "src string, dst string, w long")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+        got = {
+            row.node: row.r
+            for row in pagerank_personalized(df, sdf, iters=5).collect()
+        }
+        assert got == r, f"seed {seed}"
