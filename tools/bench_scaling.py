@@ -91,6 +91,12 @@ _QUERIES = [
     "graph_kcore_census",                # iterative peel decomposition
     "docs_bloom_membership_census",      # fixed-word-table crawl screen
     "docs_quality_classifier_census",    # hashed-BoW integer scorer
+    "graph_lpa_community_census",        # 4-round label propagation
+    "graph_ppr_seed_suppliers",          # personalized PR (seed teleport)
+    "events_distinct_users_hll_rollup",  # day-cell max-merge rollup
+    "mm_wav_pcm_roundtrip",              # real WAV codec Arrow throughput
+    "mm_bmp_rgb_roundtrip",              # real BMP codec Arrow throughput
+    "emb_matryoshka_recall_census",      # prefix-dim vs full-dim overlap
 ]
 
 # Per-query factor cap, RECORDED in the artifact (the no-silent-caps
@@ -113,6 +119,7 @@ _MAX_FACTOR: dict[str, int] = {
     "emb_ann_ivf_trained_topk": 100,     # candidate set × query set
     "emb_knn_label_census": 100,         # 20 queries × replicated corpus
     "emb_knn_ivf_label_census": 100,     # same query-set replication
+    "emb_matryoshka_recall_census": 100, # two brute-force pair scans
 }
 
 
