@@ -42,27 +42,91 @@ class CorpusIngestConfig:
     min_quality: float = 0.5  # quality_score gate in [0, 1]
     dedup_delay: str = "10 minutes"  # state-retention bound
     known_langs: tuple[str, ...] = X.LANG_ORDER
+    # Model gate (round-9): also require the committed hashed-BoW
+    # classifier logit >= 0 — the production ordering (cheap heuristic
+    # first, model second), off by default.
+    clf_gate: bool = False
+    # Historical-corpus bloom screen (round-9): dense mask words from
+    # bloom_masks_dense(); docs whose content hash is bloom-positive
+    # against YESTERDAY'S corpus are routed KO as likely duplicates.
+    # The filter rides the plan as a LITERAL array — no join, no
+    # state, exactly how a task-constant filter ships at 100 TB.
+    screen_masks: tuple[int, ...] | None = None
+
+
+def bloom_masks_dense(words: DataFrame) -> tuple[int, ...]:
+    """Densify a ``bloom_build`` word table into the literal mask
+    tuple ``CorpusIngestConfig.screen_masks`` takes (index = word,
+    absent words = 0). The table is <= m/32 rows by construction, so
+    collecting it is a driver no-op."""
+    from scio_db_spark.plans.textops import _BLOOM_BITS, _BLOOM_WORD
+
+    got = {r.w: r.mask for r in words.collect()}
+    return tuple(got.get(w, 0) for w in range(_BLOOM_BITS // _BLOOM_WORD))
+
+
+def _bloom_hit_sql(hash_hex_col: str, masks: tuple[int, ...]) -> str:
+    """Bloom probe as ONE SQL boolean over an md5-hex column — the
+    SAME bit definition as plans/textops.py::bloom_bits_from_hash
+    (str_hash60 is the first 15 md5 hex digits, which ``content_hash``
+    already carries, so the probe costs zero extra hashing)."""
+    from scio_db_spark.functions.hashing import MERSENNE_P
+    from scio_db_spark.plans.textops import (
+        _BLOOM_BITS,
+        _BLOOM_PARAMS,
+        _BLOOM_WORD,
+    )
+
+    arr = "array(" + ", ".join(f"{m}L" for m in masks) + ")"
+    h = (
+        f"(CAST(conv(substring({hash_hex_col}, 1, 15), 16, 10) AS BIGINT)"
+        f" % {MERSENNE_P})"
+    )
+    checks = []
+    for a, b in _BLOOM_PARAMS:
+        bit = f"((({h} * {a} + {b}) % {MERSENNE_P}) % {_BLOOM_BITS})"
+        checks.append(
+            f"((element_at({arr}, CAST({bit} DIV {_BLOOM_WORD} AS INT) + 1)"
+            f" & shiftleft(1L, CAST({bit} % {_BLOOM_WORD} AS INT))) != 0)"
+        )
+    return "(" + " AND ".join(checks) + ")"
 
 
 def enrich(docs: DataFrame, cfg: CorpusIngestConfig) -> DataFrame:
-    """content_hash / n_tokens / lang / quality columns (pure Columns)."""
+    """content_hash / n_tokens / lang / quality columns (pure
+    Columns); plus clf_score / bloom_hit when the optional round-9
+    gates are configured."""
     toks = X.tokens(F.col("text"))
-    return docs.withColumns(
-        {
-            "content_hash": F.md5(F.col("text")),
-            "n_tokens": F.size(toks),
-            "lang": X.lang_id(toks),
-            "quality": X.quality_score(F.col("text")),
-        }
-    )
+    cols = {
+        "content_hash": F.md5(F.col("text")),
+        "n_tokens": F.size(toks),
+        "lang": X.lang_id(toks),
+        "quality": X.quality_score(F.col("text")),
+    }
+    out = docs.withColumns(cols)
+    if cfg.clf_gate:
+        from scio_db_spark.plans.textops import quality_clf_score
+
+        out = out.withColumn("clf_score", quality_clf_score(toks))
+    if cfg.screen_masks is not None:
+        out = out.withColumn(
+            "bloom_hit",
+            F.expr(_bloom_hit_sql("content_hash", cfg.screen_masks)),
+        )
+    return out
 
 
 def _ok_predicate(cfg: CorpusIngestConfig) -> Column:
-    return (
+    ok = (
         F.col("quality").isNotNull()
         & (F.col("quality") >= cfg.min_quality)
         & F.col("lang").isin(*cfg.known_langs)
     )
+    if cfg.clf_gate:
+        ok = ok & (F.col("clf_score") >= 0)
+    if cfg.screen_masks is not None:
+        ok = ok & ~F.col("bloom_hit")
+    return ok
 
 
 def build_ok_stream(
@@ -101,11 +165,17 @@ def build_ko_stream(
 ) -> DataFrame:
     """Dead-letter leg with a machine-readable reject reason."""
     e = enrich(docs, cfg)
-    reason = (
-        F.when(F.col("quality").isNull(), "null_text")
-        .when(F.col("quality") < cfg.min_quality, "low_quality")
-        .otherwise("unknown_lang")
+    reason = F.when(F.col("quality").isNull(), "null_text").when(
+        F.col("quality") < cfg.min_quality, "low_quality"
     )
+    # duplicate screen OUTRANKS the model verdict: production dedups
+    # before spending model compute, and the reason should say why the
+    # doc really left the pipeline
+    if cfg.screen_masks is not None:
+        reason = reason.when(F.col("bloom_hit"), "bloom_duplicate")
+    if cfg.clf_gate:
+        reason = reason.when(F.col("clf_score") < 0, "model_low_quality")
+    reason = reason.otherwise("unknown_lang")
     return e.filter(~_ok_predicate(cfg)).withColumn("reject_reason", reason)
 
 

@@ -179,3 +179,80 @@ def test_gate_metrics_ride_the_ok_stream(spark, tmp_path):
     assert total["n_total"] == 3
     assert total["n_ok"] == 1
     assert total["n_ko"] == 2
+
+
+def test_bloom_screen_and_model_gate(spark):
+    """Round-9 gates: a doc whose content hash is in the historical
+    bloom routes KO as bloom_duplicate (probe = literal-array Column,
+    no join, no state); fresh docs survive; the model gate column
+    matches the committed classifier's sign. The probe's bit
+    definition is pinned IDENTICAL to the batch screen by asserting
+    hits == bloom_probe verdicts on the same keys."""
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.plans.textops import bloom_build, bloom_probe
+    from scio_db_spark.streaming.corpus_ingest import bloom_masks_dense
+
+    hist_texts = [GOOD, "some historical document " * 5]
+    words = bloom_build(
+        spark.createDataFrame([(t,) for t in hist_texts], "key string"),
+        "key",
+    )
+    cfg = CorpusIngestConfig(
+        clf_gate=True, screen_masks=bloom_masks_dense(words)
+    )
+    fresh = (
+        "a genuinely new article about rivers and trade with many "
+        "plain english words that the model and the heuristic both "
+        "like because it is long and has the usual stopwords in it "
+        "and no strange punctuation at all just text flowing on"
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id="dup", text=GOOD,
+                ingest_ts=_ts("2024-01-01T10:00:00")),
+            Row(doc_id="new", text=fresh,
+                ingest_ts=_ts("2024-01-01T10:00:01")),
+            Row(doc_id="bad", text=BAD,
+                ingest_ts=_ts("2024-01-01T10:00:02")),
+        ],
+        SCHEMA,
+    )
+    e = enrich(docs, cfg)
+    rows = {r.doc_id: r for r in e.collect()}
+    assert rows["dup"].bloom_hit  # historical content screens out
+    ko = {
+        r.doc_id: r.reject_reason
+        for r in build_ko_stream(docs, cfg).collect()
+    }
+    assert ko["dup"] == "bloom_duplicate"
+    assert ko["bad"] == "low_quality"
+    assert "new" not in ko or ko["new"] != "bloom_duplicate"
+    # streaming probe == batch probe, same keys, bit-identical verdicts
+    probe_keys = spark.createDataFrame(
+        [(GOOD,), (fresh,), (BAD,)], "key string"
+    )
+    batch = {
+        r.key: r.bloom_hit
+        for r in bloom_probe(probe_keys, words, "key").collect()
+    }
+    stream_hits = {
+        r.doc_id: bool(r.bloom_hit) for r in e.collect()
+    }
+    assert stream_hits["dup"] == bool(batch[GOOD])
+    assert stream_hits["new"] == bool(batch[fresh])
+    assert stream_hits["bad"] == bool(batch[BAD])
+    # model gate column carries the committed classifier's logit sign
+    from scio_db_spark.functions import text as X
+    from scio_db_spark.plans.textops import quality_clf_score
+
+    direct = {
+        r.doc_id: r.s >= 0
+        for r in docs.select(
+            "doc_id",
+            quality_clf_score(X.tokens(F.col("text"))).alias("s"),
+        ).collect()
+        if r.s is not None
+    }
+    for did, pos in direct.items():
+        assert (rows[did].clf_score >= 0) == pos
