@@ -1030,23 +1030,27 @@ _BLOOM_K = 3
 _BLOOM_PARAMS = minhash_params(_BLOOM_K, seed=17)
 
 
-def bloom_bits_from_hash(h_col: Column) -> Column:
+def bloom_bits_from_hash(
+    h_col: Column, bits: int = _BLOOM_BITS
+) -> Column:
     """``array<int>`` of the K bloom bit positions for an already
     str_hash60-hashed key — the one definition shared by build, probe,
     and the oracle SQL, so filters built anywhere are
-    probe-compatible."""
+    probe-compatible. ``bits`` is the production sizing lever
+    (m ~ 1.44 n log2(1/fp)); the registered census pins the default
+    so its oracle stays a fixed literal."""
     h = h_col % F.lit(MERSENNE_P)
     return F.array(
         *[
-            (perm_hash(h, a, b) % _BLOOM_BITS).cast("int")
+            (perm_hash(h, a, b) % bits).cast("int")
             for a, b in _BLOOM_PARAMS
         ]
     )
 
 
-def bloom_bit_positions(key_col: Column) -> Column:
+def bloom_bit_positions(key_col: Column, bits: int = _BLOOM_BITS) -> Column:
     """K bloom bit positions for a string key."""
-    return bloom_bits_from_hash(str_hash60(key_col))
+    return bloom_bits_from_hash(str_hash60(key_col), bits)
 
 
 def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
@@ -1055,9 +1059,20 @@ def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
     Partial aggregation reduces every map partition to the word table
     BEFORE the single exchange; merging two filters is ``union`` +
     ``bit_or`` regroup."""
+    return bloom_build_sized(keys, key_col, _BLOOM_BITS)
+
+
+def bloom_build_sized(
+    keys: DataFrame, key_col: str, bits: int
+) -> DataFrame:
+    """``bloom_build`` with an explicit filter size (power-of-two
+    ``bits``) — the form a real deployment calls with m sized to its
+    historical corpus."""
     return (
         keys.select(
-            F.explode(bloom_bit_positions(F.col(key_col))).alias("bit")
+            F.explode(
+                bloom_bit_positions(F.col(key_col), bits)
+            ).alias("bit")
         )
         .groupBy(F.expr(f"bit DIV {_BLOOM_WORD}").alias("w"))
         .agg(
@@ -1068,13 +1083,19 @@ def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def bloom_probe(probes: DataFrame, words: DataFrame, key_col: str) -> DataFrame:
+def bloom_probe(
+    probes: DataFrame,
+    words: DataFrame,
+    key_col: str,
+    bits: int = _BLOOM_BITS,
+) -> DataFrame:
     """Input rows + ``bloom_hit`` (int 0/1): 1 iff every one of the
     key's K bits is set. The word table is broadcast (it is bounded by
     construction); the probe is a map-side join + groupBy on the input
-    row's own key — no shuffle of the historical corpus anywhere."""
+    row's own key — no shuffle of the historical corpus anywhere.
+    ``bits`` must match the build side."""
     cells = probes.withColumn(
-        "__bit", F.explode(bloom_bit_positions(F.col(key_col)))
+        "__bit", F.explode(bloom_bit_positions(F.col(key_col), bits))
     ).withColumn("__w", F.expr(f"__bit DIV {_BLOOM_WORD}"))
     hit = (
         F.coalesce(F.col("mask"), F.lit(0)).bitwiseAND(

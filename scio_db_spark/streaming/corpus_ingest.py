@@ -54,15 +54,20 @@ class CorpusIngestConfig:
     screen_masks: tuple[int, ...] | None = None
 
 
-def bloom_masks_dense(words: DataFrame) -> tuple[int, ...]:
-    """Densify a ``bloom_build`` word table into the literal mask
-    tuple ``CorpusIngestConfig.screen_masks`` takes (index = word,
-    absent words = 0). The table is <= m/32 rows by construction, so
-    collecting it is a driver no-op."""
+def bloom_masks_dense(
+    words: DataFrame, bits: int | None = None
+) -> tuple[int, ...]:
+    """Densify a ``bloom_build``/``bloom_build_sized`` word table into
+    the literal mask tuple ``CorpusIngestConfig.screen_masks`` takes
+    (index = word, absent words = 0). Pass the build's ``bits`` for a
+    sized filter; the probe derives m back from the tuple length. The
+    table is <= m/32 rows by construction, so collecting it is a
+    driver no-op."""
     from scio_db_spark.plans.textops import _BLOOM_BITS, _BLOOM_WORD
 
     got = {r.w: r.mask for r in words.collect()}
-    return tuple(got.get(w, 0) for w in range(_BLOOM_BITS // _BLOOM_WORD))
+    n_words = (bits or _BLOOM_BITS) // _BLOOM_WORD
+    return tuple(got.get(w, 0) for w in range(n_words))
 
 
 def _bloom_hit_sql(hash_hex_col: str, masks: tuple[int, ...]) -> str:
@@ -71,12 +76,9 @@ def _bloom_hit_sql(hash_hex_col: str, masks: tuple[int, ...]) -> str:
     (str_hash60 is the first 15 md5 hex digits, which ``content_hash``
     already carries, so the probe costs zero extra hashing)."""
     from scio_db_spark.functions.hashing import MERSENNE_P
-    from scio_db_spark.plans.textops import (
-        _BLOOM_BITS,
-        _BLOOM_PARAMS,
-        _BLOOM_WORD,
-    )
+    from scio_db_spark.plans.textops import _BLOOM_PARAMS, _BLOOM_WORD
 
+    bits = len(masks) * _BLOOM_WORD  # m rides in the tuple length
     arr = "array(" + ", ".join(f"{m}L" for m in masks) + ")"
     h = (
         f"(CAST(conv(substring({hash_hex_col}, 1, 15), 16, 10) AS BIGINT)"
@@ -84,7 +86,7 @@ def _bloom_hit_sql(hash_hex_col: str, masks: tuple[int, ...]) -> str:
     )
     checks = []
     for a, b in _BLOOM_PARAMS:
-        bit = f"((({h} * {a} + {b}) % {MERSENNE_P}) % {_BLOOM_BITS})"
+        bit = f"((({h} * {a} + {b}) % {MERSENNE_P}) % {bits})"
         checks.append(
             f"((element_at({arr}, CAST({bit} DIV {_BLOOM_WORD} AS INT) + 1)"
             f" & shiftleft(1L, CAST({bit} % {_BLOOM_WORD} AS INT))) != 0)"

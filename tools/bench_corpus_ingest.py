@@ -9,8 +9,11 @@ records/min against the reference's 200K/min mediation stress posture
 (the closest published throughput figure; the reference has no corpus
 pipeline).
 
-Usage: python tools/bench_corpus_ingest.py [n_docs] [dup_pct]
-Prints one JSON line.
+Usage: python tools/bench_corpus_ingest.py [n_docs] [dup_pct] [--gates]
+Prints one JSON line. ``--gates`` enables the round-9 stages — the
+committed hashed-BoW model gate and a historical-corpus bloom screen
+(masks built from the duplicate content ids, so screen hits are real)
+— measuring what the full gate stack costs per record.
 """
 
 from __future__ import annotations
@@ -44,8 +47,10 @@ _VOCAB = (
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    dup_pct = float(sys.argv[2]) if len(sys.argv) > 2 else 0.10
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    gates = "--gates" in sys.argv
+    n_docs = int(pos[0]) if pos else 1_000_000
+    dup_pct = float(pos[1]) if len(pos) > 1 else 0.10
 
     _gate_stamps = preflight_load_gate("bench_corpus_ingest")
     spark = SessionFactory.create("bench-corpus-ingest")
@@ -59,6 +64,34 @@ def main() -> None:
     indir = tempfile.mkdtemp(prefix="ci_in_")
     outdir = tempfile.mkdtemp(prefix="ci_out_")
     ck = tempfile.mkdtemp(prefix="ci_ck_")
+
+    # --gates: the committed classifier is all-non-negative weights
+    # against a large negative bias ("count positive evidence"), and
+    # the DB-jargon vocab scores far below it — every synthetic doc
+    # would route KO and the OK leg would idle. Derive a boost suffix
+    # from the COMMITTED model (top positive-weight tokens, same md5
+    # feature hashing) and append it to even content ids: half the
+    # corpus clears the model gate, both verdicts and both sinks stay
+    # exercised, and the text stays deterministic.
+    boost = ""
+    if gates:
+        import hashlib
+
+        from scio_db_spark.plans.textops import _QCLF_BIAS, _QCLF_DIM, _QCLF_W
+
+        pool = [f"qx{i}" for i in range(3000)]
+
+        def _w(t: str) -> int:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            return _QCLF_W[h % _QCLF_DIM]
+
+        picked, total = [], 0
+        for t in sorted(pool, key=_w, reverse=True):
+            picked.append(t)
+            total += _w(t)
+            if total >= -_QCLF_BIAS + 100_000:
+                break
+        boost = " " + " ".join(picked)
 
     # Deterministic synthetic docs, ~dup_pct exact duplicates (distinct
     # content ids fold the tail back onto earlier texts so the dedup
@@ -90,10 +123,16 @@ def main() -> None:
             # ONLY from the deliberate cid folding.
             F.when(F.col("cid") % 50 == 0, F.lit("!!!"))
             .otherwise(
-                F.concat_ws(
-                    " ",
-                    F.concat_ws(" ", words),
-                    F.concat(F.lit("d"), F.col("cid").cast("string")),
+                F.concat(
+                    F.concat_ws(
+                        " ",
+                        F.concat_ws(" ", words),
+                        F.concat(F.lit("d"), F.col("cid").cast("string")),
+                    ),
+                    F.when(
+                        F.lit(bool(boost)) & (F.col("cid") % 2 == 0),
+                        F.lit(boost),
+                    ).otherwise(F.lit("")),
                 )
             )
             .alias("text"),
@@ -108,8 +147,34 @@ def main() -> None:
         "doc_id bigint, text string, ingest_ts timestamp"
     ).parquet(indir)
 
+    cfg_kwargs = {}
+    if gates:
+        from scio_db_spark.plans.textops import bloom_build_sized
+        from scio_db_spark.streaming.corpus_ingest import (
+            CorpusIngestConfig,
+            bloom_masks_dense,
+        )
+
+        # "yesterday's corpus" = every 10th content id: the screen
+        # sees real hits on top of the FP tail, like production would.
+        # m sized to the corpus (the committed 1024-bit census filter
+        # is DELIBERATELY undersized for the gate SF and saturates
+        # here): 2^17 bits for ~n_docs/10 historical keys.
+        bloom_bits = 1 << 17
+        hist = (
+            spark.read.parquet(indir)
+            .filter(F.col("doc_id") % 10 == 0)
+            .select("text")
+        )
+        cfg_kwargs["cfg"] = CorpusIngestConfig(
+            clf_gate=True,
+            screen_masks=bloom_masks_dense(
+                bloom_build_sized(hist, "text", bloom_bits), bloom_bits
+            ),
+        )
+
     t0 = time.perf_counter()
-    ok_q, ko_q = start_corpus_ingest(stream, outdir, ck)
+    ok_q, ko_q = start_corpus_ingest(stream, outdir, ck, **cfg_kwargs)
     # The sinks run an open-ended micro-batch trigger: drain whatever
     # is available, then stop (the test-suite pattern).
     ok_q.processAllAvailable()
@@ -132,13 +197,17 @@ def main() -> None:
         if m:
             for k in totals:
                 totals[k] += m[k]
-    ok_rows = spark.read.parquet(f"{outdir}/ok").count()
+    try:
+        ok_rows = spark.read.parquet(f"{outdir}/ok").count()
+    except Exception:  # a fully-gated run writes no OK files
+        ok_rows = 0
 
     per_min = totals["n_total"] / elapsed * 60.0
     print(
         json.dumps(
             {
                 "metric": "corpus_ingest_records_per_min",
+                "gates": gates,
                 "value": round(per_min),
                 "unit": "records/min",
                 "records": totals["n_total"],
