@@ -58,3 +58,26 @@ def test_truncated_pixel_data_raises():
     b = bmp_encode_rgb24(px)
     with pytest.raises(ValueError, match="truncated"):
         bmp_decode_rgb24(b[:-5])
+
+
+def test_bmp_roundtrip_property():
+    """Property: ANY uint8 RGB image (1..12 x 1..12) survives encode →
+    decode bit-exactly — all padding classes, all pixel values
+    (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=12),
+        h=st.integers(min_value=1, max_value=12),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def prop(w, h, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(
+            np.uint8
+        )
+        assert np.array_equal(bmp_decode_rgb24(bmp_encode_rgb24(px)), px)
+
+    prop()

@@ -83,3 +83,27 @@ def test_registered_query_matches_numpy_prediction(spark, sf_dir):
         assert r.zero_crossings == int(
             (np.sign(s[1:]) != np.sign(s[:-1])).sum()
         )
+
+
+def test_wav_roundtrip_property():
+    """Property: ANY int16 sample array at ANY common rate survives
+    encode → decode bit-exactly (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=0,
+            max_size=400,
+        ),
+        rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    )
+    def prop(samples, rate):
+        s = np.array(samples, dtype=np.int16)
+        r, ch, bits, out = wav_decode_pcm16(wav_encode_pcm16(s, rate))
+        assert (r, ch, bits) == (rate, 1, 16)
+        assert np.array_equal(out, s)
+
+    prop()
