@@ -159,8 +159,10 @@ def main() -> None:
         # sees real hits on top of the FP tail, like production would.
         # m sized to the corpus (the committed 1024-bit census filter
         # is DELIBERATELY undersized for the gate SF and saturates
-        # here): 2^17 bits for ~n_docs/10 historical keys.
-        bloom_bits = 1 << 17
+        # here): ~5 bits/key for n_docs/10 historical keys keeps the
+        # FP tail under ~10% while the mask literal stays a
+        # plan-friendly few thousand words.
+        bloom_bits = 1 << max(10, (n_docs // 10).bit_length() + 2)
         hist = (
             spark.read.parquet(indir)
             .filter(F.col("doc_id") % 10 == 0)
