@@ -134,15 +134,27 @@ def read_date_partitioned(
     pattern: str = "%Y/%m/%d",
     today: date | None = None,
     schema: StructType | str | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame | None:
     """S4: historical multi-path union-all load; None when nothing exists.
 
     One scan over all existing date dirs (implicit union), not N plans.
+
+    ``merge_schema=True`` handles SCHEMA DRIFT across the date range —
+    a column added to the pipeline mid-window exists only in newer
+    dirs, and the default parquet read infers the schema from a sample
+    footer, silently DROPPING the new column (or erroring) depending
+    on which day the sample came from. With the flag, Spark merges all
+    footers and older days backfill NULL — the reader contract a
+    multi-day historical load actually needs. Off by default: footer
+    merging costs a listing-wide read at plan time, and a caller with
+    a pinned ``schema`` should pass that instead (cheaper AND typed).
     """
     paths = _existing_date_paths(base_path, days, pattern, today)
     if not paths:
         return None
-    return read_files(spark, paths, fmt=fmt, schema=schema)
+    options = {"mergeSchema": "true"} if merge_schema else {}
+    return read_files(spark, paths, fmt=fmt, schema=schema, **options)
 
 
 def from_rows(

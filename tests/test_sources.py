@@ -87,3 +87,31 @@ def test_mock_bers_seed_is_partitioning_independent(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_date_partitioned_schema_drift_merge(spark, tmp_path):
+    """A column added mid-window exists only in newer dirs: with
+    merge_schema the load carries it (older days NULL-backfilled);
+    the default sample-footer read either drops it or errors — the
+    silent-drop case is exactly why the flag exists."""
+    from pyspark.sql import functions as F
+
+    base = tmp_path / "drift"
+    today = date(2024, 1, 10)
+    spark.createDataFrame([Row(k="old-1")]).write.parquet(
+        str(base / "2024/01/09")
+    )
+    spark.createDataFrame([Row(k="new-1", extra=42)]).write.parquet(
+        str(base / "2024/01/10")
+    )
+    merged = read_date_partitioned(
+        spark, str(base), days=5, today=today, merge_schema=True
+    )
+    assert set(merged.columns) == {"k", "extra"}
+    rows = {r.k: r.extra for r in merged.collect()}
+    assert rows == {"old-1": None, "new-1": 42}
+    # pinned-schema form: same result without footer merging
+    pinned = read_date_partitioned(
+        spark, str(base), days=5, today=today, schema="k string, extra long"
+    )
+    assert {r.k: r.extra for r in pinned.collect()} == rows
