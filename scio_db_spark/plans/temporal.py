@@ -841,3 +841,127 @@ def events_type_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# One-split changepoint (binary segmentation, first level): CUSUM
+# (events_cusum_drift_census) answers WHETHER a level shift exists;
+# this census answers WHERE — the split day t that maximizes the
+# between-segment variance reduction for each type's daily series.
+# For segment sums S1 (days <= t) and S2, sizes n1/n2, the reduction
+# is (S1*n2 - S2*n1)^2 / (n1*n2*n): numerator and denominator are
+# EXACT BIGINTs (daily counts; |S*n| < 2^40 here), so the only float
+# is one division used as the argmax ORDER KEY — the identical
+# expression tree in both engines, ties broken by earliest day.
+@register(
+    "events_type_changepoint",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS dy,
+            CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, dy
+    ),
+    p AS (
+        SELECT event_type, dy, x,
+            sum(x) OVER w AS s1,
+            CAST(row_number() OVER w AS BIGINT) AS n1,
+            sum(x) OVER (PARTITION BY event_type) AS s,
+            CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY dy
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    scored AS (
+        SELECT event_type, dy, s1, n1, s - s1 AS s2, n - n1 AS n2, s, n,
+            (s1 * (n - n1) - (s - s1) * n1)
+            * (s1 * (n - n1) - (s - s1) * n1) AS num,
+            n1 * (n - n1) * n AS den
+        FROM p WHERE n1 < n
+    ),
+    best AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) DESC,
+                         dy
+            ) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT event_type,
+        CAST(dy AS VARCHAR) AS split_day,
+        CAST(n1 AS BIGINT) AS n_pre,
+        CAST(n2 AS BIGINT) AS n_post,
+        CAST((s1 * 1000000) // n1 AS BIGINT) AS pre_mean_micro,
+        CAST((s2 * 1000000) // n2 AS BIGINT) AS post_mean_micro,
+        CAST(num AS BIGINT) AS score_num,
+        CAST(den AS BIGINT) AS score_den
+    FROM best ORDER BY event_type
+    """,
+    doc="One-split changepoint census per event type (binary "
+    "segmentation, first level): the split day maximizing the exact "
+    "integer between-segment variance-reduction fraction "
+    "(S1*n2 - S2*n1)^2 / (n1*n2*n), earliest-day tie-break. Companion "
+    "to the CUSUM drift census (whether vs WHERE). Two windowed "
+    "prefix passes over the per-day aggregate — the shuffle carries "
+    "one row per (type, day); at 100 TB the series length is the "
+    "window, not the data volume. The argmax order key is one double "
+    "division over exact BIGINTs, the identical expression tree in "
+    "both engines; every REPORTED column is exact integer (floor-div "
+    "micro-means, raw fraction terms).",
+)
+def events_type_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf, "events")
+    d = e.groupBy(
+        "event_type", F.to_date("ts").alias("dy")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dy")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    p = d.select(
+        "event_type",
+        "dy",
+        F.sum("x").over(w).alias("s1"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("dy")
+        ).cast("long").alias("n1"),
+        F.sum("x").over(wt).alias("s"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("n"),
+    )
+    scored = (
+        p.filter(F.col("n1") < F.col("n"))
+        .withColumn("s2", F.col("s") - F.col("s1"))
+        .withColumn("n2", F.col("n") - F.col("n1"))
+        .withColumn(
+            "num",
+            (
+                (F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1"))
+                * (F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1"))
+            ),
+        )
+        .withColumn("den", F.col("n1") * F.col("n2") * F.col("n"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            (
+                F.col("num").cast("double") / F.col("den").cast("double")
+            ).desc(),
+            F.col("dy").asc(),
+        )
+    )
+    best = scored.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        F.col("dy").cast("string").alias("split_day"),
+        F.col("n1").alias("n_pre"),
+        F.col("n2").alias("n_post"),
+        F.expr("(s1 * 1000000) DIV n1").alias("pre_mean_micro"),
+        F.expr("(s2 * 1000000) DIV n2").alias("post_mean_micro"),
+        F.col("num").alias("score_num"),
+        F.col("den").alias("score_den"),
+    ).orderBy("event_type")

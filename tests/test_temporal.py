@@ -386,3 +386,48 @@ def test_holt_single_day_series(spark):
     )
     r = s.select(holt.alias("h")).collect()[0].h
     assert (r.l, r.t) == (1.0, 0.0)
+
+
+def test_changepoint_finds_planted_shift(spark):
+    """Plant a clean level shift in a synthetic daily series: the
+    census must split exactly at the jump (and the exact-integer
+    fraction must dominate every other split)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = 0
+    for day in range(20):
+        # 2 events/day for 10 days, then 10/day: split at day index 9
+        n = 2 if day < 10 else 10
+        for _ in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1 + day), 7, "shift",
+                 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from scio_db_spark.plans import temporal as T
+
+    # patch the name the builder actually resolves: temporal.py binds
+    # `table` at module import, so patching catalog.table is a no-op
+    # once the module is loaded
+    orig = T.table
+    try:
+        T.table = lambda spark_, sf_, name: (
+            df if name == "events" else orig(spark_, sf_, name)
+        )
+        out = T.events_type_changepoint(spark, "/unused").collect()
+    finally:
+        T.table = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r.split_day == "2024-01-10"  # last low day
+    assert (r.n_pre, r.n_post) == (10, 10)
+    assert r.pre_mean_micro == 2_000_000
+    assert r.post_mean_micro == 10_000_000
