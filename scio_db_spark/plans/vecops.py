@@ -888,3 +888,70 @@ def matryoshka_recall_census(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding drift census: the distribution monitor a pipeline runs
+# when the encoder (or the corpus) changes — per-dimension mean shift
+# between two snapshots (here: vec_id parity halves as the committed
+# stand-in for yesterday/today). Components are quantized to micro
+# units BEFORE summation (the repo's quantize-before-aggregate float
+# policy: double summation order is engine- and partition-dependent;
+# integer sums are exact), so every reported value is an exact BIGINT.
+@register(
+    "emb_dimension_drift_census",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id % 2 AS half,
+            generate_subscripts(embedding, 1) - 1 AS dim,
+            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                 AS BIGINT) AS q
+        FROM embeddings
+    ),
+    agg AS (
+        SELECT dim,
+            CAST(sum(CASE WHEN half = 0 THEN q END) AS BIGINT) AS s0,
+            CAST(count(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS n0,
+            CAST(sum(CASE WHEN half = 1 THEN q END) AS BIGINT) AS s1,
+            CAST(count(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS n1
+        FROM c GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+        s0 // n0 AS mean_a_micro,
+        s1 // n1 AS mean_b_micro,
+        s1 // n1 - s0 // n0 AS drift_micro
+    FROM agg ORDER BY dim
+    """,
+    doc="Per-dimension embedding drift between two corpus halves "
+    "(vec_id parity = the snapshot stand-in): floor-quantized micro "
+    "component means and their delta, exact integers end to end "
+    "(quantize-before-sum policy — raw double sums are partition-"
+    "order dependent). One posexplode + one 16-group aggregate; at "
+    "100 TB the shuffle carries 2x16 partial sums per map partition, "
+    "nothing else. The monitor that catches a silently re-normalized "
+    "or re-trained encoder before ANN recall quietly degrades.",
+)
+def emb_dimension_drift_census(spark: SparkSession, sf: str) -> DataFrame:
+    e = _emb(spark, sf)
+    c = e.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "half",
+        "dim",
+        F.floor(F.col("v").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("q"),
+    )
+    agg = c.groupBy("dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("q"))).alias("s0"),
+        F.count(F.when(F.col("half") == 0, F.lit(1))).alias("n0"),
+        F.sum(F.when(F.col("half") == 1, F.col("q"))).alias("s1"),
+        F.count(F.when(F.col("half") == 1, F.lit(1))).alias("n1"),
+    )
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.expr("s0 DIV n0").alias("mean_a_micro"),
+        F.expr("s1 DIV n1").alias("mean_b_micro"),
+        F.expr("s1 DIV n1 - s0 DIV n0").alias("drift_micro"),
+    ).orderBy("dim")
