@@ -2303,3 +2303,117 @@ def windowed_funnel_census(spark: SparkSession, sf: str) -> DataFrame:
             "ELSE n_purchase_7d * 1000 DIV n_click_7d END"
         ).alias("purchase_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution: the position-aware sibling of the
+# last-touch census above. Every purchase splits exactly 1,000,000
+# micro-credits equally across the user's non-purchase touches in the
+# 7 days before it; integer floor-division would leak the remainder,
+# so the touch CLOSEST to the purchase (latest ts, event_id
+# tie-break) receives it — total credit is conserved exactly,
+# purchase-for-purchase, and every reported number is an exact BIGINT.
+@register(
+    "events_multitouch_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT p.p_id, e.event_type, e.ts, e.event_id,
+            CAST(count(*) OVER (PARTITION BY p.p_id) AS BIGINT) AS n,
+            CAST(row_number() OVER (
+                PARTITION BY p.p_id
+                ORDER BY e.ts DESC, e.event_id DESC) AS BIGINT) AS rn
+        FROM p JOIN events e
+          ON e.user_id = p.user_id
+         AND e.ts < p.p_ts
+         AND e.ts >= p.p_ts - INTERVAL 7 DAY
+         AND e.event_type <> 'purchase'
+    ),
+    credited AS (
+        SELECT event_type,
+            1000000 // n
+            + CASE WHEN rn = 1 THEN 1000000 % n ELSE 0 END AS credit
+        FROM t
+    ),
+    unattributed AS (
+        SELECT 'none' AS channel,
+            CAST(count(*) AS BIGINT) AS n_touches,
+            CAST(count(*) * 1000000 AS BIGINT) AS credit_micro
+        FROM p WHERE p_id NOT IN (SELECT p_id FROM t)
+    )
+    SELECT channel, n_touches, credit_micro FROM (
+        SELECT event_type AS channel,
+            CAST(count(*) AS BIGINT) AS n_touches,
+            CAST(sum(credit) AS BIGINT) AS credit_micro
+        FROM credited GROUP BY event_type
+        UNION ALL
+        SELECT * FROM unattributed WHERE n_touches > 0
+    ) ORDER BY channel
+    """,
+    doc="Multi-touch (linear) purchase attribution: each purchase "
+    "splits exactly 1e6 micro-credits equally across the user's "
+    "non-purchase touches in the prior 7 days, remainder to the "
+    "closest touch (conservation is exact — pinned in pytest as "
+    "sum(credit) == 1e6 * attributed purchases). Touch discovery is "
+    "a user-key equi-join with a bounded time-range residual (the "
+    "events_orders_range_count shape — never a cartesian), then one "
+    "per-purchase window and a channel rollup. 'none' row counts "
+    "touch-less purchases at full credit.",
+)
+def multitouch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events(spark, sf)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    t = p.join(
+        e,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("ts") < F.col("p_ts"))
+        & (F.col("ts") >= F.expr("p_ts - INTERVAL 7 DAY")),
+    )
+    wp = Window.partitionBy("p_id")
+    wr = Window.partitionBy("p_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    credited = t.select(
+        "p_id",
+        "event_type",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number().over(wr).cast("long").alias("rn"),
+    ).select(
+        "p_id",
+        "event_type",
+        (
+            F.expr("1000000 DIV n")
+            + F.when(F.col("rn") == 1, F.expr("1000000 % n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("credit"),
+    )
+    channels = credited.groupBy(
+        F.col("event_type").alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("credit").alias("credit_micro"),
+    )
+    none_row = (
+        p.join(
+            credited.select("p_id").distinct(), "p_id", "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("n_touches"))
+        .filter(F.col("n_touches") > 0)
+        .select(
+            F.lit("none").alias("channel"),
+            "n_touches",
+            (F.col("n_touches") * 1_000_000).alias("credit_micro"),
+        )
+    )
+    return channels.unionByName(none_row).orderBy("channel")

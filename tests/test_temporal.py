@@ -431,3 +431,26 @@ def test_changepoint_finds_planted_shift(spark):
     assert (r.n_pre, r.n_post) == (10, 10)
     assert r.pre_mean_micro == 2_000_000
     assert r.post_mean_micro == 10_000_000
+
+
+def test_multitouch_credit_conservation(spark, sf_dir):
+    """Every purchase splits EXACTLY 1e6 micro-credits (remainder to
+    the closest touch; touch-less purchases carry full credit on the
+    'none' row): total credit == 1e6 * n_purchases, to the unit."""
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.plans.catalog import table
+    from scio_db_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["events_multitouch_attribution"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    total_credit = sum(r.credit_micro for r in rows)
+    n_purchases = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert total_credit == 1_000_000 * n_purchases

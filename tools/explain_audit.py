@@ -133,6 +133,11 @@ WHITELIST: set[tuple[str, str]] = {
     # + hash aggregates, all key-partitioned.
     ("graph_kcore_census", "SinglePartition"),
     ("graph_kcore_census", "BroadcastNestedLoopJoin"),
+    # Multi-touch attribution: the 'none' row is ONE scalar count of
+    # touch-less purchases (global agg over the anti-joined purchase
+    # ids, already reduced); the touch-discovery join and the channel
+    # rollup stay hash-partitioned on user/p_id.
+    ("events_multitouch_attribution", "SinglePartition"),
     # Final scalar funnel census: only map-side partial COUNTS cross
     # the global exchange (the user-level probes are all equi-joins
     # upstream of it).
