@@ -460,3 +460,116 @@ def zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
             / _d2d(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         ).alias("slope"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM — TRAINING the model the surprisal
+# gates only consume. With discount D = 3/4 every quantity is an
+# integer count, so the smoothed probability is an exact rational:
+#   P_KN(w2|w1) = (c - 3/4)/cp + (3/4 * n1p/cp) * (nc/T)
+#               = ((4c - 3)*T + 3*n1p*nc) / (4*cp*T)
+# (c >= 1 in the table, so max(c - D, 0) = c - D) and the reported
+# micro-probability is one exact floor-division — no transcendentals,
+# no doubles, both engines hash bit-for-bit. DECIMAL(38)/HUGEINT
+# carries the product headroom (T up to ~1e9 types before overflow).
+@register(
+    "docs_kn_bigram_topk",
+    oracle=f"""
+    WITH bg AS (
+        SELECT unnest({_BIGRAMS_SQL}) AS bigram FROM documents
+    ),
+    b AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS c
+        FROM bg GROUP BY bigram
+    ),
+    b2 AS (
+        SELECT bigram, c, split_part(bigram, ' ', 1) AS w1,
+            split_part(bigram, ' ', 2) AS w2
+        FROM b
+    ),
+    pre AS (
+        SELECT w1, CAST(sum(c) AS BIGINT) AS cp,
+            CAST(count(*) AS BIGINT) AS n1p
+        FROM b2 GROUP BY w1
+    ),
+    cont AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS nc FROM b2 GROUP BY w2
+    ),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM b2),
+    j AS (
+        SELECT b2.bigram, b2.c, pre.cp, pre.n1p, cont.nc, tt.t
+        FROM b2 JOIN pre USING (w1) JOIN cont USING (w2)
+        CROSS JOIN tt
+    )
+    SELECT bigram, c AS c_xy, cp AS c_prefix, n1p AS n_right_types,
+        nc AS n_left_types,
+        CAST(
+            (1000000::HUGEINT
+             * ((4::HUGEINT * c - 3) * t + 3::HUGEINT * n1p * nc))
+            // (4::HUGEINT * cp * t) AS BIGINT) AS p_kn_micro
+    FROM j ORDER BY c_xy DESC, bigram LIMIT 20
+    """,
+    doc="Kneser-Ney smoothed bigram probabilities for the corpus' "
+    "top-20 bigrams — the LM-TRAINING census next to the surprisal "
+    "consumers: absolute discount D=3/4 keeps P_KN an exact rational "
+    "over pure counts ((4c-3)T + 3*n1p*nc over 4*cp*T), reported as "
+    "one exact floor-division to micro units. Count tables only: one "
+    "bigram explode, two vocabulary-bounded aggregates of the bigram "
+    "COUNT table (prefix totals + distinct-continuation counts), a "
+    "1-row type-total broadcast — the shuffle carries count rows, "
+    "never the corpus. The continuation count N1+(.,w2) is what makes "
+    "KN the production smoother (and what a naive add-k census "
+    "cannot express).",
+)
+def kn_bigram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    toks_col = F.col("__toks")
+    bigrams = F.when(
+        F.size(toks_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks_col) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks_col, i + 1),
+                F.element_at(toks_col, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        _docs(spark, sf)
+        .select(X.tokens(F.col("text")).alias("__toks"))
+        .select(F.explode(bigrams).alias("bigram"))
+    )
+    b2 = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("bigram"), " ").getItem(1))
+    )
+    pre = b2.groupBy("w1").agg(
+        F.sum("c").alias("cp"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = b2.groupBy("w2").agg(F.count(F.lit(1)).alias("nc"))
+    tt = b2.agg(F.count(F.lit(1)).alias("t"))
+    j = (
+        b2.join(pre, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+    )
+    p_kn = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0))"
+        " * ((CAST(4 AS DECIMAL(38,0)) * c - 3) * t"
+        "    + CAST(3 AS DECIMAL(38,0)) * n1p * nc))"
+        " DIV (CAST(4 AS DECIMAL(38,0)) * cp * t) AS BIGINT)"
+    )
+    return (
+        j.select(
+            "bigram",
+            F.col("c").alias("c_xy"),
+            F.col("cp").alias("c_prefix"),
+            F.col("n1p").alias("n_right_types"),
+            F.col("nc").alias("n_left_types"),
+            p_kn.alias("p_kn_micro"),
+        )
+        .orderBy(F.desc("c_xy"), "bigram")
+        .limit(20)
+    )

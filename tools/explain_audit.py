@@ -133,6 +133,12 @@ WHITELIST: set[tuple[str, str]] = {
     # + hash aggregates, all key-partitioned.
     ("graph_kcore_census", "SinglePartition"),
     ("graph_kcore_census", "BroadcastNestedLoopJoin"),
+    # KN bigram LM: the type total T is ONE scalar count of the
+    # (vocabulary-bounded) bigram COUNT table, cross-joined back as a
+    # 1-row broadcast — the one-row bounds-broadcast pattern; the
+    # count-table aggregates and joins stay hash-partitioned.
+    ("docs_kn_bigram_topk", "SinglePartition"),
+    ("docs_kn_bigram_topk", "BroadcastNestedLoopJoin"),
     # Multi-touch attribution: the 'none' row is ONE scalar count of
     # touch-less purchases (global agg over the anti-joined purchase
     # ids, already reduced); the touch-discovery join and the channel
