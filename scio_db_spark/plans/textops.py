@@ -410,7 +410,7 @@ def quality(spark: SparkSession, sf: str) -> DataFrame:
     "the SAME English-ish vocabulary (measured: zero "
     "language-exclusive tokens, per-token frequency spread ≈ sampling "
     "noise), so the `lang` labels are not inferable from content and "
-    "NO content-based classifier can beat the ~40%% majority ceiling "
+    "NO content-based classifier can beat the ~40% majority ceiling "
     "here. The oracle verifies the mechanism (tokenize → stopword "
     "hits → argmax with tie order) bit-for-bit; linguistic accuracy "
     "is a property of real corpora.",
@@ -1311,7 +1311,7 @@ def quality_clf_score(toks: Column) -> Column:
     """,
     doc="Model-based quality filter census: committed integer "
     "logistic weights over hashed BoW counts (trained offline by "
-    "tools/train_quality_clf.py, 98.8%% agreement with the distilled "
+    "tools/train_quality_clf.py, 98.8% agreement with the distilled "
     "heuristic at the training SF; cross-SF agreement pinned in "
     "tests/test_quality_clf.py). One explode + one keyed sum per "
     "doc, constant-array weight lookups, integer-only arithmetic — "
