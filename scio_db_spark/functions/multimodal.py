@@ -344,7 +344,10 @@ def wav_audio_features(
     integer features (peak = max |sample|, sum_sq = sum of squared
     samples, zero_crossings = sign flips between adjacent samples) —
     integer-exact so an oracle that KNOWS the synthesis parameters can
-    predict every value without touching bytes."""
+    predict every value without touching bytes. Multi-channel payloads
+    are accepted and measured over the INTERLEAVED stream (n_samples
+    counts frames x channels); deinterleave upstream for per-channel
+    features."""
     import numpy as np
 
     out_schema = (

@@ -133,7 +133,11 @@ def pagerank_personalized(
     node-similarity pipelines actually use); ranks are comparable
     WITHIN a seed set, not across runs with different seeds.
     ``seeds`` is a one-column ``node`` frame (broadcast — seed sets
-    are small by definition). Returns ``(node, r)``.
+    are small by definition). Seed nodes ABSENT from the graph are
+    silently inert (they have no edges to receive or propagate mass
+    through and do not appear in the output); callers wanting
+    strictness should semi-join their seed set against the node set
+    first. Returns ``(node, r)``.
     """
     edges = checkpointed(edges)
     nodes = (

@@ -1093,7 +1093,9 @@ def bloom_probe(
     key's K bits is set. The word table is broadcast (it is bounded by
     construction); the probe is a map-side join + groupBy on the input
     row's own key — no shuffle of the historical corpus anywhere.
-    ``bits`` must match the build side."""
+    ``bits`` must match the build side. Duplicate input rows collapse
+    (the groupBy re-assembles per distinct row); probe a keyed frame
+    if per-occurrence verdicts matter."""
     cells = probes.withColumn(
         "__bit", F.explode(bloom_bit_positions(F.col(key_col), bits))
     ).withColumn("__w", F.expr(f"__bit DIV {_BLOOM_WORD}"))
