@@ -2016,3 +2016,127 @@ def orders_priority_sample_total_estimate(
             ),
         )
     )
+
+
+from scio_db_spark.functions.hashing import (  # noqa: E402
+    MERSENNE_P,
+    str_hash60_sql,
+)
+from scio_db_spark.plans.textops import (  # noqa: E402
+    _CMS_PARAMS as _CMS_PARAMS_SQL,
+    _CMS_W as _CMS_W_SQL,
+)
+
+# --------------------------------------------------------------------------
+# Sketch-based join-size estimation: the optimizer statistic that
+# decides broadcast-vs-shuffle and flags runaway joins BEFORE
+# execution. |A join B| on a key equals the inner product of the two
+# key-frequency vectors; each side's count-min row is a linear
+# projection of that vector, so sum_w A_i[w]*B_i[w] upper-bounds the
+# product per hash row and MIN over the D rows is the classic CMS
+# inner-product estimate — computable from two 4x1024 tables that fit
+# in a cache line budget, never from the data. Deterministic md5
+# hashing (the docs_token_cms_topk cells, key cast to string) makes
+# the DuckDB twin reproduce counters AND estimate bit-for-bit; the
+# exact join size rides along to expose the (always >= 0) overcount.
+@register(
+    "events_orders_join_size_cms",
+    oracle=f"""
+    WITH ka AS (
+        SELECT CAST(user_id AS VARCHAR) AS k,
+            CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY k
+    ),
+    kb AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS k,
+            CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY k
+    ),
+    exact AS (
+        SELECT CAST(coalesce(sum(ka.c * kb.c), 0) AS BIGINT) AS x
+        FROM ka JOIN kb USING (k)
+    ),
+    ca AS (
+        SELECT i.i AS i,
+            (({str_hash60_sql('ka.k')} % {MERSENNE_P})
+             * (CASE i.i {' '.join(f'WHEN {i} THEN {a}' for i, (a, _b) in enumerate(_CMS_PARAMS_SQL))} END)
+             + (CASE i.i {' '.join(f'WHEN {i} THEN {b}' for i, (_a, b) in enumerate(_CMS_PARAMS_SQL))} END))
+            % {MERSENNE_P} % {_CMS_W_SQL} AS w,
+            CAST(sum(ka.c) AS BIGINT) AS cell
+        FROM ka CROSS JOIN (VALUES (0), (1), (2), (3)) i(i)
+        GROUP BY i.i, w
+    ),
+    cb AS (
+        SELECT i.i AS i,
+            (({str_hash60_sql('kb.k')} % {MERSENNE_P})
+             * (CASE i.i {' '.join(f'WHEN {i} THEN {a}' for i, (a, _b) in enumerate(_CMS_PARAMS_SQL))} END)
+             + (CASE i.i {' '.join(f'WHEN {i} THEN {b}' for i, (_a, b) in enumerate(_CMS_PARAMS_SQL))} END))
+            % {MERSENNE_P} % {_CMS_W_SQL} AS w,
+            CAST(sum(kb.c) AS BIGINT) AS cell
+        FROM kb CROSS JOIN (VALUES (0), (1), (2), (3)) i(i)
+        GROUP BY i.i, w
+    ),
+    est AS (
+        SELECT CAST(min(p) AS BIGINT) AS e FROM (
+            SELECT ca.i, CAST(sum(ca.cell * cb.cell) AS BIGINT) AS p
+            FROM ca JOIN cb ON ca.i = cb.i AND ca.w = cb.w
+            GROUP BY ca.i
+        )
+    )
+    SELECT exact.x AS exact_join_size,
+        est.e AS cms_estimate,
+        est.e - exact.x AS overcount
+    FROM exact CROSS JOIN est
+    """,
+    doc="CMS inner-product join-size estimate for events.user_id "
+    "join orders.o_custkey, next to the exact size: per hash row i, "
+    "sum_w A_i[w]*B_i[w] upper-bounds the true inner product of the "
+    "key-frequency vectors (colliding keys only ADD cross terms), and "
+    "min over the 4 rows is the estimate — the optimizer statistic "
+    "that prices a join from two fixed 4x1024 counter tables instead "
+    "of the data. Upper-bound law (overcount >= 0) and merge-with-"
+    "union behavior follow from the CMS counters already pinned; "
+    "deterministic md5 hashing makes counters AND estimate "
+    "bit-reproducible in the oracle.",
+)
+def events_orders_join_size_cms(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.plans.textops import cms_cell_array
+
+    e = table(spark, sf, "events").groupBy(
+        F.col("user_id").cast("string").alias("k")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    o = table(spark, sf, "orders").groupBy(
+        F.col("o_custkey").cast("string").alias("k")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+    def counters(kdf):
+        return (
+            kdf.select(
+                "c", F.explode(cms_cell_array(F.col("k"))).alias("cell")
+            )
+            .groupBy(
+                F.col("cell.i").alias("i"),
+                F.col("cell.bucket").alias("w"),
+            )
+            .agg(F.sum("c").alias("cell"))
+        )
+    ca, cb = counters(e), counters(o)
+    est = (
+        ca.join(cb.withColumnRenamed("cell", "cellb"), ["i", "w"])
+        .groupBy("i")
+        .agg(F.sum(F.col("cell") * F.col("cellb")).alias("p"))
+        .agg(F.min("p").alias("e"))
+    )
+    exact = (
+        e.join(o.withColumnRenamed("c", "cb"), "k")
+        .agg(
+            F.coalesce(F.sum(F.col("c") * F.col("cb")), F.lit(0)).alias(
+                "x"
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("x").alias("exact_join_size"),
+        F.col("e").alias("cms_estimate"),
+        (F.col("e") - F.col("x")).alias("overcount"),
+    )

@@ -70,3 +70,20 @@ def test_streaming_cms_state_is_bounded_by_table_size(spark):
         h.stop()
     assert set(final) == set(first)
     assert all(final[k] == 2 * first[k] for k in first)
+
+
+def test_join_size_estimate_upper_bounds_exact(spark, sf_dir):
+    """CMS inner-product law: colliding keys only ADD cross terms, so
+    the estimate can never undershoot the exact join size — the
+    property that makes it safe as a broadcast-vs-shuffle guard
+    (an underestimate could pick a broadcast that OOMs)."""
+    from scio_db_spark.plans.registry import all_queries
+
+    r = (
+        all_queries()["events_orders_join_size_cms"]
+        .spark(spark, sf_dir)
+        .collect()[0]
+    )
+    assert r.cms_estimate >= r.exact_join_size
+    assert r.overcount == r.cms_estimate - r.exact_join_size
+    assert r.exact_join_size > 0  # the join is genuinely non-empty

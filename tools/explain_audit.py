@@ -133,6 +133,13 @@ WHITELIST: set[tuple[str, str]] = {
     # + hash aggregates, all key-partitioned.
     ("graph_kcore_census", "SinglePartition"),
     ("graph_kcore_census", "BroadcastNestedLoopJoin"),
+    # CMS join-size estimate: the OUTPUT is two scalars (exact inner
+    # product, min-over-rows estimate) — each a 1-row aggregate of an
+    # already-reduced table (distinct keys / 4x1024 counters),
+    # cross-joined 1-row x 1-row; the counter builds and the key join
+    # stay hash-partitioned.
+    ("events_orders_join_size_cms", "SinglePartition"),
+    ("events_orders_join_size_cms", "BroadcastNestedLoopJoin"),
     # KN bigram LM: the type total T is ONE scalar count of the
     # (vocabulary-bounded) bigram COUNT table, cross-joined back as a
     # 1-row broadcast — the one-row bounds-broadcast pattern; the
