@@ -313,6 +313,16 @@ def wav_decode_pcm16(b: bytes):
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        # A declared size that overruns the buffer is a TRUNCATED
+        # container: fail loudly instead of silently decoding fewer
+        # samples than declared (round-9 ADVICE — the silent form
+        # broke the fail-loudly dead-letter contract this docstring
+        # promises).
+        if pos + 8 + size > len(b):
+            raise ValueError(
+                f"truncated chunk {cid!r}: declares {size} bytes, "
+                f"{len(b) - pos - 8} remain"
+            )
         body = b[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = body
@@ -330,9 +340,14 @@ def wav_decode_pcm16(b: bytes):
             f"only PCM16 is decodable without external codecs "
             f"(format={audio_format}, bits={bits})"
         )
-    samples = np.frombuffer(
-        data[: (len(data) // 2) * 2], dtype="<i2"
-    )
+    if len(data) % 2:
+        # an odd-length PCM16 data chunk cannot hold whole samples;
+        # dropping the trailing byte would mis-parse a poison payload
+        # silently (round-9 ADVICE)
+        raise ValueError(
+            f"PCM16 data chunk has odd length {len(data)}"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
     return sample_rate, n_channels, bits, samples
 
 

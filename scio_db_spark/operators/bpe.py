@@ -1,0 +1,227 @@
+"""Distributed BPE merge training (Sennrich et al. 2016, learn_bpe)
+— the tokenizer-learning stage of an LLM data pipeline, Spark-first.
+
+The reference pipeline counts BPE-ish tokens (plans/textops.py::
+bpe_token_count) but could not LEARN a tokenizer; this module closes
+that gap (round-9 verdict item 3).
+
+Scale shape: the corpus is scanned ONCE to build the weighted word
+vocabulary ``(word, n)`` — at 100 TB that is the only data-sized
+pass, a single hash aggregate. Every training round then runs over
+the VOCABULARY (sub-linear in corpus size, bounded by distinct
+words): one adjacent-pair count (arrays_zip of the symbol sequence
+against its own tail, exploded, weighted by word frequency, partial-
+aggregated) and one 1-row argmax collect — the merge DECISION is the
+inherently sequential heart of BPE, so one driver round-trip per
+merge is the floor, not a shortcut. The symbol frame is re-
+materialized per round through operators/graph.py::checkpointed
+(localCheckpoint by default, disk-backed when a checkpoint dir is
+set) so plan depth stays O(1) per round.
+
+Determinism: ties on pair count break by (left, right) lexicographic
+order — fully deterministic, which is what makes the trained merge
+list freezable as committed literals (resources/bpe_merges.json, the
+kmeans/quality-clf posture) and the APPLY side hash-verifiable
+against a DuckDB twin.
+
+Application semantics (shared by both engines and the trainer): a
+word is rendered as its characters joined by single spaces with a
+trailing end-of-word marker symbol; each merge ``(a, b)`` is one
+global left-to-right non-overlapping ``replace(' a b ', ' ab ')``
+over the space-padded sequence, applied in rank order. Both Spark's
+``replace`` and DuckDB's ``replace`` share this exact semantics, so
+the chained expression is the identical program in both engines.
+The trainer counts pairs with the same left-to-right convention
+(non-overlapping: "a a a" contributes ONE (a,a) pair), keeping
+train-time statistics consistent with apply-time behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scio_db_spark.operators.graph import checkpointed
+
+#: End-of-word marker appended to every word before character
+#: splitting. Training operates on lowercase letter runs ([a-z]+),
+#: so '_' can never collide with a real symbol.
+EOW = "_"
+
+
+def to_symbol_seq(word_col: F.Column) -> F.Column:
+    """``'hello' -> 'h e l l o _'``: characters space-joined with the
+    EOW marker as the final symbol. ``regexp_replace`` keeps the
+    expression engine-portable (the DuckDB twin uses the same regex
+    with the 'g' flag)."""
+    return F.trim(
+        F.regexp_replace(F.concat(word_col, F.lit(EOW)), "(.)", "$1 ")
+    )
+
+
+def adjacent_pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol-pair counts over a ``(seq, n)``
+    vocabulary frame: ``(left, right, c)``. Non-overlapping
+    left-to-right pair extraction (run-parity trick: within a run of
+    r identical symbols only floor(r/2) pairs count), matching the
+    replace() application semantics."""
+    arr = F.split(F.col("seq"), " ")
+    zipped = F.arrays_zip(
+        F.slice(arr, 1, F.size(arr) - 1).alias("l"),
+        F.slice(arr, 2, F.size(arr) - 1).alias("r"),
+    )
+    pairs = vocab.select(
+        F.col("n"),
+        F.col("seq"),
+        F.posexplode(zipped).alias("pos", "p"),
+    ).select(
+        F.col("n"),
+        F.col("pos"),
+        F.col("p.l").alias("left"),
+        F.col("p.r").alias("right"),
+        F.split(F.col("seq"), " ").alias("syms"),
+    )
+    # Non-overlapping counting for self-pairs (a,a): in a maximal run
+    # of identical symbols, replace() merges positions 0-1, 2-3, ... —
+    # only pairs whose LEFT index has even offset within its run fire.
+    # For hetero pairs every adjacency fires. run_off = how many
+    # identical symbols immediately precede syms[pos].
+    run_off = F.aggregate(
+        F.reverse(F.slice(F.col("syms"), 1, F.col("pos"))),
+        F.struct(
+            F.lit(0).alias("k"), F.lit(True).alias("alive")
+        ),
+        lambda acc, x: F.struct(
+            F.when(
+                acc["alive"] & (x == F.col("left")), acc["k"] + 1
+            ).otherwise(acc["k"]).alias("k"),
+            (acc["alive"] & (x == F.col("left"))).alias("alive"),
+        ),
+        lambda acc: acc["k"],
+    )
+    return (
+        pairs.withColumn("run_off", run_off)
+        .filter(
+            (F.col("left") != F.col("right"))
+            | (F.col("run_off") % 2 == 0)
+        )
+        .groupBy("left", "right")
+        .agg(F.sum("n").alias("c"))
+    )
+
+
+def apply_merge(seq_col: F.Column, left: str, right: str) -> F.Column:
+    """One global rank-ordered merge pass: space-pad, replace
+    ``' left right '`` with the fused symbol, trim."""
+    padded = F.concat(F.lit(" "), seq_col, F.lit(" "))
+    merged = F.replace(
+        padded,
+        F.lit(f" {left} {right} "),
+        F.lit(f" {left}{right} "),
+    )
+    return F.trim(merged)
+
+
+def apply_merges(seq_col: F.Column, merges: list[list[str]]) -> F.Column:
+    """Chain the frozen merge list in rank order (the committed-
+    literal apply path used by the registry census)."""
+    out = seq_col
+    for left, right in merges:
+        out = apply_merge(out, left, right)
+    return out
+
+
+def apply_merges_sql(seq_expr: str, merges: list[list[str]]) -> str:
+    """The identical chained-replace program as DuckDB SQL (space-pad
+    once, chain replaces, trim once — replace() semantics are the
+    same left-to-right non-overlapping pass in both engines)."""
+    expr = f"' ' || {seq_expr} || ' '"
+    for left, right in merges:
+        expr = f"replace({expr}, ' {left} {right} ', ' {left}{right} ')"
+    return f"trim({expr})"
+
+
+def bpe_train(
+    words: DataFrame, n_merges: int, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a weighted vocabulary
+    ``(word, n)``. Stops early when the best pair's count falls below
+    ``min_count``. Returns the rank-ordered merge list.
+
+    The per-round pair count is distributed (see module doc); only
+    the single winning pair row is collected per round.
+    """
+    vocab = checkpointed(
+        words.select(to_symbol_seq(F.col("word")).alias("seq"), "n"),
+        eager=True,
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            adjacent_pair_counts(vocab)
+            .orderBy(F.desc("c"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0].c < min_count:
+            break
+        left, right = best[0].left, best[0].right
+        merges.append((left, right))
+        vocab = checkpointed(
+            vocab.select(
+                apply_merge(F.col("seq"), left, right).alias("seq"), "n"
+            ),
+            eager=True,
+        )
+    return merges
+
+
+def bpe_train_python(
+    word_counts: dict[str, int], n_merges: int, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Plain-Python reference trainer with the IDENTICAL semantics
+    (rank-agreement pin for the Spark trainer; tests only)."""
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(word) + (EOW,): n for word, n in word_counts.items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            run = 0  # identical symbols immediately preceding syms[i]
+            for i in range(len(syms) - 1):
+                run = run + 1 if i > 0 and syms[i] == syms[i - 1] else 0
+                if syms[i] == syms[i + 1] and run % 2 == 1:
+                    # within a run of identical symbols replace()
+                    # merges 0-1, 2-3, ...: odd-offset self-pairs
+                    # never fire (non-overlapping left-to-right)
+                    continue
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (left, right), _c = best
+        merges.append((left, right))
+        fused = left + right
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges

@@ -36,6 +36,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+
+def _ckpt_eager(df: DataFrame) -> DataFrame:
+    """Eager lineage truncation routed through the graph module's
+    backend chooser: localCheckpoint by default, disk-backed reliable
+    checkpoint when a checkpoint dir / SCIO_GRAPH_CKPT_DIR is set
+    (operators/graph.py::checkpointed — the round-10 bounded-memory
+    path for iterative frames)."""
+    from scio_db_spark.operators.graph import checkpointed
+
+    return checkpointed(df, eager=True)
+
 def _symmetrize(e: DataFrame) -> DataFrame:
     # NO distinct: the consumers aggregate with MIN (duplicate
     # neighbors can't change a min) and the emit sets are distinct'd
@@ -83,7 +94,7 @@ def _cc_star(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_eager)
     )
     if e.limit(1).count() == 0:
         # no edges: every vertex would be isolated; empty label frame
@@ -125,7 +136,7 @@ def _cc_star(
             out1.unionByName(out2)
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_eager)
         )
         # In-round fixpoint test — no confirm round (which would
         # double the rounds on the shallow graphs dedup actually
@@ -181,13 +192,13 @@ def connected_components_propagation(
     ).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = sym.distinct().transform(_ckpt_eager)
 
     labels = (
         sym.select(F.col("a").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_eager)
     )
 
     converged = False
@@ -200,7 +211,7 @@ def connected_components_propagation(
             labels.unionByName(nbr)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_eager)
         )
         changed = (
             new_labels.alias("n")

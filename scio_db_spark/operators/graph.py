@@ -20,6 +20,8 @@ Scale postures (measured in BENCH_LOCAL_r08_scaling_newops.json):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -27,11 +29,44 @@ from pyspark.sql import types as T
 PR_SCALE = 1_000_000_000  # fixed-point rank scale (1e9 per node)
 
 
-def checkpointed(edges: DataFrame) -> DataFrame:
-    """Lazy lineage truncation for a frame consumed by many stages of
-    an iterative plan (see module doc; lazy so plan-only tooling never
-    materializes it)."""
-    return edges.localCheckpoint(eager=False)
+_CKPT_ENV = "SCIO_GRAPH_CKPT_DIR"
+
+
+def checkpointed(edges: DataFrame, eager: bool = False) -> DataFrame:
+    """Lineage truncation for a frame consumed by many stages of an
+    iterative plan (see module doc; lazy by default so plan-only
+    tooling never materializes it).
+
+    Two backends, chosen per session:
+
+    - default: ``localCheckpoint`` — blocks pinned in the executor
+      block manager (MEMORY_AND_DISK). Fastest, but a multi-round
+      peel over a ~90M-edge frame holds every round's blocks on one
+      box: the round-9 graph ×1000 attempt GC-thrashed exactly here
+      (SCALE.md round-9 cap note).
+    - disk-backed: when the SparkContext has a checkpoint dir (set
+      via ``setCheckpointDir`` or the ``SCIO_GRAPH_CKPT_DIR`` env
+      var), reliable ``DataFrame.checkpoint`` writes the frame to
+      files instead — nothing stays resident in the block manager,
+      trading re-read I/O for bounded memory. On a real cluster this
+      is the HDFS/object-store checkpoint every long iterative job
+      uses; locally it is what lets the ×1000 graph row be measured
+      at all (BENCH_LOCAL_r10_scaling_graph_ckpt.json).
+    """
+    sc = edges.sparkSession.sparkContext
+    ckpt_dir = None
+    try:
+        ckpt_dir = sc.getCheckpointDir()
+    except Exception:  # noqa: BLE001 — older API surface
+        ckpt_dir = None
+    if ckpt_dir is None:
+        env = os.environ.get(_CKPT_ENV)
+        if env:
+            sc.setCheckpointDir(env)
+            ckpt_dir = env
+    if ckpt_dir:
+        return edges.checkpoint(eager=eager)
+    return edges.localCheckpoint(eager=eager)
 
 
 def pagerank(
@@ -270,10 +305,10 @@ def khop_census(
         # anti-join and the final census, and frontier feeds the next
         # expansion — without it a deep-BFS caller inherits O(hops)
         # plan depth (round-8 verdict residual, now closed)
-        reached = reached.unionByName(
-            new_nodes.withColumn("dist", F.lit(h))
-        ).localCheckpoint(eager=False)
-        frontier = new_nodes.localCheckpoint(eager=False)
+        reached = checkpointed(
+            reached.unionByName(new_nodes.withColumn("dist", F.lit(h)))
+        )
+        frontier = checkpointed(new_nodes)
     return (
         reached.groupBy("dist")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -356,11 +391,10 @@ def label_propagation(pairs: DataFrame, rounds: int) -> DataFrame:
             .groupBy("node", "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = (
+        labels = checkpointed(
             cnt.withColumn("rn", rn)
             .filter(F.col("rn") == 1)
             .select("node", "lab")
-            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -368,11 +402,11 @@ def label_propagation(pairs: DataFrame, rounds: int) -> DataFrame:
 def _kcore_peel(
     pairs: DataFrame, k: int, max_iterations: int
 ) -> tuple[DataFrame, int]:
-    e = (
+    e = checkpointed(
         pairs.select("u", "v")
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        eager=True,
     )
     for rounds in range(max_iterations + 1):
         sym = e.select(F.col("u").alias("node")).unionAll(
@@ -384,15 +418,15 @@ def _kcore_peel(
             .filter(F.col("d") >= k)
             .select("node")
         )
-        kept = (
+        kept = checkpointed(
             e.join(
                 survivors.withColumnRenamed("node", "u"), "u", "left_semi"
             )
             .join(
                 survivors.withColumnRenamed("node", "v"), "v", "left_semi"
             )
-            .select("u", "v")
-            .localCheckpoint(eager=True)
+            .select("u", "v"),
+            eager=True,
         )
         if kept.count() == e.count():
             return kept, rounds

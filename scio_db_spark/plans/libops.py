@@ -78,6 +78,17 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
+
+def _ckpt_eager(df: DataFrame) -> DataFrame:
+    """Eager lineage truncation routed through the graph module's
+    backend chooser: localCheckpoint by default, disk-backed reliable
+    checkpoint when a checkpoint dir / SCIO_GRAPH_CKPT_DIR is set
+    (operators/graph.py::checkpointed — the round-10 bounded-memory
+    path for iterative frames)."""
+    from scio_db_spark.operators.graph import checkpointed
+
+    return checkpointed(df, eager=True)
+
 @register(
     "docs_tfidf_topk",
     oracle=f"""
@@ -537,7 +548,7 @@ def delete_keys_census(spark: SparkSession, sf: str) -> DataFrame:
             )
             # Materialize BEFORE the finally-cleanup: the caller only
             # collects later, when the temp dir is gone.
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_eager)
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -603,7 +614,7 @@ def dedup_reduce_census(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum("doc_id").alias("id_sum"),
                 F.sum("n_chars").alias("chars_sum"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_eager)
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1226,7 +1237,7 @@ def upsert_keys_census(spark: SparkSession, sf: str) -> DataFrame:
                 .cast("long")
                 .alias("n_inserted"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_eager)
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1698,8 +1698,10 @@ def graph_kcore_census(spark: SparkSession, sf: str) -> DataFrame:
             F.col("b.l_partkey").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)  # shared by all three peels
     )
+    from scio_db_spark.operators.graph import checkpointed as _ckpt
+
+    pairs = _ckpt(pairs, eager=True)  # shared by all three peels
     out = None
     for k in _KCORE_KS:
         e = kcore(pairs, k, max_iterations=_KCORE_UNROLL)

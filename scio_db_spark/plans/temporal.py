@@ -873,8 +873,9 @@ def events_type_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
     ),
     scored AS (
         SELECT event_type, dy, s1, n1, s - s1 AS s2, n - n1 AS n2, s, n,
-            (s1 * (n - n1) - (s - s1) * n1)
-            * (s1 * (n - n1) - (s - s1) * n1) AS num,
+            (CAST(s1 AS HUGEINT) * (n - n1) - CAST(s - s1 AS HUGEINT) * n1)
+            * (CAST(s1 AS HUGEINT) * (n - n1) - CAST(s - s1 AS HUGEINT) * n1)
+            AS num,
             n1 * (n - n1) * n AS den
         FROM p WHERE n1 < n
     ),
@@ -894,7 +895,7 @@ def events_type_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
         CAST(n2 AS BIGINT) AS n_post,
         CAST((s1 * 1000000) // n1 AS BIGINT) AS pre_mean_micro,
         CAST((s2 * 1000000) // n2 AS BIGINT) AS post_mean_micro,
-        CAST(num AS BIGINT) AS score_num,
+        CAST(num AS VARCHAR) AS score_num,
         CAST(den AS BIGINT) AS score_den
     FROM best ORDER BY event_type
     """,
@@ -905,18 +906,33 @@ def events_type_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
     "to the CUSUM drift census (whether vs WHERE). Two windowed "
     "prefix passes over the per-day aggregate — the shuffle carries "
     "one row per (type, day); at 100 TB the series length is the "
-    "window, not the data volume. The argmax order key is one double "
-    "division over exact BIGINTs, the identical expression tree in "
-    "both engines; every REPORTED column is exact integer (floor-div "
-    "micro-means, raw fraction terms).",
+    "window, not the data volume. score_num = (S1*n2 - S2*n1)^2 is "
+    "computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) and "
+    "reported as a decimal STRING: the square exceeds int64 once "
+    "|S1*n2 - S2*n1| passes ~3.0e9 — a day-count series over ~1e7 "
+    "events/day already crosses it, and non-ANSI Spark would WRAP "
+    "silently while DuckDB errors loudly (round-9 ADVICE finding). "
+    "Exact up to |num| < 1e38; the argmax order key is one double "
+    "division over the exact wide integers, the identical expression "
+    "tree in both engines; every other REPORTED column is exact "
+    "int64 (floor-div micro-means, n/den terms).",
 )
 def events_type_changepoint(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = table(spark, sf, "events")
     d = e.groupBy(
         "event_type", F.to_date("ts").alias("dy")
     ).agg(F.count(F.lit(1)).alias("x"))
+    return changepoint_score(d)
+
+
+def changepoint_score(d: DataFrame) -> DataFrame:
+    """Scoring core over a per-day aggregate ``(event_type, dy, x)``
+    — factored out of the registry query so the wide-integer path is
+    directly testable with fabricated day counts large enough that
+    (S1*n2 - S2*n1)^2 exceeds int64 (test_temporal_ops pins it
+    against exact Python ints)."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy("event_type")
         .orderBy("dy")
@@ -937,12 +953,17 @@ def events_type_changepoint(spark: SparkSession, sf: str) -> DataFrame:
         p.filter(F.col("n1") < F.col("n"))
         .withColumn("s2", F.col("s") - F.col("s1"))
         .withColumn("n2", F.col("n") - F.col("n1"))
+        # DECIMAL(38,0) BEFORE the products: long arithmetic wraps
+        # silently past 2^63 in non-ANSI Spark while DuckDB's HUGEINT
+        # stays exact — the decimal tree keeps both engines identical
+        # up to 1e38 (docstring bound).
         .withColumn(
-            "num",
-            (
-                (F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1"))
-                * (F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1"))
-            ),
+            "diff",
+            F.col("s1").cast("decimal(38,0)") * F.col("n2")
+            - F.col("s2").cast("decimal(38,0)") * F.col("n1"),
+        )
+        .withColumn(
+            "num", (F.col("diff") * F.col("diff")).cast("decimal(38,0)")
         )
         .withColumn("den", F.col("n1") * F.col("n2") * F.col("n"))
     )
@@ -962,6 +983,8 @@ def events_type_changepoint(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n2").alias("n_post"),
         F.expr("(s1 * 1000000) DIV n1").alias("pre_mean_micro"),
         F.expr("(s2 * 1000000) DIV n2").alias("post_mean_micro"),
-        F.col("num").alias("score_num"),
+        # scale-0 decimal renders plainly ("123", no exponent) so the
+        # string forms agree with DuckDB's HUGEINT::VARCHAR
+        F.col("num").cast("string").alias("score_num"),
         F.col("den").alias("score_den"),
     ).orderBy("event_type")

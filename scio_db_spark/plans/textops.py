@@ -1067,7 +1067,11 @@ def bloom_build_sized(
 ) -> DataFrame:
     """``bloom_build`` with an explicit filter size (power-of-two
     ``bits``) — the form a real deployment calls with m sized to its
-    historical corpus."""
+    historical corpus. The filter size is stamped as column metadata
+    on ``mask`` so :func:`bloom_probe` can verify its ``bits``
+    argument matches the build side (a mismatch recomputes different
+    bit positions and silently yields false NEGATIVES — round-9
+    ADVICE finding)."""
     return (
         keys.select(
             F.explode(
@@ -1078,7 +1082,8 @@ def bloom_build_sized(
         .agg(
             F.expr(
                 f"bit_or(shiftleft(1L, CAST(bit % {_BLOOM_WORD} AS INT)))"
-            ).alias("mask")
+            )
+            .alias("mask", metadata={"bloom_bits": bits})
         )
     )
 
@@ -1093,9 +1098,42 @@ def bloom_probe(
     key's K bits is set. The word table is broadcast (it is bounded by
     construction); the probe is a map-side join + groupBy on the input
     row's own key — no shuffle of the historical corpus anywhere.
-    ``bits`` must match the build side. Duplicate input rows collapse
-    (the groupBy re-assembles per distinct row); probe a keyed frame
-    if per-occurrence verdicts matter."""
+    ``bits`` must match the build side: when the word table carries
+    the build-time ``bloom_bits`` stamp (any table from
+    :func:`bloom_build_sized`) a mismatch raises HERE at plan time;
+    for hand-built tables without the stamp, a runtime guard raises
+    on any word index outside the probe's range (catches
+    build-larger-than-probe; the reverse is undetectable without the
+    stamp — a silent false negative, which is why the stamp exists).
+    Duplicate input rows collapse (the groupBy re-assembles per
+    distinct row); probe a keyed frame if per-occurrence verdicts
+    matter."""
+    meta = words.schema["mask"].metadata if "mask" in words.columns else {}
+    built_bits = meta.get("bloom_bits")
+    if built_bits is not None and int(built_bits) != bits:
+        raise ValueError(
+            f"bloom_probe bits={bits} but the word table was built "
+            f"with bits={built_bits}: bit positions would differ and "
+            f"true members could probe as misses (false negatives)"
+        )
+    n_words = bits // _BLOOM_WORD
+    if built_bits is None:
+        words = words.withColumn(
+            "mask",
+            F.when(
+                F.col("w") >= F.lit(n_words),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "bloom_probe: word table index out of "
+                            f"range for bits={bits} (w="
+                        ),
+                        F.col("w").cast("string"),
+                        F.lit(") — build/probe size mismatch"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("mask")),
+        )
     cells = probes.withColumn(
         "__bit", F.explode(bloom_bit_positions(F.col(key_col), bits))
     ).withColumn("__w", F.expr(f"__bit DIV {_BLOOM_WORD}"))
@@ -2607,3 +2645,106 @@ def source_diversity_census(spark: SparkSession, sf: str) -> DataFrame:
             - F.expr("s DIV n_docs")
         ).alias("entropy_micro_nats"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Trained BPE tokenizer: the committed merge table learned by the
+# DISTRIBUTED trainer (operators/bpe.py::bpe_train, frozen by
+# tools/train_bpe.py — the quality_clf/vector_models posture). The
+# census below APPLIES the frozen merges; the training fit itself is
+# rank-pinned against a plain-Python reference in tests/test_bpe.py.
+# 100 TB shape: merges are applied to the DISTINCT word vocabulary
+# (sub-linear in corpus size), never to the token stream — the corpus
+# is touched exactly once, by the word-count aggregate.
+
+
+def _load_bpe_merges() -> list[list[str]]:
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "resources",
+        "bpe_merges.json",
+    )
+    with open(path) as f:
+        return _json.load(f)["merges"]
+
+
+_BPE_MERGES: list[list[str]] = _load_bpe_merges()
+_BPE_WORD_RE = "[a-z]+"
+
+
+def _bpe_vocab_oracle() -> str:
+    from scio_db_spark.operators.bpe import apply_merges_sql
+
+    seq = r"trim(regexp_replace(word || '_', '(.)', '\1 ', 'g'))"
+    return f"""
+    WITH w AS (
+        SELECT unnest(regexp_extract_all(lower(text), '{_BPE_WORD_RE}'))
+            AS word
+        FROM documents
+    ),
+    wc AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word
+    ),
+    v AS (
+        SELECT n, {apply_merges_sql(seq, _BPE_MERGES)} AS seq FROM wc
+    ),
+    t AS (SELECT n, unnest(string_split(seq, ' ')) AS token FROM v)
+    SELECT token,
+        CAST(sum(n) AS BIGINT) AS n_occurrences,
+        CAST(count(*) AS BIGINT) AS n_words
+    FROM t GROUP BY token
+    ORDER BY n_occurrences DESC, token LIMIT 20
+    """
+
+
+@register(
+    "docs_bpe_vocab_census",
+    oracle=_bpe_vocab_oracle(),
+    doc="Trained-BPE vocabulary census: top-20 subword tokens by "
+    "weighted occurrence after applying the COMMITTED merge table "
+    "(resources/bpe_merges.json, learned at sf0.1 by the distributed "
+    "trainer operators/bpe.py::bpe_train — Sennrich-style pair-count "
+    "merges, lexicographic tie-break, rank-pinned vs a plain-Python "
+    "trainer). Application is a chain of rank-ordered replace() "
+    "passes over the space-joined symbol sequence — the IDENTICAL "
+    "left-to-right non-overlapping program in both engines — run on "
+    "the DISTINCT word vocabulary and weighted back by word counts, "
+    "so the heavy string work is vocabulary-bounded while the corpus "
+    "is scanned exactly once (the 100 TB tokenizer-fit shape).",
+)
+def bpe_vocab_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.bpe import apply_merges, to_symbol_seq
+
+    d = _docs(spark, sf)
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(_BPE_WORD_RE), 0
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = words.select(
+        "n",
+        apply_merges(
+            to_symbol_seq(F.col("word")), _BPE_MERGES
+        ).alias("seq"),
+    )
+    toks = vocab.select(
+        "n", F.explode(F.split(F.col("seq"), " ")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.sum("n").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(20)
+    )

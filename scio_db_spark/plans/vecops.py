@@ -920,7 +920,9 @@ def matryoshka_recall_census(spark: SparkSession, sf: str) -> DataFrame:
         s0 // n0 AS mean_a_micro,
         s1 // n1 AS mean_b_micro,
         s1 // n1 - s0 // n0 AS drift_micro
-    FROM agg ORDER BY dim
+    FROM agg
+    WHERE n0 > 0 AND n1 > 0
+    ORDER BY dim
     """,
     doc="Per-dimension embedding drift between two corpus halves "
     "(vec_id parity = the snapshot stand-in): floor-quantized micro "
@@ -928,8 +930,13 @@ def matryoshka_recall_census(spark: SparkSession, sf: str) -> DataFrame:
     "(quantize-before-sum policy — raw double sums are partition-"
     "order dependent). One posexplode + one 16-group aggregate; at "
     "100 TB the shuffle carries 2x16 partial sums per map partition, "
-    "nothing else. The monitor that catches a silently re-normalized "
-    "or re-trained encoder before ANN recall quietly degrades.",
+    "nothing else. Dimensions missing a parity half are EXCLUDED "
+    "(n0 > 0 AND n1 > 0 in both twins): a degenerate snapshot where "
+    "every vec_id shares one parity would otherwise floor-divide by "
+    "zero — NULL in Spark's DIV, a loud error in DuckDB's // — an "
+    "engine-divergent edge (round-9 ADVICE finding). The monitor "
+    "that catches a silently re-normalized or re-trained encoder "
+    "before ANN recall quietly degrades.",
 )
 def emb_dimension_drift_census(spark: SparkSession, sf: str) -> DataFrame:
     e = _emb(spark, sf)
@@ -949,9 +956,13 @@ def emb_dimension_drift_census(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("half") == 1, F.col("q"))).alias("s1"),
         F.count(F.when(F.col("half") == 1, F.lit(1))).alias("n1"),
     )
-    return agg.select(
-        F.col("dim").cast("long").alias("dim"),
-        F.expr("s0 DIV n0").alias("mean_a_micro"),
-        F.expr("s1 DIV n1").alias("mean_b_micro"),
-        F.expr("s1 DIV n1 - s0 DIV n0").alias("drift_micro"),
-    ).orderBy("dim")
+    return (
+        agg.filter((F.col("n0") > 0) & (F.col("n1") > 0))
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.expr("s0 DIV n0").alias("mean_a_micro"),
+            F.expr("s1 DIV n1").alias("mean_b_micro"),
+            F.expr("s1 DIV n1 - s0 DIV n0").alias("drift_micro"),
+        )
+        .orderBy("dim")
+    )

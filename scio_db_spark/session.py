@@ -63,6 +63,12 @@ class SessionFactory:
             master or f"local[{cpus}]"
         )
         conf = dict(_SCALE_DEFAULTS)
+        # Heap override for tools that outgrow the 8g local default
+        # (e.g. the x1000 scaling runs): static conf, so it only
+        # matters for the process's FIRST session.
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+        if mem:
+            conf["spark.driver.memory"] = mem
         if extra_conf:
             conf.update(extra_conf)
         for k, v in conf.items():

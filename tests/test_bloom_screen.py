@@ -3,6 +3,8 @@ FP rate near theory, bit_or mergeability, fixed state size."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -84,3 +86,45 @@ def test_census_false_positive_accounting(spark, sf_dir):
     for r in rows:
         assert r.exact_duplicate <= r.bloom_positive
         assert r.false_positive == r.bloom_positive - r.exact_duplicate
+
+
+def test_probe_bits_mismatch_raises_at_plan_time(spark):
+    """Probing a bloom_build_sized(bits=4096) table with the default
+    bits recomputes different bit positions and can silently return
+    false negatives (round-9 ADVICE): the build-time bloom_bits stamp
+    must make the mismatch raise before anything executes."""
+    from scio_db_spark.plans.textops import bloom_build_sized
+
+    words = bloom_build_sized(_keys_df(spark, ["k1", "k2"]), "key", 4096)
+    with pytest.raises(ValueError, match="built with bits=4096"):
+        bloom_probe(_keys_df(spark, ["k1"]), words, "key")  # default bits
+
+
+def test_probe_matching_bits_passes_stamp_check(spark):
+    from scio_db_spark.plans.textops import bloom_build_sized
+
+    hist = ["a", "b", "c"]
+    words = bloom_build_sized(_keys_df(spark, hist), "key", 4096)
+    got = {
+        r.key: r.bloom_hit
+        for r in bloom_probe(
+            _keys_df(spark, hist), words, "key", bits=4096
+        ).collect()
+    }
+    assert got == {k: 1 for k in hist}  # no false negatives
+
+
+def test_probe_unstamped_oversized_table_fails_loudly(spark):
+    """A hand-built word table without the metadata stamp whose word
+    indexes exceed the probe's range (build bits > probe bits) must
+    raise at execution via the runtime guard, not silently miss."""
+    import pyspark.sql.utils as _u  # noqa: F401
+
+    from scio_db_spark.plans.textops import _BLOOM_BITS, _BLOOM_WORD
+
+    n_words = _BLOOM_BITS // _BLOOM_WORD
+    words = spark.createDataFrame(
+        [(n_words + 5, 123)], "w long, mask long"
+    )
+    with pytest.raises(Exception, match="out of range|mismatch"):
+        bloom_probe(_keys_df(spark, ["x"]), words, "key").collect()

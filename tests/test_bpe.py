@@ -1,0 +1,103 @@
+"""BPE merge training: rank agreement between the distributed Spark
+trainer and the plain-Python reference (identical semantics), apply
+consistency, and committed-resource integrity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scio_db_spark.operators.bpe import (
+    EOW,
+    apply_merges,
+    bpe_train,
+    bpe_train_python,
+    to_symbol_seq,
+)
+
+
+def _word_counts_from_docs(spark, sf_dir) -> dict[str, int]:
+    from scio_db_spark.plans.catalog import table
+
+    rows = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z]+"), 0
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .count()
+        .collect()
+    )
+    return {r.word: r["count"] for r in rows}
+
+
+def test_spark_trainer_rank_agrees_with_python(spark, sf_dir):
+    """Full rank agreement on the real sf0.001 corpus vocabulary:
+    every merge, in order — the determinism claim the committed
+    resource rests on."""
+    wc = _word_counts_from_docs(spark, sf_dir)
+    words = spark.createDataFrame(
+        list(wc.items()), "word string, n long"
+    )
+    n = 24  # enough rounds to cross several tie-breaks
+    assert bpe_train(words, n) == bpe_train_python(wc, n)
+
+
+def test_trainer_early_stops_below_min_count(spark):
+    wc = {"ab": 1, "cd": 1}  # every pair count is 1 < min_count=2
+    words = spark.createDataFrame(list(wc.items()), "word string, n long")
+    assert bpe_train(words, 10) == []
+    assert bpe_train_python(wc, 10) == []
+
+
+def test_apply_matches_python_segmentation(spark):
+    """Chained replace() application reproduces the Python trainer's
+    final vocabulary segmentation for the words it trained on."""
+    wc = {"lower": 6, "lowest": 5, "newer": 4, "newest": 3, "wider": 2}
+    merges = bpe_train_python(wc, 8)
+    # Python-side final segmentation
+    segs = {}
+    for w in wc:
+        syms = list(w) + [EOW]
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        segs[w] = " ".join(syms)
+    df = spark.createDataFrame([(w,) for w in wc], "word string")
+    got = {
+        r.word: r.seq
+        for r in df.select(
+            "word",
+            apply_merges(
+                to_symbol_seq(F.col("word")), [list(m) for m in merges]
+            ).alias("seq"),
+        ).collect()
+    }
+    assert got == segs
+
+
+def test_committed_resource_is_wellformed():
+    from scio_db_spark.plans.textops import _BPE_MERGES
+
+    assert len(_BPE_MERGES) >= 50
+    seen_symbols = set("abcdefghijklmnopqrstuvwxyz") | {EOW}
+    for left, right in _BPE_MERGES:
+        # every merge's components must be buildable from earlier
+        # merges or base characters (rank-order soundness)
+        assert left in seen_symbols, left
+        assert right in seen_symbols, right
+        seen_symbols.add(left + right)

@@ -337,3 +337,62 @@ def test_personalized_pagerank_matches_python_recurrence(spark):
             for row in pagerank_personalized(df, sdf, iters=5).collect()
         }
         assert got == r, f"seed {seed}"
+
+
+def test_disk_backed_checkpoint_matches_and_frees_blocks(spark, tmp_path):
+    """With a checkpoint dir set, the iterative ops run on reliable
+    disk checkpoints: results identical to the localCheckpoint path
+    AND no blocks left pinned in the block manager afterwards (the
+    round-9 ×1000 graph cap was GC thrash from exactly that residency —
+    see operators/graph.py::checkpointed)."""
+    import random
+
+    from scio_db_spark.operators.graph import kcore, label_propagation
+
+    rng = random.Random(7)
+    pairs = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(40), rng.randrange(40)) for _ in range(150)
+            )
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(pairs, "u long, v long")
+
+    base_kcore = sorted(
+        (r.u, r.v) for r in kcore(df, 3, max_iterations=30).collect()
+    )
+    base_lpa = sorted(
+        (r.node, r.lab) for r in label_propagation(df, 3).collect()
+    )
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    before = set(dict(sc._jsc.getPersistentRDDs()))
+    try:
+        sc.setCheckpointDir(str(tmp_path / "graph_ckpt"))
+        disk_kcore = sorted(
+            (r.u, r.v) for r in kcore(df, 3, max_iterations=30).collect()
+        )
+        disk_lpa = sorted(
+            (r.node, r.lab) for r in label_propagation(df, 3).collect()
+        )
+        persistent = {
+            i
+            for i in dict(sc._jsc.getPersistentRDDs())
+            if i not in before
+        }
+    finally:
+        # restore: None isn't accepted; point the shared session's dir
+        # at a scratch location and rely on per-test isolation
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            spark._jvm.scala.Option.apply(None)
+        )
+    assert disk_kcore == base_kcore
+    assert disk_lpa == base_lpa
+    assert not persistent, (
+        f"disk-backed checkpoint must not pin block-manager blocks, "
+        f"found {len(persistent)}"
+    )

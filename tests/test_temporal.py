@@ -454,3 +454,48 @@ def test_multitouch_credit_conservation(spark, sf_dir):
         .count()
     )
     assert total_credit == 1_000_000 * n_purchases
+
+
+def test_changepoint_wide_integer_score_exact(spark):
+    """score_num = (S1*n2 - S2*n1)^2 past int64: fabricated day
+    counts of ~1e15 push the square to ~1e33 — the pre-round-10 long
+    arithmetic wrapped silently (non-ANSI Spark) while DuckDB's
+    HUGEINT stayed exact, a silent engine divergence at exactly the
+    100 TB scale the docstring advertises (round-9 ADVICE). The
+    DECIMAL(38,0) tree must reproduce exact Python ints."""
+    import datetime
+
+    from scio_db_spark.plans.temporal import changepoint_score
+
+    # ~1e11 events/day: micro-means stay in int64 (both engines
+    # report them as BIGINT) while the squared term is ~1e24 — past
+    # int64, inside the DECIMAL(38,0)/HUGEINT envelope
+    xs = [10**11, 2 * 10**11, 9 * 10**11, 10**11]
+    d = spark.createDataFrame(
+        [
+            ("big", datetime.date(2024, 1, 1 + i), x)
+            for i, x in enumerate(xs)
+        ],
+        "event_type string, dy date, x long",
+    )
+    out = changepoint_score(d).collect()
+    assert len(out) == 1
+    r = out[0]
+    # exact Python recompute of the argmax and its reported fraction
+    n, s = len(xs), sum(xs)
+    best = None
+    for k in range(1, n):
+        s1, n1 = sum(xs[:k]), k
+        s2, n2 = s - sum(xs[:k]), n - k
+        num = (s1 * n2 - s2 * n1) ** 2
+        den = n1 * n2 * n
+        key = (num / den, -k)  # earliest-day tie-break
+        if best is None or key > best[0]:
+            best = (key, k, num, den, s1, s2, n1, n2)
+    _, k, num, den, s1, s2, n1, n2 = best
+    assert num > 2**63  # the regression premise: int64 overflows
+    assert r.split_day == f"2024-01-{k:02d}"
+    assert int(r.score_num) == num
+    assert r.score_den == den
+    assert r.pre_mean_micro == (s1 * 1_000_000) // n1
+    assert r.post_mean_micro == (s2 * 1_000_000) // n2

@@ -107,3 +107,26 @@ def test_wav_roundtrip_property():
         assert np.array_equal(out, s)
 
     prop()
+
+
+def test_truncated_data_chunk_raises():
+    """A container cut short of its declared data size must raise,
+    not silently decode fewer samples (round-9 ADVICE: the silent
+    truncation broke the fail-loudly dead-letter contract)."""
+    b = wav_encode_pcm16(np.array([1, 2, 3, 4], dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="truncated chunk"):
+        wav_decode_pcm16(b[:-4])  # 4 bytes short of declared size
+
+
+def test_odd_length_data_chunk_raises():
+    """An odd-length PCM16 data chunk cannot hold whole samples; the
+    trailing byte must not be silently dropped."""
+    b = bytearray(wav_encode_pcm16(np.array([1, 2], dtype=np.int16), 8000))
+    # find the data chunk and shrink its declared size by 1, keeping
+    # the container self-consistent (append a pad byte so no chunk
+    # overruns the buffer)
+    i = bytes(b).rindex(b"data")
+    size = int.from_bytes(b[i + 4 : i + 8], "little")
+    b[i + 4 : i + 8] = (size - 1).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="odd length"):
+        wav_decode_pcm16(bytes(b[:-1]))

@@ -522,6 +522,18 @@ def main() -> int:
         if "--queries" in sys.argv
         else _QUERIES
     )
+    # --lift-caps q1,q2: remove the factor cap for the named queries
+    # in THIS invocation (recorded in the artifact) — the round-10
+    # path for re-attempting the graph x1000 rows with disk-backed
+    # checkpoints (SCIO_GRAPH_CKPT_DIR) instead of block-manager
+    # residency.
+    lifted = (
+        sys.argv[sys.argv.index("--lift-caps") + 1].split(",")
+        if "--lift-caps" in sys.argv
+        else []
+    )
+    for n in lifted:
+        _MAX_FACTOR.pop(n, None)
 
     from scio_db_spark.plans.registry import all_queries
     from scio_db_spark.session import SessionFactory
@@ -576,6 +588,8 @@ def main() -> int:
             n: {str(f): t for f, t in fs.items()} for n, fs in times.items()
         },
         "factor_caps": _MAX_FACTOR,
+        "lifted_caps": lifted,
+        "graph_ckpt_dir": os.environ.get("SCIO_GRAPH_CKPT_DIR"),
         "load_1m": list(os.getloadavg()[:2]),
         **_gate_stamps,
     }
