@@ -123,12 +123,28 @@ def apply_merge(seq_col: F.Column, left: str, right: str) -> F.Column:
 
 
 def apply_merges(seq_col: F.Column, merges: list[list[str]]) -> F.Column:
-    """Chain the frozen merge list in rank order (the committed-
-    literal apply path used by the registry census)."""
+    """Chain the frozen merge list in rank order. Column-builder form
+    — fine for short lists (tests, ad-hoc pipelines), but a 100+-deep
+    nested Column tree overflows Spark 4's ColumnNode-to-Expression
+    converter stack in some call paths (seen in plan-only tooling).
+    For the committed 107-merge table use :func:`apply_merges_expr`,
+    which routes through the SQL parser instead."""
     out = seq_col
     for left, right in merges:
         out = apply_merge(out, left, right)
     return out
+
+
+def apply_merges_expr(
+    seq_col_name: str, merges: list[list[str]]
+) -> F.Column:
+    """Chained-merge application over a NAMED column via the SQL
+    parser (``F.expr``): builds the identical expression tree JVM-side
+    without the py4j ColumnNode recursion, so arbitrary merge-table
+    depth explains and executes safely. The SQL text is shared with
+    the DuckDB twin (:func:`apply_merges_sql`) — symbols are [a-z_]
+    only, so no quoting hazards."""
+    return F.expr(apply_merges_sql(seq_col_name, merges))
 
 
 def apply_merges_sql(seq_expr: str, merges: list[list[str]]) -> str:

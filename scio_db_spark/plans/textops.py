@@ -2716,7 +2716,10 @@ def _bpe_vocab_oracle() -> str:
     "is scanned exactly once (the 100 TB tokenizer-fit shape).",
 )
 def bpe_vocab_census(spark: SparkSession, sf: str) -> DataFrame:
-    from scio_db_spark.operators.bpe import apply_merges, to_symbol_seq
+    from scio_db_spark.operators.bpe import (
+        apply_merges_expr,
+        to_symbol_seq,
+    )
 
     d = _docs(spark, sf)
     words = (
@@ -2731,10 +2734,9 @@ def bpe_vocab_census(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     vocab = words.select(
-        "n",
-        apply_merges(
-            to_symbol_seq(F.col("word")), _BPE_MERGES
-        ).alias("seq"),
+        "n", to_symbol_seq(F.col("word")).alias("seq0")
+    ).select(
+        "n", apply_merges_expr("seq0", _BPE_MERGES).alias("seq")
     )
     toks = vocab.select(
         "n", F.explode(F.split(F.col("seq"), " ")).alias("token")
@@ -2747,4 +2749,199 @@ def bpe_vocab_census(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Classifier calibration census: reliability table for the committed
+# quality model. Agreement (98.6% at unseen SFs, test_quality_clf)
+# says the model usually lands on the right side of the threshold;
+# calibration says whether its CONFIDENCE is honest — a miscalibrated
+# filter silently shifts corpus mixture at 100 TB when a downstream
+# pipeline thresholds on probability rather than sign. The census is
+# exact-integer (bin counts + logit sums); the ECE bound itself is
+# asserted in tests/test_quality_clf.py from these integers.
+@register(
+    "docs_quality_clf_calibration_census",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {X.quality_score_sql("text")} AS q,
+            {_TOKS_SQL} AS toks
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    per AS (
+        SELECT doc_id,
+            CAST(sum(({_QCLF_W_SQL})[
+                CAST(({str_hash60_sql('token')} % {_QCLF_DIM}) AS INT) + 1
+            ]) AS BIGINT) AS s
+        FROM tok GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT t.doc_id,
+            coalesce(per.s, 0) + {_QCLF_BIAS} AS score,
+            CASE WHEN t.q >= 0.6 THEN 1 ELSE 0 END AS label_high
+        FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+    ),
+    binned AS (
+        SELECT score, label_high,
+            ntile(10) OVER (ORDER BY score, doc_id) AS decile
+        FROM scored
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(label_high) AS BIGINT) AS n_label_high,
+        CAST(sum(score) AS BIGINT) AS sum_score,
+        CAST(min(score) AS BIGINT) AS min_score,
+        CAST(max(score) AS BIGINT) AS max_score
+    FROM binned GROUP BY decile ORDER BY decile
+    """,
+    doc="Reliability table for the committed quality classifier: "
+    "docs ranked by integer logit, ntile(10) deciles (ties broken by "
+    "doc_id — deterministic in both engines), per-decile exact "
+    "integer counts of the distilled heuristic label "
+    "(quality_score >= 0.6, the trainer's own target) plus logit "
+    "sums/extremes. One scan + one scoring aggregate + the "
+    "range-partitioned rank core (operators/rank.py::global_ntile — "
+    "NO SinglePartition funnel; the same exact-ntile arithmetic as "
+    "decile_customer_revenue), so the census holds at 100 TB; a "
+    "production monitor could bin by FIXED logit cutpoints (map-"
+    "only) but fixed deciles are the standard reliability-diagram "
+    "x-axis. ECE bound pinned in tests/test_quality_clf.py from "
+    "these integers.",
+)
+def quality_clf_calibration_census(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    d = _docs(spark, sf)
+    tok = d.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+    warr = F.array(*[F.lit(v).cast("long") for v in _QCLF_W])
+    per = tok.select(
+        "doc_id",
+        F.element_at(
+            warr, (str_hash60(F.col("token")) % _QCLF_DIM).cast("int") + 1
+        ).alias("wt"),
+    ).groupBy("doc_id").agg(F.sum("wt").alias("s"))
+    scored = (
+        d.select(
+            "doc_id",
+            # coalesce mirrors the oracle's CASE ... ELSE 0: NULL text
+            # scores NULL and must label LOW in both engines
+            F.coalesce(
+                (X.quality_score(F.col("text")) >= 0.6).cast("int"),
+                F.lit(0),
+            ).alias("label_high"),
+        )
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "label_high",
+            (F.coalesce(F.col("s"), F.lit(0)) + F.lit(_QCLF_BIAS)).alias(
+                "score"
+            ),
+        )
+    )
+    from scio_db_spark.operators.rank import global_ntile
+
+    binned = global_ntile(
+        scored,
+        [F.asc("score"), F.asc("doc_id")],
+        10,
+        tile_col="decile",
+    )
+    return (
+        binned.groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("label_high").cast("long").alias("n_label_high"),
+            F.sum("score").alias("sum_score"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _bpe_count_oracle() -> str:
+    from scio_db_spark.operators.bpe import apply_merges_sql
+
+    seq = r"trim(regexp_replace(word || '_', '(.)', '\1 ', 'g'))"
+    applied = apply_merges_sql(seq, _BPE_MERGES)
+    return f"""
+    WITH w AS (
+        SELECT doc_id,
+            unnest(regexp_extract_all(lower(text), '{_BPE_WORD_RE}'))
+            AS word
+        FROM documents
+    ),
+    v AS (
+        SELECT word,
+            CAST(len(string_split({applied}, ' ')) AS BIGINT) AS k
+        FROM (SELECT DISTINCT word FROM w)
+    ),
+    per AS (
+        SELECT doc_id,
+            CAST(sum(k) AS BIGINT) AS n_bpe_tokens,
+            CAST(count(*) AS BIGINT) AS n_words
+        FROM w JOIN v USING (word) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+        coalesce(per.n_bpe_tokens, 0) AS n_bpe_tokens,
+        coalesce(per.n_words, 0) AS n_words
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """
+
+
+@register(
+    "docs_bpe_token_count_trained",
+    oracle=_bpe_count_oracle(),
+    doc="Per-document token budget under the TRAINED tokenizer "
+    "(resources/bpe_merges.json) — the real-vocab upgrade of the "
+    "fixed-width docs_bpe_token_count estimator. The merge chain "
+    "runs once per DISTINCT word (vocabulary-bounded), then a hash "
+    "join carries the per-word token count back to the doc stream — "
+    "at 100 TB the expensive string work never touches the corpus, "
+    "only the vocab; the corpus pays one explode + one keyed sum. "
+    "Docs with no letter runs count 0 in both engines.",
+)
+def bpe_token_count_trained(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.bpe import (
+        apply_merges_expr,
+        to_symbol_seq,
+    )
+
+    d = _docs(spark, sf)
+    w = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(_BPE_WORD_RE), 0
+            )
+        ).alias("word"),
+    )
+    v = (
+        w.select("word")
+        .distinct()
+        .select("word", to_symbol_seq(F.col("word")).alias("seq0"))
+        .select(
+            "word",
+            F.size(
+                F.split(apply_merges_expr("seq0", _BPE_MERGES), " ")
+            ).cast("long").alias("k"),
+        )
+    )
+    per = (
+        w.join(v, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+    return d.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).alias("n_bpe_tokens"),
+        F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
     )

@@ -34,6 +34,7 @@ analogue of ``DoFnWithResource.PER_CLASS``
 from __future__ import annotations
 
 import http.client
+import itertools
 import json
 import threading
 import time
@@ -260,7 +261,7 @@ def to_http_request(
 
 def send_http_batch(
     batch_df: DataFrame,
-    url: str,
+    url: str | list[str],
     max_concurrency: int = 32,
     throttle_rps: float | None = 1000.0,
     throttle_burst: float | None = 1000.0,
@@ -275,6 +276,11 @@ def send_http_batch(
     thread pool + token bucket. The returned DataFrame is lazy; the
     caller's write/collect action inside ``foreachBatch`` is the bundle
     flush.
+
+    ``url`` may be a LIST of equivalent endpoints (a sharded receiver
+    tier / LB bypass): rows round-robin across them per partition, so
+    at 100 TB no single endpoint sees the full stream. Keep-alive
+    pooling is per (thread, endpoint) either way.
     """
     # Input columns named like a response column (e.g. a BER-flat
     # stream's pre-send nhub_success placeholder) must be DROPPED, not
@@ -296,6 +302,9 @@ def send_http_batch(
         )
         pool = ThreadPoolExecutor(max_workers=max_concurrency)
 
+        urls = [url] if isinstance(url, str) else list(url)
+        rr = itertools.count()
+
         def _send_row(row) -> tuple:
             if bucket is not None:
                 bucket.acquire()
@@ -306,8 +315,8 @@ def send_http_batch(
                 "userId": None if pd.isna(row.user_id) else int(row.user_id),
             }
             resp, _attempts = send_one(
-                url, payload, retries=retries, backoff_s=backoff_s,
-                timeout=timeout,
+                urls[next(rr) % len(urls)], payload, retries=retries,
+                backoff_s=backoff_s, timeout=timeout,
             )
             latency_ms = int((time.time() - t0) * 1000)
             body = resp.get("body")

@@ -83,3 +83,27 @@ def test_model_is_discriminative_not_constant(spark, sf_dir):
     total = sum(r.n_docs for r in rows)
     high = sum(r.n_pred_high for r in rows)
     assert 0 < high < total
+
+
+def test_calibration_ece_below_bound(spark):
+    """Expected calibration error from the reliability census's exact
+    integers: per decile, |sigmoid(mean logit) - observed heuristic-
+    label rate|, doc-weighted. Measured 0.016 (sf0.001) / 0.026
+    (sf0.01) at freeze time — a miscalibrated filter would silently
+    shift corpus mixture at 100 TB, so the bound is a release gate,
+    not an observation (round-9 verdict item 5)."""
+    import math
+
+    from scio_db_spark.plans.textops import quality_clf_calibration_census
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = quality_clf_calibration_census(spark, sf).collect()
+        n_total = sum(r.n_docs for r in rows)
+        assert n_total > 0 and len(rows) == 10
+        ece = 0.0
+        for r in rows:
+            mean_logit = r.sum_score / r.n_docs / (1 << 16)
+            pred = 1.0 / (1.0 + math.exp(-mean_logit))
+            rate = r.n_label_high / r.n_docs
+            ece += (r.n_docs / n_total) * abs(pred - rate)
+        assert ece < 0.08, f"{sf}: ECE {ece:.4f} exceeds bound"

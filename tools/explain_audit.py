@@ -48,6 +48,12 @@ WHITELIST: set[tuple[str, str]] = {
     ("cust_pareto_skyline", "SinglePartition"),
     ("docs_hybrid_rrf_topk", "BroadcastNestedLoopJoin"),
     ("docs_hybrid_rrf_topk", "SinglePartition"),
+    # Calibration census (round 10): same rank-core rider — the BNLJ
+    # is global_ntile's one-row bounds-frame broadcast probe, the
+    # SinglePartition crossing is the P-row per-partition-offsets
+    # window; the scored doc frame itself stays range-partitioned.
+    ("docs_quality_clf_calibration_census", "BroadcastNestedLoopJoin"),
+    ("docs_quality_clf_calibration_census", "SinglePartition"),
     # Exact ANN baselines: the 5-query one-row-per-query broadcast
     # probed against the collection (vec_id != q_id has no equi key) —
     # the documented brute-force-eval shape shared with
