@@ -525,3 +525,230 @@ def bmp_image_features(
                 )
 
     return df.select(id_col, payload_col).mapInPandas(_feats, out_schema)
+
+
+# ---------------------------------------------------------------- PNG
+# REAL compressed-image codec, stdlib-only: PNG's container (CRC-32
+# checked chunks), DEFLATE body (zlib — Python stdlib, no external
+# image library), and the five per-scanline filters (None/Sub/Up/
+# Average/Paeth) implemented per the PNG 1.2 spec. This upgrades the
+# multimodal tier's honesty line: "compressed formats need absent
+# libraries" is true for JPEG/MP3/MP4 (DCT/entropy codecs), but PNG's
+# compression IS zlib — so it gets a real decoder, not a gate.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_encode_rgb8(pixels, row_filters=None) -> bytes:
+    """Real PNG encoder for an (h, w, 3|4) uint8 array (bit depth 8,
+    color type 2/6, non-interlaced): per-scanline filter bytes +
+    zlib-compressed IDAT + CRC-checked chunks. ``row_filters`` picks
+    each row's filter type 0-4 (default cycles through all five so a
+    roundtrip exercises the decoder's whole unfilter matrix)."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch not in (3, 4):
+        raise ValueError(f"RGB/RGBA only, got {ch} channels")
+    color_type = 2 if ch == 3 else 6
+    if row_filters is None:
+        row_filters = [y % 5 for y in range(h)]
+    raw = px.reshape(h, w * ch).astype(np.int32)
+    out = bytearray()
+    prior = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        ft = int(row_filters[y])
+        line = raw[y]
+        if ft == 0:
+            filt = line
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+            filt = line - left
+        elif ft == 2:  # Up
+            filt = line - prior
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+            filt = line - (left + prior) // 2
+        elif ft == 4:  # Paeth
+            left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+            ul = np.concatenate([np.zeros(ch, np.int32), prior[:-ch]])
+            filt = line.copy()
+            for i in range(w * ch):
+                filt[i] = line[i] - _paeth(
+                    int(left[i]), int(prior[i]), int(ul[i])
+                )
+        else:
+            raise ValueError(f"filter type {ft} out of range")
+        out.append(ft)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prior = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode_rgb8(b: bytes):
+    """REAL PNG parser: signature + chunk walk with CRC-32
+    verification, IHDR validation (bit depth 8, color type 2/6,
+    non-interlaced), multi-IDAT zlib inflate, and full unfilter
+    (None/Sub/Up/Average/Paeth). Returns an (h, w, channels) uint8
+    array. Raises ``ValueError`` on anything else — truncated or
+    corrupt payloads fail at the record level (the dead-letter
+    contract), and palette/16-bit/interlaced files are named
+    unsupported rather than mis-parsed."""
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    ended = False
+    while pos + 8 <= len(b):
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        if pos + 12 + size > len(b):
+            raise ValueError(f"truncated chunk {ctype!r}")
+        data = b[pos + 8 : pos + 8 + size]
+        crc = int.from_bytes(b[pos + 8 + size : pos + 12 + size], "big")
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"CRC mismatch in chunk {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + size
+    if ihdr is None or not idat or not ended:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color_type, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or color_type not in (2, 6):
+        raise ValueError(
+            f"only 8-bit RGB/RGBA PNG is supported here "
+            f"(depth={depth}, color_type={color_type})"
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported compression/filter/interlace")
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate dimensions")
+    ch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"inflated size {len(raw)} != expected {h * (stride + 1)}"
+        )
+    out = np.zeros((h, stride), dtype=np.int32)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = (line + prior) % 256
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth need the left pixel
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = rec[i - ch] if i >= ch else 0
+                up = int(prior[i])
+                ul = int(prior[i - ch]) if i >= ch else 0
+                if ft == 1:
+                    rec[i] = (line[i] + left) % 256
+                elif ft == 3:
+                    rec[i] = (line[i] + (left + up) // 2) % 256
+                else:
+                    rec[i] = (line[i] + _paeth(left, up, ul)) % 256
+        else:
+            raise ValueError(f"filter type {ft} out of range")
+        out[y] = rec
+        prior = rec
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def png_image_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode + exact integer features for a PNG binary column,
+    Arrow-batched: same position-weighted census as
+    :func:`bmp_image_features` plus the channel count and alpha sum
+    (0 for RGB) — the weighted sums put the unfilter math itself on
+    the hook."""
+    import numpy as np
+
+    out_schema = (
+        f"{id_col} long, width long, height long, n_channels long, "
+        "sum_r long, sum_g long, sum_b long, sum_a long, "
+        "wsum_rx long, wsum_ry long, dec_sum_r long"
+    )
+
+    def _feats(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if i is None or b is None:
+                    continue
+                px = png_decode_rgb8(bytes(b)).astype(np.int64)
+                h, w, ch = px.shape
+                xs = np.arange(w)
+                ys = np.arange(h)
+                r = px[:, :, 0]
+                rows.append(
+                    (
+                        int(i), w, h, ch,
+                        int(r.sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                        int(px[:, :, 3].sum()) if ch == 4 else 0,
+                        int((r * xs[None, :]).sum()),
+                        int((r * ys[:, None]).sum()),
+                        int(r[::2, ::2].sum()),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        id_col, "width", "height", "n_channels",
+                        "sum_r", "sum_g", "sum_b", "sum_a",
+                        "wsum_rx", "wsum_ry", "dec_sum_r",
+                    ],
+                )
+
+    return df.mapInPandas(_feats, out_schema)

@@ -233,8 +233,9 @@ def mm_wav_pcm_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     "resize), and census exact integer features. Position-weighted "
     "sums put the layout itself on the hook: the oracle predicts "
     "every value from the formula without touching bytes. Compressed "
-    "formats (JPEG/PNG) stay capability-gated — uncompressed BMP is "
-    "the image class honestly decodable with numpy alone.",
+    "formats needing real codec libraries (JPEG/MP3/MP4) stay "
+    "capability-gated; PNG is decodable with stdlib zlib (see "
+    "mm_png_rgb_roundtrip), and uncompressed BMP with numpy alone.",
 )
 def mm_bmp_rgb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     import numpy as np
@@ -269,3 +270,94 @@ def mm_bmp_rgb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     bmp = d.mapInPandas(_synth, "doc_id long, payload binary")
     return bmp_image_features(bmp).orderBy("doc_id")
+
+
+# REAL compressed-image codec leg: PNG's body is DEFLATE, and zlib is
+# Python stdlib — so unlike JPEG/MP3/MP4 (DCT/entropy codecs that
+# genuinely need absent libraries) PNG earns a real decoder
+# (functions/multimodal.py::png_decode_rgb8: CRC-checked chunks,
+# multi-IDAT inflate, all five scanline unfilters). The synthesized
+# containers CYCLE the filter type per row (None/Sub/Up/Average/
+# Paeth), so the position-weighted census only matches the oracle's
+# byte-free prediction if every unfilter path reconstructs exactly;
+# odd doc_ids carry an alpha channel (color type 6) to exercise RGBA.
+@register(
+    "mm_png_rgb_roundtrip",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 2 + doc_id % 7 AS h,
+            CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS ch
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h, ch, tx.x AS x, ty.y AS y,
+            (2 * tx.x + 11 * ty.y + doc_id) % 256 AS r,
+            (7 * tx.x + 3 * ty.y) % 256 AS g,
+            (tx.x * ty.y + doc_id) % 256 AS b,
+            CASE WHEN ch = 4 THEN (tx.x + 13 * ty.y) % 256 ELSE 0 END
+                AS a
+        FROM p,
+            unnest(generate_series(0, w - 1)) AS tx(x),
+            unnest(generate_series(0, h - 1)) AS ty(y)
+    )
+    SELECT doc_id,
+        CAST(any_value(w) AS BIGINT) AS width,
+        CAST(any_value(h) AS BIGINT) AS height,
+        CAST(any_value(ch) AS BIGINT) AS n_channels,
+        CAST(sum(r) AS BIGINT) AS sum_r,
+        CAST(sum(g) AS BIGINT) AS sum_g,
+        CAST(sum(b) AS BIGINT) AS sum_b,
+        CAST(sum(a) AS BIGINT) AS sum_a,
+        CAST(sum(r * x) AS BIGINT) AS wsum_rx,
+        CAST(sum(r * y) AS BIGINT) AS wsum_ry,
+        CAST(sum(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN r ELSE 0 END)
+             AS BIGINT) AS dec_sum_r
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="REAL compressed-image decode path: synthesize genuine PNGs "
+    "(stdlib zlib DEFLATE, CRC-checked chunks, per-row filter type "
+    "cycling through None/Sub/Up/Average/Paeth; RGBA on odd doc_ids) "
+    "from a position-dependent pixel formula, parse them back with "
+    "the real stdlib+numpy decoder, and census exact integer "
+    "position-weighted features the oracle predicts without touching "
+    "bytes — a wrong unfilter, CRC skip, or channel mix-up cannot "
+    "hash-match. Zero-shuffle Arrow map, embarrassingly parallel; "
+    "JPEG/MP3/MP4 remain capability-gated (their codecs genuinely "
+    "need absent libraries), PNG does not.",
+)
+def mm_png_rgb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from scio_db_spark.functions.multimodal import (
+        png_encode_rgb8,
+        png_image_features,
+    )
+
+    d = table(spark, sf, "documents").select("doc_id")
+
+    def _synth(pdfs):
+        for pdf in pdfs:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 4 + i % 13, 2 + i % 7
+                ch = 4 if i % 2 == 1 else 3
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                planes = [
+                    (2 * xs + 11 * ys + i) % 256,
+                    (7 * xs + 3 * ys) % 256,
+                    (xs * ys + i) % 256,
+                ]
+                if ch == 4:
+                    planes.append((xs + 13 * ys) % 256)
+                px = np.stack(
+                    [np.broadcast_to(p, (h, w)) for p in planes], axis=-1
+                ).astype(np.uint8)
+                rows.append((i, png_encode_rgb8(px)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    png = d.mapInPandas(_synth, "doc_id long, payload binary")
+    return png_image_features(png).orderBy("doc_id")

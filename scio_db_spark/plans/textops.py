@@ -2945,3 +2945,114 @@ def bpe_token_count_trained(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).alias("n_bpe_tokens"),
         F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
     )
+
+
+def _dedup_savings_oracle() -> str:
+    from scio_db_spark.operators.bpe import apply_merges_sql
+
+    seq = r"trim(regexp_replace(word || '_', '(.)', '\1 ', 'g'))"
+    applied = apply_merges_sql(seq, _BPE_MERGES)
+    return f"""
+    WITH w AS (
+        SELECT doc_id,
+            unnest(regexp_extract_all(lower(text), '{_BPE_WORD_RE}'))
+            AS word
+        FROM documents
+    ),
+    v AS (
+        SELECT word,
+            CAST(len(string_split({applied}, ' ')) AS BIGINT) AS k
+        FROM (SELECT DISTINCT word FROM w)
+    ),
+    per AS (
+        SELECT doc_id, CAST(sum(k) AS BIGINT) AS toks
+        FROM w JOIN v USING (word) GROUP BY doc_id
+    ),
+    canon AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT d.source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_canonical,
+        CAST(sum(coalesce(per.toks, 0)) AS BIGINT) AS tokens_total,
+        CAST(sum(CASE WHEN c.doc_id IS NOT NULL
+                      THEN coalesce(per.toks, 0) ELSE 0 END)
+             AS BIGINT) AS tokens_canonical
+    FROM documents d
+    LEFT JOIN per ON d.doc_id = per.doc_id
+    LEFT JOIN canon c ON d.doc_id = c.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """
+
+
+@register(
+    "docs_dedup_token_savings_census",
+    oracle=_dedup_savings_oracle(),
+    doc="Token-budget savings from exact dedup, per source: total vs "
+    "canonical-only token counts under the TRAINED tokenizer "
+    "(resources/bpe_merges.json) — the 'how much compute does dedup "
+    "buy' number every pipeline prices before a training run. "
+    "Composition of three registered primitives sharing one scan "
+    "each: exact dedup (hash-groupBy, canonical = min doc_id), the "
+    "vocabulary-bounded merge application, and a per-source integer "
+    "rollup; the corpus pays one explode + two hash joins on doc_id, "
+    "no string work ever touches the doc stream.",
+)
+def dedup_token_savings_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.bpe import (
+        apply_merges_expr,
+        to_symbol_seq,
+    )
+
+    d = _docs(spark, sf)
+    w = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(_BPE_WORD_RE), 0
+            )
+        ).alias("word"),
+    )
+    v = (
+        w.select("word")
+        .distinct()
+        .select("word", to_symbol_seq(F.col("word")).alias("seq0"))
+        .select(
+            "word",
+            F.size(
+                F.split(apply_merges_expr("seq0", _BPE_MERGES), " ")
+            ).cast("long").alias("k"),
+        )
+    )
+    per = (
+        w.join(v, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("k").alias("toks"))
+    )
+    canon = (
+        d.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("is_canon"))
+    )
+    joined = (
+        d.select("doc_id", "source")
+        .join(per, "doc_id", "left")
+        .join(canon, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("toks"), F.lit(0)).alias("toks"),
+            F.coalesce(F.col("is_canon"), F.lit(0)).alias("is_canon"),
+        )
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_canon").cast("long").alias("n_canonical"),
+            F.sum("toks").alias("tokens_total"),
+            F.sum(F.col("toks") * F.col("is_canon"))
+            .alias("tokens_canonical"),
+        )
+        .orderBy("source")
+    )

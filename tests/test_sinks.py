@@ -314,3 +314,48 @@ def test_as_int_rejects_out_of_int32_values():
     assert _as_int(2147483647) == 2147483647
     assert _as_int("12") == 12
     assert _as_int("nope") is None
+
+
+def test_send_http_batch_shards_across_url_list(spark):
+    """A LIST of endpoint URLs round-robins per partition: every row
+    succeeds and BOTH receivers see traffic (the sharded receiver-tier
+    path bench_http.py measures)."""
+    servers = []
+    for _ in range(2):
+        s = ThreadingHTTPServer(("127.0.0.1", 0), _StubHandler)
+        s.requests = []
+        s.fail_all = False
+        s.weird_mode = False
+        threading.Thread(target=s.serve_forever, daemon=True).start()
+        servers.append(s)
+    urls = [
+        f"http://127.0.0.1:{s.server_address[1]}/posts" for s in servers
+    ]
+    from scio_db_spark.sinks.http_sink import send_http_batch, to_http_request
+
+    df = spark.createDataFrame(
+        [Row(notification_id=f"n{i}", message="m", customer_id=i)
+         for i in range(8)]
+    ).coalesce(1)  # one partition => strict round-robin across urls
+    out = send_http_batch(
+        to_http_request(df), urls, throttle_rps=None, retries=2,
+        backoff_s=0.01,
+    ).collect()
+    for s in servers:
+        s.shutdown()
+    assert len(out) == 8
+    assert all(r.resp_id == 101 for r in out)
+    counts = [len(s.requests) for s in servers]
+    assert counts == [4, 4], counts
+
+
+def test_release_session_memory_unpersists_and_reports(spark):
+    from scio_db_spark.plans.hygiene import release_session_memory
+
+    df = spark.range(100_000).localCheckpoint(eager=True)
+    assert df.count() == 100_000
+    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert before, "localCheckpoint should pin at least one RDD"
+    stats = release_session_memory(spark)
+    assert stats["unpersisted"] >= 1
+    assert stats["heap_after"] >= 0  # GC ran and re-measured
