@@ -1,0 +1,116 @@
+"""Streaming media ingestion e2e (streaming/media_ingest.py): real
+codecs (WAV/BMP/PNG) over a binary-payload stream with record-level
+poison routing — the W9 dead-letter contract for the multimodal tier."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from scio_db_spark.functions.multimodal import (
+    bmp_encode_rgb24,
+    png_encode_rgb8,
+    wav_encode_pcm16,
+)
+from scio_db_spark.streaming.harness import StreamHarness
+from scio_db_spark.streaming.media_ingest import build_media_ingest
+
+SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _img(h, w, ch, seed):
+    return np.random.RandomState(seed).randint(
+        0, 256, (h, w, ch), dtype=np.uint8
+    )
+
+
+def _rows():
+    wav = wav_encode_pcm16(
+        np.array([100, -200, 300, -400], dtype=np.int16), 8000
+    )
+    bmp_px = _img(3, 5, 3, seed=1)
+    png_px = _img(4, 6, 4, seed=2)
+    return (
+        [
+            Row(media_id=1, mime_type="audio/wav", payload=bytearray(wav)),
+            Row(
+                media_id=2,
+                mime_type="image/bmp",
+                payload=bytearray(bmp_encode_rgb24(bmp_px)),
+            ),
+            Row(
+                media_id=3,
+                mime_type="image/png",
+                payload=bytearray(png_encode_rgb8(png_px)),
+            ),
+            # poison: truncated WAV (declared data size overruns buffer)
+            Row(media_id=4, mime_type="audio/wav", payload=bytearray(wav[:-3])),
+            # poison: PNG with a corrupted IDAT byte (CRC mismatch)
+            Row(
+                media_id=5,
+                mime_type="image/png",
+                payload=bytearray(
+                    bytes(png_encode_rgb8(png_px))[:40]
+                    + b"\xff"
+                    + bytes(png_encode_rgb8(png_px))[41:]
+                ),
+            ),
+            # poison: mime nobody has a codec for
+            Row(media_id=6, mime_type="video/mp4", payload=bytearray(b"x")),
+        ],
+        bmp_px,
+        png_px,
+    )
+
+
+@pytest.fixture()
+def split(spark):
+    rows, bmp_px, png_px = _rows()
+    outputs = {}
+    for leg in ("ok", "ko"):
+        h = StreamHarness(spark, SCHEMA)
+        h.start(
+            lambda s, leg=leg: build_media_ingest(s)[leg],
+            output_mode="append",
+        )
+        h.add_batch(rows)
+        outputs[leg] = h.results()
+        h.stop()
+    return outputs, bmp_px, png_px
+
+
+def test_ok_rows_carry_exact_codec_features(split):
+    outputs, bmp_px, png_px = split
+    ok = {r.media_id: r for r in outputs["ok"]}
+    assert set(ok) == {1, 2, 3}
+    w = ok[1]
+    assert (w.n_samples, w.sample_rate, w.peak) == (4, 8000, 400)
+    b = ok[2]
+    assert (b.width, b.height, b.n_channels) == (5, 3, 3)
+    assert b.sum_r == int(bmp_px[:, :, 0].astype(np.int64).sum())
+    p = ok[3]
+    assert (p.width, p.height, p.n_channels) == (6, 4, 4)
+    assert p.sum_r == int(png_px[:, :, 0].astype(np.int64).sum())
+
+
+def test_poison_routes_to_dead_letter_with_codec_error(split):
+    outputs, _b, _p = split
+    ko = {r.media_id: r for r in outputs["ko"]}
+    assert set(ko) == {4, 5, 6}
+    assert "truncated chunk" in ko[4].err
+    assert "CRC mismatch" in ko[5].err
+    assert "no codec" in ko[6].err
