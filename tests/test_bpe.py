@@ -101,3 +101,28 @@ def test_committed_resource_is_wellformed():
         assert left in seen_symbols, left
         assert right in seen_symbols, right
         seen_symbols.add(left + right)
+
+
+def test_rank_agreement_property_random_vocabularies(spark):
+    """Property pin across adversarial vocabulary shapes: repeated
+    letters (run-parity path), shared prefixes/suffixes (tie-break
+    path), single chars, and skewed counts. The Spark trainer must
+    reproduce the Python reference merge-for-merge on each."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abc"  # tiny alphabet maximizes ties and self-pairs
+    for trial in range(4):
+        wc = {}
+        for _ in range(rng.randint(4, 12)):
+            w = "".join(
+                rng.choice(alphabet)
+                for _ in range(rng.randint(1, 6))
+            )
+            wc[w] = rng.randint(1, 9)
+        words = spark.createDataFrame(
+            list(wc.items()), "word string, n long"
+        )
+        n = rng.randint(3, 10)
+        got, want = bpe_train(words, n), bpe_train_python(wc, n)
+        assert got == want, (trial, wc, n, got, want)
