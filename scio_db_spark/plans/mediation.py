@@ -2417,3 +2417,170 @@ def multitouch_attribution(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return channels.unionByName(none_row).orderBy("channel")
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta) sketch: the set-OPERATION
+# sketch. HLL register tables (above) merge by max for unions, but
+# cannot answer intersections — "how many users were active on BOTH
+# days" at 100 TB either re-shuffles raw keys per day-pair or uses a
+# bottom-k sketch: keep the K smallest md5 hashes per partition
+# (deterministic — no sampling seed), then ANY pair's union estimate
+# is (K-1)*2^60 / t_K over the merged bottom-K, and the Jaccard
+# numerator is how many of the union's bottom-K appear in BOTH
+# sketches (Beyer et al. 2007, the KMV estimator; the theta-sketch
+# algebra in the DataSketches line). Day sketches are K longs each —
+# 40 days x K=128 is five kilobytes of state for all pairwise overlap
+# questions.
+_KMV_K = 128
+_KMV_SCALE = 1 << 60  # hash domain: str_hash60 is uniform in [0, 2^60)
+
+
+def _kmv_overlap_oracle() -> str:
+    from scio_db_spark.functions.hashing import str_hash60_sql
+
+    uid = str_hash60_sql("CAST(user_id AS VARCHAR)")
+    k = _KMV_K
+    return f"""
+    WITH dh AS (
+        SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+            {uid} AS h
+        FROM events
+    ),
+    sk AS (
+        SELECT day, (list_sort(list(h)))[1:{k}] AS ks
+        FROM dh GROUP BY day
+    ),
+    ex AS (
+        SELECT a.day AS day_a, b.day AS day_b,
+            CAST(count(*) AS BIGINT) AS inter_exact
+        FROM dh a JOIN dh b ON a.h = b.h AND a.day < b.day
+        GROUP BY a.day, b.day
+    ),
+    pairs AS (
+        SELECT a.day AS day_a, b.day AS day_b,
+            list_sort(list_distinct(list_concat(a.ks, b.ks))) AS merged,
+            a.ks AS ka, b.ks AS kb
+        FROM sk a JOIN sk b ON a.day < b.day
+    ),
+    est AS (
+        SELECT day_a, day_b,
+            least({k}, len(merged)) AS k_used,
+            CAST(len(list_filter(merged[1:{k}],
+                x -> list_contains(ka, x) AND list_contains(kb, x)))
+                AS BIGINT) AS jac_num,
+            CASE WHEN len(merged) >= {k}
+                 THEN CAST((CAST({k - 1} AS HUGEINT) * {_KMV_SCALE})
+                           // merged[{k}] AS BIGINT)
+                 ELSE CAST(len(merged) AS BIGINT) END AS union_est
+        FROM pairs
+    )
+    SELECT est.day_a, est.day_b,
+        CAST(est.k_used AS BIGINT) AS k_used,
+        est.jac_num,
+        est.union_est,
+        CAST((CAST(est.jac_num AS HUGEINT) * est.union_est)
+             // est.k_used AS BIGINT) AS inter_est,
+        coalesce(ex.inter_exact, 0) AS inter_exact
+    FROM est LEFT JOIN ex
+        ON est.day_a = ex.day_a AND est.day_b = ex.day_b
+    ORDER BY est.day_a, est.day_b
+    """
+
+
+@register(
+    "events_user_overlap_kmv_census",
+    oracle=_kmv_overlap_oracle(),
+    doc="Day-pair user-overlap census via deterministic KMV bottom-k "
+    "sketches (K=128 smallest md5-derived hashes per day): union "
+    "size from the classic (K-1)/t_K estimator, intersection from "
+    "the Jaccard numerator over the merged bottom-K — the set "
+    "operation HLL cannot do. Building the sketches is one "
+    "rank-window per day (Catalyst's WindowGroupLimit keeps it a "
+    "per-partition partial top-k before the exchange); every "
+    "pairwise question afterwards runs on K-long arrays — at 100 TB "
+    "the day-pair join touches kilobytes. The inter_exact column is "
+    "the embedded verification twin (a raw self-join production "
+    "would drop); estimator arithmetic is DECIMAL(38,0)/HUGEINT "
+    "floor-div — exact integers in both engines.",
+)
+def events_user_overlap_kmv_census(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from scio_db_spark.functions.hashing import str_hash60
+
+    k = _KMV_K
+    e = table(spark, sf, "events")
+    dh = e.select(
+        F.to_date("ts").cast("string").alias("day"),
+        str_hash60(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("day").orderBy("h"))
+    sk = (
+        dh.withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .groupBy("day")
+        .agg(F.sort_array(F.collect_list("h")).alias("ks"))
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        F.col("a.day").alias("day_a"),
+        F.col("b.day").alias("day_b"),
+        F.array_sort(
+            F.array_union(F.col("a.ks"), F.col("b.ks"))
+        ).alias("merged"),
+        F.col("a.ks").alias("ka"),
+        F.col("b.ks").alias("kb"),
+    )
+    est = pairs.select(
+        "day_a",
+        "day_b",
+        F.least(F.lit(k), F.size("merged")).cast("long").alias("k_used"),
+        F.size(
+            F.array_intersect(
+                F.array_intersect(
+                    F.slice("merged", 1, k), F.col("ka")
+                ),
+                F.col("kb"),
+            )
+        ).cast("long").alias("jac_num"),
+        F.when(
+            F.size("merged") >= k,
+            F.expr(
+                f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * {_KMV_SCALE} "
+                f"DIV element_at(merged, {k}) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.size("merged").cast("long"))
+        .alias("union_est"),
+    )
+    ex = (
+        dh.alias("x")
+        .join(
+            dh.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.day") < F.col("y.day")),
+        )
+        .groupBy(
+            F.col("x.day").alias("day_a"), F.col("y.day").alias("day_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter_exact"))
+    )
+    return (
+        est.join(ex, ["day_a", "day_b"], "left")
+        .select(
+            "day_a",
+            "day_b",
+            "k_used",
+            "jac_num",
+            "union_est",
+            F.expr(
+                "CAST(CAST(jac_num AS DECIMAL(38,0)) * union_est "
+                "DIV k_used AS BIGINT)"
+            ).alias("inter_est"),
+            F.coalesce(F.col("inter_exact"), F.lit(0)).alias(
+                "inter_exact"
+            ),
+        )
+        .orderBy("day_a", "day_b")
+    )

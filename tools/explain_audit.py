@@ -48,6 +48,13 @@ WHITELIST: set[tuple[str, str]] = {
     ("cust_pareto_skyline", "SinglePartition"),
     ("docs_hybrid_rrf_topk", "BroadcastNestedLoopJoin"),
     ("docs_hybrid_rrf_topk", "SinglePartition"),
+    # KMV day-pair census (round 10): the BNLJ is the a.day < b.day
+    # pairwise join over the SKETCH frames — one row of K=128 longs
+    # per day (~30 rows x ~30 rows of kilobyte payloads), which is
+    # the entire point of the sketch: pairwise set operations never
+    # touch the raw user ids (those pass through one equi-window and
+    # one equi-join only).
+    ("events_user_overlap_kmv_census", "BroadcastNestedLoopJoin"),
     # Calibration census (round 10): same rank-core rider — the BNLJ
     # is global_ntile's one-row bounds-frame broadcast probe, the
     # SinglePartition crossing is the P-row per-partition-offsets
