@@ -3056,3 +3056,97 @@ def dedup_token_savings_census(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _bpe_fertility_oracle() -> str:
+    from scio_db_spark.operators.bpe import apply_merges_sql
+
+    seq = r"trim(regexp_replace(word || '_', '(.)', '\1 ', 'g'))"
+    applied = apply_merges_sql(seq, _BPE_MERGES)
+    return f"""
+    WITH w AS (
+        SELECT source,
+            unnest(regexp_extract_all(lower(text), '{_BPE_WORD_RE}'))
+            AS word
+        FROM documents
+    ),
+    v AS (
+        SELECT word,
+            CAST(len(string_split({applied}, ' ')) AS BIGINT) AS k,
+            CAST(length(word) AS BIGINT) AS chars
+        FROM (SELECT DISTINCT word FROM w)
+    )
+    SELECT source,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(v.k) AS BIGINT) AS n_bpe_tokens,
+        CAST(sum(v.chars) AS BIGINT) AS n_letter_chars,
+        CAST((sum(v.k) * 1000000) // count(*) AS BIGINT)
+            AS fertility_micro,
+        CAST((sum(v.chars) * 1000000) // sum(v.k) AS BIGINT)
+            AS chars_per_token_micro
+    FROM w JOIN v USING (word)
+    GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "docs_bpe_fertility_census",
+    oracle=_bpe_fertility_oracle(),
+    doc="Tokenizer fertility census per source: tokens-per-word and "
+    "chars-per-token under the COMMITTED merge table — THE standard "
+    "tokenizer-quality metrics (high fertility on a source means the "
+    "vocabulary underserves it; the number multilingual tokenizer "
+    "papers report per language). Same vocabulary-bounded shape as "
+    "docs_bpe_token_count_trained: the merge chain runs once per "
+    "DISTINCT word, the corpus pays one explode + one hash join; "
+    "ratios are floor-div micro integers, exact in both engines.",
+)
+def bpe_fertility_census(spark: SparkSession, sf: str) -> DataFrame:
+    from scio_db_spark.operators.bpe import (
+        apply_merges_expr,
+        to_symbol_seq,
+    )
+
+    d = _docs(spark, sf)
+    w = d.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(_BPE_WORD_RE), 0
+            )
+        ).alias("word"),
+    )
+    v = (
+        w.select("word")
+        .distinct()
+        .select("word", to_symbol_seq(F.col("word")).alias("seq0"))
+        .select(
+            "word",
+            F.size(
+                F.split(apply_merges_expr("seq0", _BPE_MERGES), " ")
+            ).cast("long").alias("k"),
+            F.length("word").cast("long").alias("chars"),
+        )
+    )
+    return (
+        w.join(v, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("k").alias("n_bpe_tokens"),
+            F.sum("chars").alias("n_letter_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_bpe_tokens",
+            "n_letter_chars",
+            F.expr("n_bpe_tokens * 1000000 DIV n_words").alias(
+                "fertility_micro"
+            ),
+            F.expr("n_letter_chars * 1000000 DIV n_bpe_tokens").alias(
+                "chars_per_token_micro"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -46,6 +46,13 @@ class CorpusIngestConfig:
     # classifier logit >= 0 — the production ordering (cheap heuristic
     # first, model second), off by default.
     clf_gate: bool = False
+    # Trained-tokenizer meter (round-10): stamp each document's
+    # token count under the COMMITTED BPE merge table — the budget
+    # number a training-data platform meters ingest by. Pure Column
+    # expression (the rank-ordered replace chain parses once), so it
+    # is stream-safe and map-only; off by default because the real
+    # tokenizer costs ~107 replaces per word (the honest cost).
+    token_meter: bool = False
     # Historical-corpus bloom screen (round-9): dense mask words from
     # bloom_masks_dense(); docs whose content hash is bloom-positive
     # against YESTERDAY'S corpus are routed KO as likely duplicates.
@@ -115,7 +122,35 @@ def enrich(docs: DataFrame, cfg: CorpusIngestConfig) -> DataFrame:
             "bloom_hit",
             F.expr(_bloom_hit_sql("content_hash", cfg.screen_masks)),
         )
+    if cfg.token_meter:
+        out = out.withColumn(
+            "n_bpe_tokens_trained", trained_token_count_expr("text")
+        )
     return out
+
+
+def trained_token_count_expr(text_col: str) -> Column:
+    """Per-document token count under the committed BPE merge table
+    as ONE parsed SQL expression (stream-safe, map-only): for each
+    lowercase letter run, render the symbol sequence, apply the
+    rank-ordered replace chain, and sum the resulting symbol counts.
+    Matches plans/textops.py::docs_bpe_token_count_trained row for
+    row (pinned in tests/test_corpus_ingest.py) — that batch form
+    routes the chain through the DISTINCT vocabulary instead, the
+    right shape when a corpus is re-tokenized at rest; this form is
+    the right shape when documents arrive one micro-batch at a time.
+    """
+    from scio_db_spark.operators.bpe import apply_merges_sql
+    from scio_db_spark.plans.textops import _BPE_MERGES, _BPE_WORD_RE
+
+    # Spark-dialect symbol sequence for the lambda variable w
+    seq = "trim(regexp_replace(concat(w, '_'), '(.)', '$1 '))"
+    chain = apply_merges_sql(seq, _BPE_MERGES)
+    return F.expr(
+        f"aggregate(regexp_extract_all(lower({text_col}), "
+        f"'{_BPE_WORD_RE}', 0), 0L, "
+        f"(acc, w) -> acc + size(split({chain}, ' ')))"
+    )
 
 
 def _ok_predicate(cfg: CorpusIngestConfig) -> Column:

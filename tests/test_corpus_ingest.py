@@ -256,3 +256,55 @@ def test_bloom_screen_and_model_gate(spark):
     }
     for did, pos in direct.items():
         assert (rows[did].clf_score >= 0) == pos
+
+
+def test_token_meter_matches_batch_trained_counts(spark, sf_dir):
+    """The stream-safe per-row meter expression must reproduce the
+    batch vocabulary-join form (docs_bpe_token_count_trained) row for
+    row on the real corpus — one tokenizer, two plan shapes."""
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.plans.catalog import table
+    from scio_db_spark.plans.registry import all_queries
+    from scio_db_spark.streaming.corpus_ingest import (
+        trained_token_count_expr,
+    )
+
+    batch = {
+        r.doc_id: r.n_bpe_tokens
+        for r in all_queries()["docs_bpe_token_count_trained"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    metered = {
+        r.doc_id: r.n
+        for r in table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", trained_token_count_expr("text").alias("n")
+        )
+        .collect()
+    }
+    assert metered == batch
+
+
+def test_token_meter_flows_through_streaming_enrich(spark):
+    from pyspark.sql import Row
+
+    from scio_db_spark.streaming.corpus_ingest import (
+        CorpusIngestConfig,
+        enrich,
+    )
+
+    h = StreamHarness(spark, SCHEMA)
+    h.start(
+        lambda s: enrich(s, CorpusIngestConfig(token_meter=True)).select(
+            "doc_id", "n_bpe_tokens_trained"
+        ),
+        output_mode="append",
+    )
+    h.add_batch(
+        [Row(doc_id="g", text=GOOD, ingest_ts=_ts("2024-01-01T10:00:00"))]
+    )
+    out = {r.doc_id: r.n_bpe_tokens_trained for r in h.results()}
+    h.stop()
+    assert out["g"] > 0
