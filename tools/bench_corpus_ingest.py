@@ -49,6 +49,7 @@ _VOCAB = (
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     gates = "--gates" in sys.argv
+    meter = "--meter" in sys.argv  # trained-BPE token metering
     n_docs = int(pos[0]) if pos else 1_000_000
     dup_pct = float(pos[1]) if len(pos) > 1 else 0.10
 
@@ -170,10 +171,13 @@ def main() -> None:
         )
         cfg_kwargs["cfg"] = CorpusIngestConfig(
             clf_gate=True,
+            token_meter=meter,
             screen_masks=bloom_masks_dense(
                 bloom_build_sized(hist, "text", bloom_bits), bloom_bits
             ),
         )
+    elif meter:
+        cfg_kwargs["cfg"] = CorpusIngestConfig(token_meter=True)
 
     t0 = time.perf_counter()
     ok_q, ko_q = start_corpus_ingest(stream, outdir, ck, **cfg_kwargs)
@@ -210,6 +214,7 @@ def main() -> None:
             {
                 "metric": "corpus_ingest_records_per_min",
                 "gates": gates,
+        "token_meter": meter,
                 "value": round(per_min),
                 "unit": "records/min",
                 "records": totals["n_total"],
