@@ -25,15 +25,22 @@ kmeans/quality-clf posture) and the APPLY side hash-verifiable
 against a DuckDB twin.
 
 Application semantics (shared by both engines and the trainer): a
-word is rendered as its characters joined by single spaces with a
-trailing end-of-word marker symbol; each merge ``(a, b)`` is one
-global left-to-right non-overlapping ``replace(' a b ', ' ab ')``
-over the space-padded sequence, applied in rank order. Both Spark's
-``replace`` and DuckDB's ``replace`` share this exact semantics, so
-the chained expression is the identical program in both engines.
-The trainer counts pairs with the same left-to-right convention
-(non-overlapping: "a a a" contributes ONE (a,a) pair), keeping
-train-time statistics consistent with apply-time behavior.
+word is rendered as DELIMITER-COMPLETE symbols — every symbol wrapped
+in pipes and joined by single spaces (``'cat' -> '|c| |a| |t| |_|'``)
+— and each merge ``(a, b)`` is one global left-to-right
+non-overlapping ``replace('|a| |b|', '|ab|')`` in rank order. The
+pipe wrapping matters: a bare space-delimited rendering shares the
+single delimiter space between consecutive matches, so replace()
+silently skips ALTERNATING occurrences ("a c a c" merges once, not
+twice — a real divergence from textbook BPE that the adversarial
+rank-agreement property test caught). With both delimiters inside
+the match, adjacent occurrences share no characters and every
+left-to-right non-overlapping adjacency merges, exactly the
+reference semantics; self-pair runs still merge at even offsets only
+("a a a" contributes ONE (a,a) merge), which the trainer's
+run-parity counting mirrors. Both Spark's ``replace`` and DuckDB's
+``replace`` share this semantics, so the chained expression is the
+identical program in both engines.
 """
 
 from __future__ import annotations
@@ -50,12 +57,13 @@ EOW = "_"
 
 
 def to_symbol_seq(word_col: F.Column) -> F.Column:
-    """``'hello' -> 'h e l l o _'``: characters space-joined with the
-    EOW marker as the final symbol. ``regexp_replace`` keeps the
-    expression engine-portable (the DuckDB twin uses the same regex
-    with the 'g' flag)."""
+    """``'hello' -> '|h| |e| |l| |l| |o| |_|'``: pipe-wrapped
+    characters space-joined with the EOW marker as the final symbol
+    (delimiter-complete — see module doc). ``regexp_replace`` keeps
+    the expression engine-portable (the DuckDB twin uses the same
+    regex with the 'g' flag)."""
     return F.trim(
-        F.regexp_replace(F.concat(word_col, F.lit(EOW)), "(.)", "$1 ")
+        F.regexp_replace(F.concat(word_col, F.lit(EOW)), "(.)", "|$1| ")
     )
 
 
@@ -65,7 +73,9 @@ def adjacent_pair_counts(vocab: DataFrame) -> DataFrame:
     left-to-right pair extraction (run-parity trick: within a run of
     r identical symbols only floor(r/2) pairs count), matching the
     replace() application semantics."""
-    arr = F.split(F.col("seq"), " ")
+    arr = F.transform(
+        F.split(F.col("seq"), " "), lambda x: F.replace(x, F.lit("|"))
+    )
     zipped = F.arrays_zip(
         F.slice(arr, 1, F.size(arr) - 1).alias("l"),
         F.slice(arr, 2, F.size(arr) - 1).alias("r"),
@@ -79,7 +89,10 @@ def adjacent_pair_counts(vocab: DataFrame) -> DataFrame:
         F.col("pos"),
         F.col("p.l").alias("left"),
         F.col("p.r").alias("right"),
-        F.split(F.col("seq"), " ").alias("syms"),
+        F.transform(
+            F.split(F.col("seq"), " "),
+            lambda x: F.replace(x, F.lit("|")),
+        ).alias("syms"),
     )
     # Non-overlapping counting for self-pairs (a,a): in a maximal run
     # of identical symbols, replace() merges positions 0-1, 2-3, ... —
@@ -111,15 +124,15 @@ def adjacent_pair_counts(vocab: DataFrame) -> DataFrame:
 
 
 def apply_merge(seq_col: F.Column, left: str, right: str) -> F.Column:
-    """One global rank-ordered merge pass: space-pad, replace
-    ``' left right '`` with the fused symbol, trim."""
-    padded = F.concat(F.lit(" "), seq_col, F.lit(" "))
-    merged = F.replace(
-        padded,
-        F.lit(f" {left} {right} "),
-        F.lit(f" {left}{right} "),
+    """One global rank-ordered merge pass over the delimiter-complete
+    rendering: ``'|left| |right|' -> '|leftright|'`` — matches are
+    self-contained, so consecutive occurrences all merge (module
+    doc)."""
+    return F.replace(
+        seq_col,
+        F.lit(f"|{left}| |{right}|"),
+        F.lit(f"|{left}{right}|"),
     )
-    return F.trim(merged)
 
 
 def apply_merges(seq_col: F.Column, merges: list[list[str]]) -> F.Column:
@@ -148,13 +161,15 @@ def apply_merges_expr(
 
 
 def apply_merges_sql(seq_expr: str, merges: list[list[str]]) -> str:
-    """The identical chained-replace program as DuckDB SQL (space-pad
-    once, chain replaces, trim once — replace() semantics are the
-    same left-to-right non-overlapping pass in both engines)."""
-    expr = f"' ' || {seq_expr} || ' '"
+    """The identical chained-replace program as SQL text (replace()
+    semantics are the same left-to-right non-overlapping pass in both
+    engines; delimiter-complete symbols per the module doc)."""
+    expr = seq_expr
     for left, right in merges:
-        expr = f"replace({expr}, ' {left} {right} ', ' {left}{right} ')"
-    return f"trim({expr})"
+        expr = (
+            f"replace({expr}, '|{left}| |{right}|', '|{left}{right}|')"
+        )
+    return expr
 
 
 def bpe_train(

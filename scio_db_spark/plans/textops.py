@@ -2678,7 +2678,7 @@ _BPE_WORD_RE = "[a-z]+"
 def _bpe_vocab_oracle() -> str:
     from scio_db_spark.operators.bpe import apply_merges_sql
 
-    seq = r"trim(regexp_replace(word || '_', '(.)', '\1 ', 'g'))"
+    seq = r"trim(regexp_replace(word || '_', '(.)', '|\1| ', 'g'))"
     return f"""
     WITH w AS (
         SELECT unnest(regexp_extract_all(lower(text), '{_BPE_WORD_RE}'))
@@ -2691,7 +2691,8 @@ def _bpe_vocab_oracle() -> str:
     v AS (
         SELECT n, {apply_merges_sql(seq, _BPE_MERGES)} AS seq FROM wc
     ),
-    t AS (SELECT n, unnest(string_split(seq, ' ')) AS token FROM v)
+    t AS (SELECT n, replace(unnest(string_split(seq, ' ')), '|', '')
+        AS token FROM v)
     SELECT token,
         CAST(sum(n) AS BIGINT) AS n_occurrences,
         CAST(count(*) AS BIGINT) AS n_words
@@ -2739,7 +2740,9 @@ def bpe_vocab_census(spark: SparkSession, sf: str) -> DataFrame:
         "n", apply_merges_expr("seq0", _BPE_MERGES).alias("seq")
     )
     toks = vocab.select(
-        "n", F.explode(F.split(F.col("seq"), " ")).alias("token")
+        "n", F.explode(F.split(F.col("seq"), " ")).alias("ptok")
+    ).select(
+        "n", F.replace(F.col("ptok"), F.lit("|")).alias("token")
     )
     return (
         toks.groupBy("token")
@@ -2867,7 +2870,7 @@ def quality_clf_calibration_census(
 def _bpe_count_oracle() -> str:
     from scio_db_spark.operators.bpe import apply_merges_sql
 
-    seq = r"trim(regexp_replace(word || '_', '(.)', '\1 ', 'g'))"
+    seq = r"trim(regexp_replace(word || '_', '(.)', '|\1| ', 'g'))"
     applied = apply_merges_sql(seq, _BPE_MERGES)
     return f"""
     WITH w AS (
@@ -2950,7 +2953,7 @@ def bpe_token_count_trained(spark: SparkSession, sf: str) -> DataFrame:
 def _dedup_savings_oracle() -> str:
     from scio_db_spark.operators.bpe import apply_merges_sql
 
-    seq = r"trim(regexp_replace(word || '_', '(.)', '\1 ', 'g'))"
+    seq = r"trim(regexp_replace(word || '_', '(.)', '|\1| ', 'g'))"
     applied = apply_merges_sql(seq, _BPE_MERGES)
     return f"""
     WITH w AS (
@@ -3061,7 +3064,7 @@ def dedup_token_savings_census(spark: SparkSession, sf: str) -> DataFrame:
 def _bpe_fertility_oracle() -> str:
     from scio_db_spark.operators.bpe import apply_merges_sql
 
-    seq = r"trim(regexp_replace(word || '_', '(.)', '\1 ', 'g'))"
+    seq = r"trim(regexp_replace(word || '_', '(.)', '|\1| ', 'g'))"
     applied = apply_merges_sql(seq, _BPE_MERGES)
     return f"""
     WITH w AS (

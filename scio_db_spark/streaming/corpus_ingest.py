@@ -144,7 +144,7 @@ def trained_token_count_expr(text_col: str) -> Column:
     from scio_db_spark.plans.textops import _BPE_MERGES, _BPE_WORD_RE
 
     # Spark-dialect symbol sequence for the lambda variable w
-    seq = "trim(regexp_replace(concat(w, '_'), '(.)', '$1 '))"
+    seq = "trim(regexp_replace(concat(w, '_'), '(.)', '|$1| '))"
     chain = apply_merges_sql(seq, _BPE_MERGES)
     return F.expr(
         f"aggregate(regexp_extract_all(lower({text_col}), "

@@ -76,7 +76,7 @@ def test_apply_matches_python_segmentation(spark):
                     out.append(syms[i])
                     i += 1
             syms = out
-        segs[w] = " ".join(syms)
+        segs[w] = " ".join(f"|{x}|" for x in syms)
     df = spark.createDataFrame([(w,) for w in wc], "word string")
     got = {
         r.word: r.seq
