@@ -61,6 +61,31 @@ def main() -> int:
         try:
             duck_results[name] = con.execute(spec.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001 — recorded per-query
+            # Transient co-residency starvation guard: a DuckDB
+            # "Out of Memory ... bad allocation" on this shared box is
+            # almost always ANOTHER process's teardown still holding
+            # RAM (observed live in round 10: a 275MB/0.9s oracle
+            # failed a 16KB block seconds after a big pytest suite
+            # exited — the same environmental mode as the round-9
+            # driver artifact). One bounded backoff retry separates
+            # that from a real repo defect; the retry is printed so a
+            # green-after-retry row is never silent.
+            if "Out of Memory" in str(e) or "bad allocation" in str(e):
+                import time as _time
+
+                print(
+                    f"RETRY {name}: transient DuckDB OOM "
+                    f"({str(e)[:80]}); backing off 15s",
+                )
+                _time.sleep(15)
+                try:
+                    duck_results[name] = con.execute(
+                        spec.oracle
+                    ).fetchdf()
+                    continue
+                except Exception as e2:  # noqa: BLE001
+                    duck_results[name] = e2
+                    continue
             duck_results[name] = e
     for name, spec in sorted(all_queries().items()):
         if only and name not in only:
