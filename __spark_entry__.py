@@ -256,7 +256,18 @@ def _with_hygiene(
     DuckDB allocator (24 environmental err rows, all judge-verified
     green — VERDICT.md r9, fix spec in plans/hygiene.py). Driver-facing
     only: bench.py and the scaling tools call the registry directly, so
-    measured timings never include the hygiene GC."""
+    measured timings never include the hygiene GC.
+
+    INTERLEAVING ASSUMPTION (load-bearing): hygiene unpersists EVERY
+    persistent RDD, including ``localCheckpoint`` blocks whose lineage
+    Spark has truncated — so it is only safe because the driver's gate
+    is strictly sequential per query: build plan → collect → compare,
+    then the NEXT query's build (which fires this hook). No query's
+    eager-checkpointed DataFrame is ever still awaiting collection
+    when a later query's plan is built. If a harness ever pipelines
+    plan-building ahead of collection, hygiene must instead snapshot
+    ``getPersistentRDDs`` BEFORE the in-flight query and skip ids
+    created since (see ADVICE r10)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from scio_db_spark.plans.hygiene import release_session_memory

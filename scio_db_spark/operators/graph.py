@@ -52,6 +52,15 @@ def checkpointed(edges: DataFrame, eager: bool = False) -> DataFrame:
       is the HDFS/object-store checkpoint every long iterative job
       uses; locally it is what lets the ×1000 graph row be measured
       at all (BENCH_LOCAL_r10_scaling_graph_ckpt.json).
+
+    Disk growth: superseded round checkpoints are reclaimed by the
+    ContextCleaner because SessionFactory pins
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (static
+    conf, set at context start) — once a loop reassigns its frame
+    variable, the old round's files are deleted on the next JVM GC.
+    Sessions built OUTSIDE SessionFactory with a checkpoint dir set
+    inherit Spark's default (keep forever) and should manage the dir
+    themselves (ADVICE r10).
     """
     sc = edges.sparkSession.sparkContext
     ckpt_dir = None

@@ -46,6 +46,14 @@ _SCALE_DEFAULTS: dict[str, str] = {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    # Reliable checkpoints (DataFrame.checkpoint, used by the graph /
+    # BPE iterative loops when SCIO_GRAPH_CKPT_DIR is set) are NEVER
+    # deleted by Spark unless this is on — each peel/merge round would
+    # otherwise leave a full frame on disk for the life of the process
+    # (107 BPE rounds x vocab frame; ADVICE r10). Static conf: the
+    # ContextCleaner reads it once at context start, which is why it
+    # lives here and not at the setCheckpointDir call site.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 

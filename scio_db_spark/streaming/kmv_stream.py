@@ -43,10 +43,15 @@ def _make_kmv_fn(k: int):
     ) -> Iterator[pd.DataFrame]:
         (day,) = key
         ks: list[int] = list(state.get[0]) if state.exists else []
-        merged = set(ks)
         for pdf in pdfs:
+            merged = set(ks)
             merged.update(int(h) for h in pdf["h"] if h is not None)
-        ks = sorted(merged)[:k]
+            # trim to the k smallest PER CHUNK, not once at the end:
+            # min-merge is associative (anything dropped is larger
+            # than k survivors and can never re-enter the bottom-k),
+            # so the working set stays O(k + chunk) instead of
+            # O(batch distinct) on a hot day (ADVICE r10)
+            ks = sorted(merged)[:k]
         state.update((ks,))
         yield pd.DataFrame({"day": [day], "ks": [ks]})
 

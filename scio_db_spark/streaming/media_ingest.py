@@ -87,9 +87,14 @@ def decode_media_stream(
                     continue
                 try:
                     rows.append((int(i), *_decode_one(mime, bytes(b))))
-                except ValueError as e:
+                except Exception as e:  # noqa: BLE001
                     # the RECORD fails, the batch survives — the
-                    # codec's message rides to the dead-letter sink
+                    # codec's message rides to the dead-letter sink.
+                    # Broad on purpose: codecs raise ValueError for
+                    # contract violations but zlib.error (corrupt
+                    # DEFLATE body behind a valid CRC) and
+                    # struct.error escape that; any codec-internal
+                    # failure must route KO, never stall the stream.
                     rows.append(
                         (int(i), mime, False, str(e)[:200],
                          0, 0, 0, 0, 0, 0, 0)

@@ -106,3 +106,34 @@ def test_pair_estimator_reproduces_registered_census(spark, sf_dir):
         assert est["jac_num"] == r.jac_num
         assert est["union_est"] == r.union_est
         assert est["inter_est"] == r.inter_est
+
+
+def test_per_chunk_trim_is_lossless(spark):
+    """ADVICE-r10 regression: the state update trims to the k smallest
+    after EVERY pandas chunk (bounded working set). Min-merge is
+    associative, so chunk-wise trimming must still produce the exact
+    global bottom-k — including when a LATER chunk delivers hashes
+    smaller than every survivor of the first chunk."""
+    import pandas as pd
+
+    from scio_db_spark.streaming.kmv_stream import _make_kmv_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, t):
+            self.exists = True
+            self.get = t
+
+    k = 8
+    # chunk 1: large hashes; chunk 2: strictly smaller ones that must
+    # displace every chunk-1 survivor; chunk 3: interleaved + dups
+    chunks = [
+        pd.DataFrame({"h": [1000 + i for i in range(50)]}),
+        pd.DataFrame({"h": [i for i in range(20)]}),
+        pd.DataFrame({"h": [5, 7, 9, 2000, 3, 3]}),
+    ]
+    st = FakeState()
+    list(_make_kmv_fn(k)(("d",), iter(chunks), st))
+    everything = {int(h) for c in chunks for h in c["h"]}
+    assert list(st.get[0]) == sorted(everything)[:k]

@@ -32,6 +32,31 @@ SCHEMA = StructType(
 )
 
 
+def _png_valid_crc_garbage_idat() -> bytes:
+    """Hand-built PNG: well-formed signature/IHDR/IEND, every chunk
+    CRC correct, but the IDAT payload is garbage bytes that no
+    DEFLATE decoder accepts (a buggy-encoder / bitflip-past-CRC
+    shape)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # 2x2 RGB8
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\xff\x00\xde\xad\xbe\xef")
+        + chunk(b"IEND", b"")
+    )
+
+
 def _img(h, w, ch, seed):
     return np.random.RandomState(seed).randint(
         0, 256, (h, w, ch), dtype=np.uint8
@@ -71,6 +96,16 @@ def _rows():
             ),
             # poison: mime nobody has a codec for
             Row(media_id=6, mime_type="video/mp4", payload=bytearray(b"x")),
+            # poison: PNG whose chunk CRCs are all VALID but whose
+            # IDAT body is not a DEFLATE stream — zlib.decompress
+            # raises zlib.error, not ValueError; before the ADVICE-r10
+            # fix this killed the whole micro-batch instead of routing
+            # the record to the KO lane
+            Row(
+                media_id=7,
+                mime_type="image/png",
+                payload=bytearray(_png_valid_crc_garbage_idat()),
+            ),
         ],
         bmp_px,
         png_px,
@@ -110,7 +145,9 @@ def test_ok_rows_carry_exact_codec_features(split):
 def test_poison_routes_to_dead_letter_with_codec_error(split):
     outputs, _b, _p = split
     ko = {r.media_id: r for r in outputs["ko"]}
-    assert set(ko) == {4, 5, 6}
+    assert set(ko) == {4, 5, 6, 7}
     assert "truncated chunk" in ko[4].err
     assert "CRC mismatch" in ko[5].err
     assert "no codec" in ko[6].err
+    # zlib.error (non-ValueError) must route KO, not kill the batch
+    assert ko[7].err
