@@ -6,6 +6,17 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 Each query is fully materialized via a count-ish action that forces
 every column (``df.write.format("noop")``) so the measurement includes
 the complete plan, not just the first partition.
+
+Noise normalization (round-10 adjudication, made computable from the
+artifact alone): a FIXED reference workload — full parquet scan of
+``lineitem`` through a noop write, zero repo code in the hot path —
+runs before and after the measured passes. Its best time over a
+committed quiet-box reference gives ``noise_index``; the artifact
+carries raw seconds, the probe runs, and ``queries_normalized``
+(raw / noise_index), so a slower or contended driver box reads as
+noise_index > 1 instead of as a phantom regression (BENCH_r10 vs r9:
+nominal +17% while the probe ran 2.54× slower — that adjudication
+needed the builder's quiet-box re-run; now it's in the JSON).
 """
 
 from __future__ import annotations
@@ -21,6 +32,30 @@ if _REPO_ROOT not in sys.path:
 
 from scio_db_spark.plans.registry import all_queries  # noqa: E402
 from scio_db_spark.session import SessionFactory  # noqa: E402
+
+# Quiet-box reference for the fixed probe at sf0.1: median of
+# session-level best-of-4 across 5 idle-box JVMs on the round-11 build
+# box (mins 0.31-0.51 s — the probe's own cross-JVM noise floor is
+# ~±30%, so treat noise_index in [0.7, 1.4] as "same box, quiet";
+# the r10 adjudication gap this exists to catch was 2.54x). Re-pin
+# only from a quiet box.
+_PROBE_QUIET_REF_SEC = {"0.1": 0.38}
+
+
+def _noise_probe(spark, sf_dir: str, passes: int = 3) -> list[float]:
+    """Fixed-workload probe: full-column scan of the largest table via
+    noop write — pure Spark + parquet, no repo code, so its runtime
+    moves ONLY with the box (hardware + contention), never with this
+    repo's changes."""
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    runs: list[float] = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        spark.read.parquet(path).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        runs.append(round(time.perf_counter() - t0, 4))
+    return runs
 
 
 def main() -> None:
@@ -65,6 +100,7 @@ def main() -> None:
     # make a loaded run self-diagnosing without a re-run.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     load_start = os.getloadavg()[0]
+    probe_pre = _noise_probe(spark, sf_dir)
     wall_start = time.perf_counter()
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -85,6 +121,19 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"
 
+    probe_post = _noise_probe(spark, sf_dir)
+    probe_best = min(probe_pre + probe_post)
+    quiet_ref = _PROBE_QUIET_REF_SEC.get(
+        sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    )
+    noise = round(probe_best / quiet_ref, 4) if quiet_ref else None
+    # Dead band: the probe's own cross-JVM jitter is ~±30%, so an
+    # index inside [0.7, 1.4] means "quiet box" and normalizing by it
+    # would ADD noise; only a clearly slow/contended box (r10's was
+    # 2.54x) triggers actual rescaling.
+    noise_eff = noise if (noise and not 0.7 <= noise <= 1.4) else (
+        1.0 if noise else None
+    )
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -95,6 +144,25 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "passes": passes,
         "runs": runs,
+        # noise-normalization block: raw + normalized + the index, so
+        # cross-round comparisons on a slow/contended box
+        # self-adjudicate from the artifact alone (round-10 item 6)
+        "noise_probe": {
+            "runs_pre": probe_pre,
+            "runs_post": probe_post,
+            "best": probe_best,
+            "quiet_ref": quiet_ref,
+            "noise_index": noise,
+            "noise_index_effective": noise_eff,
+        },
+        "queries_normalized": (
+            {n: round(t / noise_eff, 4) for n, t in timings.items()}
+            if noise_eff
+            else None
+        ),
+        "value_normalized": (
+            round(total / noise_eff, 4) if noise_eff else None
+        ),
         "load_1m": [round(load_start, 2), round(os.getloadavg()[0], 2)],
         # A bench is its OWN load: on local[32] a healthy run drives
         # the 1m load up (warm-up included), so neither the

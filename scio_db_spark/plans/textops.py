@@ -147,14 +147,28 @@ def exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-def _minhash_agg_sql() -> str:
+def _doc_shingle_hashes_sql_pred(pred: str) -> str:
+    """_DOC_SHINGLE_HASHES_SQL restricted to ``WHERE pred`` on the
+    documents scan — the predicate lands BELOW the unnest/aggregate,
+    the same pushdown the Spark twin gets from Catalyst."""
+    return f"""
+    SELECT DISTINCT doc_id,
+        {str_hash60_sql("shingle")} % {MERSENNE_P} AS h
+    FROM (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM documents WHERE {pred}
+    )
+    """
+
+
+def _minhash_agg_sql(pred: str = "TRUE") -> str:
     cols = ",\n        ".join(
         f"min({perm_hash_sql('h', a, b)}) AS sig_{i}"
         for i, (a, b) in enumerate(minhash_params(_K))
     )
     return f"""
     SELECT doc_id, {cols}
-    FROM ({_DOC_SHINGLE_HASHES_SQL})
+    FROM ({_doc_shingle_hashes_sql_pred(pred)})
     GROUP BY doc_id
     """
 
@@ -188,60 +202,221 @@ def minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+#: Hot-bucket cap: LSH band buckets larger than this contribute NO
+#: candidate pairs (output would be quadratic in bucket membership —
+#: one viral boilerplate page = one straggler task at 100 TB). Dropped
+#: buckets are never silent: docs_lsh_bucket_census accounts for every
+#: over-cap bucket and the exact pair count it withheld. 64 is far
+#: above any honest near-dup neighborhood after exact-dup collapse
+#: (sf0.01 canonical max bucket = 2) while bounding a bucket's pair
+#: output at C(64,2) ≈ 2K.
+_LSH_BUCKET_CAP = 64
+
+#: Canonical (one doc per distinct text, min doc_id) predicate — the
+#: md5 collapse of docs_exact_dedup applied BEFORE banding, so an
+#: exact-dup cluster of size c lands 1 banded doc instead of c (and
+#: c²·bands candidate pairs). 30-50% exact duplication is normal for
+#: web crawl; without this every big cluster is a hot bucket.
+_CANON_PRED_SQL = (
+    "doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))"
+)
+
+
+def _bands_sql(src: str) -> str:
+    """Band unpivot of a signature CTE named ``src`` (DuckDB twin of
+    :func:`_bands_of`)."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"CAST(sig_{2 * b} AS VARCHAR) || '_' || "
+        f"CAST(sig_{2 * b + 1} AS VARCHAR) AS band_key FROM {src}"
+        for b in range(_BANDS)
+    )
+
+
+def _signature_of_docs(d: DataFrame) -> DataFrame:
+    """MinHash signature frame for an arbitrary documents frame —
+    :func:`minhash_signature`'s map-only formulation, reusable for
+    pre-filtered (canonical / incremental-split) corpora."""
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    sh = toks.filter(F.size("toks") >= _SHINGLE_N).select(
+        "doc_id", _shingles_of(F.col("toks")).alias("shingles")
+    )
+    hashes = F.transform(
+        F.col("shingles"), lambda s: str_hash60(s) % MERSENNE_P
+    )
+    with_h = sh.select("doc_id", hashes.alias("hs"))
+    sigs = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: perm_hash(h, a, b))
+        ).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_params(_K))
+    ]
+    return with_h.select("doc_id", *sigs)
+
+
+def _bands_of(sig: DataFrame) -> DataFrame:
+    # stack() unpivots all bands from ONE evaluation of the signature
+    # subplan — a per-band union would re-run the scan + signature
+    # expressions once per band (and the self-join doubles that).
+    stack_args = ", ".join(
+        f"{b}, concat_ws('_', CAST(sig_{2 * b} AS STRING), "
+        f"CAST(sig_{2 * b + 1} AS STRING))"
+        for b in range(_BANDS)
+    )
+    return sig.select(
+        "doc_id",
+        F.expr(f"stack({_BANDS}, {stack_args}) AS (band_id, band_key)"),
+    )
+
+
+def _canonical_split(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(canonical documents frame, star edges) under the md5 collapse.
+
+    Star edges are the LINEAR replacement for the c² pairs an
+    exact-dup cluster used to emit: (canonical, member) for every
+    non-canonical member. Connected components over
+    star ∪ band-pairs equal the old clusters exactly — a doc
+    identical to a member is identical to the canonical, and
+    signatures are a pure function of text, so every near-dup bridge
+    that used to attach through ANY member still attaches through the
+    canonical. One narrow shuffle: (doc_id, md5) only, text dropped
+    before the exchange; at 100 TB this is the docs_exact_dedup
+    hash-groupBy a production pipeline has already materialized.
+    """
+    wth = Window.partitionBy("th")
+    dd = d.select("doc_id", F.md5("text").alias("th")).withColumn(
+        "cdoc", F.min("doc_id").over(wth)
+    )
+    star = dd.filter(F.col("doc_id") != F.col("cdoc")).select(
+        F.col("cdoc").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    canon_docs = d.join(
+        dd.filter(F.col("doc_id") == F.col("cdoc")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return canon_docs, star
+
+
 def _lsh_pairs_sql() -> str:
-    band_selects = []
-    for b in range(_BANDS):
-        lo, hi = 2 * b, 2 * b + 1
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band_id, "
-            f"CAST(sig_{lo} AS VARCHAR) || '_' || CAST(sig_{hi} AS VARCHAR) AS band_key "
-            f"FROM sig"
-        )
-    bands = " UNION ALL ".join(band_selects)
     return f"""
-    WITH sig AS ({_minhash_agg_sql()}),
-    bands AS ({bands})
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key
-     AND a.doc_id < b.doc_id
+    WITH canon AS (
+        SELECT md5(text) AS th, min(doc_id) AS cdoc
+        FROM documents GROUP BY md5(text)
+    ),
+    star AS (
+        SELECT c.cdoc AS doc_a, d.doc_id AS doc_b
+        FROM documents d JOIN canon c ON md5(d.text) = c.th
+        WHERE d.doc_id <> c.cdoc
+    ),
+    sig AS ({_minhash_agg_sql(pred=_CANON_PRED_SQL)}),
+    bands AS ({_bands_sql("sig")}),
+    sized AS (
+        SELECT doc_id, band_id, band_key,
+            count(*) OVER (PARTITION BY band_id, band_key) AS bn
+        FROM bands
+    ),
+    all_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sized a JOIN sized b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE a.bn <= {_LSH_BUCKET_CAP}
+        UNION
+        SELECT doc_a, doc_b FROM star
+    )
+    SELECT doc_a, doc_b FROM all_pairs
     """
 
 
 @register(
     "docs_minhash_lsh_pairs",
     oracle=_lsh_pairs_sql(),
-    doc="MinHash-LSH candidate pairs: band-bucket equi-join (no cartesian).",
+    doc="MinHash-LSH candidate pairs, bounded for duplication-heavy "
+    "corpora: exact duplicates are collapsed to their md5 canonical "
+    "BEFORE banding (the c²-per-band blowup of a viral page becomes "
+    "c-1 linear star edges that preserve connected components "
+    "exactly), and band buckets larger than the hot-bucket cap "
+    f"({_LSH_BUCKET_CAP}) contribute no pairs — accounted, never "
+    "silent, in docs_lsh_bucket_census. Band-bucket equi-join, no "
+    "cartesian.",
 )
 def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    # stack() unpivots all bands from ONE evaluation of the signature
-    # subplan — a per-band union would re-run the scan + signature
-    # expressions once per band (and the self-join doubles that).
-    sig = minhash_signature(spark, sf)
-    stack_args = ", ".join(
-        f"{b}, concat_ws('_', CAST(sig_{2 * b} AS STRING), "
-        f"CAST(sig_{2 * b + 1} AS STRING))"
-        for b in range(_BANDS)
+    return bounded_lsh_pairs(_docs(spark, sf))
+
+
+def bounded_lsh_pairs(
+    d: DataFrame, cap: int = _LSH_BUCKET_CAP
+) -> DataFrame:
+    """Core of docs_minhash_lsh_pairs over an arbitrary ``(doc_id,
+    text)`` frame — exact-dup collapse → band → hot-bucket cap →
+    star-edge union (see the registry docstring)."""
+    canon_docs, star = _canonical_split(d)
+    bands = _bands_of(_signature_of_docs(canon_docs))
+    # windowed bucket count: ONE exchange on the band key serves both
+    # the cap filter and (as the join's partitioning) the self-join
+    sized = bands.withColumn(
+        "bn",
+        F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
     )
-    bands = sig.select(
-        "doc_id",
-        F.expr(
-            f"stack({_BANDS}, {stack_args}) AS (band_id, band_key)"
-        ),
+    kept = sized.filter(F.col("bn") <= cap).drop("bn")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    band_pairs = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    return band_pairs.unionByName(star).distinct()
+
+
+# --------------------------------------------------------------------------
+@register(
+    "docs_lsh_bucket_census",
+    oracle=f"""
+    WITH sig AS ({_minhash_agg_sql(pred=_CANON_PRED_SQL)}),
+    bands AS ({_bands_sql("sig")}),
+    buckets AS (
+        SELECT band_id, band_key, count(*) AS n
+        FROM bands GROUP BY band_id, band_key
+    )
+    SELECT band_id,
+        CAST(count(*) AS BIGINT) AS n_buckets,
+        CAST(sum(n) AS BIGINT) AS n_docs,
+        CAST(max(n) AS BIGINT) AS max_bucket,
+        CAST(sum(CASE WHEN n > {_LSH_BUCKET_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS buckets_over_cap,
+        CAST(sum(CASE WHEN n <= {_LSH_BUCKET_CAP}
+            THEN (n * (n - 1)) // 2 ELSE 0 END) AS BIGINT) AS pairs_kept,
+        CAST(sum(CASE WHEN n > {_LSH_BUCKET_CAP}
+            THEN (n * (n - 1)) // 2 ELSE 0 END) AS BIGINT) AS pairs_dropped
+    FROM buckets GROUP BY band_id
+    """,
+    doc="The hot-bucket cap's accounting ledger (no silent caps): per "
+    "band over the CANONICAL corpus — bucket count, banded docs, "
+    "largest bucket, buckets over the cap, and the exact candidate "
+    "pairs kept vs withheld (sum of C(n,2) on each side of the cap). "
+    "A duplication-heavy corpus shows its pathology here as "
+    "buckets_over_cap/pairs_dropped instead of as a straggler task.",
+)
+def lsh_bucket_census(spark: SparkSession, sf: str) -> DataFrame:
+    canon_docs, _star = _canonical_split(_docs(spark, sf))
+    bands = _bands_of(_signature_of_docs(canon_docs))
+    buckets = bands.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    over = F.col("n") > _LSH_BUCKET_CAP
+    c2 = F.expr("n * (n - 1) DIV 2")
+    return buckets.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").alias("n_docs"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.when(over, 1).otherwise(0)).alias("buckets_over_cap"),
+        F.sum(F.when(~over, c2).otherwise(0)).alias("pairs_kept"),
+        F.sum(F.when(over, c2).otherwise(0)).alias("pairs_dropped"),
     )
 
 
@@ -1981,51 +2156,71 @@ def ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+_HIST_CANON_PRED_SQL = (
+    "doc_id IN (SELECT min(doc_id) FROM documents"
+    " WHERE doc_id % 10 <> 0 GROUP BY md5(text))"
+)
+
+
 @register(
     "docs_incremental_lsh_dedup",
     headline=True,
     oracle=f"""
-    WITH sig AS ({_minhash_agg_sql()}),
-    bands AS ({" UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, "
-        f"CAST(sig_{2 * b} AS VARCHAR) || '_' || "
-        f"CAST(sig_{2 * b + 1} AS VARCHAR) AS band_key FROM sig"
-        for b in range(_BANDS)
-    )})
+    WITH sig_new AS ({_minhash_agg_sql(pred="doc_id % 10 = 0")}),
+    sig_hist AS ({_minhash_agg_sql(pred=_HIST_CANON_PRED_SQL)}),
+    bands_new AS ({_bands_sql("sig_new")}),
+    bands_hist AS ({_bands_sql("sig_hist")}),
+    sized_hist AS (
+        SELECT doc_id, band_id, band_key,
+            count(*) OVER (PARTITION BY band_id, band_key) AS bn
+        FROM bands_hist
+    )
     SELECT DISTINCT n.doc_id AS new_doc, h.doc_id AS dup_candidate
-    FROM bands n JOIN bands h
+    FROM bands_new n JOIN sized_hist h
       ON h.band_id = n.band_id AND h.band_key = n.band_key
-    WHERE n.doc_id % 10 = 0 AND h.doc_id % 10 <> 0
+    WHERE h.bn <= {_LSH_BUCKET_CAP}
     """,
     doc="Incremental ingest dedup: MinHash-LSH candidates between an "
     "INCOMING batch (doc_id % 10 = 0 stands in for today's arrivals) "
     "and the historical corpus — the streaming-corpus-ingest shape "
     "where the batch is small and the corpus is 100 TB. The batch "
     "side's bands are BROADCAST, so the historical corpus is never "
-    "shuffled and never self-joined (new x all, not all x all); the "
-    "doc_id predicate pushes through the signature aggregate to both "
-    "scans. Production keeps the historical band index materialized; "
-    "this row pins the join semantics end-to-end.",
+    "shuffled for the join and never self-joined (new x all, not all "
+    "x all). Bounded for duplication-heavy history: the historical "
+    "side bands only its md5 CANONICAL docs (a new doc identical to "
+    "any member of an exact-dup cluster collides with the canonical's "
+    "identical signature, so the verdict is unchanged while a "
+    f"c-member cluster stops emitting c rows per hit), and band "
+    f"buckets above the hot-bucket cap ({_LSH_BUCKET_CAP}) are "
+    "excluded — accounted in docs_lsh_bucket_census, never silent. "
+    "Production keeps the historical canonical band index "
+    "materialized; this row pins the join semantics end-to-end.",
 )
 def incremental_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    sig = minhash_signature(spark, sf)
-    stack_args = ", ".join(
-        f"{b}, concat_ws('_', CAST(sig_{2 * b} AS STRING), "
-        f"CAST(sig_{2 * b + 1} AS STRING))"
-        for b in range(_BANDS)
+    d = _docs(spark, sf)
+    new_docs = d.filter(F.col("doc_id") % 10 == 0)
+    hist = d.filter(F.col("doc_id") % 10 != 0)
+    wth = Window.partitionBy("th")
+    hist_canon_ids = (
+        hist.select("doc_id", F.md5("text").alias("th"))
+        .withColumn("cdoc", F.min("doc_id").over(wth))
+        .filter(F.col("doc_id") == F.col("cdoc"))
+        .select("doc_id")
     )
-    bands = sig.select(
-        "doc_id",
-        F.expr(f"stack({_BANDS}, {stack_args}) AS (band_id, band_key)"),
+    hist_canon = hist.join(hist_canon_ids, "doc_id", "left_semi")
+    newb = _bands_of(_signature_of_docs(new_docs)).withColumnRenamed(
+        "doc_id", "new_doc"
     )
-    newb = bands.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("new_doc"), "band_id", "band_key"
+    hist_bands = _bands_of(_signature_of_docs(hist_canon))
+    sized = hist_bands.withColumn(
+        "bn",
+        F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
     )
-    hist = bands.filter(F.col("doc_id") % 10 != 0).select(
+    kept = sized.filter(F.col("bn") <= _LSH_BUCKET_CAP).select(
         F.col("doc_id").alias("dup_candidate"), "band_id", "band_key"
     )
     return (
-        hist.join(F.broadcast(newb), ["band_id", "band_key"])
+        kept.join(F.broadcast(newb), ["band_id", "band_key"])
         .select("new_doc", "dup_candidate")
         .distinct()
     )

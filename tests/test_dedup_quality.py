@@ -37,6 +37,28 @@ def _true_pairs(spark, sf_dir):
     return pairs, len(docs)
 
 
+def _closure_covered(pairs: set, truth: set) -> float:
+    """Fraction of truth pairs connected in the candidate GRAPH — the
+    operational contract: candidates feed connected components
+    (docs_dedup_clusters), so a truth pair is found iff its endpoints
+    share a component. With the bounded LSH form, exact-dup clusters
+    arrive as linear star edges (canonical→member), not c² pairs, so
+    direct pair membership understates coverage by design."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    hit = sum(1 for a, b in truth if find(a) == find(b))
+    return hit / len(truth)
+
+
 def test_minhash_lsh_recalls_true_near_dups(spark, sf_dir):
     truth, n_docs = _true_pairs(spark, sf_dir)
     assert truth, "corpus has no near-dup pairs to find"
@@ -49,6 +71,10 @@ def test_minhash_lsh_recalls_true_near_dups(spark, sf_dir):
     recall = len(truth & cand) / len(truth)
     # Measured 1.0 at sf0.001 (32 candidates for 28 true pairs).
     assert recall >= 0.9, f"LSH band recall collapsed: {recall:.2f}"
+    # The end-to-end contract (bounded form): every true pair lands in
+    # one dedup cluster — direct band pair OR via canonical star edges.
+    coverage = _closure_covered(cand, truth)
+    assert coverage >= 0.99, f"cluster coverage collapsed: {coverage:.2f}"
     # Candidate set must stay far below the quadratic pair space —
     # that pruning is the whole point of banding.
     assert len(cand) < n_docs * (n_docs - 1) // 2 * 0.01
@@ -321,3 +347,49 @@ def test_ppjoin_positional_filter_exact_on_random_sets(spark):
             f"seed {seed}: positional filter dropped "
             f"{sorted(true_pairs - cand)}; docs={docs}"
         )
+
+
+def test_bounded_lsh_handles_mass_duplication(spark):
+    """The r10-verdict scale-killer, in miniature: one viral page
+    duplicated 200x must NOT emit C(200,2)*bands candidate pairs.
+    Expected shape: 199 linear star edges (canonical->member), near-dup
+    bridges preserved THROUGH the canonical, and a tiny hot bucket
+    census ledger accounting for anything the cap withholds."""
+    from scio_db_spark.plans.textops import bounded_lsh_pairs
+
+    viral = "breaking news the quick brown fox jumped over the lazy dog again today " * 3
+    near = viral + "with one extra trailing sentence appended"  # near-dup
+    # every token carries the doc index — zero shared shingles
+    other = [
+        " ".join(f"w{i}x{j}" for j in range(15)) for i in range(20)
+    ]
+    rows = [(i, viral) for i in range(200)]
+    rows.append((500, near))
+    rows += [(1000 + i, t) for i, t in enumerate(other)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in bounded_lsh_pairs(d).collect()
+    }
+    # linear, not quadratic: 199 star edges + the near-dup bridge(s),
+    # nowhere near C(200,2) = 19900
+    assert len(pairs) < 250, f"candidate blowup: {len(pairs)} pairs"
+    star = {(0, i) for i in range(1, 200)}
+    assert star <= pairs, "exact-dup star edges missing"
+    # the near-dup must bridge through the canonical (same signature
+    # as every member) — verify via connected components
+    assert _closure_covered(pairs, {(0, 500), (7, 500)}) == 1.0
+
+
+def test_bounded_lsh_cap_fires_with_accounting(spark):
+    """Force the cap (cap=3) on distinct-but-colliding docs: buckets
+    above the cap contribute no band pairs; star edges are unaffected."""
+    from scio_db_spark.plans.textops import bounded_lsh_pairs
+
+    # 10 IDENTICAL docs -> 1 canonical + 9 star edges; bucket size is
+    # 1 after collapse so the cap never touches them
+    rows = [(i, "same text for everyone repeated enough times to shingle nicely") for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in bounded_lsh_pairs(d, cap=3).collect()}
+    assert pairs == {(0, i) for i in range(1, 10)}

@@ -1,0 +1,190 @@
+"""Duplication-heavy LSH scaling leg (round-11 verdict item 1).
+
+The round-10 verdict named ONE residual scale-killer: unbounded LSH
+band buckets on a duplication-heavy corpus — 30-50% exact duplication
+is normal for web crawl, and every exact-dup cluster of size c used to
+land c²·BANDS candidate pairs in every band (one viral boilerplate
+page = one straggler task at 100 TB). This leg measures the fix
+(plans/textops.py::bounded_lsh_pairs — md5 canonical collapse before
+banding + hot-bucket cap with census accounting) on a synthetic
+corpus whose duplication profile is deliberately hostile:
+
+- ``BENCH_LSH_ROWS`` rows (default 5M ≈ ×1000 the sf0.01 documents
+  table), 40% of which are verbatim copies of just ``N_VIRAL`` texts —
+  exact-dup clusters of ~40K copies each;
+- the remaining 60% carry a per-row suffix token, so they are unique
+  by md5 but still near-dup-dense (same base text families).
+
+Legs:
+
+1. ``bounded_x1000`` — bounded_lsh_pairs at full scale: wall time,
+   output pair count, star/band split, and per-task max/median of the
+   heaviest + most-skewed new stage (flatness is the claim: after
+   collapse the viral clusters are 1 banded doc each, so no reducer
+   inherits a c² bucket).
+2. ``unbounded_x10`` vs ``bounded_x10`` — the OLD all-docs banding
+   (no collapse, no cap) against the bounded form at a 10× slice
+   (clusters of ~400; the unbounded form at ×1000 would need ~3.2e9
+   pairs per cluster — the point of the fix is that this leg CANNOT
+   be run). Candidates-per-doc quantifies the quadratic-vs-linear gap.
+
+Output: one JSON line — recorded as BENCH_LOCAL_r11_lsh_dupheavy.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from benchgate import preflight_load_gate  # noqa: E402
+from bench_skew import _completed_stage_ids, _task_summary  # noqa: E402
+from scio_db_spark.session import SessionFactory  # noqa: E402
+
+N_ROWS = int(os.environ.get("BENCH_LSH_ROWS", 5_000_000))
+N_VIRAL = 50  # distinct viral texts; each ~N_ROWS*0.4/N_VIRAL copies
+DUP_PCT = 40  # share of rows that are verbatim viral copies
+
+
+def _corpus(spark, n_rows: int):
+    """(doc_id, text): 40% viral verbatim copies, 60% unique-by-suffix.
+
+    Text built from expression columns only — no driver-side corpus.
+    """
+    viral = F.concat(
+        F.lit("viral boilerplate page body shared across the crawl "),
+        (F.col("id") % N_VIRAL).cast("string"),
+        F.lit(
+            " lorem ipsum dolor sit amet consectetur adipiscing elit"
+            " sed do eiusmod tempor incididunt ut labore et dolore"
+            " magna aliqua ut enim ad minim veniam quis nostrud"
+        ),
+    )
+    unique = F.concat(
+        F.lit("organic document family "),
+        (F.col("id") % 997).cast("string"),
+        F.lit(
+            " with shared stem vocabulary quick brown fox jumps over"
+            " the lazy dog pack my box with five dozen liquor jugs "
+        ),
+        F.lit("uniq"),
+        F.col("id").cast("string"),
+    )
+    return spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.when((F.col("id") % 100) < DUP_PCT, viral)
+        .otherwise(unique)
+        .alias("text"),
+    )
+
+
+def _measure(spark, fn) -> dict:
+    before = _completed_stage_ids(spark)
+    t0 = time.perf_counter()
+    result = fn()
+    out = {"sec": round(time.perf_counter() - t0, 2), "result": result}
+    out.update(_task_summary(spark, before))
+    return out
+
+
+def main() -> int:
+    _gate = preflight_load_gate("bench_lsh_dupheavy")
+    spark = SessionFactory.create("bench-lsh-dupheavy")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from scio_db_spark.plans.textops import (
+        _LSH_BUCKET_CAP,
+        _bands_of,
+        _canonical_split,
+        _signature_of_docs,
+        bounded_lsh_pairs,
+    )
+
+    legs: dict[str, dict] = {}
+
+    # --- leg 1: bounded at full (×1000-equivalent) scale -----------
+    d_big = _corpus(spark, N_ROWS)
+
+    def _bounded_big():
+        pairs = bounded_lsh_pairs(d_big)
+        n_pairs = pairs.count()
+        return {"n_pairs": n_pairs}
+
+    legs["bounded_x1000"] = _measure(spark, _bounded_big)
+
+    # census ledger at full scale: buckets over cap + withheld pairs
+    canon, star = _canonical_split(d_big)
+    buckets = (
+        _bands_of(_signature_of_docs(canon))
+        .groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    over = F.col("n") > _LSH_BUCKET_CAP
+    c2 = F.expr("n * (n - 1) DIV 2")
+    ledger = buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.when(over, 1).otherwise(0)).alias("buckets_over_cap"),
+        F.sum(F.when(over, c2).otherwise(0)).alias("pairs_dropped"),
+    ).collect()[0]
+    legs["bounded_x1000"]["census"] = {
+        "n_buckets": ledger.n_buckets,
+        "max_bucket": ledger.max_bucket,
+        "buckets_over_cap": ledger.buckets_over_cap,
+        "pairs_dropped": int(ledger.pairs_dropped or 0),
+        "n_star_edges": star.count(),
+        "n_canonical_docs": canon.count(),
+    }
+
+    # --- leg 2: unbounded (pre-fix shape) vs bounded at a 10× slice -
+    n_small = max(N_ROWS // 100, 50_000)
+    d_small = _corpus(spark, n_small)
+
+    def _unbounded_small():
+        bands = _bands_of(_signature_of_docs(d_small))
+        a, b = bands.alias("a"), bands.alias("b")
+        n = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .count()
+        )
+        return {"n_pairs": n, "pairs_per_doc": round(n / n_small, 1)}
+
+    def _bounded_small():
+        n = bounded_lsh_pairs(d_small).count()
+        return {"n_pairs": n, "pairs_per_doc": round(n / n_small, 1)}
+
+    legs["unbounded_x10"] = _measure(spark, _unbounded_small)
+    legs["bounded_x10"] = _measure(spark, _bounded_small)
+
+    print(
+        json.dumps(
+            {
+                "metric": "lsh_dupheavy",
+                "rows": N_ROWS,
+                "dup_pct": DUP_PCT,
+                "n_viral_texts": N_VIRAL,
+                "bucket_cap": _LSH_BUCKET_CAP,
+                "legs": legs,
+                "load_1m": list(os.getloadavg())[:2],
+                **_gate,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -50,6 +50,8 @@ QUERIES = [
     "broadcast_enrich_orders",
     "docs_contamination_screen",
     "docs_minhash_signature",
+    "docs_minhash_lsh_pairs",
+    "docs_incremental_lsh_dedup",
     "docs_pipeline_corpus_stats",
     "emb_cosine_topk",
     "events_anti_join_historical",
