@@ -24,23 +24,37 @@ list freezable as committed literals (resources/bpe_merges.json, the
 kmeans/quality-clf posture) and the APPLY side hash-verifiable
 against a DuckDB twin.
 
+FULL CHARSET (round-11): training and application are BYTE-LEVEL with
+a GPT-2-style category pre-tokenizer — the round-10 verdict's item 2.
+Pre-tokens are letter runs, digit runs, or other-non-space runs
+(``\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+`` — identical Unicode-category
+regex in Java and RE2, so both engines cut the same pre-tokens;
+whitespace is the separator and never a symbol). Each pre-token is
+rendered as its UTF-8 BYTES in two-hex-digit symbols — the byte
+fallback: any text in any script is representable, and the symbol
+alphabet ([0-9A-F] pairs, plus the EOW marker) can never collide with
+the '|'/' '/'_' delimiters no matter what bytes the corpus contains
+(with raw characters as symbols, a literal '|' or '_' in punctuation
+would corrupt the rendering).
+
 Application semantics (shared by both engines and the trainer): a
-word is rendered as DELIMITER-COMPLETE symbols — every symbol wrapped
-in pipes and joined by single spaces (``'cat' -> '|c| |a| |t| |_|'``)
-— and each merge ``(a, b)`` is one global left-to-right
-non-overlapping ``replace('|a| |b|', '|ab|')`` in rank order. The
-pipe wrapping matters: a bare space-delimited rendering shares the
-single delimiter space between consecutive matches, so replace()
-silently skips ALTERNATING occurrences ("a c a c" merges once, not
-twice — a real divergence from textbook BPE that the adversarial
-rank-agreement property test caught). With both delimiters inside
-the match, adjacent occurrences share no characters and every
-left-to-right non-overlapping adjacency merges, exactly the
-reference semantics; self-pair runs still merge at even offsets only
-("a a a" contributes ONE (a,a) merge), which the trainer's
-run-parity counting mirrors. Both Spark's ``replace`` and DuckDB's
-``replace`` share this semantics, so the chained expression is the
-identical program in both engines.
+pre-token is rendered as DELIMITER-COMPLETE symbols — every symbol
+wrapped in pipes and joined by single spaces
+(``'cat' -> '|63| |61| |74| |_|'``) — and each merge ``(a, b)`` is
+one global left-to-right non-overlapping
+``replace('|a| |b|', '|ab|')`` in rank order. The pipe wrapping
+matters: a bare space-delimited rendering shares the single delimiter
+space between consecutive matches, so replace() silently skips
+ALTERNATING occurrences ("a c a c" merges once, not twice — a real
+divergence from textbook BPE that the adversarial rank-agreement
+property test caught). With both delimiters inside the match,
+adjacent occurrences share no characters and every left-to-right
+non-overlapping adjacency merges, exactly the reference semantics;
+self-pair runs still merge at even offsets only ("a a a" contributes
+ONE (a,a) merge), which the trainer's run-parity counting mirrors.
+Both Spark's ``replace`` and DuckDB's ``replace`` share this
+semantics, so the chained expression is the identical program in
+both engines.
 """
 
 from __future__ import annotations
@@ -50,21 +64,56 @@ from pyspark.sql import functions as F
 
 from scio_db_spark.operators.graph import checkpointed
 
-#: End-of-word marker appended to every word before character
-#: splitting. Training operates on lowercase letter runs ([a-z]+),
-#: so '_' can never collide with a real symbol.
+#: End-of-pre-token marker appended as the final symbol. Byte symbols
+#: are two-hex-digit strings, so the single '_' can never collide.
 EOW = "_"
+
+#: GPT-2-style category pre-tokenizer: letter runs, digit runs,
+#: other-non-space runs. Unicode categories — RE2 (DuckDB) and
+#: java.util.regex (Spark) agree on \p{L}/\p{N}, verified bit-equal.
+PRETOK_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+
+
+def pretokens(text_col: F.Column) -> F.Column:
+    """Array of category pre-tokens from raw text (case preserved)."""
+    return F.regexp_extract_all(text_col, F.lit(PRETOK_RE), 0)
+
+
+def pretokens_sql(text_expr: str) -> str:
+    """DuckDB twin of :func:`pretokens` (same RE2-compatible regex)."""
+    return f"regexp_extract_all({text_expr}, '{PRETOK_RE}')"
 
 
 def to_symbol_seq(word_col: F.Column) -> F.Column:
-    """``'hello' -> '|h| |e| |l| |l| |o| |_|'``: pipe-wrapped
-    characters space-joined with the EOW marker as the final symbol
-    (delimiter-complete — see module doc). ``regexp_replace`` keeps
-    the expression engine-portable (the DuckDB twin uses the same
-    regex with the 'g' flag)."""
-    return F.trim(
-        F.regexp_replace(F.concat(word_col, F.lit(EOW)), "(.)", "|$1| ")
+    """``'cat' -> '|63| |61| |74| |_|'``: UTF-8 bytes as pipe-wrapped
+    two-hex-digit symbols, space-joined, EOW appended
+    (delimiter-complete — see module doc). ``hex`` is uppercase in
+    both engines; the hex string always has even length, so the
+    ``(..)`` pairing is exact."""
+    return F.concat(
+        F.trim(
+            F.regexp_replace(
+                F.hex(F.encode(word_col, "UTF-8")), "(..)", "|$1| "
+            )
+        ),
+        F.lit(f" |{EOW}|"),
     )
+
+
+def to_symbol_seq_sql(word_expr: str) -> str:
+    """DuckDB twin of :func:`to_symbol_seq` (same rendering, 'g'
+    flag for the global regexp_replace)."""
+    return (
+        rf"trim(regexp_replace(hex(encode({word_expr})), "
+        rf"'(..)', '|\1| ', 'g')) || ' |{EOW}|'"
+    )
+
+
+def word_to_symbols(word: str) -> tuple[str, ...]:
+    """Plain-Python twin of :func:`to_symbol_seq`'s symbol split —
+    the reference trainer and tests build vocab entries with it."""
+    h = word.encode("utf-8").hex().upper()
+    return tuple(h[i : i + 2] for i in range(0, len(h), 2)) + (EOW,)
 
 
 def adjacent_pair_counts(vocab: DataFrame) -> DataFrame:
@@ -163,7 +212,8 @@ def apply_merges_expr(
 def apply_merges_sql(seq_expr: str, merges: list[list[str]]) -> str:
     """The identical chained-replace program as SQL text (replace()
     semantics are the same left-to-right non-overlapping pass in both
-    engines; delimiter-complete symbols per the module doc)."""
+    engines; delimiter-complete symbols per the module doc). Symbols
+    are hex pairs + '_' only, so no quoting hazards."""
     expr = seq_expr
     for left, right in merges:
         expr = (
@@ -212,9 +262,10 @@ def bpe_train_python(
 ) -> list[tuple[str, str]]:
     """Plain-Python reference trainer with the IDENTICAL semantics
     (rank-agreement pin for the Spark trainer; tests only)."""
-    vocab: dict[tuple[str, ...], int] = {
-        tuple(word) + (EOW,): n for word, n in word_counts.items()
-    }
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, n in word_counts.items():
+        key = word_to_symbols(word)
+        vocab[key] = vocab.get(key, 0) + n
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         counts: dict[tuple[str, str], int] = {}

@@ -132,23 +132,34 @@ def enrich(docs: DataFrame, cfg: CorpusIngestConfig) -> DataFrame:
 def trained_token_count_expr(text_col: str) -> Column:
     """Per-document token count under the committed BPE merge table
     as ONE parsed SQL expression (stream-safe, map-only): for each
-    lowercase letter run, render the symbol sequence, apply the
-    rank-ordered replace chain, and sum the resulting symbol counts.
+    category pre-token (full charset, byte symbols — operators/bpe.py
+    module doc), render the symbol sequence, apply the rank-ordered
+    replace chain, and sum the resulting symbol counts.
     Matches plans/textops.py::docs_bpe_token_count_trained row for
     row (pinned in tests/test_corpus_ingest.py) — that batch form
     routes the chain through the DISTINCT vocabulary instead, the
     right shape when a corpus is re-tokenized at rest; this form is
     the right shape when documents arrive one micro-batch at a time.
     """
-    from scio_db_spark.operators.bpe import apply_merges_sql
-    from scio_db_spark.plans.textops import _BPE_MERGES, _BPE_WORD_RE
+    from scio_db_spark.operators.bpe import (
+        EOW,
+        PRETOK_RE,
+        apply_merges_sql,
+    )
+    from scio_db_spark.plans.textops import _BPE_MERGES
 
     # Spark-dialect symbol sequence for the lambda variable w
-    seq = "trim(regexp_replace(concat(w, '_'), '(.)', '|$1| '))"
+    seq = (
+        "concat(trim(regexp_replace(hex(encode(w, 'UTF-8')), "
+        f"'(..)', '|$1| ')), ' |{EOW}|')"
+    )
     chain = apply_merges_sql(seq, _BPE_MERGES)
+    # Spark SQL string literals process backslash escapes — double
+    # them so \p{L} survives the parser as a regex, not as p{L}
+    re_sql = PRETOK_RE.replace("\\", "\\\\")
     return F.expr(
-        f"aggregate(regexp_extract_all(lower({text_col}), "
-        f"'{_BPE_WORD_RE}', 0), 0L, "
+        f"aggregate(regexp_extract_all({text_col}, "
+        f"'{re_sql}', 0), 0L, "
         f"(acc, w) -> acc + size(split({chain}, ' ')))"
     )
 

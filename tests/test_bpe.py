@@ -1,6 +1,7 @@
 """BPE merge training: rank agreement between the distributed Spark
 trainer and the plain-Python reference (identical semantics), apply
-consistency, and committed-resource integrity."""
+consistency, and committed-resource integrity — on the FULL charset
+(byte symbols, category pre-tokens; round-11)."""
 
 from __future__ import annotations
 
@@ -11,7 +12,9 @@ from scio_db_spark.operators.bpe import (
     apply_merges,
     bpe_train,
     bpe_train_python,
+    pretokens,
     to_symbol_seq,
+    word_to_symbols,
 )
 
 
@@ -20,13 +23,7 @@ def _word_counts_from_docs(spark, sf_dir) -> dict[str, int]:
 
     rows = (
         table(spark, sf_dir, "documents")
-        .select(
-            F.explode(
-                F.regexp_extract_all(
-                    F.lower(F.col("text")), F.lit("[a-z]+"), 0
-                )
-            ).alias("word")
-        )
+        .select(F.explode(pretokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .count()
         .collect()
@@ -35,9 +32,10 @@ def _word_counts_from_docs(spark, sf_dir) -> dict[str, int]:
 
 
 def test_spark_trainer_rank_agrees_with_python(spark, sf_dir):
-    """Full rank agreement on the real sf0.001 corpus vocabulary:
-    every merge, in order — the determinism claim the committed
-    resource rests on."""
+    """Full rank agreement on the real sf0.001 corpus vocabulary
+    (category pre-tokens: case, digits, punctuation included): every
+    merge, in order — the determinism claim the committed resource
+    rests on."""
     wc = _word_counts_from_docs(spark, sf_dir)
     words = spark.createDataFrame(
         list(wc.items()), "word string, n long"
@@ -55,13 +53,22 @@ def test_trainer_early_stops_below_min_count(spark):
 
 def test_apply_matches_python_segmentation(spark):
     """Chained replace() application reproduces the Python trainer's
-    final vocabulary segmentation for the words it trained on."""
-    wc = {"lower": 6, "lowest": 5, "newer": 4, "newest": 3, "wider": 2}
-    merges = bpe_train_python(wc, 8)
-    # Python-side final segmentation
+    final vocabulary segmentation — including mixed-case, digits,
+    punctuation, and a multi-byte non-Latin word (byte fallback)."""
+    wc = {
+        "lower": 6,
+        "Lower": 5,  # case distinct from 'lower'
+        "2024": 4,
+        "--": 3,
+        "naïve": 2,  # ï is two UTF-8 bytes
+        "世界": 2,  # three UTF-8 bytes per char
+    }
+    merges = bpe_train_python(wc, 10)
+    assert merges, "training produced no merges on the mixed vocab"
+    # Python-side final segmentation over BYTE symbols
     segs = {}
     for w in wc:
-        syms = list(w) + [EOW]
+        syms = list(word_to_symbols(w))
         for left, right in merges:
             out, i = [], 0
             while i < len(syms):
@@ -90,14 +97,41 @@ def test_apply_matches_python_segmentation(spark):
     assert got == segs
 
 
+def test_symbol_seq_twins_agree(spark):
+    """Spark to_symbol_seq == DuckDB to_symbol_seq_sql byte for byte,
+    across scripts, emoji, delimiters-in-text ('|', '_'), and digits
+    — the cross-engine contract every census oracle rides on."""
+    import duckdb
+
+    from scio_db_spark.operators.bpe import to_symbol_seq_sql
+
+    words = ["cat", "HeLLo", "42", "a|b", "__", "naïve", "世界", "🙂"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r.word: r.seq
+        for r in df.select(
+            "word", to_symbol_seq(F.col("word")).alias("seq")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for w in words:
+        (want,) = con.execute(
+            f"SELECT {to_symbol_seq_sql('?')}", [w]
+        ).fetchone()
+        assert got[w] == want, (w, got[w], want)
+        # and the plain-Python twin
+        assert got[w] == " ".join(f"|{s}|" for s in word_to_symbols(w))
+
+
 def test_committed_resource_is_wellformed():
     from scio_db_spark.plans.textops import _BPE_MERGES
 
     assert len(_BPE_MERGES) >= 50
-    seen_symbols = set("abcdefghijklmnopqrstuvwxyz") | {EOW}
+    # base alphabet = the 256 byte symbols + EOW
+    seen_symbols = {f"{b:02X}" for b in range(256)} | {EOW}
     for left, right in _BPE_MERGES:
         # every merge's components must be buildable from earlier
-        # merges or base characters (rank-order soundness)
+        # merges or base byte symbols (rank-order soundness)
         assert left in seen_symbols, left
         assert right in seen_symbols, right
         seen_symbols.add(left + right)
@@ -106,12 +140,16 @@ def test_committed_resource_is_wellformed():
 def test_rank_agreement_property_random_vocabularies(spark):
     """Property pin across adversarial vocabulary shapes: repeated
     letters (run-parity path), shared prefixes/suffixes (tie-break
-    path), single chars, and skewed counts. The Spark trainer must
-    reproduce the Python reference merge-for-merge on each."""
+    path), single chars, skewed counts — now over a mixed-charset
+    alphabet (case, digit, punctuation, multi-byte unicode). The
+    Spark trainer must reproduce the Python reference merge-for-merge
+    on each."""
     import random
 
     rng = random.Random(42)
-    alphabet = "abc"  # tiny alphabet maximizes ties and self-pairs
+    # tiny alphabet maximizes ties and self-pairs; é is 2 bytes so
+    # self-runs cross byte boundaries, and '|'/'_' stress delimiters
+    alphabet = "aA1.é|_"
     for trial in range(4):
         wc = {}
         for _ in range(rng.randint(4, 12)):

@@ -9,10 +9,13 @@ depends on: both engines apply the same committed merge list
 (chained replace in rank order), so the registered census is
 hash-verifiable, and this script only re-runs when the recipe changes.
 
-Recipe: lowercase letter runs ([a-z]+) from sf0.1 documents, weighted
-by occurrence; N_MERGES merges, ties broken lexicographically
-(deterministic — pinned against the plain-Python reference trainer in
-tests/test_bpe.py).
+Recipe (round-11, full charset): GPT-2-style category pre-tokens
+(letter runs / digit runs / other-non-space runs, case preserved,
+operators/bpe.py::PRETOK_RE) from sf0.1 documents, weighted by
+occurrence, rendered as UTF-8 BYTE symbols (two-hex-digit, byte
+fallback — any script representable); N_MERGES merges, ties broken
+lexicographically (deterministic — pinned against the plain-Python
+reference trainer in tests/test_bpe.py).
 
     python tools/train_bpe.py [sf_dir]
 
@@ -34,7 +37,6 @@ _OUT = os.path.join(
 )
 
 N_MERGES = 160
-WORD_RE = "[a-z]+"
 
 
 def main() -> int:
@@ -42,7 +44,7 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    from scio_db_spark.operators.bpe import bpe_train
+    from scio_db_spark.operators.bpe import PRETOK_RE, bpe_train, pretokens
     from scio_db_spark.plans.catalog import table
     from scio_db_spark.session import SessionFactory
 
@@ -51,13 +53,7 @@ def main() -> int:
 
     docs = table(spark, sf_dir, "documents")
     words = (
-        docs.select(
-            F.explode(
-                F.regexp_extract_all(
-                    F.lower(F.col("text")), F.lit(WORD_RE), 0
-                )
-            ).alias("word")
-        )
+        docs.select(F.explode(pretokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -68,7 +64,8 @@ def main() -> int:
     payload = {
         "recipe": {
             "sf_dir": sf_dir,
-            "word_re": WORD_RE,
+            "word_re": PRETOK_RE,
+            "symbols": "utf-8 bytes as two-hex-digit symbols",
             "n_merges_requested": N_MERGES,
             "tie_break": "lexicographic (left, right)",
             "trainer": "operators/bpe.py::bpe_train",
