@@ -47,12 +47,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # is unaffected.
 # tools/update_driver_verified.py regenerates this set after each
 # round (latest-round-wins) and `--check` fails when it drifts.
-_DRIVER_VERIFIED_ROUND = 9
+_DRIVER_VERIFIED_ROUND = 10
 _DRIVER_VERIFIED = frozenset({
+    "agg_orders_by_status",
+    "anti_join_customers_without_orders",
+    "basket_part_pairs_topk",
+    "broadcast_enrich_orders",
+    "cube_order_status_priority",
+    "cust_fuzzy_edit1_pairs",
+    "cust_pareto_skyline",
+    "decile_customer_revenue",
+    "distinct_order_dims",
+    "docs_bigram_colloc_topk",
+    "docs_bigram_cond_surprisal",
     "docs_bloom_membership_census",
+    "docs_bm25_scores",
+    "docs_bpe_fertility_census",
+    "docs_bpe_token_count",
+    "docs_bpe_token_count_trained",
+    "docs_bpe_vocab_census",
+    "docs_chunk_plan",
+    "docs_clean_corpus",
     "docs_contamination_screen",
     "docs_dedup_clusters",
     "docs_dedup_reduce_census",
+    "docs_dedup_token_savings_census",
     "docs_dsir_importance_topk",
     "docs_duplicate_spans",
     "docs_exact_dedup",
@@ -74,6 +93,7 @@ _DRIVER_VERIFIED = frozenset({
     "docs_pipeline_corpus_stats",
     "docs_ppjoin_similarity_pairs",
     "docs_quality_classifier_census",
+    "docs_quality_clf_calibration_census",
     "docs_quality_score",
     "docs_repetition_signals",
     "docs_simhash",
@@ -143,6 +163,7 @@ _DRIVER_VERIFIED = frozenset({
     "events_moving_hour_stats",
     "events_multitouch_attribution",
     "events_next_purchase_asof",
+    "events_orders_join_size_cms",
     "events_orders_range_count",
     "events_pii_redaction_census",
     "events_purchase_attribution",
@@ -158,9 +179,12 @@ _DRIVER_VERIFIED = frozenset({
     "events_session_windows",
     "events_time_weighted_value",
     "events_top_paths",
+    "events_type_changepoint",
+    "events_type_holt_forecast",
     "events_type_hour_profile",
     "events_type_transition_matrix",
     "events_type_trend_slope",
+    "events_user_overlap_kmv_census",
     "events_validity_ko_routing",
     "events_validity_ok_count",
     "events_value_deciles_global",
@@ -171,15 +195,22 @@ _DRIVER_VERIFIED = frozenset({
     "events_windowed_counts",
     "events_windowed_funnel_census",
     "global_rank_customers",
+    "graph_kcore_census",
     "graph_khop_reach_census",
+    "graph_lpa_community_census",
+    "graph_pagerank_purchase_flow",
     "graph_pagerank_supplier_customer",
+    "graph_ppr_seed_suppliers",
     "graph_triangle_census",
     "histogram_order_totals",
     "median_order_total",
+    "mm_bmp_rgb_roundtrip",
     "mm_byte_features",
     "mm_decode_meta",
     "mm_frame_sample",
     "mm_payload_metadata",
+    "mm_png_rgb_roundtrip",
+    "mm_wav_pcm_roundtrip",
     "multi_pattern_timestamp_parse",
     "orders_agg_retraction_census",
     "orders_benford_digit_census",
@@ -231,12 +262,65 @@ _DRIVER_VERIFIED = frozenset({
 })
 
 
-# Queries whose OUTPUT semantics changed this round (schema or
-# values): re-aliased into the driver window even though an older
-# green row exists, so the change earns a fresh driver verification.
-# tools/update_driver_verified.py folds the new green back to the
-# canonical name next round; clear this set when that happens.
-_REVERIFY: frozenset[str] = frozenset()
+# Round-11 window (every registry row has a driver green somewhere,
+# so the 50-slot window's job is now re-verification FRESHNESS on
+# current code — r10 verdict item 5): 9 queries whose OUTPUT
+# semantics changed this round (bounded LSH star-edge form and its
+# CC/split/reduce consumers; the four byte-BPE censuses) plus the 37
+# OLDEST driver greens (rounds 2-4 vintage — all pre-round-6,
+# exceeding the verdict's >=30 bar). With the 4 brand-new round-11
+# queries that makes exactly 50 aliased rows.
+# tools/update_driver_verified.py folds the new greens back to
+# canonical names next round; rebuild this set then (next-oldest
+# vintage: the round-5 greens).
+_REVERIFY: frozenset[str] = frozenset({
+    "docs_bpe_fertility_census",
+    "docs_bpe_token_count_trained",
+    "docs_bpe_vocab_census",
+    "docs_dedup_clusters",
+    "docs_dedup_reduce_census",
+    "docs_dedup_token_savings_census",
+    "docs_incremental_lsh_dedup",
+    "docs_leakage_safe_split_census",
+    "docs_minhash_lsh_pairs",
+    "docs_simhash",
+    "docs_simhash_near_pairs",
+    "docs_stratified_sample",
+    "docs_token_df_topk",
+    "docs_token_stats",
+    "docs_top_quality_per_source",
+    "docs_train_val_split",
+    "docs_type_token_ratio",
+    "docs_unigram_surprisal",
+    "docs_vocab_coverage",
+    "emb_ann_ivf_topk",
+    "emb_ann_lsh_topk",
+    "emb_cosine_topk",
+    "emb_kmeans_assign",
+    "emb_lsh_bucket_histogram",
+    "emb_near_dup_pairs",
+    "emb_norms",
+    "emb_semantic_dedup",
+    "events_anti_join_historical",
+    "events_asof_latest_order",
+    "events_csv_parse_toxic",
+    "events_daily_retention",
+    "events_dedup_first_per_key",
+    "events_dedup_mark_duplicates",
+    "events_dedup_ttl_sessions",
+    "events_enrich_user_lookup",
+    "events_funnel_view_purchase",
+    "events_initial_load_tag",
+    "events_json_extract",
+    "events_key_extraction",
+    "events_moving_hour_stats",
+    "events_orders_range_count",
+    "events_resample_hourly_ffill",
+    "events_response_classification",
+    "events_retry_increment",
+    "events_semi_join_duplicated",
+    "events_session_windows",
+})
 
 
 def _driver_key(name: str) -> str:

@@ -127,13 +127,14 @@ def main() -> None:
         sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     )
     noise = round(probe_best / quiet_ref, 4) if quiet_ref else None
-    # Dead band: the probe's own cross-JVM jitter is ~±30%, so an
-    # index inside [0.7, 1.4] means "quiet box" and normalizing by it
-    # would ADD noise; only a clearly slow/contended box (r10's was
-    # 2.54x) triggers actual rescaling.
-    noise_eff = noise if (noise and not 0.7 <= noise <= 1.4) else (
-        1.0 if noise else None
-    )
+    # One-sided dead band: the probe's own cross-JVM jitter is ~±30%,
+    # so only a clearly SLOW/contended box (index > 1.4; r10's was
+    # 2.54x) triggers rescaling. An index below 1 never does — a
+    # fast probe means probe jitter, and dividing by it would inflate
+    # every query, manufacturing a phantom regression.
+    noise_eff = (noise if noise and noise > 1.4 else 1.0) if (
+        noise
+    ) else None
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -78,6 +78,29 @@ def main() -> int:
         print(f"reference {old_path} unparseable; nothing to compare")
         return 0
 
+    # Prefer NOISE-NORMALIZED timings when both artifacts carry them
+    # (bench.py emits queries_normalized since round 11): a slower or
+    # contended driver box then reads as noise_index > 1 instead of as
+    # a phantom regression — the round-10 +17%/2.54x adjudication,
+    # computable from the artifacts alone.
+    normalized = bool(
+        old.get("queries_normalized") and new.get("queries_normalized")
+    )
+    if normalized:
+        old = {
+            **old,
+            "queries": old["queries_normalized"],
+            "value": old.get("value_normalized", old["value"]),
+        }
+        new = {
+            **new,
+            "queries": new["queries_normalized"],
+            "value": new.get("value_normalized", new["value"]),
+        }
+        idx_o = (old.get("noise_probe") or {}).get("noise_index")
+        idx_n = (new.get("noise_probe") or {}).get("noise_index")
+        print(f"comparing NORMALIZED timings (noise index: "
+              f"ref {idx_o}, new {idx_n})")
     print(f"reference: {old_path}  (total {old['value']}s)")
     print(f"new:       {new_path}  (total {new['value']}s)")
     print(f"{'query':<34} {'old':>8} {'new':>8} {'ratio':>7}")
