@@ -266,9 +266,9 @@ _DRIVER_VERIFIED = frozenset({
 # so the 50-slot window's job is now re-verification FRESHNESS on
 # current code — r10 verdict item 5): 9 queries whose OUTPUT
 # semantics changed this round (bounded LSH star-edge form and its
-# CC/split/reduce consumers; the four byte-BPE censuses) plus the 37
+# CC/split/reduce consumers; the four byte-BPE censuses) plus the 36
 # OLDEST driver greens (rounds 2-4 vintage — all pre-round-6,
-# exceeding the verdict's >=30 bar). With the 4 brand-new round-11
+# exceeding the verdict's >=30 bar). With the 5 brand-new round-11
 # queries that makes exactly 50 aliased rows.
 # tools/update_driver_verified.py folds the new greens back to
 # canonical names next round; rebuild this set then (next-oldest
@@ -313,7 +313,6 @@ _REVERIFY: frozenset[str] = frozenset({
     "events_initial_load_tag",
     "events_json_extract",
     "events_key_extraction",
-    "events_moving_hour_stats",
     "events_orders_range_count",
     "events_resample_hourly_ffill",
     "events_response_classification",

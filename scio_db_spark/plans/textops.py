@@ -2551,10 +2551,7 @@ _HIST_CANON_PRED_SQL = (
 )
 
 
-@register(
-    "docs_incremental_lsh_dedup",
-    headline=True,
-    oracle=f"""
+_INCR_LSH_SQL = f"""
     WITH sig_new AS ({_minhash_agg_sql(pred="doc_id % 10 = 0")}),
     sig_hist AS ({_minhash_agg_sql(pred=_HIST_CANON_PRED_SQL)}),
     bands_new AS ({_bands_sql("sig_new")}),
@@ -2568,7 +2565,13 @@ _HIST_CANON_PRED_SQL = (
     FROM bands_new n JOIN sized_hist h
       ON h.band_id = n.band_id AND h.band_key = n.band_key
     WHERE h.bn <= {_LSH_BUCKET_CAP}
-    """,
+    """
+
+
+@register(
+    "docs_incremental_lsh_dedup",
+    headline=True,
+    oracle=_INCR_LSH_SQL,
     doc="Incremental ingest dedup: MinHash-LSH candidates between an "
     "INCOMING batch (doc_id % 10 = 0 stands in for today's arrivals) "
     "and the historical corpus — the streaming-corpus-ingest shape "
@@ -2613,6 +2616,94 @@ def incremental_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .select("new_doc", "dup_candidate")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+def canonical_bands(d: DataFrame) -> DataFrame:
+    """Band rows ``(doc_id, band_id, band_key)`` of a corpus's md5
+    CANONICAL docs — the content of a PERSISTED band index (one row
+    per canonical doc per band). Shared by the lifecycle census and
+    the streaming screen's bloom build (streaming/corpus_ingest.py)."""
+    wth = Window.partitionBy("th")
+    canon_ids = (
+        d.select("doc_id", F.md5("text").alias("th"))
+        .withColumn("cdoc", F.min("doc_id").over(wth))
+        .filter(F.col("doc_id") == F.col("cdoc"))
+        .select("doc_id")
+    )
+    return _bands_of(
+        _signature_of_docs(d.join(canon_ids, "doc_id", "left_semi"))
+    )
+
+
+def hist_canonical_bands(d: DataFrame) -> DataFrame:
+    """:func:`canonical_bands` over the census's historical split."""
+    return canonical_bands(d.filter(F.col("doc_id") % 10 != 0))
+
+
+@register(
+    "docs_lsh_index_lifecycle_census",
+    effectful=True,  # builds + MERGEs + probes an on-disk band index
+    oracle=_INCR_LSH_SQL,
+    doc="Persisted LSH band-index lifecycle (the dedup-side twin of "
+    "emb_ivf_index_lifecycle_census): the canonical-historical band "
+    "rows become a TABLE — built from the first arrival wave, "
+    "MERGE-upserted with the second (sinks/maintenance.py::"
+    "upsert_keys, doc-keyed so all 4 band rows of a doc move "
+    "atomically), snapshot-published — and the incoming batch is "
+    "deduplicated PROBE-ONLY against the on-disk snapshot (hot-bucket "
+    "cap recomputed over the read, broadcast batch, historical corpus "
+    "never re-banded). Pinned to the inline docs_incremental_lsh_dedup "
+    "oracle: incremental index maintenance must be indistinguishable "
+    "from banding history in one shot. The 100 TB story: banding cost "
+    "is paid once per document at ingest; each batch's dedup reads "
+    "the index, it never touches corpus text.",
+)
+def lsh_index_lifecycle_census(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from scio_db_spark.sinks.maintenance import (
+        publish_snapshot,
+        read_snapshot,
+        upsert_keys,
+    )
+
+    d = _docs(spark, sf)
+    bands = hist_canonical_bands(d)
+    tmp = tempfile.mkdtemp(prefix="scio_lsh_index_")
+    try:
+        # wave 1 builds the index; wave 2 arrives later as a MERGE
+        bands.filter(F.col("doc_id") % 3 != 0).repartition(
+            4, "band_key"
+        ).write.mode("overwrite").parquet(tmp)
+        publish_snapshot(tmp)
+        upsert_keys(
+            spark, tmp, "doc_id", bands.filter(F.col("doc_id") % 3 == 0)
+        )
+        idx = read_snapshot(spark, tmp)
+        sized = idx.withColumn(
+            "bn",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("band_id", "band_key")
+            ),
+        )
+        kept = sized.filter(F.col("bn") <= _LSH_BUCKET_CAP).select(
+            F.col("doc_id").alias("dup_candidate"), "band_id", "band_key"
+        )
+        newb = _bands_of(
+            _signature_of_docs(d.filter(F.col("doc_id") % 10 == 0))
+        ).withColumnRenamed("doc_id", "new_doc")
+        out = (
+            kept.join(F.broadcast(newb), ["band_id", "band_key"])
+            .select("new_doc", "dup_candidate")
+            .distinct()
+        )
+        # materialize BEFORE cleanup: collection happens after the
+        # temp index dir is gone
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------

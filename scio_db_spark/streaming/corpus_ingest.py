@@ -59,6 +59,16 @@ class CorpusIngestConfig:
     # The filter rides the plan as a LITERAL array — no join, no
     # state, exactly how a task-constant filter ships at 100 TB.
     screen_masks: tuple[int, ...] | None = None
+    # NEAR-dup screen (round-11): bloom over the historical corpus's
+    # canonical LSH BAND KEYS (lsh_band_bloom_masks). A document any
+    # of whose band keys is bloom-positive is routed KO as a probable
+    # near-duplicate — the streaming face of docs_incremental_lsh_
+    # dedup, with the exact band-join replaced by a zero-join,
+    # zero-state literal probe (false positives possible at the bloom
+    # rate and documented; no false negatives within banding, since a
+    # band hit in the exact form implies the key is in the filter).
+    # Exact confirmation stays batch-side (the lambda split).
+    lsh_screen_masks: tuple[int, ...] | None = None
 
 
 def bloom_masks_dense(
@@ -101,6 +111,66 @@ def _bloom_hit_sql(hash_hex_col: str, masks: tuple[int, ...]) -> str:
     return "(" + " AND ".join(checks) + ")"
 
 
+def lsh_band_bloom_masks(
+    hist_docs: DataFrame, bits: int = 4096
+) -> tuple[int, ...]:
+    """Dense bloom mask tuple over a historical corpus's canonical
+    band keys — the build side of ``lsh_screen_masks``. Size ``bits``
+    to the canonical corpus (m ~ 1.44 n_bands log2(1/fp)); the probe
+    derives m from the tuple length. At 100 TB this is the
+    docs_lsh_index_lifecycle_census band table folded to a literal —
+    |bits|/32 longs shipped task-constant, refreshed on the J5
+    side-input cadence."""
+    from scio_db_spark.plans.textops import (
+        bloom_build_sized,
+        canonical_bands,
+    )
+
+    masks = bloom_build_sized(
+        canonical_bands(hist_docs), "band_key", bits
+    )
+    got = {r.w: r.mask for r in masks.collect()}
+    return tuple(got.get(w, 0) for w in range(bits // 32))
+
+
+def _band_key_col(b: int) -> Column:
+    """Band key ``b`` from the staged ``__hs`` shingle-hash array —
+    the identical sig/band-key definition as plans/textops.py."""
+    from scio_db_spark.functions.hashing import minhash_params, perm_hash
+    from scio_db_spark.plans.textops import _K
+
+    params = minhash_params(_K)
+
+    def _perm_min(a: int, bb: int) -> Column:
+        # factory, not a default-arg lambda: a 2-param lambda makes
+        # F.transform pass (element, index) into the captured slot
+        return F.array_min(
+            F.transform(F.col("__hs"), lambda h: perm_hash(h, a, bb))
+        )
+
+    return F.concat_ws(
+        "_",
+        _perm_min(*params[2 * b]).cast("string"),
+        _perm_min(*params[2 * b + 1]).cast("string"),
+    )
+
+
+def _near_dup_col(masks: tuple[int, ...]) -> Column:
+    """``near_dup`` flag from staged ``__bk_{b}`` band-key columns:
+    any band key bloom-positive. The probe is the SAME SQL-text bloom
+    as the content-hash screen (str_hash60 = first 15 md5 hex digits,
+    so ``md5(band_key)`` feeds :func:`_bloom_hit_sql` directly). Docs
+    too short to shingle never flag (their band keys would be
+    degenerate '')."""
+    from scio_db_spark.plans.textops import _BANDS
+
+    any_hit = None
+    for b in range(_BANDS):
+        hit = F.expr(_bloom_hit_sql(f"md5(__bk_{b})", masks))
+        any_hit = hit if any_hit is None else (any_hit | hit)
+    return (F.size("__hs") >= 1) & any_hit
+
+
 def enrich(docs: DataFrame, cfg: CorpusIngestConfig) -> DataFrame:
     """content_hash / n_tokens / lang / quality columns (pure
     Columns); plus clf_score / bloom_hit when the optional round-9
@@ -122,6 +192,35 @@ def enrich(docs: DataFrame, cfg: CorpusIngestConfig) -> DataFrame:
             "bloom_hit",
             F.expr(_bloom_hit_sql("content_hash", cfg.screen_masks)),
         )
+    if cfg.lsh_screen_masks is not None:
+        from scio_db_spark.functions.hashing import (
+            MERSENNE_P,
+            str_hash60,
+        )
+        from scio_db_spark.plans.textops import _shingles_of
+
+        # staged projections (the textops projection-boundary rule:
+        # a non-trivial expression inside a transform lambda is
+        # re-evaluated per element) — temps dropped after the flag
+        from scio_db_spark.plans.textops import _BANDS
+
+        out = (
+            out.withColumn("__toks", toks)
+            .withColumn("__sh", _shingles_of(F.col("__toks")))
+            .withColumn(
+                "__hs",
+                F.transform(
+                    F.col("__sh"),
+                    lambda x: str_hash60(x) % MERSENNE_P,
+                ),
+            )
+        )
+        bks = [f"__bk_{b}" for b in range(_BANDS)]
+        for b in range(_BANDS):
+            out = out.withColumn(bks[b], _band_key_col(b))
+        out = out.withColumn(
+            "near_dup", _near_dup_col(cfg.lsh_screen_masks)
+        ).drop("__toks", "__sh", "__hs", *bks)
     if cfg.token_meter:
         out = out.withColumn(
             "n_bpe_tokens_trained", trained_token_count_expr("text")
@@ -174,6 +273,8 @@ def _ok_predicate(cfg: CorpusIngestConfig) -> Column:
         ok = ok & (F.col("clf_score") >= 0)
     if cfg.screen_masks is not None:
         ok = ok & ~F.col("bloom_hit")
+    if cfg.lsh_screen_masks is not None:
+        ok = ok & ~F.col("near_dup")
     return ok
 
 

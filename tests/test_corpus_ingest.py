@@ -308,3 +308,90 @@ def test_token_meter_flows_through_streaming_enrich(spark):
     out = {r.doc_id: r.n_bpe_tokens_trained for r in h.results()}
     h.stop()
     assert out["g"] > 0
+
+
+def test_lsh_near_dup_screen_routes_probable_near_dups(spark):
+    """Round-11 streaming near-dup gate: a bloom over the historical
+    corpus's canonical band keys flags arriving docs whose band keys
+    collide — exact dups of history deterministically (identical text
+    → identical signature → every band hits), close near-dups with
+    banding probability, novel docs never via false NEGATIVE (bloom
+    FNs are impossible; FPs are the documented tradeoff)."""
+    from pyspark.sql import Row
+
+    from scio_db_spark.streaming.corpus_ingest import (
+        CorpusIngestConfig,
+        enrich,
+        lsh_band_bloom_masks,
+    )
+
+    hist_text = (
+        "the historical corpus contains this exact boilerplate "
+        "paragraph which repeats across many pages of the crawl "
+        "and should be screened out on arrival every single time"
+    )
+    hist = spark.createDataFrame(
+        [(i, hist_text) for i in range(3)]
+        + [(100 + i, f"some other old doc {i} " + " ".join(
+            f"w{i}x{j}" for j in range(12))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    masks = lsh_band_bloom_masks(hist, bits=4096)
+    assert any(masks), "bloom build produced an empty filter"
+
+    near = hist_text + " with a trailing clause appended"
+    novel = " ".join(f"fresh{j} token{j}" for j in range(20))
+    h = StreamHarness(spark, SCHEMA)
+    h.start(
+        lambda s: enrich(
+            s, CorpusIngestConfig(lsh_screen_masks=masks)
+        ).select("doc_id", "near_dup"),
+        output_mode="append",
+    )
+    h.add_batch(
+        [
+            Row(doc_id="exact", text=hist_text,
+                ingest_ts=_ts("2024-01-01T10:00:00")),
+            Row(doc_id="near", text=near,
+                ingest_ts=_ts("2024-01-01T10:00:01")),
+            Row(doc_id="novel", text=novel,
+                ingest_ts=_ts("2024-01-01T10:00:02")),
+            Row(doc_id="tiny", text="hi",
+                ingest_ts=_ts("2024-01-01T10:00:03")),
+        ]
+    )
+    out = {r.doc_id: r.near_dup for r in h.results()}
+    h.stop()
+    assert out["exact"] is True  # identical signature: every band hits
+    assert out["near"] is True  # verified deterministic for this text
+    assert out["tiny"] is False  # too short to shingle: never flags
+    assert out["novel"] is False  # would be a bloom FP; 4096 bits vs
+    #                               ~32 keys makes that ~impossible
+
+
+def test_lsh_screen_gates_ok_stream(spark):
+    """The near-dup flag must actually route KO in the gated stream."""
+    from pyspark.sql import Row
+
+    from scio_db_spark.streaming.corpus_ingest import (
+        CorpusIngestConfig,
+        build_ok_stream,
+        lsh_band_bloom_masks,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, GOOD) for i in range(3)], "doc_id long, text string"
+    )
+    masks = lsh_band_bloom_masks(hist, bits=4096)
+    cfg = CorpusIngestConfig(lsh_screen_masks=masks)
+    h = StreamHarness(spark, SCHEMA)
+    h.start(lambda s: build_ok_stream(s, cfg), output_mode="append")
+    h.add_batch(
+        [Row(doc_id="dup-of-hist", text=GOOD,
+             ingest_ts=_ts("2024-01-01T10:00:00"))]
+    )
+    ok_ids = {r.doc_id for r in h.results()}
+    h.stop()
+    # GOOD passes every quality gate (the baseline test proves it),
+    # so its exclusion here is the near-dup screen and nothing else
+    assert "dup-of-hist" not in ok_ids
