@@ -52,6 +52,8 @@ QUERIES = [
     "docs_minhash_signature",
     "docs_minhash_lsh_pairs",
     "docs_incremental_lsh_dedup",
+    "docs_lsh_bucket_census",
+    "docs_span_excised_corpus",
     "docs_pipeline_corpus_stats",
     "emb_cosine_topk",
     "events_anti_join_historical",
