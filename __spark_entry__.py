@@ -266,9 +266,9 @@ _DRIVER_VERIFIED = frozenset({
 # so the 50-slot window's job is now re-verification FRESHNESS on
 # current code — r10 verdict item 5): 9 queries whose OUTPUT
 # semantics changed this round (bounded LSH star-edge form and its
-# CC/split/reduce consumers; the four byte-BPE censuses) plus the 36
+# CC/split/reduce consumers; the four byte-BPE censuses) plus the 35
 # OLDEST driver greens (rounds 2-4 vintage — all pre-round-6,
-# exceeding the verdict's >=30 bar). With the 5 brand-new round-11
+# exceeding the verdict's >=30 bar). With the 6 brand-new round-11
 # queries that makes exactly 50 aliased rows.
 # tools/update_driver_verified.py folds the new greens back to
 # canonical names next round; rebuild this set then (next-oldest
@@ -291,7 +291,6 @@ _REVERIFY: frozenset[str] = frozenset({
     "docs_top_quality_per_source",
     "docs_train_val_split",
     "docs_type_token_ratio",
-    "docs_unigram_surprisal",
     "docs_vocab_coverage",
     "emb_ann_ivf_topk",
     "emb_ann_lsh_topk",

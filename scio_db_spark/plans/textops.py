@@ -2707,6 +2707,169 @@ def lsh_index_lifecycle_census(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+#: Filter size of the streaming near-dup screen's band-key bloom
+#: (streaming/corpus_ingest.py::lsh_band_bloom_masks default) — the
+#: census below pins the same sizing so its integers transfer. Sized
+#: for the gate corpus: ~1.8K canonical band keys at sf0.01 gives a
+#: fill ratio ~0.08 and a per-doc FP rate ~0.2% (at the first-pinned
+#: 4096 bits the filter was 73% full and flagged 47/50 new docs —
+#: exactly the silent-saturation failure this census exists to make
+#: visible; n_bloom_fp is the canary).
+_LSH_SCREEN_BITS = 65536
+
+
+def _lsh_screen_oracle() -> str:
+    h = f"({str_hash60_sql('band_key')} % {MERSENNE_P})"
+    bit_exprs = ", ".join(
+        f"(({h} * {a} + {b}) % {MERSENNE_P}) % {_LSH_SCREEN_BITS}"
+        for a, b in _BLOOM_PARAMS_REF()
+    )
+    k = len(_BLOOM_PARAMS_REF())
+    return f"""
+    WITH sig_new AS ({_minhash_agg_sql(pred="doc_id % 10 = 0")}),
+    sig_hist AS ({_minhash_agg_sql(pred=_HIST_CANON_PRED_SQL)}),
+    bands_new AS ({_bands_sql("sig_new")}),
+    bands_hist AS ({_bands_sql("sig_hist")}),
+    hkeys AS (SELECT DISTINCT band_key FROM bands_hist),
+    hbits AS (SELECT unnest([{bit_exprs}]) AS bit FROM hkeys),
+    words AS (
+        SELECT bit // 32 AS w,
+            bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS mask
+        FROM hbits GROUP BY 1
+    ),
+    nkeys AS (SELECT DISTINCT band_key FROM bands_new),
+    nbits AS (
+        SELECT band_key, unnest([{bit_exprs}]) AS bit FROM nkeys
+    ),
+    keyhit AS (
+        SELECT band_key, count(*) = {k} AS hit
+        FROM nbits JOIN words ON words.w = nbits.bit // 32
+        WHERE (words.mask
+               & (CAST(1 AS BIGINT) << CAST(nbits.bit % 32 AS INT))) != 0
+        GROUP BY band_key
+    ),
+    perdoc AS (
+        SELECT n.doc_id,
+            max(CASE WHEN coalesce(kh.hit, FALSE) THEN 1 ELSE 0 END)
+                AS flagged,
+            max(CASE WHEN hk.band_key IS NOT NULL THEN 1 ELSE 0 END)
+                AS exact_any,
+            max(CASE WHEN hb.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS exact_band
+        FROM bands_new n
+        LEFT JOIN keyhit kh ON kh.band_key = n.band_key
+        LEFT JOIN hkeys hk ON hk.band_key = n.band_key
+        LEFT JOIN bands_hist hb
+          ON hb.band_key = n.band_key AND hb.band_id = n.band_id
+        GROUP BY n.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_new,
+        CAST(sum(flagged) AS BIGINT) AS n_flagged,
+        CAST(sum(exact_any) AS BIGINT) AS n_exact_key_any_band,
+        CAST(sum(exact_band) AS BIGINT) AS n_exact_band,
+        CAST(sum(CASE WHEN exact_any = 1 AND flagged = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+        CAST(sum(CASE WHEN flagged = 1 AND exact_any = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_fp
+    FROM perdoc
+    """
+
+
+def _BLOOM_PARAMS_REF():
+    # deferred: _BLOOM_PARAMS is defined further down this module
+    from scio_db_spark.functions.hashing import minhash_params
+
+    return minhash_params(3, seed=17)
+
+
+@register(
+    "docs_lsh_bloom_screen_census",
+    oracle=_lsh_screen_oracle(),
+    doc="Exactness ledger for the STREAMING near-dup screen "
+    "(corpus_ingest lsh_screen_masks): rebuild the band-key bloom in "
+    "pure SQL on both engines and compare, per banded arriving doc, "
+    "the bloom verdict against the exact band match. Pins the screen's "
+    "two contracts with exact integers: n_missed = 0 BY CONSTRUCTION "
+    "(a bloom has no false negatives — any exact band-key match is "
+    "flagged) and n_bloom_fp quantifies the documented FP cost at the "
+    f"pinned {_LSH_SCREEN_BITS}-bit sizing. Scale shape: the filter "
+    "build is one hash-groupBy over distinct canonical band keys "
+    "(the docs_lsh_index_lifecycle_census table folded to m/32 "
+    "words); the probe is a words-sized join — at ingest it ships as "
+    "a literal, here as a join so the oracle can see it.",
+)
+def lsh_bloom_screen_census(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    bands_hist = hist_canonical_bands(d)
+    bands_new = _bands_of(
+        _signature_of_docs(d.filter(F.col("doc_id") % 10 == 0))
+    )
+    hkeys = bands_hist.select("band_key").distinct()
+    words = bloom_build_sized(hkeys, "band_key", _LSH_SCREEN_BITS)
+    k = len(_BLOOM_PARAMS_REF())
+    nbits = (
+        bands_new.select("band_key")
+        .distinct()
+        .select(
+            "band_key",
+            F.explode(
+                bloom_bit_positions(
+                    F.col("band_key"), _LSH_SCREEN_BITS
+                )
+            ).alias("bit"),
+        )
+    )
+    keyhit = (
+        nbits.join(words, words["w"] == F.expr("bit DIV 32"))
+        .filter(
+            F.expr(
+                "(mask & shiftleft(1L, CAST(bit % 32 AS INT))) != 0"
+            )
+        )
+        .groupBy("band_key")
+        .agg((F.count(F.lit(1)) == k).alias("hit"))
+    )
+    hk = hkeys.withColumn("h_any", F.lit(1))
+    hb = bands_hist.select(
+        "band_id", "band_key", F.lit(1).alias("h_band")
+    )
+    perdoc = (
+        bands_new.join(keyhit, "band_key", "left")
+        .join(hk, "band_key", "left")
+        .join(hb, ["band_id", "band_key"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.when(F.coalesce(F.col("hit"), F.lit(False)), 1)
+                .otherwise(0)
+            ).alias("flagged"),
+            F.max(F.coalesce(F.col("h_any"), F.lit(0))).alias(
+                "exact_any"
+            ),
+            F.max(F.coalesce(F.col("h_band"), F.lit(0))).alias(
+                "exact_band"
+            ),
+        )
+    )
+    return perdoc.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum("flagged").alias("n_flagged"),
+        F.sum("exact_any").alias("n_exact_key_any_band"),
+        F.sum("exact_band").alias("n_exact_band"),
+        F.sum(
+            F.when(
+                (F.col("exact_any") == 1) & (F.col("flagged") == 0), 1
+            ).otherwise(0)
+        ).alias("n_missed"),
+        F.sum(
+            F.when(
+                (F.col("flagged") == 1) & (F.col("exact_any") == 0), 1
+            ).otherwise(0)
+        ).alias("n_bloom_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
 _PHRASE_W1, _PHRASE_W2 = "table", "hash"
 
 

@@ -112,7 +112,7 @@ def _bloom_hit_sql(hash_hex_col: str, masks: tuple[int, ...]) -> str:
 
 
 def lsh_band_bloom_masks(
-    hist_docs: DataFrame, bits: int = 4096
+    hist_docs: DataFrame, bits: int = 65536
 ) -> tuple[int, ...]:
     """Dense bloom mask tuple over a historical corpus's canonical
     band keys — the build side of ``lsh_screen_masks``. Size ``bits``
