@@ -40,6 +40,13 @@ from scio_db_spark.session import SessionFactory
 # fire because Catalyst's window-group-limit / TakeOrderedAndProject
 # rewrite collects top-k without a SinglePartition exchange.
 WHITELIST: set[tuple[str, str]] = {
+    # Bloom-screen exactness census (round 11): the SinglePartition
+    # crossing is the FINAL one-row global rollup over the per-doc
+    # flag frame (|new banded docs| rows — 50 at the gate SF; bounded
+    # by the arriving batch, never the corpus). Everything upstream —
+    # filter build, key probes, exact-match joins — stays
+    # hash-partitioned on band_key/doc_id.
+    ("docs_lsh_bloom_screen_census", "SinglePartition"),
     # Rank-core riders (round 7): the BNLJ is the core's ONE-ROW
     # bounds-frame broadcast probe; the SinglePartition crossings are
     # the P-row offsets windows (one row per pid) — the data frames
