@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -157,11 +159,24 @@ def _band_key_col(b: int) -> Column:
 
 def _near_dup_col(masks: tuple[int, ...]) -> Column:
     """``near_dup`` flag from staged ``__bk_{b}`` band-key columns:
-    any band key bloom-positive. The probe is the SAME SQL-text bloom
-    as the content-hash screen (str_hash60 = first 15 md5 hex digits,
-    so ``md5(band_key)`` feeds :func:`_bloom_hit_sql` directly). Docs
-    too short to shingle never flag (their band keys would be
-    degenerate '')."""
+    any band key bloom-positive. Same bit definition as the
+    content-hash screen (str_hash60 = first 15 md5 hex digits, so
+    ``md5(band_key)`` feeds it directly). Docs too short to shingle
+    never flag (their band keys would be degenerate '').
+
+    SIZE BOUNDARY (measured): each of the BANDS×K = 12 bit checks
+    textually embeds the mask literal; ConstantFolding collapses each
+    to a shared Literal at optimize time, so the per-ROW cost is tiny
+    (~9 µs/doc at 2K words), but the pre-folding expression tree is
+    12×|words| nodes and is re-analyzed EVERY micro-batch. At 2K
+    words (65536 bits ≈ 10-20K canonical keys) that is fine; an 8K-
+    word literal measured 28K records/min on plan overhead alone.
+    Past ~10⁵ historical keys the literal screen is the wrong tool —
+    use the persisted band index as a stream-static join
+    (docs_lsh_index_lifecycle_census's table, the J5 pattern)
+    instead. A single-copy exists/forall rewrite is NOT the fix:
+    literals inside HOF lambdas escape constant folding and rebuild
+    the array per evaluation (measured 2× worse)."""
     from scio_db_spark.plans.textops import _BANDS
 
     any_hit = None
@@ -169,6 +184,113 @@ def _near_dup_col(masks: tuple[int, ...]) -> Column:
         hit = F.expr(_bloom_hit_sql(f"md5(__bk_{b})", masks))
         any_hit = hit if any_hit is None else (any_hit | hit)
     return (F.size("__hs") >= 1) & any_hit
+
+
+def lsh_screen_expr(docs: DataFrame, masks: tuple[int, ...]) -> DataFrame:
+    """Reference implementation of the near-dup screen as pure Column
+    expressions (staged projections + :func:`_near_dup_col`): adds a
+    ``near_dup`` column. Kept as the cross-checked twin of
+    :func:`lsh_screen_udf` (the hot path) — the parity test pins
+    bit-identical verdicts."""
+    from scio_db_spark.functions.hashing import MERSENNE_P, str_hash60
+    from scio_db_spark.plans.textops import _BANDS, _shingles_of
+
+    out = (
+        docs.withColumn("__toks", X.tokens(F.col("text")))
+        .withColumn("__sh", _shingles_of(F.col("__toks")))
+        .withColumn(
+            "__hs",
+            F.transform(
+                F.col("__sh"), lambda x: str_hash60(x) % MERSENNE_P
+            ),
+        )
+    )
+    bks = [f"__bk_{b}" for b in range(_BANDS)]
+    for b in range(_BANDS):
+        out = out.withColumn(bks[b], _band_key_col(b))
+    return out.withColumn("near_dup", _near_dup_col(masks)).drop(
+        "__toks", "__sh", "__hs", *bks
+    )
+
+
+def lsh_screen_udf(masks: tuple[int, ...]):
+    """The near-dup screen as an Arrow-batched pandas UDF — the HOT
+    PATH implementation. The Column-expression form (:func:`_near_dup_col`,
+    kept as the cross-checked twin) runs each per-shingle hash and the
+    8 per-permutation mins through interpreted higher-order-function
+    lambdas: measured 57K records/min end-to-end at 64-token docs —
+    ~16 ms CPU per document on lambda overhead alone. This kernel does
+    the identical math in Python per Arrow batch (~60 md5 calls + 8
+    integer-min passes per doc ≈ 100 µs/doc) and measured 14.7×
+    faster through the same streaming stack: 845K records/min vs 58K
+    at 1M 64-token docs (BENCH_LOCAL_r11_lsh_screen.json); the FULL
+    gate stack + screen runs 644K/min = 3.2× the reference baseline.
+    Bit-for-bit identical verdicts are pinned by test_corpus_ingest
+    (expr twin vs this kernel on the same corpus)."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    from scio_db_spark.functions.hashing import MERSENNE_P, minhash_params
+    from scio_db_spark.plans.textops import (
+        _BANDS,
+        _BLOOM_PARAMS,
+        _BLOOM_WORD,
+        _K,
+        _SHINGLE_N,
+    )
+
+    params = minhash_params(_K)
+    bits = len(masks) * _BLOOM_WORD
+    mask_list = list(masks)
+
+    def _h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def _flag(text: str | None) -> bool:
+        if text is None:
+            return False
+        # X.tokens semantics: lowercase, split on [ \t\n\f\r]+, drop ''
+        toks = [
+            t
+            for t in text.lower()
+            .replace("\t", " ")
+            .replace("\n", " ")
+            .replace("\f", " ")
+            .replace("\r", " ")
+            .split(" ")
+            if t
+        ]
+        if len(toks) < _SHINGLE_N:
+            return False
+        hs = [
+            _h60(" ".join(toks[i : i + _SHINGLE_N])) % MERSENNE_P
+            for i in range(len(toks) - _SHINGLE_N + 1)
+        ]
+        for b in range(_BANDS):
+            a0, b0 = params[2 * b]
+            a1, b1 = params[2 * b + 1]
+            s0 = min((h * a0 + b0) % MERSENNE_P for h in hs)
+            s1 = min((h * a1 + b1) % MERSENNE_P for h in hs)
+            kh = _h60(f"{s0}_{s1}") % MERSENNE_P
+            hit = True
+            for a, bb in _BLOOM_PARAMS:
+                bit = ((kh * a + bb) % MERSENNE_P) % bits
+                if not (
+                    mask_list[bit // _BLOOM_WORD]
+                    >> (bit % _BLOOM_WORD)
+                ) & 1:
+                    hit = False
+                    break
+            if hit:
+                return True
+        return False
+
+    @pandas_udf("boolean")
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(_flag)
+
+    return _udf
 
 
 def enrich(docs: DataFrame, cfg: CorpusIngestConfig) -> DataFrame:
@@ -193,34 +315,12 @@ def enrich(docs: DataFrame, cfg: CorpusIngestConfig) -> DataFrame:
             F.expr(_bloom_hit_sql("content_hash", cfg.screen_masks)),
         )
     if cfg.lsh_screen_masks is not None:
-        from scio_db_spark.functions.hashing import (
-            MERSENNE_P,
-            str_hash60,
-        )
-        from scio_db_spark.plans.textops import _shingles_of
-
-        # staged projections (the textops projection-boundary rule:
-        # a non-trivial expression inside a transform lambda is
-        # re-evaluated per element) — temps dropped after the flag
-        from scio_db_spark.plans.textops import _BANDS
-
-        out = (
-            out.withColumn("__toks", toks)
-            .withColumn("__sh", _shingles_of(F.col("__toks")))
-            .withColumn(
-                "__hs",
-                F.transform(
-                    F.col("__sh"),
-                    lambda x: str_hash60(x) % MERSENNE_P,
-                ),
-            )
-        )
-        bks = [f"__bk_{b}" for b in range(_BANDS)]
-        for b in range(_BANDS):
-            out = out.withColumn(bks[b], _band_key_col(b))
+        # hot path: the Arrow kernel (see lsh_screen_udf's measured
+        # rationale); the Column-expression twin below stays as the
+        # cross-checked reference implementation
         out = out.withColumn(
-            "near_dup", _near_dup_col(cfg.lsh_screen_masks)
-        ).drop("__toks", "__sh", "__hs", *bks)
+            "near_dup", lsh_screen_udf(cfg.lsh_screen_masks)(F.col("text"))
+        )
     if cfg.token_meter:
         out = out.withColumn(
             "n_bpe_tokens_trained", trained_token_count_expr("text")

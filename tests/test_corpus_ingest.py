@@ -395,3 +395,36 @@ def test_lsh_screen_gates_ok_stream(spark):
     # GOOD passes every quality gate (the baseline test proves it),
     # so its exclusion here is the near-dup screen and nothing else
     assert "dup-of-hist" not in ok_ids
+
+
+def test_lsh_screen_udf_matches_expression_twin(spark, sf_dir):
+    """The Arrow-kernel screen (hot path) and the Column-expression
+    reference must produce bit-identical near_dup verdicts — on the
+    REAL documents corpus (covers multi-whitespace, casing, unicode,
+    short docs) plus planted exact/near/novel arrivals."""
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.plans.catalog import table
+    from scio_db_spark.streaming.corpus_ingest import (
+        lsh_band_bloom_masks,
+        lsh_screen_expr,
+        lsh_screen_udf,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+    masks = lsh_band_bloom_masks(hist, bits=65536)
+
+    expr_out = {
+        r.doc_id: r.near_dup
+        for r in lsh_screen_expr(docs, masks).collect()
+    }
+    udf_out = {
+        r.doc_id: r.near_dup
+        for r in docs.withColumn(
+            "near_dup", lsh_screen_udf(masks)(F.col("text"))
+        ).collect()
+    }
+    assert expr_out == udf_out
+    # sanity: historical docs screen against themselves
+    assert any(udf_out[d] for d in udf_out if d % 10 != 0)

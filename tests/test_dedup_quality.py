@@ -393,3 +393,84 @@ def test_bounded_lsh_cap_fires_with_accounting(spark):
     d = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = {(r.doc_a, r.doc_b) for r in bounded_lsh_pairs(d, cap=3).collect()}
     assert pairs == {(0, i) for i in range(1, 10)}
+
+
+def test_bounded_lsh_preserves_components_vs_unbounded(spark):
+    """Equivalence property: connected components over the BOUNDED
+    form (canonical band pairs + star edges, uncapped) equal
+    components over the pre-fix all-docs band self-join, on random
+    duplication-heavy corpora. This is the exact claim the collapse
+    rests on: signatures are a pure function of text, so replacing a
+    cluster's c² pairs with c-1 star edges moves no doc between
+    components."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.plans.textops import (
+        _bands_of,
+        _signature_of_docs,
+        bounded_lsh_pairs,
+    )
+
+    def components(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        return parent, find
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        # base texts; some duplicated 2-6x; some near-dups
+        texts = []
+        for t in range(8):
+            base = " ".join(rng.choice(vocab) for _ in range(12))
+            texts.append(base)
+            for _ in range(rng.randint(0, 5)):
+                texts.append(base)  # exact dup
+            if rng.random() < 0.5:
+                texts.append(base + " extra")  # near dup
+        rows = [(i, t) for i, t in enumerate(texts)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+
+        bounded = {
+            (r.doc_a, r.doc_b)
+            for r in bounded_lsh_pairs(d, cap=10**9).collect()
+        }
+        bands = _bands_of(_signature_of_docs(d))
+        a, b = bands.alias("a"), bands.alias("b")
+        unbounded = {
+            (r.doc_a, r.doc_b)
+            for r in a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .collect()
+        }
+        ids = [i for i, _ in rows]
+        pb, fb = components(bounded)
+        pu, fu = components(unbounded)
+        lb = {}
+        lu = {}
+        for i in ids:
+            lb.setdefault(fb(i), set()).add(i)
+            lu.setdefault(fu(i), set()).add(i)
+        assert sorted(map(sorted, lb.values())) == sorted(
+            map(sorted, lu.values())
+        ), trial

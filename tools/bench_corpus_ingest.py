@@ -50,6 +50,7 @@ def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     gates = "--gates" in sys.argv
     meter = "--meter" in sys.argv  # trained-BPE token metering
+    lsh = "--lsh-screen" in sys.argv  # round-11 near-dup band screen
     n_docs = int(pos[0]) if pos else 1_000_000
     dup_pct = float(pos[1]) if len(pos) > 1 else 0.10
 
@@ -149,6 +150,29 @@ def main() -> None:
     ).parquet(indir)
 
     cfg_kwargs = {}
+    lsh_kwargs = {}
+    if lsh:
+        from scio_db_spark.streaming.corpus_ingest import (
+            CorpusIngestConfig,
+            lsh_band_bloom_masks,
+        )
+
+        # near-dup screen at its DESIGNED size: the literal path
+        # serves <= ~10-20K canonical keys at 2K mask words (the
+        # corpus_ingest module doc's measured boundary; a larger
+        # history belongs to the persisted band-index join). History
+        # = every 100th doc -> ~4K band keys. NOTE doc length: the
+        # screen minhashes every shingle, so cost scales with tokens
+        # per doc — the --gates corpus appends a ~1K-token classifier
+        # boost to half the docs and roughly an order of magnitude
+        # more screen work; run this leg without --gates for the
+        # 64-token-doc cost.
+        lsh_kwargs["lsh_screen_masks"] = lsh_band_bloom_masks(
+            spark.read.parquet(indir).filter(
+                F.col("doc_id") % 100 == 0
+            ),
+            bits=1 << 16,
+        )
     if gates:
         from scio_db_spark.plans.textops import bloom_build_sized
         from scio_db_spark.streaming.corpus_ingest import (
@@ -175,9 +199,16 @@ def main() -> None:
             screen_masks=bloom_masks_dense(
                 bloom_build_sized(hist, "text", bloom_bits), bloom_bits
             ),
+            **lsh_kwargs,
         )
-    elif meter:
-        cfg_kwargs["cfg"] = CorpusIngestConfig(token_meter=True)
+    elif meter or lsh:
+        from scio_db_spark.streaming.corpus_ingest import (
+            CorpusIngestConfig,
+        )
+
+        cfg_kwargs["cfg"] = CorpusIngestConfig(
+            token_meter=meter, **lsh_kwargs
+        )
 
     t0 = time.perf_counter()
     ok_q, ko_q = start_corpus_ingest(stream, outdir, ck, **cfg_kwargs)
@@ -214,7 +245,8 @@ def main() -> None:
             {
                 "metric": "corpus_ingest_records_per_min",
                 "gates": gates,
-        "token_meter": meter,
+                "token_meter": meter,
+                "lsh_screen": lsh,
                 "value": round(per_min),
                 "unit": "records/min",
                 "records": totals["n_total"],
