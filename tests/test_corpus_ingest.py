@@ -428,3 +428,15 @@ def test_lsh_screen_udf_matches_expression_twin(spark, sf_dir):
     assert expr_out == udf_out
     # sanity: historical docs screen against themselves
     assert any(udf_out[d] for d in udf_out if d % 10 != 0)
+
+
+def test_bloom_param_twins_agree():
+    """The screen census's deferred param builder must stay in lock
+    step with the module constant it mirrors (both feed the same bit
+    definition; drift would silently fork build vs probe)."""
+    from scio_db_spark.plans.textops import (
+        _BLOOM_PARAMS,
+        _BLOOM_PARAMS_REF,
+    )
+
+    assert _BLOOM_PARAMS_REF() == _BLOOM_PARAMS
