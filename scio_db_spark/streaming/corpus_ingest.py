@@ -114,7 +114,7 @@ def _bloom_hit_sql(hash_hex_col: str, masks: tuple[int, ...]) -> str:
 
 
 def lsh_band_bloom_masks(
-    hist_docs: DataFrame, bits: int = 65536
+    hist_docs: DataFrame, bits: int | None = None
 ) -> tuple[int, ...]:
     """Dense bloom mask tuple over a historical corpus's canonical
     band keys — the build side of ``lsh_screen_masks``. Size ``bits``
@@ -122,12 +122,20 @@ def lsh_band_bloom_masks(
     derives m from the tuple length. At 100 TB this is the
     docs_lsh_index_lifecycle_census band table folded to a literal —
     |bits|/32 longs shipped task-constant, refreshed on the J5
-    side-input cadence."""
+    side-input cadence.
+
+    ``bits`` defaults to ``plans.textops._LSH_SCREEN_BITS`` — the ONE
+    sizing constant the docs_lsh_bloom_screen_census pins its FP
+    integers at, so the census's transfer claim cannot silently drift
+    from the screen's behavior (round-11 ADVICE)."""
     from scio_db_spark.plans.textops import (
+        _LSH_SCREEN_BITS,
         bloom_build_sized,
         canonical_bands,
     )
 
+    if bits is None:
+        bits = _LSH_SCREEN_BITS
     masks = bloom_build_sized(
         canonical_bands(hist_docs), "band_key", bits
     )
@@ -183,7 +191,11 @@ def _near_dup_col(masks: tuple[int, ...]) -> Column:
     for b in range(_BANDS):
         hit = F.expr(_bloom_hit_sql(f"md5(__bk_{b})", masks))
         any_hit = hit if any_hit is None else (any_hit | hit)
-    return (F.size("__hs") >= 1) & any_hit
+    # coalesce: null text makes size(__hs) NULL, and a NULL near_dup
+    # would silently drop the doc from BOTH the OK and KO lanes in
+    # _ok_predicate; the Arrow kernel returns False for null text, so
+    # this pins the twins' parity on nulls too (round-11 ADVICE)
+    return F.coalesce((F.size("__hs") >= 1) & any_hit, F.lit(False))
 
 
 def lsh_screen_expr(docs: DataFrame, masks: tuple[int, ...]) -> DataFrame:
@@ -250,11 +262,12 @@ def lsh_screen_udf(masks: tuple[int, ...]):
     def _flag(text: str | None) -> bool:
         if text is None:
             return False
-        # X.tokens semantics: lowercase, split on [ \t\n\f\r]+, drop ''
+        # X.tokens semantics MINUS lowercasing: the kernel receives
+        # text already lowered JVM-side (see _apply below), so split
+        # on [ \t\n\f\r]+ and drop '' — never Python str.lower()
         toks = [
             t
-            for t in text.lower()
-            .replace("\t", " ")
+            for t in text.replace("\t", " ")
             .replace("\n", " ")
             .replace("\f", " ")
             .replace("\r", " ")
@@ -290,7 +303,16 @@ def lsh_screen_udf(masks: tuple[int, ...]):
     def _udf(texts: pd.Series) -> pd.Series:
         return texts.map(_flag)
 
-    return _udf
+    def _apply(col: Column) -> Column:
+        # ONE case-mapping implementation: lowercase JVM-side
+        # (F.lower — the same function X.tokens and every batch query
+        # use) before the Arrow batch crosses to Python. Python
+        # str.lower() can diverge from java.lang.String.toLowerCase
+        # on non-ASCII input, which would let the stream's routing
+        # disagree with the oracle-pinned census (round-11 ADVICE).
+        return _udf(F.lower(col))
+
+    return _apply
 
 
 def enrich(docs: DataFrame, cfg: CorpusIngestConfig) -> DataFrame:

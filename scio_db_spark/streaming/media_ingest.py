@@ -19,6 +19,8 @@ so the codec runs once per record, not once per route.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -39,11 +41,18 @@ def decode_media_stream(
     id_col: str = "media_id",
     payload_col: str = "payload",
     mime_col: str = "mime_type",
+    _codec_override=None,
 ) -> DataFrame:
     """Decode a mixed-mime binary stream with the real codecs,
     per-record fail-soft: output carries ``ok``/``err`` so the caller
     splits OK/KO with two filters. Unknown mimes are KO ("no codec"),
-    never dropped silently."""
+    never dropped silently.
+
+    ``_codec_override`` is a TEST seam only: a (mime, bytes) -> tuple
+    replacing the codec dispatch, cloudpickled into the executor
+    closure so tests can prove the error-routing contract (data
+    poison → KO lane, programming bug → visible crash) for exception
+    classes the real codecs can't be made to raise on demand."""
     import numpy as np
 
     out_schema = f"{id_col} long, {_DECODED_FIELDS}"
@@ -73,6 +82,8 @@ def decode_media_stream(
             )
         raise ValueError(f"no codec for mime {mime!r}")
 
+    decode_fn = _codec_override or _decode_one
+
     def _decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             id_col, "mime_type", "ok", "err", "width", "height",
@@ -86,15 +97,18 @@ def decode_media_stream(
                 if i is None or b is None:
                     continue
                 try:
-                    rows.append((int(i), *_decode_one(mime, bytes(b))))
-                except Exception as e:  # noqa: BLE001
+                    rows.append((int(i), *decode_fn(mime, bytes(b))))
+                except (ValueError, zlib.error, struct.error) as e:
                     # the RECORD fails, the batch survives — the
                     # codec's message rides to the dead-letter sink.
-                    # Broad on purpose: codecs raise ValueError for
-                    # contract violations but zlib.error (corrupt
-                    # DEFLATE body behind a valid CRC) and
-                    # struct.error escape that; any codec-internal
-                    # failure must route KO, never stall the stream.
+                    # Exactly the DATA-poison classes: codecs raise
+                    # ValueError for contract violations, zlib.error
+                    # for a corrupt DEFLATE body behind a valid CRC,
+                    # struct.error for truncated fixed-layout headers.
+                    # Anything else (TypeError/AttributeError/...) is
+                    # a codec PROGRAMMING bug and must crash the query
+                    # visibly, not masquerade as 100% KO data
+                    # (round-11 ADVICE).
                     rows.append(
                         (int(i), mime, False, str(e)[:200],
                          0, 0, 0, 0, 0, 0, 0)

@@ -440,3 +440,84 @@ def test_bloom_param_twins_agree():
     )
 
     assert _BLOOM_PARAMS_REF() == _BLOOM_PARAMS
+
+
+def test_screen_parity_on_null_and_nonascii_text(spark):
+    """Round-11 ADVICE regressions: (1) null text must flag False in
+    BOTH screen implementations (a NULL near_dup would silently drop
+    the doc from both the OK and KO lanes); (2) case mapping happens
+    JVM-side in both, so non-ASCII uppercase (Turkish dotted İ,
+    German ß, fullwidth letters) cannot fork the stream's routing
+    from the oracle-pinned census."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from scio_db_spark.streaming.corpus_ingest import (
+        lsh_band_bloom_masks,
+        lsh_screen_expr,
+        lsh_screen_udf,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    hist_rows = [
+        (1, "İSTANBUL BOĞAZI manzarası çok güzel bir yerdir burada"),
+        (2, "DIE STRASSE IST NASS und der Regen fällt weiter heute"),
+        (3, "plain ascii historical document body with many words here"),
+    ]
+    hist = spark.createDataFrame(hist_rows, schema)
+    masks = lsh_band_bloom_masks(hist, bits=65536)
+
+    probe_rows = [
+        # exact non-ASCII uppercase repeats: must flag in both forms
+        (10, hist_rows[0][1]),
+        (11, hist_rows[1][1]),
+        # lowercase variants: identical after JVM lower in both forms
+        (12, hist_rows[0][1].lower()),
+        (13, None),  # null text: False in both, never NULL
+        (14, "completely novel arrival text nothing like history at all"),
+        (15, "𝕌ℕ𝕀ℂ𝕆𝔻𝔼 fullwidth ＡＢＣ mathematical alphanumerics row"),
+    ]
+    probe = spark.createDataFrame(probe_rows, schema)
+
+    expr_out = {
+        r.doc_id: r.near_dup
+        for r in lsh_screen_expr(probe, masks).collect()
+    }
+    udf_out = {
+        r.doc_id: r.near_dup
+        for r in probe.withColumn(
+            "near_dup", lsh_screen_udf(masks)(F.col("text"))
+        ).collect()
+    }
+    assert expr_out == udf_out
+    assert expr_out[13] is False  # null text: False, not NULL
+    assert expr_out[10] and expr_out[11]  # exact repeats flagged
+
+
+def test_bloom_masks_default_bits_track_screen_constant():
+    """lsh_band_bloom_masks' default sizing IS the census constant
+    (plans/textops._LSH_SCREEN_BITS) — one shared value, so the
+    census's 'FP integers transfer at the same sizing' claim cannot
+    silently drift from screen behavior (round-11 ADVICE)."""
+    import inspect
+
+    from scio_db_spark.plans.textops import _LSH_SCREEN_BITS
+    from scio_db_spark.streaming.corpus_ingest import (
+        lsh_band_bloom_masks,
+    )
+
+    sig = inspect.signature(lsh_band_bloom_masks)
+    assert sig.parameters["bits"].default is None
+    src = inspect.getsource(lsh_band_bloom_masks)
+    assert "_LSH_SCREEN_BITS" in src
+    assert _LSH_SCREEN_BITS == 65536

@@ -151,3 +151,41 @@ def test_poison_routes_to_dead_letter_with_codec_error(split):
     assert "no codec" in ko[6].err
     # zlib.error (non-ValueError) must route KO, not kill the batch
     assert ko[7].err
+
+
+def _fake_codec(exc_cls):
+    def _codec(mime, b):
+        raise exc_cls("injected")
+
+    return _codec
+
+
+def test_data_poison_classes_route_ko_programming_bugs_crash(spark):
+    """Round-11 ADVICE regression: the per-record handler catches
+    exactly the DATA-poison classes (ValueError, zlib.error,
+    struct.error) — those route to the KO lane with the message in
+    ``err`` — while a codec PROGRAMMING bug (TypeError et al.) must
+    crash the query visibly instead of masquerading as 100% KO data.
+    Batch mapInPandas exercises the identical closure the stream
+    runs."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from scio_db_spark.streaming.media_ingest import decode_media_stream
+
+    rows = [Row(media_id=1, mime_type="image/png", payload=bytearray(b"x"))]
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    for exc in (ValueError, _zlib.error, _struct.error):
+        out = decode_media_stream(
+            df, _codec_override=_fake_codec(exc)
+        ).collect()
+        assert len(out) == 1
+        assert out[0].ok is False and "injected" in out[0].err
+
+    for exc in (TypeError, AttributeError, KeyError):
+        with pytest.raises(Exception) as ei:
+            decode_media_stream(
+                df, _codec_override=_fake_codec(exc)
+            ).collect()
+        assert exc.__name__ in str(ei.value)

@@ -28,7 +28,16 @@ Legs:
    pairs per cluster — the point of the fix is that this leg CANNOT
    be run). Candidates-per-doc quantifies the quadratic-vs-linear gap.
 
-Output: one JSON line — recorded as BENCH_LOCAL_r11_lsh_dupheavy.json.
+3. ``viral_singleton`` (round-12, verdict item 1's proof) — ONE text
+   duplicated ``BENCH_LSH_VIRAL_COPIES`` times (default 10M) plus 1M
+   organic docs. Round 11's windowed canonical/bucket-count stages
+   would funnel all 10M copies of the viral page into ONE task before
+   dropping them; the round-12 map-side groupBy + broadcast hot/cold
+   join form keeps them distributed, so the claim is
+   ``worst_stage_ratio`` — max over EVERY new stage of task
+   max/median — ≤ 1.5, not just the heaviest stage's.
+
+Output: one JSON line — recorded as BENCH_LOCAL_r{N}_lsh_dupheavy.json.
 """
 
 from __future__ import annotations
@@ -51,6 +60,71 @@ from scio_db_spark.session import SessionFactory  # noqa: E402
 N_ROWS = int(os.environ.get("BENCH_LSH_ROWS", 5_000_000))
 N_VIRAL = 50  # distinct viral texts; each ~N_ROWS*0.4/N_VIRAL copies
 DUP_PCT = 40  # share of rows that are verbatim viral copies
+#: leg-3 worst case: ONE text duplicated this many times
+VIRAL_COPIES = int(os.environ.get("BENCH_LSH_VIRAL_COPIES", 10_000_000))
+VIRAL_ORGANIC = 1_000_000  # unique-by-suffix companions in leg 3
+
+
+def _worst_stage_ratio(spark, before: set[int]) -> dict:
+    """max over EVERY new completed stage of task max/median — the
+    'no stage anywhere co-locates the viral page' claim needs the
+    worst stage, not just the heaviest/most-skewed pair."""
+    from bench_skew import _api, _stage_summary
+
+    try:
+        stages = _api(spark, "/stages?status=COMPLETE")
+    except Exception:  # noqa: BLE001
+        return {}
+    new = [s for s in stages if s["stageId"] not in before]
+    worst, worst_stage, n_rated = 0.0, None, 0
+    worst_mat, worst_mat_stage, n_mat = 0.0, None, 0
+    for s in new:
+        summ = _stage_summary(spark, s)
+        # per-task RECORD quantiles separate data skew (what a hot
+        # key causes and this leg exists to disprove) from duration
+        # noise (thread contention on a shared 32-thread box, mixed
+        # scan+shuffle-read task types in one stage)
+        try:
+            q = _api(
+                spark,
+                f"/stages/{s['stageId']}/0/taskSummary"
+                f"?quantiles=0.0,0.5,1.0",
+            )
+            recs = [
+                round(a + b)
+                for a, b in zip(
+                    (q.get("inputMetrics") or {}).get("recordsRead")
+                    or [0, 0, 0],
+                    (q.get("shuffleReadMetrics") or {}).get("readRecords")
+                    or [0, 0, 0],
+                )
+            ]
+            summ["task_records_min_med_max"] = recs
+        except Exception:  # noqa: BLE001
+            pass
+        med, mx = summ.get("task_ms_median"), summ.get("task_ms_max")
+        # sub-100ms medians rate scheduler noise, not data skew
+        if not med or not mx or med < 100:
+            continue
+        n_rated += 1
+        if mx / med > worst:
+            worst, worst_stage = mx / med, summ
+        # material stages: a task under 1s cannot be a 100 TB
+        # straggler signal on a 32-thread box — sub-second maxima
+        # rate multi-tenant scheduler jitter
+        if mx >= 1000:
+            n_mat += 1
+            if mx / med > worst_mat:
+                worst_mat, worst_mat_stage = mx / med, summ
+    return {
+        "n_stages": len(new),
+        "n_stages_rated": n_rated,
+        "worst_stage_ratio": round(worst, 2),
+        "worst_stage": worst_stage,
+        "n_stages_material": n_mat,
+        "worst_material_ratio": round(worst_mat, 2),
+        "worst_material_stage": worst_mat_stage,
+    }
 
 
 def _corpus(spark, n_rows: int):
@@ -168,6 +242,51 @@ def main() -> int:
 
     legs["unbounded_x10"] = _measure(spark, _unbounded_small)
     legs["bounded_x10"] = _measure(spark, _bounded_small)
+
+    # --- leg 3: ONE text duplicated VIRAL_COPIES times --------------
+    one_viral = F.lit(
+        "single viral page body every crawler in the fleet captured "
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+        "do eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    )
+    organic = F.concat(
+        F.lit("organic document family "),
+        (F.col("id") % 997).cast("string"),
+        F.lit(
+            " with shared stem vocabulary quick brown fox jumps over"
+            " the lazy dog pack my box with five dozen liquor jugs "
+        ),
+        F.lit("uniq"),
+        F.col("id").cast("string"),
+    )
+    # interleave viral and organic ids (every (ratio+1)-th id is
+    # organic) the way a real crawl does — a contiguous id split
+    # would concentrate ALL post-collapse work in the few scan tasks
+    # holding organic ids and measure the synthetic layout, not the
+    # operator
+    ratio = max(VIRAL_COPIES // VIRAL_ORGANIC, 1)
+    n3 = VIRAL_COPIES + VIRAL_ORGANIC
+    is_organic = F.col("id") % (ratio + 1) == 0
+    d_viral = spark.range(n3).select(
+        F.col("id").alias("doc_id"),
+        F.when(is_organic, organic).otherwise(one_viral).alias("text"),
+    )
+
+    def _viral():
+        pairs = bounded_lsh_pairs(d_viral)
+        viral_member = lambda c: F.col(c) % (ratio + 1) != 0  # noqa: E731
+        return {
+            "n_pairs": pairs.count(),
+            "n_star_edges_viral": pairs.filter(
+                viral_member("doc_a") & viral_member("doc_b")
+            ).count(),
+        }
+
+    before3 = _completed_stage_ids(spark)
+    legs["viral_singleton"] = _measure(spark, _viral)
+    legs["viral_singleton"].update(_worst_stage_ratio(spark, before3))
+    legs["viral_singleton"]["copies"] = VIRAL_COPIES
+    legs["viral_singleton"]["organic"] = VIRAL_ORGANIC
 
     print(
         json.dumps(
