@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # is unaffected.
 # tools/update_driver_verified.py regenerates this set after each
 # round (latest-round-wins) and `--check` fails when it drifts.
-_DRIVER_VERIFIED_ROUND = 10
+_DRIVER_VERIFIED_ROUND = 11
 _DRIVER_VERIFIED = frozenset({
     "agg_orders_by_status",
     "anti_join_customers_without_orders",
@@ -83,6 +83,9 @@ _DRIVER_VERIFIED = frozenset({
     "docs_lang_rebalance",
     "docs_leakage_safe_split_census",
     "docs_len_histogram",
+    "docs_lsh_bloom_screen_census",
+    "docs_lsh_bucket_census",
+    "docs_lsh_index_lifecycle_census",
     "docs_minhash_lsh_pairs",
     "docs_minhash_signature",
     "docs_mixture_schedule_topk",
@@ -99,6 +102,8 @@ _DRIVER_VERIFIED = frozenset({
     "docs_simhash",
     "docs_simhash_near_pairs",
     "docs_source_diversity_census",
+    "docs_span_excised_corpus",
+    "docs_span_excision_census",
     "docs_stratified_sample",
     "docs_tfidf_topk",
     "docs_token_cms_topk",
@@ -122,6 +127,7 @@ _DRIVER_VERIFIED = frozenset({
     "emb_cosine_topk",
     "emb_dimension_drift_census",
     "emb_hard_negatives_topk",
+    "emb_ivf_index_lifecycle_census",
     "emb_ivfpq_adc_topk",
     "emb_ivfpq_recall_census",
     "emb_ivfpq_rerank_topk",
@@ -262,62 +268,69 @@ _DRIVER_VERIFIED = frozenset({
 })
 
 
-# Round-11 window (every registry row has a driver green somewhere,
-# so the 50-slot window's job is now re-verification FRESHNESS on
-# current code — r10 verdict item 5): 9 queries whose OUTPUT
-# semantics changed this round (bounded LSH star-edge form and its
-# CC/split/reduce consumers; the four byte-BPE censuses) plus the 35
-# OLDEST driver greens (rounds 2-4 vintage — all pre-round-6,
-# exceeding the verdict's >=30 bar). With the 6 brand-new round-11
-# queries that makes exactly 50 aliased rows.
+# Round-12 window (re-verification freshness, r11 verdict item 5):
+# the 5 queries whose OUTPUT changed this round (the four trained-BPE
+# censuses re-priced under the 4K-merge production vocabulary, and
+# the span-excision census re-based to the rewrite's normalization
+# space per ADVICE), the 6 LSH-family queries whose PLANS changed
+# (hot-key windows replaced by map-side aggregates — hashes pinned
+# unchanged, re-verified on the new plans), and 38 of the 47
+# remaining round-4-vintage greens (the oldest cohort; the last 9
+# rotate next round). With the brand-new rows-only
+# docs_span_excision_rounds_census (aliased automatically as
+# not-yet-verified) that fills the 50-slot window exactly.
 # tools/update_driver_verified.py folds the new greens back to
-# canonical names next round; rebuild this set then (next-oldest
-# vintage: the round-5 greens).
+# canonical names next round.
 _REVERIFY: frozenset[str] = frozenset({
     "docs_bpe_fertility_census",
     "docs_bpe_token_count_trained",
     "docs_bpe_vocab_census",
     "docs_dedup_clusters",
-    "docs_dedup_reduce_census",
     "docs_dedup_token_savings_census",
     "docs_incremental_lsh_dedup",
-    "docs_leakage_safe_split_census",
+    "docs_lsh_bloom_screen_census",
+    "docs_lsh_bucket_census",
+    "docs_lsh_index_lifecycle_census",
     "docs_minhash_lsh_pairs",
-    "docs_simhash",
-    "docs_simhash_near_pairs",
-    "docs_stratified_sample",
-    "docs_token_df_topk",
-    "docs_token_stats",
-    "docs_top_quality_per_source",
-    "docs_train_val_split",
-    "docs_type_token_ratio",
-    "docs_vocab_coverage",
-    "emb_ann_ivf_topk",
-    "emb_ann_lsh_topk",
-    "emb_cosine_topk",
-    "emb_kmeans_assign",
-    "emb_lsh_bucket_histogram",
-    "emb_near_dup_pairs",
-    "emb_norms",
-    "emb_semantic_dedup",
-    "events_anti_join_historical",
-    "events_asof_latest_order",
-    "events_csv_parse_toxic",
-    "events_daily_retention",
-    "events_dedup_first_per_key",
-    "events_dedup_mark_duplicates",
-    "events_dedup_ttl_sessions",
-    "events_enrich_user_lookup",
-    "events_funnel_view_purchase",
-    "events_initial_load_tag",
-    "events_json_extract",
-    "events_key_extraction",
-    "events_orders_range_count",
-    "events_resample_hourly_ffill",
-    "events_response_classification",
-    "events_retry_increment",
-    "events_semi_join_duplicated",
-    "events_session_windows",
+    "docs_span_excision_census",
+    "docs_unigram_surprisal",
+    "events_moving_hour_stats",
+    "events_rollup_hourly",
+    "events_type_hour_profile",
+    "events_type_transition_matrix",
+    "events_validity_ko_routing",
+    "events_validity_ok_count",
+    "events_windowed_counts",
+    "global_rank_customers",
+    "histogram_order_totals",
+    "median_order_total",
+    "mm_byte_features",
+    "mm_decode_meta",
+    "mm_frame_sample",
+    "mm_payload_metadata",
+    "multi_pattern_timestamp_parse",
+    "pivot_order_counts",
+    "q01_pricing_summary",
+    "q02_min_cost_supplier",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q07_nation_volume",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_lines_by_status",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_share_suppliers",
+    "q21_suppliers_kept_waiting",
 })
 
 

@@ -59,6 +59,7 @@ both engines.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -307,3 +308,409 @@ def bpe_train_python(
             new_vocab[key] = new_vocab.get(key, 0) + n
         vocab = new_vocab
     return merges
+
+
+# --------------------------------------------------------------------------
+# Batched training (round-12: production-scale vocabularies).
+#
+# One merge per driver round-trip cannot reach a 4K-100K vocabulary.
+# Each round therefore merges a BATCH: the maximal PREFIX of the
+# (count desc, left, right) sorted pair list whose members are
+# pairwise symbol-disjoint — stopping at the FIRST conflicting pair,
+# then truncating the batch to members whose count strictly exceeds
+# the conflict's count. This is provably EQUIVALENT to one-at-a-time
+# training, not an approximation:
+#
+# - Batch members share no symbols, so applying one cannot change
+#   another's count (a merge (a,b) only removes adjacencies touching
+#   a or b and creates adjacencies touching the new symbol ab).
+# - Any pair NOT in the batch sorts after the first conflict (prefix
+#   property), so its count is <= the conflict's count < every batch
+#   member's count (strict truncation). New pairs created by a batch
+#   merge inherit counts bounded by an old pair touching a or b —
+#   which conflicts, hence also < every batch member's count. So
+#   sequential training, re-counting after every single merge, would
+#   pick exactly the batch members in exactly the batch order before
+#   any other pair.
+# - Symbol-STRING collisions are handled: a member whose concatenated
+#   output symbol spells an EXISTING symbol string (possible with
+#   even-length hex symbols: merging 'AB'+'CD' creates 'ABCD', which
+#   may already live in the vocabulary from an earlier 'A B C D'
+#   collapse) ends the prefix. Without this guard an OLD pair
+#   involving that string could GAIN instances mid-batch (its count
+#   after the merge is old + created ≤ 2·stop_c, which strict
+#   truncation alone does not dominate) — the hypothesis fuzzer found
+#   exactly this. Each member's concat is also reserved against later
+#   members.
+#
+# The cap on batch size is applied AFTER the full conflict scan and
+# truncation — capping mid-scan would skip the conflict whose count
+# bounds the new pairs (a tie between a new pair and a capped-in
+# member then flips the order; fuzzer-found as well).
+#
+# When ties-with-conflicts collapse the batch to empty, the round
+# falls back to the top-1 pair — literally the sequential step — so
+# the invariant is unconditional. The equivalence is property-tested
+# against the plain-Python sequential reference (tests/test_bpe.py).
+
+
+def select_disjoint_batch(
+    rows: list[tuple[str, str, int]],
+    min_count: int,
+    cap: int,
+    horizon_c: int | None = None,
+    symbols: set[str] | None = None,
+) -> list[tuple[str, str]]:
+    """Driver-side batch selection from the sorted (left, right, c)
+    pair list — the maximal disjoint prefix with strict-count
+    truncation (module comment above). ``rows`` MUST be sorted by
+    (c desc, left asc, right asc) and, unless ``symbols`` supplies
+    the exact live-symbol set, COMPLETE (every pair with an
+    adjacency). ``horizon_c`` is the count floor to truncate at when
+    ``rows`` was cut at a collect horizon."""
+    existing: set[str] = symbols if symbols is not None else set()
+    if symbols is None:
+        for left, right, _ in rows:
+            existing.add(left)
+            existing.add(right)
+    used: set[str] = set()
+    batch: list[tuple[str, str, int]] = []
+    stop_c: int | None = horizon_c
+    for left, right, c in rows:
+        if c < min_count:
+            break
+        fused = left + right
+        if (
+            left in used
+            or right in used
+            or fused in used
+            or fused in existing
+            # a SELF-pair's new pairs derive from the member itself
+            # (runs of >= 3: merging (a,a) creates (aa,a) with count
+            # up to its own), so nothing selected after it is safe —
+            # it ends the prefix and runs alone via the top-1
+            # fallback when it sorts first (fuzzer-found)
+            or left == right
+        ):
+            stop_c = c
+            break
+        batch.append((left, right, c))
+        used.add(left)
+        used.add(right)
+        used.add(fused)
+    if stop_c is not None:
+        batch = [(l, r, c) for l, r, c in batch if c > stop_c]
+    if not batch and rows and rows[0][2] >= min_count:
+        # tie-with-conflict at the top (or a concat collision on the
+        # top pair itself): sequential step
+        return [(rows[0][0], rows[0][1])]
+    return [(l, r) for l, r, _ in batch[:cap]]
+
+
+def bpe_train_batched(
+    words: DataFrame,
+    n_merges: int,
+    min_count: int = 2,
+    top_m: int = 2048,
+) -> tuple[list[tuple[str, str]], int]:
+    """Learn ``n_merges`` merges with BATCHED rounds — identical
+    output to :func:`bpe_train` (see the equivalence argument above)
+    in rounds ≪ merges. Returns ``(merges, n_rounds)``.
+
+    ``top_m`` bounds the per-round collect; when the collected
+    horizon is not the complete pair list and no conflict occurred
+    inside it, the horizon's last count acts as the conflict bound
+    (anything uncollected sorts after it)."""
+    vocab = checkpointed(
+        words.select(to_symbol_seq(F.col("word")).alias("seq"), "n"),
+        eager=True,
+    )
+    merges: list[tuple[str, str]] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        top = (
+            adjacent_pair_counts(vocab)
+            .orderBy(F.desc("c"), F.asc("left"), F.asc("right"))
+            .limit(top_m)
+            .collect()
+        )
+        if not top or top[0].c < min_count:
+            break
+        rows = [(r.left, r.right, r.c) for r in top]
+        horizon_c = None
+        symbols = None
+        if len(rows) == top_m:
+            # horizon cut: everything uncollected counts <= the last
+            # collected row, and the concat-collision guard needs the
+            # EXACT live-symbol set (a symbol may appear only in
+            # uncollected low-count pairs)
+            horizon_c = rows[-1][2]
+            symbols = {
+                r.s
+                for r in vocab.select(
+                    F.explode(
+                        F.transform(
+                            F.split(F.col("seq"), " "),
+                            lambda x: F.replace(x, F.lit("|")),
+                        )
+                    ).alias("s")
+                )
+                .distinct()
+                .collect()
+            }
+        batch = select_disjoint_batch(
+            rows,
+            min_count,
+            n_merges - len(merges),
+            horizon_c=horizon_c,
+            symbols=symbols,
+        )
+        if not batch:
+            break
+        merges.extend(batch)
+        col = F.col("seq")
+        for left, right in batch:
+            col = apply_merge(col, left, right)
+        vocab = checkpointed(
+            vocab.select(col.alias("seq"), "n"), eager=True
+        )
+        rounds += 1
+    return merges, rounds
+
+
+def bpe_train_batched_python(
+    word_counts: dict[str, int], n_merges: int, min_count: int = 2
+) -> tuple[list[tuple[str, str]], int]:
+    """Plain-Python twin of :func:`bpe_train_batched` — shares
+    :func:`select_disjoint_batch` verbatim, so the hypothesis
+    property test (batched ≡ sequential) exercises the real batch
+    selection logic at volume without a JVM in the loop."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, n in word_counts.items():
+        key = word_to_symbols(word)
+        vocab[key] = vocab.get(key, 0) + n
+    merges: list[tuple[str, str]] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            run = 0
+            for i in range(len(syms) - 1):
+                run = run + 1 if i > 0 and syms[i] == syms[i - 1] else 0
+                if syms[i] == syms[i + 1] and run % 2 == 1:
+                    continue
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + n
+        if not counts:
+            break
+        rows = sorted(
+            ((l, r, c) for (l, r), c in counts.items()),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
+        batch = select_disjoint_batch(
+            rows, min_count, n_merges - len(merges)
+        )
+        if not batch:
+            break
+        merges.extend(batch)
+        for left, right in batch:
+            fused = left + right
+            new_vocab: dict[tuple[str, ...], int] = {}
+            for syms, n in vocab.items():
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(fused)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                key = tuple(out)
+                new_vocab[key] = new_vocab.get(key, 0) + n
+            vocab = new_vocab
+        rounds += 1
+    return merges, rounds
+
+
+# --------------------------------------------------------------------------
+# Production-depth APPLICATION (round-12). The chained-replace
+# expression is the gold semantics but both engines cap expression
+# nesting (DuckDB binder: 128; the 107-merge table was sized to it).
+# For larger tables:
+#
+# - Spark applies per WORD through an Arrow kernel
+#   (:func:`bpe_token_count_udf` / :func:`bpe_seq_udf`) implementing
+#   the EXACT pass-chain semantics with a rank cursor — vocabulary-
+#   bounded work (censuses run it on the distinct-word frame; the
+#   streaming meter memoizes per pre-token).
+# - DuckDB iterates rank-by-rank in a recursive CTE
+#   (:func:`bpe_apply_cte_sql`) — one replace() per rank per word,
+#   literally the chain as a loop.
+#
+# Cursor-kernel exactness: the chain runs ONE left-to-right
+# non-overlapping pass per rank, in rank order. The kernel repeatedly
+# applies the smallest-rank pair PRESENT that is GREATER than the
+# last applied rank. Skipped ranks are no-ops in the chain (pair not
+# present); a pair whose adjacency first APPEARS after a later rank
+# has been applied is never merged by the chain (its pass already
+# ran) and never by the kernel (rank <= cursor) — the symbol-string
+# collision case the property test plants.
+
+
+def merge_ranks(
+    merges: list[tuple[str, str]] | list[list[str]],
+) -> dict[tuple[str, str], int]:
+    return {
+        (left, right): i for i, (left, right) in enumerate(merges)
+    }
+
+
+def apply_ranked(
+    symbols: tuple[str, ...],
+    merges: list,
+    ranks: dict[tuple[str, str], int],
+) -> tuple[str, ...]:
+    """Pass-chain-exact merge application over a symbol tuple (see
+    the cursor argument above)."""
+    syms = list(symbols)
+    cursor = -1
+    while True:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and r > cursor and (
+                best is None or r < best
+            ):
+                best = r
+        if best is None:
+            return tuple(syms)
+        left, right = merges[best][0], merges[best][1]
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and syms[i] == left
+                and syms[i + 1] == right
+            ):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+        cursor = best
+
+
+def word_tokenizer(merges: list):
+    """Memoized word → token-tuple callable (full-charset byte
+    symbols, committed merge table). The cache is per-executor-
+    process and vocabulary-bounded — the streaming meter hits it once
+    per distinct pre-token per worker. (A plain dict memo, not
+    functools.lru_cache: cloudpickle cannot serialize a wrapped local
+    into the UDF closure; the size guard keeps a pathological
+    all-unique stream from growing it unbounded.)"""
+    ranks = merge_ranks(merges)
+    frozen = [tuple(m) for m in merges]
+    memo: dict[str, tuple[str, ...]] = {}
+
+    def _tok(word: str) -> tuple[str, ...]:
+        t = memo.get(word)
+        if t is None:
+            t = apply_ranked(word_to_symbols(word), frozen, ranks)
+            if len(memo) < (1 << 18):
+                memo[word] = t
+        return t
+
+    return _tok
+
+
+def bpe_token_count_udf(merges: list):
+    """Arrow kernel: token count per WORD string column. Used by the
+    batch censuses on the DISTINCT-word frame (vocabulary-bounded —
+    the corpus never crosses into Python)."""
+    from pyspark.sql.functions import pandas_udf
+
+    tok = word_tokenizer(merges)
+
+    @pandas_udf("long")
+    def _udf(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: len(tok(w)))
+
+    return _udf
+
+
+def bpe_seq_udf(merges: list):
+    """Arrow kernel: delimiter-complete merged sequence per WORD
+    (``'|63| |6174| |_|'``) — the vocab census's surface, identical
+    rendering to the chained-replace output."""
+    from pyspark.sql.functions import pandas_udf
+
+    tok = word_tokenizer(merges)
+
+    @pandas_udf("string")
+    def _udf(words: pd.Series) -> pd.Series:
+        return words.map(
+            lambda w: " ".join(f"|{t}|" for t in tok(w))
+        )
+
+    return _udf
+
+
+def bpe_pretoken_count_udf(merges: list):
+    """Arrow kernel: summed token count over an ARRAY<STRING> of
+    pre-tokens — the STREAMING meter's shape (pre-tokenization stays
+    JVM-side via regexp_extract_all so both engines share one regex
+    implementation; Python only merges already-cut words, memoized
+    per distinct pre-token)."""
+    from pyspark.sql.functions import pandas_udf
+
+    tok = word_tokenizer(merges)
+
+    @pandas_udf("long")
+    def _udf(pretoks: pd.Series) -> pd.Series:
+        return pretoks.map(
+            lambda ws: 0
+            if ws is None
+            else sum(len(tok(w)) for w in ws)
+        )
+
+    return _udf
+
+
+def bpe_apply_cte_sql(
+    words_cte: str, merges: list, out_cte: str = "bpe_v"
+) -> str:
+    """DuckDB twin of the Arrow kernels for merge tables past the
+    binder's 128-deep nesting cap: a recursive CTE applying ONE
+    rank's replace() per iteration over the distinct-word rows of
+    ``words_cte`` (column ``word``). Emits CTE definitions for
+    ``bpe_m`` (the rank-ordered merge VALUES) and ``out_cte``
+    (word, seq) — splice into a ``WITH RECURSIVE`` clause. The
+    iteration IS the chain: pass r applies merges[r] globally
+    left-to-right (replace semantics), exactly once, in rank order."""
+    vals = ", ".join(
+        f"({i}, '{left}', '{right}')"
+        for i, (left, right) in enumerate(merges)
+    )
+    n = len(merges)
+    return f"""
+    bpe_m(mr, ml, mrt) AS (SELECT * FROM (VALUES {vals}) _bm(mr, ml, mrt)),
+    bpe_app(word, seq, r) AS (
+        SELECT word, {to_symbol_seq_sql("word")}, 0 FROM {words_cte}
+        UNION ALL
+        SELECT a.word,
+            replace(a.seq,
+                '|' || m.ml || '| |' || m.mrt || '|',
+                '|' || m.ml || m.mrt || '|'),
+            a.r + 1
+        FROM bpe_app a JOIN bpe_m m ON m.mr = a.r
+        WHERE a.r < {n}
+    ),
+    {out_cte} AS (SELECT word, seq FROM bpe_app WHERE r = {n})
+    """

@@ -1952,6 +1952,57 @@ def _excise_round(toks_df: DataFrame) -> DataFrame:
     )
 
 
+def span_excise_to_fixpoint(
+    d: DataFrame, max_rounds: int = 64
+) -> tuple[DataFrame, int]:
+    """PRODUCTION form of :func:`span_excise`: iterate
+    :func:`_excise_round` until a changed-rows counter reports a
+    fixpoint instead of unrolling a pinned round count. The counter
+    is ONE scalar aggregate per round — total surviving tokens, which
+    strictly decreases iff any document changed (excision only ever
+    removes tokens) — so the stop test costs one count job against
+    the already-checkpointed round output, no join, no diff frame.
+
+    Returns ``(frame, n_excision_rounds)`` where the frame matches
+    :func:`span_excise`'s schema and ``n_excision_rounds`` counts the
+    rounds that CHANGED something (the final no-op round that proves
+    the fixpoint is not counted). The fixed 6-round unroll stays the
+    registered/oracle-pinned form (a fixed unroll is the only thing a
+    one-shot SQL oracle can express); the agreement property between
+    the two — and a planted corpus needing MORE than 6 rounds, where
+    only this form excises everything — is tests/test_span_excise.py.
+    """
+    from scio_db_spark.operators.graph import checkpointed
+
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    pre = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens_pre")
+    )
+    cur = checkpointed(toks)
+    prev_total = cur.select(
+        F.sum(F.size("toks")).alias("t")
+    ).collect()[0].t
+    rounds = 0
+    for _ in range(max_rounds):
+        nxt = checkpointed(_excise_round(cur))
+        total = nxt.select(
+            F.sum(F.size("toks")).alias("t")
+        ).collect()[0].t
+        if total == prev_total:
+            break
+        cur, prev_total = nxt, total
+        rounds += 1
+    return (
+        pre.join(cur, "doc_id").select(
+            "doc_id",
+            F.array_join(F.col("toks"), " ").alias("text_rewritten"),
+            "n_tokens_pre",
+            F.size("toks").cast("long").alias("n_tokens_post"),
+        ),
+        rounds,
+    )
+
+
 def span_excise(d: DataFrame) -> DataFrame:
     """Rewrite an arbitrary ``(doc_id, text)`` frame with cross-doc
     duplicate spans excised, iterated to the pinned round count:
@@ -2093,14 +2144,12 @@ def span_excised_corpus(spark: SparkSession, sf: str) -> DataFrame:
 
 def _span_census_oracle() -> str:
     from scio_db_spark.operators.bpe import (
-        apply_merges_sql,
+        bpe_apply_cte_sql,
         pretokens_sql,
-        to_symbol_seq_sql,
     )
 
-    applied = apply_merges_sql(to_symbol_seq_sql("word"), _BPE_MERGES)
     return f"""
-    WITH {_span_excise_sql()},
+    WITH RECURSIVE {_span_excise_sql()},
     rw AS (
         SELECT d.doc_id, d.source,
             coalesce(reb.text_rewritten, '') AS text_rw,
@@ -2125,12 +2174,21 @@ def _span_census_oracle() -> str:
         SELECT doc_id, unnest({pretokens_sql("text_rw")}) AS word
         FROM rw
     ),
+    wu AS (
+        -- explicit DISTINCT over UNION ALL: under WITH RECURSIVE,
+        -- DuckDB gives a bare `base UNION branch` CTE body the
+        -- recursive-union treatment and the duplicate elimination
+        -- between the two legs is lost (measured: 52,027 rows for
+        -- 31 distinct words, inflating every joined sum ~1700x)
+        SELECT DISTINCT word FROM (
+            SELECT word FROM w_pre UNION ALL SELECT word FROM w_post
+        )
+    ),
+    {bpe_apply_cte_sql("wu", _BPE_MERGES)},
     v AS (
         SELECT word,
-            CAST(len(string_split({applied}, ' ')) AS BIGINT) AS k
-        FROM (
-            SELECT word FROM w_pre UNION SELECT word FROM w_post
-        )
+            CAST(len(string_split(seq, ' ')) AS BIGINT) AS k
+        FROM bpe_v
     ),
     bpre AS (
         SELECT doc_id, CAST(sum(k) AS BIGINT) AS b
@@ -2172,9 +2230,8 @@ def _span_census_oracle() -> str:
 )
 def span_excision_census(spark: SparkSession, sf: str) -> DataFrame:
     from scio_db_spark.operators.bpe import (
-        apply_merges_expr,
+        bpe_token_count_udf,
         pretokens,
-        to_symbol_seq,
     )
 
     d = _docs(spark, sf)
@@ -2193,16 +2250,15 @@ def span_excision_census(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.explode(pretokens(F.col("text_rewritten"))).alias("word"),
     )
+    # Arrow-kernel apply on the union vocabulary (see
+    # bpe_vocab_census's production-depth note)
     v = (
         w_pre.select("word")
         .union(w_post.select("word"))
         .distinct()
-        .select("word", to_symbol_seq(F.col("word")).alias("seq0"))
         .select(
             "word",
-            F.size(
-                F.split(apply_merges_expr("seq0", _BPE_MERGES), " ")
-            ).cast("long").alias("k"),
+            bpe_token_count_udf(_BPE_MERGES)(F.col("word")).alias("k"),
         )
     )
     bpre = (
@@ -2247,6 +2303,40 @@ def span_excision_census(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "docs_span_excision_rounds_census",
+    effectful=True,  # the fixpoint loop RUNS jobs at plan-build time
+    # (one checkpoint + one scalar count per round), so the plan the
+    # audit would see is just the final checkpoint scan
+    oracle=None,  # the dynamic stop is the point — a one-shot SQL
+    # oracle can only express a FIXED unroll (that form is pinned by
+    # docs_span_excision_census); the driver records a rows-only
+    # check here, and the fixed-vs-fixpoint agreement + the planted
+    # 8-round onion live in tests/test_span_excision.py
+    doc="PRODUCTION span-excision stop (round-12): iterate excision "
+    "rounds until the changed-rows counter (total surviving tokens — "
+    "strictly decreasing iff any doc changed) reaches a fixpoint, "
+    "instead of a pinned unroll that silently under-excises any "
+    "corpus needing more rounds. One row: rounds to convergence plus "
+    "the same pre/post token ledger as the fixed-form census.",
+)
+def span_excision_rounds_census(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    out, rounds = span_excise_to_fixpoint(_docs(spark, sf))
+    return out.agg(
+        F.lit(rounds).cast("long").alias("n_excision_rounds"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("n_tokens_post") < F.col("n_tokens_pre"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_docs_changed"),
+        F.sum("n_tokens_pre").alias("tokens_pre"),
+        F.sum("n_tokens_post").alias("tokens_post"),
     )
 
 
@@ -3567,19 +3657,19 @@ def _bpe_seq_sql() -> str:
 
 
 def _bpe_vocab_oracle() -> str:
-    from scio_db_spark.operators.bpe import apply_merges_sql
+    from scio_db_spark.operators.bpe import bpe_apply_cte_sql
 
-    seq = _bpe_seq_sql()
     return f"""
-    WITH w AS (
+    WITH RECURSIVE w AS (
         SELECT {_bpe_words_sql()} AS word
         FROM documents
     ),
     wc AS (
         SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word
     ),
+    {bpe_apply_cte_sql("wc", _BPE_MERGES)},
     v AS (
-        SELECT n, {apply_merges_sql(seq, _BPE_MERGES)} AS seq FROM wc
+        SELECT wc.n, bpe_v.seq FROM wc JOIN bpe_v USING (word)
     ),
     t AS (SELECT n, replace(unnest(string_split(seq, ' ')), '|', '')
         AS token FROM v)
@@ -3611,10 +3701,7 @@ def _bpe_vocab_oracle() -> str:
     "is scanned exactly once (the 100 TB tokenizer-fit shape).",
 )
 def bpe_vocab_census(spark: SparkSession, sf: str) -> DataFrame:
-    from scio_db_spark.operators.bpe import (
-        apply_merges_expr,
-        to_symbol_seq,
-    )
+    from scio_db_spark.operators.bpe import bpe_seq_udf
 
     d = _docs(spark, sf)
     words = (
@@ -3624,10 +3711,13 @@ def bpe_vocab_census(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # production-depth apply: the committed table exceeds both
+    # engines' expression-nesting caps (DuckDB binder: 128), so Spark
+    # merges through the Arrow kernel on the DISTINCT-word frame
+    # (vocabulary-bounded — the corpus never crosses into Python) and
+    # the oracle iterates rank-by-rank in a recursive CTE
     vocab = words.select(
-        "n", to_symbol_seq(F.col("word")).alias("seq0")
-    ).select(
-        "n", apply_merges_expr("seq0", _BPE_MERGES).alias("seq")
+        "n", bpe_seq_udf(_BPE_MERGES)(F.col("word")).alias("seq")
     )
     toks = vocab.select(
         "n", F.explode(F.split(F.col("seq"), " ")).alias("ptok")
@@ -3758,19 +3848,19 @@ def quality_clf_calibration_census(
 
 
 def _bpe_count_oracle() -> str:
-    from scio_db_spark.operators.bpe import apply_merges_sql
+    from scio_db_spark.operators.bpe import bpe_apply_cte_sql
 
-    seq = _bpe_seq_sql()
-    applied = apply_merges_sql(seq, _BPE_MERGES)
     return f"""
-    WITH w AS (
+    WITH RECURSIVE w AS (
         SELECT doc_id, {_bpe_words_sql()} AS word
         FROM documents
     ),
+    wd AS (SELECT DISTINCT word FROM w),
+    {bpe_apply_cte_sql("wd", _BPE_MERGES)},
     v AS (
         SELECT word,
-            CAST(len(string_split({applied}, ' ')) AS BIGINT) AS k
-        FROM (SELECT DISTINCT word FROM w)
+            CAST(len(string_split(seq, ' ')) AS BIGINT) AS k
+        FROM bpe_v
     ),
     per AS (
         SELECT doc_id,
@@ -3800,25 +3890,21 @@ def _bpe_count_oracle() -> str:
     "fallback); whitespace-only docs count 0 in both engines.",
 )
 def bpe_token_count_trained(spark: SparkSession, sf: str) -> DataFrame:
-    from scio_db_spark.operators.bpe import (
-        apply_merges_expr,
-        to_symbol_seq,
-    )
+    from scio_db_spark.operators.bpe import bpe_token_count_udf
 
     d = _docs(spark, sf)
     w = d.select(
         "doc_id",
         F.explode(bpe_pretokens(F.col("text"))).alias("word"),
     )
+    # Arrow-kernel apply on the DISTINCT-word frame (see
+    # bpe_vocab_census's production-depth note)
     v = (
         w.select("word")
         .distinct()
-        .select("word", to_symbol_seq(F.col("word")).alias("seq0"))
         .select(
             "word",
-            F.size(
-                F.split(apply_merges_expr("seq0", _BPE_MERGES), " ")
-            ).cast("long").alias("k"),
+            bpe_token_count_udf(_BPE_MERGES)(F.col("word")).alias("k"),
         )
     )
     per = (
@@ -3837,19 +3923,19 @@ def bpe_token_count_trained(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _dedup_savings_oracle() -> str:
-    from scio_db_spark.operators.bpe import apply_merges_sql
+    from scio_db_spark.operators.bpe import bpe_apply_cte_sql
 
-    seq = _bpe_seq_sql()
-    applied = apply_merges_sql(seq, _BPE_MERGES)
     return f"""
-    WITH w AS (
+    WITH RECURSIVE w AS (
         SELECT doc_id, {_bpe_words_sql()} AS word
         FROM documents
     ),
+    wd AS (SELECT DISTINCT word FROM w),
+    {bpe_apply_cte_sql("wd", _BPE_MERGES)},
     v AS (
         SELECT word,
-            CAST(len(string_split({applied}, ' ')) AS BIGINT) AS k
-        FROM (SELECT DISTINCT word FROM w)
+            CAST(len(string_split(seq, ' ')) AS BIGINT) AS k
+        FROM bpe_v
     ),
     per AS (
         SELECT doc_id, CAST(sum(k) AS BIGINT) AS toks
@@ -3887,25 +3973,21 @@ def _dedup_savings_oracle() -> str:
     "no string work ever touches the doc stream.",
 )
 def dedup_token_savings_census(spark: SparkSession, sf: str) -> DataFrame:
-    from scio_db_spark.operators.bpe import (
-        apply_merges_expr,
-        to_symbol_seq,
-    )
+    from scio_db_spark.operators.bpe import bpe_token_count_udf
 
     d = _docs(spark, sf)
     w = d.select(
         "doc_id",
         F.explode(bpe_pretokens(F.col("text"))).alias("word"),
     )
+    # Arrow-kernel apply on the DISTINCT-word frame (see
+    # bpe_vocab_census's production-depth note)
     v = (
         w.select("word")
         .distinct()
-        .select("word", to_symbol_seq(F.col("word")).alias("seq0"))
         .select(
             "word",
-            F.size(
-                F.split(apply_merges_expr("seq0", _BPE_MERGES), " ")
-            ).cast("long").alias("k"),
+            bpe_token_count_udf(_BPE_MERGES)(F.col("word")).alias("k"),
         )
     )
     per = (
@@ -3942,20 +4024,20 @@ def dedup_token_savings_census(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _bpe_fertility_oracle() -> str:
-    from scio_db_spark.operators.bpe import apply_merges_sql
+    from scio_db_spark.operators.bpe import bpe_apply_cte_sql
 
-    seq = _bpe_seq_sql()
-    applied = apply_merges_sql(seq, _BPE_MERGES)
     return f"""
-    WITH w AS (
+    WITH RECURSIVE w AS (
         SELECT source, {_bpe_words_sql()} AS word
         FROM documents
     ),
+    wd AS (SELECT DISTINCT word FROM w),
+    {bpe_apply_cte_sql("wd", _BPE_MERGES)},
     v AS (
         SELECT word,
-            CAST(len(string_split({applied}, ' ')) AS BIGINT) AS k,
+            CAST(len(string_split(seq, ' ')) AS BIGINT) AS k,
             CAST(length(word) AS BIGINT) AS chars
-        FROM (SELECT DISTINCT word FROM w)
+        FROM bpe_v
     )
     SELECT source,
         CAST(count(*) AS BIGINT) AS n_words,
@@ -3986,25 +4068,21 @@ def _bpe_fertility_oracle() -> str:
     "ratios are floor-div micro integers, exact in both engines.",
 )
 def bpe_fertility_census(spark: SparkSession, sf: str) -> DataFrame:
-    from scio_db_spark.operators.bpe import (
-        apply_merges_expr,
-        to_symbol_seq,
-    )
+    from scio_db_spark.operators.bpe import bpe_token_count_udf
 
     d = _docs(spark, sf)
     w = d.select(
         "source",
         F.explode(bpe_pretokens(F.col("text"))).alias("word"),
     )
+    # Arrow-kernel apply on the DISTINCT-word frame (see
+    # bpe_vocab_census's production-depth note)
     v = (
         w.select("word")
         .distinct()
-        .select("word", to_symbol_seq(F.col("word")).alias("seq0"))
         .select(
             "word",
-            F.size(
-                F.split(apply_merges_expr("seq0", _BPE_MERGES), " ")
-            ).cast("long").alias("k"),
+            bpe_token_count_udf(_BPE_MERGES)(F.col("word")).alias("k"),
             F.length("word").cast("long").alias("chars"),
         )
     )

@@ -352,36 +352,31 @@ def enrich(docs: DataFrame, cfg: CorpusIngestConfig) -> DataFrame:
 
 def trained_token_count_expr(text_col: str) -> Column:
     """Per-document token count under the committed BPE merge table
-    as ONE parsed SQL expression (stream-safe, map-only): for each
-    category pre-token (full charset, byte symbols — operators/bpe.py
-    module doc), render the symbol sequence, apply the rank-ordered
-    replace chain, and sum the resulting symbol counts.
-    Matches plans/textops.py::docs_bpe_token_count_trained row for
-    row (pinned in tests/test_corpus_ingest.py) — that batch form
-    routes the chain through the DISTINCT vocabulary instead, the
-    right shape when a corpus is re-tokenized at rest; this form is
-    the right shape when documents arrive one micro-batch at a time.
-    """
+    (stream-safe, map-only). Matches plans/textops.py::
+    docs_bpe_token_count_trained row for row (pinned in
+    tests/test_corpus_ingest.py) — that batch form routes the merge
+    work through the DISTINCT vocabulary, the right shape when a
+    corpus is re-tokenized at rest; this form is the right shape when
+    documents arrive one micro-batch at a time.
+
+    Production-depth implementation (round-12): pre-tokenization
+    stays JVM-side (``regexp_extract_all`` — ONE regex implementation
+    shared with the batch twin and the oracle), and the merge
+    application crosses to an Arrow kernel that memoizes per distinct
+    pre-token (operators/bpe.py::bpe_pretoken_count_udf). The former
+    single-SQL-expression replace chain caps at the engines'
+    expression-nesting limits (DuckDB binder: 128) and re-scans the
+    text once PER MERGE — at a 4K-merge vocabulary that is 38x the
+    string work; the kernel applies each distinct pre-token once per
+    worker and reads the memo after that. Null text meters 0."""
     from scio_db_spark.operators.bpe import (
-        EOW,
-        PRETOK_RE,
-        apply_merges_sql,
+        bpe_pretoken_count_udf,
+        pretokens,
     )
     from scio_db_spark.plans.textops import _BPE_MERGES
 
-    # Spark-dialect symbol sequence for the lambda variable w
-    seq = (
-        "concat(trim(regexp_replace(hex(encode(w, 'UTF-8')), "
-        f"'(..)', '|$1| ')), ' |{EOW}|')"
-    )
-    chain = apply_merges_sql(seq, _BPE_MERGES)
-    # Spark SQL string literals process backslash escapes — double
-    # them so \p{L} survives the parser as a regex, not as p{L}
-    re_sql = PRETOK_RE.replace("\\", "\\\\")
-    return F.expr(
-        f"aggregate(regexp_extract_all({text_col}, "
-        f"'{re_sql}', 0), 0L, "
-        f"(acc, w) -> acc + size(split({chain}, ' ')))"
+    return bpe_pretoken_count_udf(_BPE_MERGES)(
+        pretokens(F.col(text_col))
     )
 
 

@@ -164,3 +164,195 @@ def test_rank_agreement_property_random_vocabularies(spark):
         n = rng.randint(3, 10)
         got, want = bpe_train(words, n), bpe_train_python(wc, n)
         assert got == want, (trial, wc, n, got, want)
+
+
+# ------------------------------------------------------------------
+# Round-12: batched training + production-depth application.
+
+
+def _chain_replace_python(word: str, merges) -> list[str]:
+    """The gold semantics, literally: render delimiter-complete, run
+    one str.replace per merge in rank order, split back."""
+    s = " ".join(f"|{t}|" for t in word_to_symbols(word))
+    for left, right in merges:
+        s = s.replace(f"|{left}| |{right}|", f"|{left}{right}|")
+    return [t[1:-1] for t in s.split(" ")]
+
+
+def test_batched_trainer_equals_sequential_hypothesis():
+    """The batch-selection rule (maximal disjoint prefix, existing-
+    symbol concat guard, self-pair stop, strict-count truncation,
+    cap-after-truncate) is provably sequential-equivalent — fuzzed
+    here at volume. Historical counterexamples (cap-before-conflict,
+    concat-collision growth, self-pair derived ties) are in the
+    module comment; all were found by exactly this fuzzer."""
+    import random
+
+    from scio_db_spark.operators.bpe import bpe_train_batched_python
+
+    rng = random.Random(1234)
+    for trial in range(400):
+        alpha = rng.choice(["ab", "abc", "abcdef"])
+        wc = {}
+        for _ in range(rng.randint(1, 22)):
+            w = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(1, 12))
+            )
+            wc[w] = wc.get(w, 0) + rng.randint(1, 50)
+        nm = rng.randint(1, 50)
+        seq = bpe_train_python(wc, nm)
+        bat, _rounds = bpe_train_batched_python(wc, nm)
+        assert seq == bat, (trial, wc, nm)
+
+
+def test_batched_spark_trainer_rank_agrees(spark, sf_dir):
+    """The SPARK batched trainer reproduces the sequential Python
+    reference merge-for-merge on the real corpus vocabulary — the
+    committed-resource recipe's exact path."""
+    from scio_db_spark.operators.bpe import bpe_train_batched
+
+    wc = _word_counts_from_docs(spark, sf_dir)
+    words = spark.createDataFrame(
+        list(wc.items()), "word string, n long"
+    )
+    n = 30
+    got, rounds = bpe_train_batched(words, n)
+    assert got == bpe_train_python(wc, n)
+    assert rounds <= n  # batching never does worse than sequential
+
+
+def test_batched_spark_trainer_horizon_path(spark):
+    """top_m smaller than the pair count forces the horizon-cut path
+    (exact-symbol collect + horizon truncation) — output must still
+    equal sequential."""
+    from scio_db_spark.operators.bpe import bpe_train_batched
+
+    wc = {
+        "banana": 9, "bandana": 7, "cabana": 6, "canada": 5,
+        "nacho": 4, "dacha": 4, "abba": 3, "added": 3,
+    }
+    words = spark.createDataFrame(
+        list(wc.items()), "word string, n long"
+    )
+    got, _ = bpe_train_batched(words, 20, top_m=5)
+    assert got == bpe_train_python(wc, 20)
+
+
+def test_cursor_apply_equals_chained_replace_hypothesis():
+    """apply_ranked (the Arrow kernels' core) is pass-chain exact:
+    fuzzed against the literal str.replace chain over random words
+    and TRAINED merge tables (so collision-prone concatenations
+    actually occur)."""
+    import random
+
+    from scio_db_spark.operators.bpe import (
+        apply_ranked,
+        merge_ranks,
+    )
+
+    rng = random.Random(99)
+    for trial in range(200):
+        alpha = rng.choice(["ab", "abc", "abcdef"])
+        wc = {}
+        for _ in range(rng.randint(2, 15)):
+            w = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(1, 10))
+            )
+            wc[w] = wc.get(w, 0) + rng.randint(1, 30)
+        merges = bpe_train_python(wc, rng.randint(1, 40))
+        ranks = merge_ranks(merges)
+        for w in list(wc) + [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 14)))
+            for _ in range(4)  # unseen words too
+        ]:
+            got = list(apply_ranked(word_to_symbols(w), merges, ranks))
+            want = _chain_replace_python(w, merges)
+            assert got == want, (trial, w, merges)
+
+
+def test_cursor_apply_string_collision_case():
+    """Adversarial: rank 2 creates the STRING '61626162' which rank 1
+    also spells — the chain's rank-1 pass already ran, so the kernel
+    must NOT merge the late-appearing adjacency (cursor guard)."""
+    from scio_db_spark.operators.bpe import apply_ranked, merge_ranks
+
+    merges = [
+        ("61", "62"),          # a b -> ab
+        ("6162", "6162"),      # ab ab -> abab
+        ("63", "6162"),        # c ab -> cab
+    ]
+    ranks = merge_ranks(merges)
+    # 'cabab': after rank 0 -> [63,6162,6162,_]; rank 1 pass merges
+    # the abab; rank 2's (63,6162) adjacency was consumed by rank 1
+    got = list(
+        apply_ranked(word_to_symbols("cabab"), merges, ranks)
+    )
+    assert got == _chain_replace_python("cabab", merges)
+    # 'ccab' exercises rank 2 genuinely firing
+    got2 = list(apply_ranked(word_to_symbols("ccab"), merges, ranks))
+    assert got2 == _chain_replace_python("ccab", merges)
+
+
+def test_arrow_kernels_match_expr_chain(spark):
+    """The Arrow kernels (token count, merged seq, pre-token sum)
+    agree with the chained-replace Column expressions on a merge
+    table small enough for both paths to run — pinning the kernels to
+    the oracle-verified gold semantics."""
+    from scio_db_spark.operators.bpe import (
+        apply_merges_expr,
+        bpe_pretoken_count_udf,
+        bpe_seq_udf,
+        bpe_token_count_udf,
+        pretokens,
+    )
+
+    wc = {
+        "tokenize": 5, "tokens": 9, "token": 11, "broken": 3,
+        "Tokyo": 2, "42": 2, "4242": 2, "déjà": 2, "a|b_c": 2,
+    }
+    merges = bpe_train_python(wc, 25)
+    assert 0 < len(merges) <= 100
+    words = spark.createDataFrame(
+        [(w,) for w in wc], "word string"
+    ).withColumn("seq0", to_symbol_seq(F.col("word")))
+    expr_out = {
+        r.word: (r.k, r.seq)
+        for r in words.select(
+            "word",
+            F.size(
+                F.split(apply_merges_expr("seq0", merges), " ")
+            ).alias("k"),
+            apply_merges_expr("seq0", merges).alias("seq"),
+        ).collect()
+    }
+    kern_out = {
+        r.word: (r.k, r.seq)
+        for r in words.select(
+            "word",
+            bpe_token_count_udf(merges)(F.col("word")).alias("k"),
+            bpe_seq_udf(merges)(F.col("word")).alias("seq"),
+        ).collect()
+    }
+    assert expr_out == kern_out
+    # pre-token sum kernel over raw text = sum of per-word counts
+    text = "token tokens 42 déjà broken"
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(
+        bpe_pretoken_count_udf(merges)(
+            pretokens(F.col("text"))
+        ).alias("n")
+    ).collect()[0].n
+    want = sum(
+        expr_out[w][0] for w in ["token", "tokens", "42", "déjà", "broken"]
+    )
+    assert got == want
+    # null text meters 0
+    dfn = spark.createDataFrame([(None,)], "text string")
+    assert (
+        dfn.select(
+            bpe_pretoken_count_udf(merges)(
+                pretokens(F.col("text"))
+            ).alias("n")
+        ).collect()[0].n
+        == 0
+    )

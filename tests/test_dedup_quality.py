@@ -474,3 +474,73 @@ def test_bounded_lsh_preserves_components_vs_unbounded(spark):
         assert sorted(map(sorted, lb.values())) == sorted(
             map(sorted, lu.values())
         ), trial
+
+
+def test_cc_over_capped_pairs_matches_union_find(spark):
+    """Round-12 extension of the CC-equivalence property to the
+    CAPPED-pairs regime: with a cap small enough that hot band
+    buckets really drop pairs, the bounded large-star/small-star CC
+    must equal a reference union-find over the IDENTICAL edge set
+    (algorithm equivalence on capped graphs), and every exact-dup
+    cluster must still land in ONE component regardless of the cap —
+    the star edges' guarantee, since they bypass banding entirely."""
+    import random
+
+    from scio_db_spark.operators.clusters import connected_components
+    from scio_db_spark.plans.textops import bounded_lsh_pairs
+
+    def components(pairs, ids):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        out = {}
+        for i in ids:
+            out.setdefault(find(i), set()).add(i)
+        return sorted(map(sorted, out.values()))
+
+    rng = random.Random(21)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = []
+    text_of = {}
+    for t in range(10):
+        base = " ".join(rng.choice(vocab) for _ in range(12))
+        for _ in range(rng.randint(1, 8)):  # heavy exact duplication
+            texts.append(base)
+        if rng.random() < 0.6:
+            texts.append(base + " extra suffix words")
+    rows = [(i, t) for i, t in enumerate(texts)]
+    for i, t in rows:
+        text_of[i] = t
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs_df = bounded_lsh_pairs(d, cap=2)  # aggressively capped
+    pairs = {(r.doc_a, r.doc_b) for r in pairs_df.collect()}
+    ids = [i for i, _ in rows]
+
+    want = components(pairs, ids)
+    got_rows = connected_components(
+        pairs_df, "doc_a", "doc_b"
+    ).collect()
+    got_map = {r.v: r.label for r in got_rows}
+    got = {}
+    for i in ids:
+        got.setdefault(got_map.get(i, i), set()).add(i)
+    assert sorted(map(sorted, got.values())) == want
+
+    # exact-dup clusters never split, no matter the cap
+    comp_of = {}
+    for comp in want:
+        for i in comp:
+            comp_of[i] = id(comp)
+    by_text = {}
+    for i, t in rows:
+        by_text.setdefault(t, set()).add(comp_of[i])
+    assert all(len(cs) == 1 for cs in by_text.values())

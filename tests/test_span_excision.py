@@ -136,3 +136,126 @@ def test_registry_census_property_on_real_corpus(spark, sf_dir):
             else:
                 run = 0
     assert worst < _EXCISE_MIN_TOKENS, worst
+
+
+# ------------------------------------------------------------------
+# Round-12: the production changed-rows-counter stop
+# (span_excise_to_fixpoint) vs the oracle-pinnable fixed unroll.
+
+
+def _onion_rows():
+    """A corpus whose excision needs EIGHT changing rounds — two more
+    than the fixed unroll — built as an onion: round 1 removes the
+    planted 5-token span S1 (both copies in the chain doc plus two
+    ref docs), and every later round's removal juxtaposes the next
+    layer's left/right sides into a fresh 5-token window that two ref
+    docs already hold intact (count reaches _SPAN_MIN_DOCS=3 only
+    after the juxtaposition). Left sides are 3 tokens, so their one
+    internal shingle is duplicate-flagged from round 1 but survives
+    the >= _EXCISE_MIN_TOKENS=5 run filter until its layer's round —
+    the filter interplay that makes a fixed unroll genuinely
+    under-excise rather than just run slow."""
+    s1 = "s1a s1b s1c s1d s1e"
+    left = {r: f"l{r}1 l{r}2 l{r}3" for r in range(3, 9)}
+    right = {r: f"r{r}1 r{r}2" for r in range(3, 9)}
+    chain = (
+        "w1 w2 "
+        + " ".join(left[r] for r in range(8, 2, -1))
+        + f" a1 a2 {s1} mid {s1} b1 b2 "
+        + " ".join(right[r] for r in range(3, 9))
+        + " w3 w4"
+    )
+    rows = [(0, chain)]
+    rows.append((11, f"ua1 ua2 {s1} ua3 ua4"))
+    rows.append((12, f"ub1 ub2 {s1} ub3 ub4"))
+    rows.append((21, "x2a a1 a2 mid b1 b2 y2a"))
+    rows.append((22, "x2b a1 a2 mid b1 b2 y2b"))
+    for r in range(3, 9):
+        rows.append((10 * r + 1, f"x{r}a {left[r]} {right[r]} y{r}a"))
+        rows.append((10 * r + 2, f"x{r}b {left[r]} {right[r]} y{r}b"))
+    return rows
+
+
+def test_fixpoint_loop_excises_the_planted_8_round_onion(spark):
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.plans.textops import span_excise_to_fixpoint
+
+    df = spark.createDataFrame(
+        _onion_rows(), "doc_id long, text string"
+    )
+    out, rounds = span_excise_to_fixpoint(df)
+    got = {r.doc_id: r.text_rewritten for r in out.collect()}
+    assert rounds == 8, rounds
+    # the chain doc is stripped to its unique filler
+    assert got[0] == "w1 w2 w3 w4", got[0]
+    # every ref doc lost exactly its planted window
+    assert got[11] == "ua1 ua2 ua3 ua4"
+    assert got[21] == "x2a y2a"
+    for r in range(3, 9):
+        assert got[10 * r + 1] == f"x{r}a y{r}a", (r, got[10 * r + 1])
+    # no surviving cross-doc duplicate span anywhere (fixpoint proof)
+    from scio_db_spark.plans.textops import (
+        _SHINGLE_N,
+        _shingles_of,
+    )
+    from scio_db_spark.functions import text as X
+
+    toks = out.select(
+        "doc_id", X.tokens(F.col("text_rewritten")).alias("toks")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_shingles_of(F.col("toks")))
+        ).alias("span"),
+    )
+    survivors = (
+        sh.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= _SPAN_MIN_DOCS)
+        .count()
+    )
+    assert survivors == 0
+
+
+def test_fixed_unroll_under_excises_the_onion(spark):
+    """The documented limitation the fixpoint form exists to remove:
+    the 6-round unroll leaves the onion's outer two layers in place
+    (it is EXACT on corpora whose fixpoint is <= 6 — the next test —
+    but a deeper corpus silently under-excises)."""
+    df = spark.createDataFrame(
+        _onion_rows(), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.text_rewritten for r in span_excise(df).collect()
+    }
+    # layers 7 and 8 survive in the chain doc
+    assert "l71" in got[0] and "l81" in got[0], got[0]
+    assert got[0] != "w1 w2 w3 w4"
+
+
+def test_fixpoint_agrees_with_fixed_unroll_within_budget(spark, sf_dir):
+    """On corpora whose fixpoint is within the unroll budget — the
+    planted boilerplate corpus (fixpoint 1-2) and the real documents
+    table (measured fixpoint <= 5 across SFs) — the two forms are
+    row-identical, so the registered/oracle-pinned unroll and the
+    production stop are the same operator, not cousins."""
+    from scio_db_spark.plans.catalog import table
+    from scio_db_spark.plans.textops import span_excise_to_fixpoint
+
+    for df in (
+        spark.createDataFrame(_rows(), "doc_id long, text string"),
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+    ):
+        fixed = {
+            (r.doc_id, r.text_rewritten, r.n_tokens_pre, r.n_tokens_post)
+            for r in span_excise(df).collect()
+        }
+        looped_df, rounds = span_excise_to_fixpoint(df)
+        looped = {
+            (r.doc_id, r.text_rewritten, r.n_tokens_pre, r.n_tokens_post)
+            for r in looped_df.collect()
+        }
+        assert fixed == looped
+        assert rounds <= 6

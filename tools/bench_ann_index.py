@@ -139,6 +139,56 @@ def main() -> int:
         )
         brute_sec = round(time.perf_counter() - t0, 2)
 
+        # --- update churn (round-12 verdict item 4): 10 MERGEs of
+        # OVERLAPPING key slices (0.5% of existing vec_ids each — the
+        # re-ingest-corrected-vectors pattern), probing after every
+        # merge. The insert-only leg above never exercised the
+        # delete/rewrite path (rows_deleted=0); this one must show
+        # rows_deleted > 0 and files_rewritten > 0 per merge, probe
+        # latency FLAT across the churn (index freshness under
+        # UPDATE load, not just growth), and the fragmentation curve
+        # (file count) with a final compact() + probe.
+        from scio_db_spark.sinks.maintenance import (
+            _parquet_files,
+            compact,
+        )
+
+        churn: list[dict] = []
+        for i in range(10):
+            batch = ivf_index_rows_np(
+                e.filter(
+                    (F.col("vec_id") % 200 == i)
+                    & (F.col("vec_id") <= cut)
+                ),
+                cent,
+            )
+            t0 = time.perf_counter()
+            cstats = upsert_keys(spark, idx, "vec_id", batch)
+            c_merge = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            ivf_probe(
+                read_snapshot(spark, idx), ivf_probe_queries(e, cent)
+            ).count()
+            churn.append(
+                {
+                    "merge_sec": c_merge,
+                    "probe_sec": round(time.perf_counter() - t0, 3),
+                    "rows_deleted": cstats.get("rows_deleted"),
+                    "rows_upserted": cstats.get("rows_upserted"),
+                    "files_rewritten": cstats.get("files_rewritten"),
+                    "n_files": len(_parquet_files(idx)),
+                }
+            )
+        t0 = time.perf_counter()
+        compact(spark, idx, sort_by=["cid"])  # restore cid clustering
+        compact_sec = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        n_post = ivf_probe(
+            read_snapshot(spark, idx), ivf_probe_queries(e, cent)
+        ).count()
+        probe_post_compact = round(time.perf_counter() - t0, 3)
+        assert n_post == n_out, (n_post, n_out)  # churn is pure update
+
         result[str(factor)] = {
             "rows": n_rows,
             "build_sec": build_sec,
@@ -147,6 +197,10 @@ def main() -> int:
             "probe_sec": probe_sec,
             "probe_rows": n_out,
             "brute_sec": brute_sec,
+            "update_churn": churn,
+            "compact_sec": compact_sec,
+            "n_files_post_compact": len(_parquet_files(idx)),
+            "probe_sec_post_compact": probe_post_compact,
         }
         print(
             f"x{factor}: build={build_sec} merge={merge_sec} "

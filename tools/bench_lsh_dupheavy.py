@@ -288,6 +288,30 @@ def main() -> int:
     legs["viral_singleton"]["copies"] = VIRAL_COPIES
     legs["viral_singleton"]["organic"] = VIRAL_ORGANIC
 
+    # --- leg 4 (round-12 verdict item 6): the CC CONSUMER itself ---
+    # docs_dedup_clusters' connected-components over the bounded
+    # pairs + star edges at full dup-heavy scale — pair GENERATION
+    # was benched in round 11; this proves the consumer: bounded
+    # large-star/small-star rounds-to-converge and per-stage flatness
+    # on a graph whose 50 viral clusters are ~40K-member stars.
+    from scio_db_spark.operators.clusters import _cc_star
+
+    def _cc_consume():
+        labels, rounds = _cc_star(
+            bounded_lsh_pairs(d_big), "doc_a", "doc_b", 40
+        )
+        n_vertices = labels.count()
+        n_components = labels.select("label").distinct().count()
+        return {
+            "cc_rounds": rounds,
+            "n_vertices": n_vertices,
+            "n_components": n_components,
+        }
+
+    before4 = _completed_stage_ids(spark)
+    legs["cc_x1000"] = _measure(spark, _cc_consume)
+    legs["cc_x1000"].update(_worst_stage_ratio(spark, before4))
+
     print(
         json.dumps(
             {

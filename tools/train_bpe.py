@@ -1,25 +1,35 @@
 """Train the committed BPE merge table (one-time, offline).
 
 The tokenizer-learning stage of an LLM data pipeline: Sennrich-style
-BPE merge learning over the documents corpus, run with the DISTRIBUTED
-trainer (operators/bpe.py::bpe_train — one corpus scan to the weighted
-vocabulary, then vocabulary-sized pair-count rounds). Like
+BPE merge learning, run with the DISTRIBUTED BATCHED trainer
+(operators/bpe.py::bpe_train_batched — one corpus scan to the weighted
+vocabulary, then vocabulary-sized pair-count rounds, each merging the
+maximal provably-sequential-equivalent batch). Like
 tools/train_quality_clf.py, the TRAINED LITERALS are what correctness
-depends on: both engines apply the same committed merge list
-(chained replace in rank order), so the registered census is
-hash-verifiable, and this script only re-runs when the recipe changes.
+depends on: both engines apply the same committed merge list, so the
+registered censuses are hash-verifiable, and this script only re-runs
+when the recipe changes.
 
-Recipe (round-11, full charset): GPT-2-style category pre-tokens
+Recipe (round-12, production depth): GPT-2-style category pre-tokens
 (letter runs / digit runs / other-non-space runs, case preserved,
-operators/bpe.py::PRETOK_RE) from sf0.1 documents, weighted by
-occurrence, rendered as UTF-8 BYTE symbols (two-hex-digit, byte
-fallback — any script representable); N_MERGES merges, ties broken
+operators/bpe.py::PRETOK_RE) over the UNION of every text-bearing
+surface in the sf0.1 testdata — documents.text plus the TPC-H-ish
+string columns and string-rendered date/price columns (the kind of
+mixed prose/identifier/numeral stream a real crawl tokenizer sees;
+the documents table alone saturates at ~550 statistically-valid
+merges, which is a property of the synthetic corpus, not the
+trainer). Weighted by occurrence, rendered as UTF-8 BYTE symbols
+(two-hex-digit, byte fallback — any script representable); N_MERGES
+merges at min_count=2 (every committed rank is backed by a pair seen
+at least twice — no corpus-memorization tail), ties broken
 lexicographically (deterministic — pinned against the plain-Python
-reference trainer in tests/test_bpe.py).
+reference trainer in tests/test_bpe.py, which also property-tests
+batched ≡ sequential).
 
     python tools/train_bpe.py [sf_dir]
 
-Writes scio_db_spark/resources/bpe_merges.json.
+Writes scio_db_spark/resources/bpe_merges.json (merges + recipe with
+the rounds/merges ratio the batching buys).
 """
 
 from __future__ import annotations
@@ -36,46 +46,85 @@ _OUT = os.path.join(
     _REPO_ROOT, "scio_db_spark", "resources", "bpe_merges.json"
 )
 
-N_MERGES = 160
+N_MERGES = 4096
+
+#: (table, column expression) pairs forming the training stream. Cast
+#: dates/prices through CAST(.. AS STRING) — training is single-engine
+#: (Spark), so engine-specific decimal rendering is recipe-internal.
+SOURCES: list[tuple[str, str]] = [
+    ("documents", "text"),
+    ("part", "p_name"),
+    ("part", "p_type"),
+    ("part", "p_brand"),
+    ("customer", "c_name"),
+    ("customer", "c_mktsegment"),
+    ("supplier", "s_name"),
+    ("events", "props"),
+    ("events", "event_type"),
+    ("orders", "o_orderpriority"),
+    ("orders", "CAST(o_totalprice AS STRING)"),
+    ("orders", "CAST(o_orderdate AS STRING)"),
+    ("lineitem", "CAST(l_extendedprice AS STRING)"),
+    ("lineitem", "CAST(l_shipdate AS STRING)"),
+]
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
-    from scio_db_spark.operators.bpe import PRETOK_RE, bpe_train, pretokens
+    from scio_db_spark.operators.bpe import (
+        PRETOK_RE,
+        bpe_train_batched,
+        pretokens,
+    )
     from scio_db_spark.plans.catalog import table
     from scio_db_spark.session import SessionFactory
 
     spark = SessionFactory.create("train-bpe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = table(spark, sf_dir, "documents")
+    streams = [
+        table(spark, sf_dir, t).selectExpr(f"{expr} AS t")
+        for t, expr in SOURCES
+    ]
+    corpus = reduce(lambda a, b: a.unionByName(b), streams)
     words = (
-        docs.select(F.explode(pretokens(F.col("text"))).alias("word"))
+        corpus.select(F.explode(pretokens(F.col("t"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    n_vocab = words.count()
     t0 = time.time()
-    merges = bpe_train(words, N_MERGES)
+    merges, rounds = bpe_train_batched(words, N_MERGES)
     wall = round(time.time() - t0, 1)
 
     payload = {
         "recipe": {
             "sf_dir": sf_dir,
+            "sources": [f"{t}.{e}" for t, e in SOURCES],
             "word_re": PRETOK_RE,
             "symbols": "utf-8 bytes as two-hex-digit symbols",
             "n_merges_requested": N_MERGES,
+            "n_vocab_words": n_vocab,
+            "min_count": 2,
             "tie_break": "lexicographic (left, right)",
-            "trainer": "operators/bpe.py::bpe_train",
+            "trainer": "operators/bpe.py::bpe_train_batched",
+            "n_rounds": rounds,
+            "merges_per_round": round(len(merges) / max(rounds, 1), 2),
             "train_wall_sec": wall,
         },
         "merges": [[left, right] for left, right in merges],
     }
     with open(_OUT, "w") as f:
         json.dump(payload, f, indent=1)
-    print(f"trained {len(merges)} merges in {wall}s -> {_OUT}")
+    print(
+        f"trained {len(merges)} merges in {rounds} rounds "
+        f"({wall}s) -> {_OUT}"
+    )
     print("first 10:", merges[:10])
     return 0
 
