@@ -51,6 +51,7 @@ def main() -> None:
     gates = "--gates" in sys.argv
     meter = "--meter" in sys.argv  # trained-BPE token metering
     lsh = "--lsh-screen" in sys.argv  # round-11 near-dup band screen
+    excise = "--excise" in sys.argv  # round-12: excise -> meter chain
     n_docs = int(pos[0]) if pos else 1_000_000
     dup_pct = float(pos[1]) if len(pos) > 1 else 0.10
 
@@ -114,6 +115,36 @@ def main() -> None:
             vocab, ((F.col("cid") * 37 + i * 7) % len(_VOCAB) + 1).cast("int")
         ),
     )
+    if excise:
+        # The 31-word cyclic corpus is wall-to-wall cross-doc
+        # duplicate spans — excision would strip every doc to its tail
+        # token and the OK lane would idle. The excise leg instead
+        # interleaves a per-CONTENT-id unique token at every other
+        # position (cid folding keeps exact-dup copies <= 2 <
+        # _SPAN_MIN_DOCS=3, so bodies survive excision) and prepends a
+        # 16-token boilerplate header shared by ALL docs (the real
+        # excision target — ~20% of every doc's token budget).
+        boiler16 = F.concat_ws(" ", *[F.lit(_VOCAB[i]) for i in range(16)])
+        body = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.when(
+                i % 2 == 0,
+                F.element_at(
+                    vocab,
+                    ((F.col("cid") * 37 + i * 7) % len(_VOCAB) + 1).cast(
+                        "int"
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("u"),
+                    F.col("cid").cast("string"),
+                    F.lit("x"),
+                    i.cast("string"),
+                )
+            ),
+        )
+        words = F.concat(F.split(boiler16, " "), body)
     gen = (
         spark.range(n_docs)
         .select("id", cid)
@@ -144,6 +175,43 @@ def main() -> None:
         )
     )
     gen.write.mode("overwrite").parquet(indir)
+
+    # --excise (round-12 verdict item 3): run exact-substring span
+    # REMOVAL over the landed batch BEFORE the stream consumes it —
+    # the production chain where dedup pays for itself downstream:
+    # every token excised here is a token the meter (and ultimately
+    # the trainer) never touches. The synthetic corpus is cyclic-
+    # vocab and so heavily cross-duplicated — the excision share is
+    # reported, not hidden, and the end-to-end rate includes the
+    # excision wall-clock.
+    excise_stats = None
+    if excise:
+        from scio_db_spark.plans.textops import span_excise_to_fixpoint
+
+        t_ex = time.perf_counter()
+        src = spark.read.parquet(indir)
+        rw, rounds = span_excise_to_fixpoint(
+            src.select("doc_id", "text")
+        )
+        led = rw.agg(
+            F.sum("n_tokens_pre").alias("pre"),
+            F.sum("n_tokens_post").alias("post"),
+        ).collect()[0]
+        indir2 = tempfile.mkdtemp(prefix="ci_in_excised_")
+        src.drop("text").join(
+            rw.select(
+                "doc_id", F.col("text_rewritten").alias("text")
+            ),
+            "doc_id",
+        ).write.mode("overwrite").parquet(indir2)
+        excise_sec = round(time.perf_counter() - t_ex, 2)
+        excise_stats = {
+            "excise_sec": excise_sec,
+            "excision_rounds": rounds,
+            "tokens_pre": int(led.pre),
+            "tokens_post": int(led.post),
+        }
+        indir = indir2
 
     stream = spark.readStream.schema(
         "doc_id bigint, text string, ingest_ts timestamp"
@@ -240,6 +308,14 @@ def main() -> None:
         ok_rows = 0
 
     per_min = totals["n_total"] / elapsed * 60.0
+    extra: dict = {}
+    if excise_stats:
+        extra["excise"] = excise_stats
+        extra["records_per_min_incl_excise"] = round(
+            totals["n_total"]
+            / (elapsed + excise_stats["excise_sec"])
+            * 60.0
+        )
     print(
         json.dumps(
             {
@@ -247,6 +323,8 @@ def main() -> None:
                 "gates": gates,
                 "token_meter": meter,
                 "lsh_screen": lsh,
+                "excised": bool(excise_stats),
+                **extra,
                 "value": round(per_min),
                 "unit": "records/min",
                 "records": totals["n_total"],
