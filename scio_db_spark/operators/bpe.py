@@ -538,6 +538,171 @@ def bpe_train_batched_python(
 
 
 # --------------------------------------------------------------------------
+# Production-depth TRAINING (round-12, second leg). The batched
+# distributed trainer above is provably sequential-equivalent, but its
+# batch sizes are corpus-dependent: on the sf0.1 multi-table recipe the
+# top pairs are symbol-ENTANGLED (common bytes appear in many top
+# pairs), so the measured batching bought only 1.21 merges/round —
+# 3,373 driver round-trips for 4,096 merges (recipe block of
+# resources/bpe_merges.json). The production shape is therefore the
+# classic two-phase split every real tokenizer trainer uses
+# (Sennrich's learn_bpe, HF tokenizers, SentencePiece):
+#
+#   1. DISTRIBUTED: one corpus scan -> weighted pre-token histogram
+#      ``(word, n)`` — the only data-sized pass; a plain hash
+#      aggregate that partial-aggregates map-side. At 100 TB the
+#      histogram of pre-tokens is heavy-tailed; ``top_m`` bounds the
+#      collect to the M most frequent words (standard practice — a
+#      merge learned from rank > ~10M words has count ~1 and is cut
+#      by min_count anyway).
+#   2. DRIVER-LOCAL: :func:`bpe_train_histogram` — incremental
+#      pair-count training over the collected histogram. A lazy
+#      max-heap keyed (count desc, pair lexicographic) picks each
+#      winner; each merge touches ONLY the words containing the
+#      winning adjacency (inverted index pair -> word ids), so the
+#      cost per merge is the affected text, not the vocabulary.
+#
+# Exactness: identical semantics to bpe_train / bpe_train_python —
+# same run-parity self-pair counting, same (count desc, left, right)
+# tie-break, same min_count stop; symbol-string collisions (fused
+# symbol spelling an existing symbol) need no special casing here
+# because pair identity is by symbol STRING in both trainers. Pinned
+# by a hypothesis fuzzer and a real-corpus rank-agreement test
+# (tests/test_bpe.py).
+
+
+def _word_pair_counts(
+    syms: tuple[str, ...],
+) -> dict[tuple[str, str], int]:
+    """Adjacent-pair occurrence counts of ONE symbol sequence under
+    the module's replace() semantics: within a run of identical
+    symbols, left-to-right non-overlapping matching fires at even
+    offsets only (mirrors bpe_train_python's run-parity rule)."""
+    counts: dict[tuple[str, str], int] = {}
+    run = 0
+    for i in range(len(syms) - 1):
+        run = run + 1 if i > 0 and syms[i] == syms[i - 1] else 0
+        if syms[i] == syms[i + 1] and run % 2 == 1:
+            continue
+        pair = (syms[i], syms[i + 1])
+        counts[pair] = counts.get(pair, 0) + 1
+    return counts
+
+
+def _apply_merge_word(
+    syms: tuple[str, ...], left: str, right: str, fused: str
+) -> tuple[str, ...]:
+    """One left-to-right non-overlapping (left, right) -> fused pass."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(fused)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train_histogram(
+    word_counts: dict[str, int], n_merges: int, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Driver-local incremental BPE training over a weighted word
+    histogram — output identical to :func:`bpe_train` /
+    :func:`bpe_train_python`, cost per merge proportional to the
+    words containing the winning pair (not the vocabulary).
+
+    The distributed stage that feeds this is the one-pass histogram
+    aggregate (see the section comment above); this function is the
+    sequential merge-decision heart, which is inherently serial — the
+    point is to make each decision O(affected words) instead of one
+    full recount (reference trainer) or one Spark round-trip
+    (distributed trainers)."""
+    import heapq
+
+    floor = max(min_count, 1)  # count-0 pairs are never selectable
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, n in word_counts.items():
+        key = word_to_symbols(word)
+        vocab[key] = vocab.get(key, 0) + n
+    seqs: list[tuple[str, ...]] = list(vocab.keys())
+    weights: list[int] = [vocab[k] for k in seqs]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, syms in enumerate(seqs):
+        for p, c in _word_pair_counts(syms).items():
+            pair_counts[p] = pair_counts.get(p, 0) + c * weights[idx]
+            pair_words.setdefault(p, set()).add(idx)
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        best: tuple[str, str] | None = None
+        while heap:
+            negc, p = heap[0]
+            cur = pair_counts.get(p, 0)
+            if cur != -negc:
+                # stale entry: every count change pushed a fresh one,
+                # so the live count is represented deeper in the heap
+                heapq.heappop(heap)
+                continue
+            if cur < floor:
+                # fresh top below the floor: every other fresh entry
+                # sorts at or below it — training is done
+                break
+            best = p
+            break
+        if best is None:
+            break
+        left, right = best
+        merges.append(best)
+        fused = left + right
+        touched: set[tuple[str, str]] = set()
+        for idx in list(pair_words.get(best, ())):
+            syms = seqs[idx]
+            n = weights[idx]
+            old = _word_pair_counts(syms)
+            new_syms = _apply_merge_word(syms, left, right, fused)
+            new = _word_pair_counts(new_syms)
+            seqs[idx] = new_syms
+            delta: dict[tuple[str, str], int] = {}
+            for p, c in old.items():
+                delta[p] = delta.get(p, 0) - c
+            for p, c in new.items():
+                delta[p] = delta.get(p, 0) + c
+            for p, d in delta.items():
+                if d == 0:
+                    continue
+                nc = pair_counts.get(p, 0) + d * n
+                if nc:
+                    pair_counts[p] = nc
+                else:
+                    pair_counts.pop(p, None)
+                touched.add(p)
+            for p in old:
+                if p not in new:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(idx)
+            for p in new:
+                if p not in old:
+                    pair_words.setdefault(p, set()).add(idx)
+        # a single (left, right) pass consumes every countable
+        # adjacency (run parity only ever skips odd offsets BETWEEN
+        # counted ones), so the winner's count must now be zero
+        assert best not in pair_counts, best
+        pair_words.pop(best, None)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
+    return merges
+
+
+# --------------------------------------------------------------------------
 # Production-depth APPLICATION (round-12). The chained-replace
 # expression is the gold semantics but both engines cap expression
 # nesting (DuckDB binder: 128; the 107-merge table was sized to it).

@@ -32,9 +32,33 @@ no driver-side collection of the graph.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+@contextmanager
+def _no_constraint_propagation(spark):
+    """Catalyst workaround, scoped to the CC rounds: computing
+    constraints over some union-bearing input plans throws
+    ``java.util.NoSuchElementException: key not found: <attr>`` from
+    ``UnionBase.rewriteConstraints`` (observed when the edge source is
+    ``bounded_lsh_pairs``' star-edge union and the frame is then
+    localCheckpoint'd — the optimizer's InferFiltersFromConstraints
+    walks the union's constraint set with a stale attribute map).
+    CC plans already carry their predicates explicitly (``a != b``,
+    ``b > a``) so inferred constraints buy nothing here; disabling
+    propagation for the duration of the CC rounds sidesteps the bug
+    without touching any other query's plan. The previous value is
+    restored even on failure."""
+    key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _ckpt_eager(df: DataFrame) -> DataFrame:
@@ -85,6 +109,16 @@ def cc_star_rounds(
 
 
 def _cc_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int,
+) -> tuple[DataFrame, int]:
+    with _no_constraint_propagation(edges.sparkSession):
+        return _cc_star_impl(edges, src, dst, max_iterations)
+
+
+def _cc_star_impl(
     edges: DataFrame,
     src: str,
     dst: str,
@@ -187,6 +221,16 @@ def connected_components_propagation(
     default (bounded rounds); kept for the measured comparison in
     tools/bench_scaling.py --cc-chain.
     """
+    with _no_constraint_propagation(edges.sparkSession):
+        return _cc_propagation_impl(edges, src, dst, max_iterations)
+
+
+def _cc_propagation_impl(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int,
+) -> DataFrame:
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(

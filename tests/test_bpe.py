@@ -205,6 +205,46 @@ def test_batched_trainer_equals_sequential_hypothesis():
         assert seq == bat, (trial, wc, nm)
 
 
+def test_histogram_trainer_equals_sequential_hypothesis():
+    """The driver-local incremental trainer (heap + inverted index,
+    O(affected words) per merge — the production two-phase path) is
+    output-identical to the full-recount sequential reference: same
+    run-parity self-pair counting, same (count desc, pair) tie-break,
+    same min_count stop. Fuzzed across alphabets with repeated
+    symbols (self-pair runs), multi-byte chars (symbol-string
+    collisions), and all min_count regimes."""
+    import random
+
+    from scio_db_spark.operators.bpe import bpe_train_histogram
+
+    rng = random.Random(4321)
+    for trial in range(400):
+        alpha = rng.choice(["ab", "abc", "abcdef", "aé日"])
+        wc = {}
+        for _ in range(rng.randint(1, 22)):
+            w = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(1, 12))
+            )
+            wc[w] = wc.get(w, 0) + rng.randint(1, 50)
+        nm = rng.randint(1, 50)
+        mc = rng.choice([1, 2, 3])
+        assert bpe_train_histogram(wc, nm, mc) == bpe_train_python(
+            wc, nm, mc
+        ), (trial, wc, nm, mc)
+
+
+def test_histogram_trainer_real_corpus_agrees(spark, sf_dir):
+    """Two-phase production path on the real corpus: the distributed
+    histogram feeds the driver-local trainer, whose merges must equal
+    the sequential reference rank-for-rank (and therefore the Spark
+    and batched trainers, which share that pin)."""
+    from scio_db_spark.operators.bpe import bpe_train_histogram
+
+    wc = _word_counts_from_docs(spark, sf_dir)
+    n = 96
+    assert bpe_train_histogram(wc, n) == bpe_train_python(wc, n)
+
+
 def test_batched_spark_trainer_rank_agrees(spark, sf_dir):
     """The SPARK batched trainer reproduces the sequential Python
     reference merge-for-merge on the real corpus vocabulary — the

@@ -1,10 +1,15 @@
 """Train the committed BPE merge table (one-time, offline).
 
 The tokenizer-learning stage of an LLM data pipeline: Sennrich-style
-BPE merge learning, run with the DISTRIBUTED BATCHED trainer
-(operators/bpe.py::bpe_train_batched — one corpus scan to the weighted
-vocabulary, then vocabulary-sized pair-count rounds, each merging the
-maximal provably-sequential-equivalent batch). Like
+BPE merge learning in the classic TWO-PHASE production split — one
+distributed corpus scan to the weighted pre-token histogram (the only
+data-sized pass), then driver-local incremental-pair-count training
+over the collected histogram (operators/bpe.py::bpe_train_histogram;
+32K merges in seconds on this recipe —
+BENCH_LOCAL_r12_bpe_train.json). ``--distributed`` switches to the
+all-Spark batched trainer (bpe_train_batched) for the
+histogram-exceeds-driver-memory regime; both produce bit-identical
+merge lists (property-pinned). Like
 tools/train_quality_clf.py, the TRAINED LITERALS are what correctness
 depends on: both engines apply the same committed merge list, so the
 registered censuses are hash-verifiable, and this script only re-runs
@@ -48,6 +53,13 @@ _OUT = os.path.join(
 
 N_MERGES = 4096
 
+#: Driver-side histogram bound for the default (two-phase) trainer:
+#: collect only the TOP_M most frequent pre-tokens. On this recipe the
+#: full histogram is 221,613 words; at 100 TB the heavy tail below the
+#: top-M is count~1-2 noise that min_count=2 would cut anyway, and the
+#: bound keeps the collect O(M) regardless of corpus size.
+TRAIN_TOP_M = 2_000_000
+
 #: (table, column expression) pairs forming the training stream. Cast
 #: dates/prices through CAST(.. AS STRING) — training is single-engine
 #: (Spark), so engine-specific decimal rendering is recipe-internal.
@@ -79,6 +91,7 @@ def main() -> int:
     from scio_db_spark.operators.bpe import (
         PRETOK_RE,
         bpe_train_batched,
+        bpe_train_histogram,
         pretokens,
     )
     from scio_db_spark.plans.catalog import table
@@ -99,7 +112,31 @@ def main() -> int:
     )
     n_vocab = words.count()
     t0 = time.time()
-    merges, rounds = bpe_train_batched(words, N_MERGES)
+    if "--distributed" in sys.argv:
+        # All-Spark path: provably sequential-equivalent batched
+        # rounds, but on this recipe the top pairs are symbol-
+        # entangled and batching buys only ~1.2 merges/round — kept
+        # for the (histogram exceeds driver memory) regime and as the
+        # equivalence cross-check.
+        merges, rounds = bpe_train_batched(words, N_MERGES)
+        trainer = "operators/bpe.py::bpe_train_batched"
+    else:
+        # Production path (two-phase, the classic trainer split): the
+        # corpus-sized work is the ONE distributed histogram aggregate
+        # above; the merge loop runs driver-local over the collected
+        # histogram (incremental pair counts — seconds for 32K merges
+        # on this recipe, BENCH_LOCAL_r12_bpe_train.json). TRAIN_TOP_M
+        # bounds the collect at 100 TB scale: pre-tokens below the
+        # top-M are count~1 tail cut by min_count=2 anyway.
+        hist_rows = (
+            words.orderBy(F.desc("n"), F.asc("word"))
+            .limit(TRAIN_TOP_M)
+            .collect()
+        )
+        hist = {r.word: r.n for r in hist_rows}
+        merges = bpe_train_histogram(hist, N_MERGES, min_count=2)
+        rounds = None
+        trainer = "operators/bpe.py::bpe_train_histogram"
     wall = round(time.time() - t0, 1)
 
     payload = {
@@ -112,19 +149,24 @@ def main() -> int:
             "n_vocab_words": n_vocab,
             "min_count": 2,
             "tie_break": "lexicographic (left, right)",
-            "trainer": "operators/bpe.py::bpe_train_batched",
-            "n_rounds": rounds,
-            "merges_per_round": round(len(merges) / max(rounds, 1), 2),
+            "trainer": trainer,
             "train_wall_sec": wall,
+            **(
+                {
+                    "n_rounds": rounds,
+                    "merges_per_round": round(
+                        len(merges) / max(rounds, 1), 2
+                    ),
+                }
+                if rounds is not None
+                else {"train_top_m": TRAIN_TOP_M}
+            ),
         },
         "merges": [[left, right] for left, right in merges],
     }
     with open(_OUT, "w") as f:
         json.dump(payload, f, indent=1)
-    print(
-        f"trained {len(merges)} merges in {rounds} rounds "
-        f"({wall}s) -> {_OUT}"
-    )
+    print(f"trained {len(merges)} merges ({wall}s) -> {_OUT}")
     print("first 10:", merges[:10])
     return 0
 
