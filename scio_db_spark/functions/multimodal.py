@@ -752,3 +752,114 @@ def png_image_features(
                 )
 
     return df.mapInPandas(_feats, out_schema)
+
+
+# ------------------------------------------------- perceptual hashing
+# Image NEAR-duplicate detection — the image-modality sibling of the
+# text MinHash/SimHash family. dHash (difference hash) is the standard
+# cheap perceptual fingerprint: pool the image to a coarse grid and
+# record only the sign of each horizontal neighbor difference, so
+# re-encodes and small brightness edits leave the hash within a few
+# bits while different images land far apart in Hamming space. All
+# arithmetic is exact integer (mean-pool with floor division, strict
+# '>' comparison), which is what makes the hash an engine-shared,
+# hash-verifiable contract rather than a float heuristic.
+
+
+def dhash64_from_pixels(px) -> int:
+    """64-bit dHash of the RED channel of an (h, w, ch) uint8 array.
+
+    The top-left 16x18 region is mean-pooled 2x2 (floor) to an 8x9
+    grid; bit ``Y*8 + X`` is set iff ``pooled[Y, X+1] > pooled[Y, X]``
+    (X, Y in [0, 8)). The result is two's-complement wrapped into a
+    signed 64-bit int — the BIGINT form both engines share, so the
+    oracle can rebuild the identical value additively (bit 63
+    contributes -2**63)."""
+    import numpy as np
+
+    if px.shape[0] < 16 or px.shape[1] < 18:
+        raise ValueError(
+            f"dhash64 needs >=16x18 pixels, got {px.shape[0]}x{px.shape[1]}"
+        )
+    r = px[:16, :18, 0].astype(np.int64)
+    pooled = r[0::2, :] + r[1::2, :]
+    pooled = (pooled[:, 0::2] + pooled[:, 1::2]) // 4  # (8, 9) grid
+    h = 0
+    for y in range(8):
+        for x in range(8):
+            if pooled[y, x + 1] > pooled[y, x]:
+                h |= 1 << (y * 8 + x)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def png_image_dhash64(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode a PNG binary column (real codec) and emit its 64-bit
+    dHash — ``(id, dhash64)``. Arrow-batched map, zero shuffle,
+    embarrassingly parallel; the near-dup pairing over the hashes is
+    plans/mmops.py's job (exact-collapse + Hamming banding)."""
+
+    def _hash(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if i is None or b is None:
+                    continue
+                px = png_decode_rgb8(bytes(b))
+                rows.append((int(i), dhash64_from_pixels(px)))
+            if rows:
+                yield pd.DataFrame(rows, columns=[id_col, "dhash64"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _hash, f"{id_col} long, dhash64 long"
+    )
+
+
+def wav_spectral_peaks(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame: int = 256,
+) -> DataFrame:
+    """Spectral peak fingerprint of a WAV PCM16 binary column — the
+    audio-modality sibling of the image dHash: decode with the real
+    RIFF parser, cut the signal into non-overlapping ``frame``-sample
+    windows (tail dropped), and emit each window's dominant FFT bin
+    (argmax of rFFT magnitude over bins 1..frame/2 — DC excluded).
+    One output row per (id, frame_idx, peak_bin); peak bins are exact
+    integers, so the fingerprint is an engine-comparable contract
+    (for a bin-centered sine the argmax margin is ~frame/2 orders of
+    magnitude above the int16 rounding noise floor — never a float
+    tie). Arrow-batched map, zero shuffle."""
+    import numpy as np
+
+    def _peaks(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if i is None or b is None:
+                    continue
+                _sr, _ch, _bits, samples = wav_decode_pcm16(bytes(b))
+                n = (len(samples) // frame) * frame
+                if n == 0:
+                    continue
+                wins = samples[:n].astype(np.float64).reshape(-1, frame)
+                mags = np.abs(np.fft.rfft(wins, axis=1))
+                # bins 1..frame/2: DC carries no pitch, and argmax
+                # over the half-spectrum is unique for real signals
+                peaks = mags[:, 1 : frame // 2 + 1].argmax(axis=1) + 1
+                rows.extend(
+                    (int(i), int(j), int(p))
+                    for j, p in enumerate(peaks)
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[id_col, "frame_idx", "peak_bin"]
+                )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _peaks, f"{id_col} long, frame_idx long, peak_bin long"
+    )

@@ -80,6 +80,46 @@ def _symmetrize(e: DataFrame) -> DataFrame:
     )
 
 
+#: Per-key row count above which the star joins route the key through
+#: a broadcast instead of the shuffle join. Star-edge inputs make hub
+#: keys INHERENT (one canonical ↔ every cluster member — linear in
+#: cluster size, which is the point of the exact-dup collapse), and a
+#: 10M-copy viral page measured a 33× per-task record pile-up in the
+#: large-star enrich join before this split (AQE's skew-join split
+#: only fires past ~256 MB per partition — a mid-size hot key sails
+#: under it). The hot-key list is bounded by rows/threshold, so the
+#: broadcast is small by construction.
+_CC_HOT_KEY_THRESHOLD = 1_000_000
+
+
+def _join_min_skew_safe(
+    rows: DataFrame, mins: DataFrame, key: str = "a"
+) -> DataFrame:
+    """Enrich ``rows`` (many rows per key) with ``mins`` (exactly one
+    row per key) on ``key``, hot keys routed broadcast-side.
+
+    Cold keys take the ordinary shuffle equi-join; keys with more
+    than ``_CC_HOT_KEY_THRESHOLD`` rows join against a BROADCAST of
+    their min rows, so a hub key's rows stay distributed across scan
+    partitions instead of co-locating in one reducer. The hot census
+    itself is a map-side-partial groupBy count — no co-location
+    there either."""
+    hot_keys = (
+        rows.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__hc"))
+        .filter(F.col("__hc") > _CC_HOT_KEY_THRESHOLD)
+        .select(key)
+    )
+    hot_mins = F.broadcast(mins.join(hot_keys, key, "left_semi"))
+    cold = rows.join(
+        F.broadcast(hot_keys), key, "left_anti"
+    ).join(mins, key)
+    hot = rows.join(
+        F.broadcast(hot_keys), key, "left_semi"
+    ).join(hot_mins, key)
+    return cold.unionByName(hot)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -146,7 +186,7 @@ def _cc_star_impl(
             "a", F.least(F.col("a"), F.col("__mn")).alias("__m")
         )
         e1 = (
-            sym.join(lmin, "a")
+            _join_min_skew_safe(sym, lmin)
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("__m").alias("b"))
             .distinct()
@@ -161,7 +201,7 @@ def _cc_star_impl(
         grp = e1
         smin = grp.groupBy("a").agg(F.min("b").alias("__m"))
         out1 = (
-            grp.join(smin, "a")
+            _join_min_skew_safe(grp, smin)
             .filter(F.col("b") != F.col("__m"))
             .select(F.col("b").alias("a"), F.col("__m").alias("b"))
         )
@@ -179,7 +219,13 @@ def _cc_star_impl(
         # spanning each original component must be centered at the
         # component MINIMUM (edges always point down, so the min can't
         # be a leaf), so stopping here yields the correct labels.
-        chained = e2.select(F.col("b").alias("x")).join(
+        # distinct() BEFORE the join: e2's b side repeats each
+        # component min once per member (10M identical values for a
+        # 10M-copy viral page — measured as a 33x per-task record
+        # pile-up in the join's shuffle), and only EXISTENCE matters
+        # here. distinct is a partial aggregate, so the hot value
+        # collapses map-side and the join left side is <=1 row/key.
+        chained = e2.select(F.col("b").alias("x")).distinct().join(
             e2.select(F.col("a").alias("x")), "x"
         )
         multi = (

@@ -361,3 +361,441 @@ def mm_png_rgb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     png = d.mapInPandas(_synth, "doc_id long, payload binary")
     return png_image_features(png).orderBy("doc_id")
+
+
+# ------------------------------------------------- perceptual near-dup
+# Image-modality NEAR-duplicate detection, the multimodal sibling of
+# the text MinHash/SimHash family. Images are synthesized as GENUINE
+# PNGs from a per-doc pixel formula (content id cid = doc_id % 40, so
+# each content has ~a dozen verbatim re-encodes at sf0.01; docs with
+# doc_id % 5 = 3 additionally carry a one-pixel +40 brightness edit —
+# a true near-duplicate, 0-1 dHash bits away), decoded with the real
+# stdlib codec, and fingerprinted with the exact-integer 64-bit dHash
+# (functions/multimodal.py::dhash64_from_pixels). The oracle predicts
+# every hash ANALYTICALLY from the pixel formula — a wrong unfilter,
+# pooling, comparison or two's-complement wrap cannot hash-match.
+
+_IMG_W, _IMG_H = 18, 16
+_N_CONTENT = 40
+#: red-channel pixel formula shared with the oracle (x in [0,18),
+#: y in [0,16), cid = doc_id % 40; +40 single-pixel edit on variants)
+_RED_SQL = (
+    "(3 * x * x + 5 * y * y + 7 * (doc_id % 40)"
+    " + x * y * (1 + (doc_id % 40) % 3)"
+    " + CASE WHEN doc_id % 5 = 3 AND x = 1 AND y = 1"
+    "        THEN 40 ELSE 0 END) % 256"
+)
+
+_DHASH_ORACLE = f"""
+    WITH px AS (
+        SELECT doc_id, tx.x AS x, ty.y AS y, {_RED_SQL} AS r
+        FROM documents,
+            unnest(generate_series(0, {_IMG_W - 1})) AS tx(x),
+            unnest(generate_series(0, {_IMG_H - 1})) AS ty(y)
+    ),
+    cell AS (
+        SELECT doc_id, x // 2 AS gx, y // 2 AS gy,
+            CAST(sum(r) AS BIGINT) // 4 AS pooled
+        FROM px GROUP BY doc_id, x // 2, y // 2
+    ),
+    bits AS (
+        SELECT a.doc_id, a.gy * 8 + a.gx AS i,
+            CASE WHEN b.pooled > a.pooled THEN 1 ELSE 0 END AS bit
+        FROM cell a
+        JOIN cell b ON a.doc_id = b.doc_id
+            AND b.gx = a.gx + 1 AND b.gy = a.gy
+        WHERE a.gx < 8
+    ),
+    h AS (
+        SELECT doc_id, CAST(sum(CASE WHEN bit = 1 THEN
+            CASE WHEN i = 63 THEN -9223372036854775808
+                 ELSE (1::BIGINT << i) END ELSE 0 END) AS BIGINT)
+            AS dhash64
+        FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "mm_image_dhash_census",
+    oracle=_DHASH_ORACLE
+    + "SELECT doc_id, dhash64 FROM h ORDER BY doc_id",
+    doc="Perceptual image fingerprinting over the REAL PNG codec: "
+    "synthesize genuine PNGs from the shared pixel formula, decode "
+    "them back (CRC-checked chunks, zlib inflate, unfilter), 2x2 "
+    "integer mean-pool the red channel to an 8x9 grid, and emit the "
+    "64-bit dHash as a signed BIGINT. The oracle rebuilds every hash "
+    "from the formula without touching bytes. Zero-shuffle Arrow "
+    "map; at 100 TB this is the embarrassingly-parallel fingerprint "
+    "pass that feeds the banded near-dup join below.",
+)
+def mm_image_dhash_census(spark: SparkSession, sf: str) -> DataFrame:
+    return _image_dhashes(spark, sf).orderBy("doc_id")
+
+
+def _image_dhashes(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from scio_db_spark.functions.multimodal import (
+        png_encode_rgb8,
+        png_image_dhash64,
+    )
+
+    d = table(spark, sf, "documents").select("doc_id")
+    w, h, ncont = _IMG_W, _IMG_H, _N_CONTENT
+
+    def _synth(pdfs):
+        for pdf in pdfs:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                cid = i % ncont
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                r = (
+                    3 * xs * xs + 5 * ys * ys + 7 * cid
+                    + xs * ys * (1 + cid % 3)
+                ) + np.zeros((h, w), dtype=np.int64)
+                if i % 5 == 3:
+                    r[1, 1] += 40  # one-pixel brightness edit
+                g = (7 * xs + 3 * ys) % 256 + np.zeros((h, w), np.int64)
+                b = (xs * ys + cid) % 256 + np.zeros((h, w), np.int64)
+                px = np.stack(
+                    [r % 256, g, b], axis=-1
+                ).astype(np.uint8)
+                rows.append((i, png_encode_rgb8(px)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    png = d.mapInPandas(_synth, "doc_id long, payload binary")
+    return png_image_dhash64(png)
+
+
+@register(
+    "mm_image_neardup_pairs",
+    oracle=_DHASH_ORACLE
+    + """,
+    classes AS (
+        SELECT dhash64, min(doc_id) AS canon FROM h GROUP BY dhash64
+    ),
+    star AS (
+        SELECT c.canon AS doc_a, h.doc_id AS doc_b,
+            CAST(0 AS BIGINT) AS hamming
+        FROM h JOIN classes c ON h.dhash64 = c.dhash64
+        WHERE h.doc_id <> c.canon
+    ),
+    bands AS (
+        SELECT canon, dhash64, k.k AS k,
+            (dhash64 >> (16 * k.k)) & 65535 AS v
+        FROM classes, unnest(generate_series(0, 3)) AS k(k)
+    ),
+    cand AS (
+        SELECT DISTINCT a.canon AS doc_a, b.canon AS doc_b,
+            a.dhash64 AS ha, b.dhash64 AS hb
+        FROM bands a JOIN bands b
+            ON a.k = b.k AND a.v = b.v AND a.canon < b.canon
+    ),
+    cross_class AS (
+        SELECT doc_a, doc_b,
+            CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ha, hb)) BETWEEN 1 AND 6
+    )
+    SELECT doc_a, doc_b, hamming FROM star
+    UNION ALL
+    SELECT doc_a, doc_b, hamming FROM cross_class
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Image near-duplicate pairing over perceptual hashes, shaped "
+    "exactly like the bounded text-LSH family: EXACT-dup collapse "
+    "first (identical dHash -> min-doc_id canonical + linear star "
+    "edges, never c^2 pairs), then Hamming-LSH banding over DISTINCT "
+    "hashes only (4 x 16-bit bands; two hashes within Hamming 6 "
+    "collide on >=1 band by pigeonhole over 64/16) and a popcount "
+    "verify (1 <= hamming <= 6). At 100 TB the star edges stay "
+    "linear in re-encode cluster size and the band join runs over "
+    "distinct fingerprints, mirroring bounded_lsh_pairs' scale "
+    "shape.",
+)
+def mm_image_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    hashes = _image_dhashes(spark, sf)
+    classes = hashes.groupBy("dhash64").agg(
+        F.min("doc_id").alias("canon")
+    )
+    star = (
+        hashes.join(classes, "dhash64")
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select(
+            F.col("canon").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    bands = classes.select(
+        "canon",
+        "dhash64",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    (
+                        F.shiftright(F.col("dhash64"), 16 * k)
+                        .bitwiseAND(F.lit(65535))
+                    ).alias("v"),
+                )
+                for k in range(4)
+            ])
+        ).alias("band"),
+    ).select("canon", "dhash64", "band.k", "band.v")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.canon") < F.col("b.canon")),
+        )
+        .select(
+            F.col("a.canon").alias("doc_a"),
+            F.col("b.canon").alias("doc_b"),
+            F.col("a.dhash64").alias("ha"),
+            F.col("b.dhash64").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ).cast("long")
+    cross = cand.select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    ).filter(F.col("hamming").between(1, 6))
+    return star.unionByName(cross).orderBy("doc_a", "doc_b")
+
+
+# ------------------------------------------------- audio fingerprint
+# Audio-modality near-dup, completing the set (text MinHash/SimHash,
+# embedding cosine, image dHash): synthesize REAL WAV PCM16 files —
+# three 256-sample segments per doc, each one BIN-CENTERED sine whose
+# frequency the shared formula picks (bin-centered means zero spectral
+# leakage, so the FFT argmax is the chosen bin exactly, with the int16
+# rounding noise ~5 orders of magnitude under the peak) — decode with
+# the real RIFF parser, FFT each segment, and fingerprint the doc as
+# its per-segment dominant-bin sequence. Docs share a content id
+# (cid = doc_id % 40); variants (doc_id % 5 = 3) shift segment 1's
+# sine up ONE bin — an audible-pitch-nudge near-duplicate whose
+# fingerprint differs in exactly one segment.
+
+_AUD_FRAME = 256
+_AUD_SEGS = 3
+_AUD_SR = 8000
+_AUD_AMP = 12000
+#: segment j's FFT bin for doc_id (shared with the oracle): bins stay
+#: in [5, 105] << frame/2 = 128, and the variant's +1 never collides
+#: with the modulus wrap
+_AUD_BIN_SQL = (
+    "5 + ((doc_id % 40) * 7 + {j} * 13) % 100"
+    " + CASE WHEN {j} = 1 AND doc_id % 5 = 3 THEN 1 ELSE 0 END"
+)
+
+
+def _audio_peaks(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from scio_db_spark.functions.multimodal import (
+        wav_encode_pcm16,
+        wav_spectral_peaks,
+    )
+
+    d = table(spark, sf, "documents").select("doc_id")
+    frame, segs, sr, amp = _AUD_FRAME, _AUD_SEGS, _AUD_SR, _AUD_AMP
+
+    def _synth(pdfs):
+        for pdf in pdfs:
+            rows = []
+            t = np.arange(frame)
+            for i in pdf["doc_id"]:
+                i = int(i)
+                cid = i % 40
+                segments = []
+                for j in range(segs):
+                    k = 5 + (cid * 7 + j * 13) % 100
+                    if j == 1 and i % 5 == 3:
+                        k += 1  # one-bin pitch nudge: the variant
+                    segments.append(
+                        np.round(
+                            amp * np.sin(2 * np.pi * k * t / frame)
+                        ).astype(np.int16)
+                    )
+                rows.append(
+                    (i, wav_encode_pcm16(np.concatenate(segments), sr))
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    wav = d.mapInPandas(_synth, "doc_id long, payload binary")
+    return wav_spectral_peaks(wav, frame=frame)
+
+
+@register(
+    "mm_audio_peak_census",
+    oracle="SELECT doc_id, j.j AS frame_idx, CAST("
+    + _AUD_BIN_SQL.replace("{j}", "j.j")
+    + " AS BIGINT) AS peak_bin FROM documents, "
+    "unnest(generate_series(0, 2)) AS j(j) "
+    "ORDER BY doc_id, frame_idx",
+    doc="Audio fingerprinting over the REAL WAV codec: synthesize "
+    "genuine PCM16 WAVs (three bin-centered sine segments from the "
+    "shared formula), decode with the real RIFF parser, FFT each "
+    "256-sample window, and emit the dominant bin per window. The "
+    "oracle predicts every peak analytically — a wrong chunk walk, "
+    "sample decode, windowing or FFT indexing cannot hash-match. "
+    "Zero-shuffle Arrow map; the 100 TB shape is the parallel "
+    "fingerprint pass feeding the banded near-dup join.",
+)
+def mm_audio_peak_census(spark: SparkSession, sf: str) -> DataFrame:
+    return _audio_peaks(spark, sf).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "mm_audio_neardup_pairs",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+            {_AUD_BIN_SQL.format(j=0)} AS b0,
+            {_AUD_BIN_SQL.format(j=1)} AS b1,
+            {_AUD_BIN_SQL.format(j=2)} AS b2
+        FROM documents
+    ),
+    fp AS (
+        SELECT doc_id, b0, b1, b2,
+            b0 || '-' || b1 || '-' || b2 AS fp
+        FROM f
+    ),
+    classes AS (
+        SELECT fp, min(doc_id) AS canon,
+            any_value(b0) AS b0, any_value(b1) AS b1,
+            any_value(b2) AS b2
+        FROM fp GROUP BY fp
+    ),
+    star AS (
+        SELECT c.canon AS doc_a, fp.doc_id AS doc_b,
+            CAST(0 AS BIGINT) AS n_segs_diff
+        FROM fp JOIN classes c ON fp.fp = c.fp
+        WHERE fp.doc_id <> c.canon
+    ),
+    bands AS (
+        SELECT canon, b0, b1, b2, j.j AS j,
+            CASE j.j
+                WHEN 0 THEN '*-' || b1 || '-' || b2
+                WHEN 1 THEN b0 || '-*-' || b2
+                ELSE b0 || '-' || b1 || '-*'
+            END AS v
+        FROM classes, unnest(generate_series(0, 2)) AS j(j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.canon AS doc_a, b.canon AS doc_b,
+            CAST((CASE WHEN a.b0 <> b.b0 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.b1 <> b.b1 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.b2 <> b.b2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_segs_diff
+        FROM bands a JOIN bands b
+            ON a.j = b.j AND a.v = b.v AND a.canon < b.canon
+    )
+    SELECT doc_a, doc_b, n_segs_diff FROM star
+    UNION ALL
+    SELECT doc_a, doc_b, n_segs_diff FROM cand
+    WHERE n_segs_diff = 1
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Audio near-duplicate pairing over spectral fingerprints, "
+    "same scale shape as the image/text families: exact collapse "
+    "(identical fingerprint -> min-doc_id canonical + linear star "
+    "edges), then leave-one-segment-out banding over DISTINCT "
+    "fingerprints (two fingerprints within one segment collide on "
+    ">=1 band by pigeonhole) and an exact diff-count verify. Band "
+    "joins run over distinct fingerprints only — re-encode clusters "
+    "never produce c^2 pairs.",
+)
+def mm_audio_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    peaks = _audio_peaks(spark, sf)
+    fp = (
+        peaks.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("frame_idx", "peak_bin"))
+            ).alias("pb")
+        )
+        .select(
+            "doc_id",
+            *[
+                F.col("pb")[j]["peak_bin"].alias(f"b{j}")
+                for j in range(_AUD_SEGS)
+            ],
+        )
+        .withColumn(
+            "fp", F.concat_ws("-", *[f"b{j}" for j in range(_AUD_SEGS)])
+        )
+    )
+    classes = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("canon"),
+        *[F.first(f"b{j}").alias(f"b{j}") for j in range(_AUD_SEGS)],
+    )
+    star = (
+        fp.select("doc_id", "fp")
+        .join(classes.select("fp", "canon"), "fp")
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select(
+            F.col("canon").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("n_segs_diff"),
+        )
+    )
+    wild = [
+        F.concat_ws(
+            "-",
+            *[
+                F.lit("*") if j == k else F.col(f"b{j}").cast("string")
+                for j in range(_AUD_SEGS)
+            ],
+        ).alias("v")
+        for k in range(_AUD_SEGS)
+    ]
+    bands = classes.select(
+        "canon",
+        *[f"b{j}" for j in range(_AUD_SEGS)],
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(k).alias("j"), wild[k])
+                for k in range(_AUD_SEGS)
+            ])
+        ).alias("band"),
+    ).select(
+        "canon",
+        *[f"b{j}" for j in range(_AUD_SEGS)],
+        "band.j",
+        "band.v",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    diff = sum(
+        F.when(F.col(f"a.b{j}") != F.col(f"b.b{j}"), 1).otherwise(0)
+        for j in range(_AUD_SEGS)
+    ).cast("long")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.canon") < F.col("b.canon")),
+        )
+        .select(
+            F.col("a.canon").alias("doc_a"),
+            F.col("b.canon").alias("doc_b"),
+            diff.alias("n_segs_diff"),
+        )
+        .distinct()
+    )
+    return star.unionByName(
+        cand.filter(F.col("n_segs_diff") == 1)
+    ).orderBy("doc_a", "doc_b")

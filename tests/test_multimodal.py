@@ -148,3 +148,112 @@ def test_sample_frames_rejects_nonpositive_frame_size(spark):
     )
     with _pytest.raises(ValueError):
         sample_frames(docs, 0)
+
+
+def test_dhash64_planted_variants():
+    """Perceptual-hash contract: identical pixels hash identically, a
+    one-pixel brightness edit moves <= 2 bits, a different image is
+    far away; the value is a signed 64-bit int (BIGINT-compatible)."""
+    import numpy as np
+
+    from scio_db_spark.functions.multimodal import dhash64_from_pixels
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, (16, 18, 3)).astype(np.uint8)
+    tweak = base.copy()
+    tweak[1, 1, 0] = np.uint8((int(tweak[1, 1, 0]) + 40) % 256)
+    other = rng.randint(0, 256, (16, 18, 3)).astype(np.uint8)
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h0 = dhash64_from_pixels(base)
+    assert h0 == dhash64_from_pixels(base.copy())
+    assert -(1 << 63) <= h0 < (1 << 63)
+    assert ham(h0, dhash64_from_pixels(tweak)) <= 2
+    assert ham(h0, dhash64_from_pixels(other)) > 6
+    # green/blue channels are not part of the fingerprint contract
+    recolor = base.copy()
+    recolor[:, :, 1:] = 0
+    assert dhash64_from_pixels(recolor) == h0
+
+
+def test_dhash64_roundtrips_through_real_png(spark):
+    """The Spark-side fingerprint runs on DECODED real PNGs — encode
+    planted pixels, hash via the Arrow kernel, compare with the pure
+    function on the same pixels."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_db_spark.functions.multimodal import (
+        dhash64_from_pixels,
+        png_encode_rgb8,
+        png_image_dhash64,
+    )
+
+    rng = np.random.RandomState(12)
+    imgs = {
+        i: rng.randint(0, 256, (16, 18, 3)).astype(np.uint8)
+        for i in range(4)
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(imgs),
+                "payload": [
+                    bytearray(png_encode_rgb8(px)) for px in imgs.values()
+                ],
+            }
+        )
+    )
+    got = {
+        r.doc_id: r.dhash64
+        for r in png_image_dhash64(df).collect()
+    }
+    assert got == {
+        i: dhash64_from_pixels(px) for i, px in imgs.items()
+    }
+
+
+def test_wav_spectral_peaks_planted_sines(spark):
+    """Fingerprint contract on planted audio: bin-centered sines come
+    back as exactly their bin, per window, through the REAL WAV
+    encode->decode->FFT path; a one-bin pitch nudge moves exactly one
+    window's peak."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_db_spark.functions.multimodal import (
+        wav_encode_pcm16,
+        wav_spectral_peaks,
+    )
+
+    frame = 256
+    t = np.arange(frame)
+
+    def tone(k: int) -> np.ndarray:
+        return np.round(
+            12000 * np.sin(2 * np.pi * k * t / frame)
+        ).astype(np.int16)
+
+    base = np.concatenate([tone(10), tone(33), tone(77)])
+    nudged = np.concatenate([tone(10), tone(34), tone(77)])
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "payload": [
+                    bytearray(wav_encode_pcm16(s, 8000))
+                    for s in (base, nudged)
+                ],
+            }
+        )
+    )
+    got = {
+        (r.doc_id, r.frame_idx): r.peak_bin
+        for r in wav_spectral_peaks(df, frame=frame).collect()
+    }
+    assert got == {
+        (1, 0): 10, (1, 1): 33, (1, 2): 77,
+        (2, 0): 10, (2, 1): 34, (2, 2): 77,
+    }
