@@ -799,3 +799,261 @@ def mm_audio_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return star.unionByName(
         cand.filter(F.col("n_segs_diff") == 1)
     ).orderBy("doc_a", "doc_b")
+
+
+# ------------------------------------------------- video frame hashes
+# Video modality: real PNG frames in the deterministic MPNG container
+# (functions/multimodal.py — real codecs for the frames, a minimal
+# length-prefixed index standing in for the env-gated MP4 demuxer).
+# Six frames per doc; the kernel SAMPLES every 2nd frame (0, 2, 4 —
+# unsampled frames are never inflated) and dHashes each sampled frame
+# through the real PNG decoder. Content id cid = doc_id % 40 as in
+# the image/audio legs; variants (doc_id % 5 = 3) carry the one-pixel
+# +40 edit on SAMPLED frame 2 only, so the video fingerprint differs
+# in exactly one sampled frame.
+
+_VID_FRAMES = 6
+_VID_STRIDE = 2
+#: red-channel formula with frame index f (x*f term so consecutive
+#: frames differ STRUCTURALLY — a uniform brightness shift would
+#: cancel in the dHash differences)
+_VID_RED_SQL = (
+    "(3 * x * x + 5 * y * y + 7 * (doc_id % 40)"
+    " + x * y * (1 + (doc_id % 40) % 3)"
+    " + f * x * (2 + f % 3)"
+    " + CASE WHEN doc_id % 5 = 3 AND f = 2 AND x = 1 AND y = 1"
+    "        THEN 40 ELSE 0 END) % 256"
+)
+
+_VID_DHASH_ORACLE = f"""
+    WITH px AS (
+        SELECT doc_id, tf.f AS f, tx.x AS x, ty.y AS y,
+            {_VID_RED_SQL} AS r
+        FROM documents,
+            unnest(generate_series(0, {_VID_FRAMES - 1}, {_VID_STRIDE}))
+                AS tf(f),
+            unnest(generate_series(0, {_IMG_W - 1})) AS tx(x),
+            unnest(generate_series(0, {_IMG_H - 1})) AS ty(y)
+    ),
+    cell AS (
+        SELECT doc_id, f, x // 2 AS gx, y // 2 AS gy,
+            CAST(sum(r) AS BIGINT) // 4 AS pooled
+        FROM px GROUP BY doc_id, f, x // 2, y // 2
+    ),
+    bits AS (
+        SELECT a.doc_id, a.f, a.gy * 8 + a.gx AS i,
+            CASE WHEN b.pooled > a.pooled THEN 1 ELSE 0 END AS bit
+        FROM cell a
+        JOIN cell b ON a.doc_id = b.doc_id AND a.f = b.f
+            AND b.gx = a.gx + 1 AND b.gy = a.gy
+        WHERE a.gx < 8
+    ),
+    h AS (
+        SELECT doc_id, f AS frame_idx,
+            CAST(sum(CASE WHEN bit = 1 THEN
+                CASE WHEN i = 63 THEN -9223372036854775808
+                     ELSE (1::BIGINT << i) END ELSE 0 END) AS BIGINT)
+                AS dhash64
+        FROM bits GROUP BY doc_id, f
+    )
+"""
+
+
+def _video_framehashes(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from scio_db_spark.functions.multimodal import (
+        mpng_encode,
+        mpng_sampled_framehash,
+        png_encode_rgb8,
+    )
+
+    d = table(spark, sf, "documents").select("doc_id")
+    w, h, nf = _IMG_W, _IMG_H, _VID_FRAMES
+
+    def _synth(pdfs):
+        for pdf in pdfs:
+            rows = []
+            xs = np.arange(w)[None, :]
+            ys = np.arange(h)[:, None]
+            for i in pdf["doc_id"]:
+                i = int(i)
+                cid = i % 40
+                frames = []
+                for f in range(nf):
+                    r = (
+                        3 * xs * xs + 5 * ys * ys + 7 * cid
+                        + xs * ys * (1 + cid % 3)
+                        + f * xs * (2 + f % 3)
+                    ) + np.zeros((h, w), dtype=np.int64)
+                    if i % 5 == 3 and f == 2:
+                        r[1, 1] += 40
+                    g = (5 * xs + f + ys) % 256 + np.zeros(
+                        (h, w), np.int64
+                    )
+                    b = (xs + ys * f) % 256 + np.zeros((h, w), np.int64)
+                    px = np.stack(
+                        [r % 256, g, b], axis=-1
+                    ).astype(np.uint8)
+                    frames.append(png_encode_rgb8(px))
+                rows.append((i, mpng_encode(frames)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    vid = d.mapInPandas(_synth, "doc_id long, payload binary")
+    return mpng_sampled_framehash(vid, stride=_VID_STRIDE)
+
+
+@register(
+    "mm_video_framehash_census",
+    oracle=_VID_DHASH_ORACLE
+    + "SELECT doc_id, frame_idx, dhash64 FROM h "
+    "ORDER BY doc_id, frame_idx",
+    doc="Video fingerprinting: real PNG frames in the MPNG container, "
+    "every-2nd-frame SAMPLING (unsampled frames never inflated), "
+    "per-sampled-frame 64-bit dHash through the real codec. The "
+    "oracle rebuilds each sampled frame's hash analytically from the "
+    "frame-indexed pixel formula. Zero-shuffle Arrow map; at 100 TB "
+    "decode cost scales with the sample, not the footage.",
+)
+def mm_video_framehash_census(spark: SparkSession, sf: str) -> DataFrame:
+    return _video_framehashes(spark, sf).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "mm_video_neardup_pairs",
+    oracle=_VID_DHASH_ORACLE
+    + """,
+    fp AS (
+        SELECT doc_id,
+            min(CASE WHEN frame_idx = 0 THEN dhash64 END) AS h0,
+            min(CASE WHEN frame_idx = 2 THEN dhash64 END) AS h1,
+            min(CASE WHEN frame_idx = 4 THEN dhash64 END) AS h2
+        FROM h GROUP BY doc_id
+    ),
+    fps AS (
+        SELECT doc_id, h0, h1, h2,
+            h0 || '-' || h1 || '-' || h2 AS fp
+        FROM fp
+    ),
+    classes AS (
+        SELECT fp, min(doc_id) AS canon,
+            any_value(h0) AS h0, any_value(h1) AS h1,
+            any_value(h2) AS h2
+        FROM fps GROUP BY fp
+    ),
+    star AS (
+        SELECT c.canon AS doc_a, fps.doc_id AS doc_b,
+            CAST(0 AS BIGINT) AS n_frames_diff
+        FROM fps JOIN classes c ON fps.fp = c.fp
+        WHERE fps.doc_id <> c.canon
+    ),
+    bands AS (
+        SELECT canon, h0, h1, h2, j.j AS j,
+            CASE j.j
+                WHEN 0 THEN '*-' || h1 || '-' || h2
+                WHEN 1 THEN h0 || '-*-' || h2
+                ELSE h0 || '-' || h1 || '-*'
+            END AS v
+        FROM classes, unnest(generate_series(0, 2)) AS j(j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.canon AS doc_a, b.canon AS doc_b,
+            CAST((CASE WHEN a.h0 <> b.h0 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.h1 <> b.h1 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.h2 <> b.h2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_frames_diff
+        FROM bands a JOIN bands b
+            ON a.j = b.j AND a.v = b.v AND a.canon < b.canon
+    )
+    SELECT doc_a, doc_b, n_frames_diff FROM star
+    UNION ALL
+    SELECT doc_a, doc_b, n_frames_diff FROM cand
+    WHERE n_frames_diff = 1
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Video near-duplicate pairing over sampled-frame dHash "
+    "sequences: exact collapse (identical fingerprint -> canonical + "
+    "linear star edges) then leave-one-frame-out banding over "
+    "DISTINCT fingerprints with an exact diff-count verify — the "
+    "same bounded shape as the text/image/audio families, closing "
+    "the modality set.",
+)
+def mm_video_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    hashes = _video_framehashes(spark, sf)
+    sampled = [0, 2, 4]
+    fp = (
+        hashes.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("frame_idx") == fi, F.col("dhash64")
+                    )
+                ).alias(f"h{j}")
+                for j, fi in enumerate(sampled)
+            ]
+        )
+        .withColumn(
+            "fp", F.concat_ws("-", *[f"h{j}" for j in range(3)])
+        )
+    )
+    classes = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("canon"),
+        *[F.first(f"h{j}").alias(f"h{j}") for j in range(3)],
+    )
+    star = (
+        fp.select("doc_id", "fp")
+        .join(classes.select("fp", "canon"), "fp")
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select(
+            F.col("canon").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("n_frames_diff"),
+        )
+    )
+    wild = [
+        F.concat_ws(
+            "-",
+            *[
+                F.lit("*") if j == k else F.col(f"h{j}").cast("string")
+                for j in range(3)
+            ],
+        ).alias("v")
+        for k in range(3)
+    ]
+    bands = classes.select(
+        "canon",
+        *[f"h{j}" for j in range(3)],
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(k).alias("j"), wild[k])
+                for k in range(3)
+            ])
+        ).alias("band"),
+    ).select(
+        "canon", *[f"h{j}" for j in range(3)], "band.j", "band.v"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    diff = sum(
+        F.when(F.col(f"a.h{j}") != F.col(f"b.h{j}"), 1).otherwise(0)
+        for j in range(3)
+    ).cast("long")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.canon") < F.col("b.canon")),
+        )
+        .select(
+            F.col("a.canon").alias("doc_a"),
+            F.col("b.canon").alias("doc_b"),
+            diff.alias("n_frames_diff"),
+        )
+        .distinct()
+    )
+    return star.unionByName(
+        cand.filter(F.col("n_frames_diff") == 1)
+    ).orderBy("doc_a", "doc_b")

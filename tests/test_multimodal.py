@@ -257,3 +257,45 @@ def test_wav_spectral_peaks_planted_sines(spark):
         (1, 0): 10, (1, 1): 33, (1, 2): 77,
         (2, 0): 10, (2, 1): 34, (2, 2): 77,
     }
+
+
+def test_mpng_container_roundtrip_and_sampling(spark):
+    """MPNG contract: frames round-trip in order; truncated payloads
+    fail loudly (dead-letter contract); the sampling kernel inflates
+    only every stride-th frame and hashes it through the real PNG
+    codec."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from scio_db_spark.functions.multimodal import (
+        dhash64_from_pixels,
+        mpng_encode,
+        mpng_frame_iter,
+        mpng_sampled_framehash,
+        png_encode_rgb8,
+    )
+
+    rng = np.random.RandomState(13)
+    frames_px = [
+        rng.randint(0, 256, (16, 18, 3)).astype(np.uint8)
+        for _ in range(5)
+    ]
+    frames = [png_encode_rgb8(px) for px in frames_px]
+    blob = mpng_encode(frames)
+    assert [f for _, f in mpng_frame_iter(blob)] == frames
+    with pytest.raises(ValueError, match="not an MPNG"):
+        list(mpng_frame_iter(b"JUNK" + blob[4:]))
+    with pytest.raises(ValueError, match="truncated"):
+        list(mpng_frame_iter(blob[:-3]))
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "payload": [bytearray(blob)]})
+    )
+    got = {
+        (r.frame_idx): r.dhash64
+        for r in mpng_sampled_framehash(df, stride=2).collect()
+    }
+    assert got == {
+        fi: dhash64_from_pixels(frames_px[fi]) for fi in (0, 2, 4)
+    }
