@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -189,3 +190,103 @@ def test_data_poison_classes_route_ko_programming_bugs_crash(spark):
                 df, _codec_override=_fake_codec(exc)
             ).collect()
         assert exc.__name__ in str(ei.value)
+
+
+def test_image_neardup_screen_expr_kernel_parity(spark):
+    """Image near-dup screen contract: an indexed hash flags (all 4
+    bands match), a 1-bit-away hash flags (3 bands still match), a
+    far hash does not, NULL (audio/KO/sub-grid) never flags — and the
+    JVM expression and Arrow kernel return bit-equal verdicts,
+    including on NULL."""
+    import pandas as pd
+
+    from scio_db_spark.streaming.media_ingest import (
+        image_band_bitmaps,
+        image_screen_expr,
+        image_screen_udf,
+    )
+
+    indexed = [
+        -5810724383175983021,  # bit-63 set: sign handling on all paths
+        1234605616436508552,
+        42,
+    ]
+    hist = spark.createDataFrame(
+        [(h,) for h in indexed], "dhash64 long"
+    )
+    bitmaps = image_band_bitmaps(hist)
+
+    near = indexed[0] ^ (1 << 5)          # 1 bit off: 3 bands match
+    far = indexed[0] ^ 0x1111111111111111  # 1 bit off in EVERY band
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3, 4],
+                "dhash64": pd.array(
+                    [indexed[0], near, far, None], dtype="Int64"
+                ),
+            }
+        )
+    )
+    expr_out = {
+        r.media_id: r.flag
+        for r in probe.select(
+            "media_id",
+            image_screen_expr(bitmaps).alias("flag"),
+        ).collect()
+    }
+    udf_out = {
+        r.media_id: r.flag
+        for r in probe.select(
+            "media_id",
+            image_screen_udf(bitmaps)(F.col("dhash64")).alias("flag"),
+        ).collect()
+    }
+    assert expr_out == {1: True, 2: True, 3: False, 4: False}
+    assert udf_out == expr_out
+
+
+def test_build_media_ingest_with_image_screen(spark):
+    """End-to-end: decoded PNG rows carry dhash64; with a band index
+    the OK lane flags re-encodes of indexed images and passes novel
+    ones."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_db_spark.functions.multimodal import (
+        dhash64_from_pixels,
+        png_encode_rgb8,
+    )
+    from scio_db_spark.streaming.media_ingest import (
+        build_media_ingest,
+        image_band_bitmaps,
+    )
+
+    rng = np.random.RandomState(17)
+    known = rng.randint(0, 256, (16, 18, 3)).astype(np.uint8)
+    novel = rng.randint(0, 256, (16, 18, 3)).astype(np.uint8)
+    hist = spark.createDataFrame(
+        [(dhash64_from_pixels(known),)], "dhash64 long"
+    )
+    stream = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "mime_type": ["image/png", "image/png"],
+                "payload": [
+                    bytearray(png_encode_rgb8(px))
+                    for px in (known, novel)
+                ],
+            }
+        )
+    )
+    lanes = build_media_ingest(
+        stream,
+        image_band_index=image_band_bitmaps(hist),
+    )
+    got = {
+        r.media_id: (r.dhash64, r.near_dup_image)
+        for r in lanes["ok"].collect()
+    }
+    assert got[1] == (dhash64_from_pixels(known), True)
+    assert got[2] == (dhash64_from_pixels(novel), False)
