@@ -96,20 +96,21 @@ def _join_min_skew_safe(
     rows: DataFrame, mins: DataFrame, key: str = "a"
 ) -> DataFrame:
     """Enrich ``rows`` (many rows per key) with ``mins`` (exactly one
-    row per key) on ``key``, hot keys routed broadcast-side.
+    row per key, carrying that key's row count as ``__hc``) on
+    ``key``, hot keys routed broadcast-side.
 
     Cold keys take the ordinary shuffle equi-join; keys with more
     than ``_CC_HOT_KEY_THRESHOLD`` rows join against a BROADCAST of
     their min rows, so a hub key's rows stay distributed across scan
-    partitions instead of co-locating in one reducer. The hot census
-    itself is a map-side-partial groupBy count — no co-location
-    there either."""
-    hot_keys = (
-        rows.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("__hc"))
-        .filter(F.col("__hc") > _CC_HOT_KEY_THRESHOLD)
-        .select(key)
-    )
+    partitions instead of co-locating in one reducer. ``__hc`` rides
+    the SAME aggregate that computes the min (one partial-aggregated
+    shuffle total — a separate hot-key count cost ~1.6x on the
+    CC-consuming censuses, caught by the round-12 full-registry
+    lane); it is consumed here and dropped from the output."""
+    hot_keys = mins.filter(
+        F.col("__hc") > _CC_HOT_KEY_THRESHOLD
+    ).select(key)
+    mins = mins.drop("__hc")
     hot_mins = F.broadcast(mins.join(hot_keys, key, "left_semi"))
     cold = rows.join(
         F.broadcast(hot_keys), key, "left_anti"
@@ -170,23 +171,40 @@ def _cc_star_impl(
         .distinct()
         .transform(_ckpt_eager)
     )
-    if e.limit(1).count() == 0:
+    n_e = e.count()  # checkpointed scan — cheap; also the empty probe
+    if n_e == 0:
         # no edges: every vertex would be isolated; empty label frame
         return (
             e.select(F.col("a").alias("v"), F.col("b").alias("label")),
             0,
         )
     for rounds in range(1, max_iterations + 1):
+        # A hub key with more than _CC_HOT_KEY_THRESHOLD rows needs at
+        # least that many edges, so small rounds provably cannot have
+        # one — they take the plain join (the split's anti/semi double
+        # scan + broadcast subqueries cost ~1.6x on the CC-consuming
+        # censuses when applied unconditionally; round-12 full-
+        # registry lane).
+        skew_safe = 2 * n_e > _CC_HOT_KEY_THRESHOLD
         # LARGE-STAR: per node u, connect every LARGER neighbor to
         # m = min(Γ(u) ∪ {u}). Output edges all point "down" toward
         # local minima; connectivity is preserved (SoCC'14, Lemma 1).
         sym = _symmetrize(e)
-        lmin = sym.groupBy("a").agg(F.min("b").alias("__mn"))
+        lmin = sym.groupBy("a").agg(
+            F.min("b").alias("__mn"),
+            F.count(F.lit(1)).alias("__hc"),
+        )
         lmin = lmin.select(
-            "a", F.least(F.col("a"), F.col("__mn")).alias("__m")
+            "a",
+            F.least(F.col("a"), F.col("__mn")).alias("__m"),
+            "__hc",
         )
         e1 = (
-            _join_min_skew_safe(sym, lmin)
+            (
+                _join_min_skew_safe(sym, lmin)
+                if skew_safe
+                else sym.join(lmin.drop("__hc"), "a")
+            )
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("__m").alias("b"))
             .distinct()
@@ -199,9 +217,16 @@ def _cc_star_impl(
         # form starts from is an identity here — e1 IS the grouped
         # view, one union+filter shuffle saved per round.
         grp = e1
-        smin = grp.groupBy("a").agg(F.min("b").alias("__m"))
+        smin = grp.groupBy("a").agg(
+            F.min("b").alias("__m"),
+            F.count(F.lit(1)).alias("__hc"),
+        )
         out1 = (
-            _join_min_skew_safe(grp, smin)
+            (
+                _join_min_skew_safe(grp, smin)
+                if skew_safe
+                else grp.join(smin.drop("__hc"), "a")
+            )
             .filter(F.col("b") != F.col("__m"))
             .select(F.col("b").alias("a"), F.col("__m").alias("b"))
         )
@@ -248,6 +273,7 @@ def _cc_star_impl(
             )
             return labels, rounds
         e = e2
+        n_e = e2.count()  # feeds the next round's skew_safe gate
     # Silently-wrong cluster labels would split duplicate clusters
     # downstream — fail loudly instead (raise, never truncate).
     raise RuntimeError(
