@@ -63,6 +63,12 @@ QUERIES = [
     "events_windowed_counts",
     "global_rank_customers",
     "orders_snapshot_cdc_diff",
+    # round-12 modality near-dup pairing: the exact-collapse +
+    # band-self-join strategy is the scale story; the census twins
+    # are map-only (no strategy to pin)
+    "mm_image_neardup_pairs",
+    "mm_audio_neardup_pairs",
+    "mm_video_neardup_pairs",
 ]
 
 _OP_RE = re.compile(r"^\(\d+\)\s+(.*?)(?:\s+\[codegen id : \d+\])?\s*$")
