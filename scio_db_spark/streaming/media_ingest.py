@@ -127,7 +127,18 @@ def decode_media_stream(
                          0, 0, 0, 0, 0, 0, 0, None)
                     )
             if rows:
-                yield pd.DataFrame(rows, columns=cols)
+                out = pd.DataFrame(rows, columns=cols)
+                # dhash64 mixes 64-bit ints (images) with None (audio
+                # / KO / sub-grid): DataFrame inference makes that
+                # column FLOAT64, which silently drops the low ~11
+                # bits of a 2^63-scale hash (float53 mantissa) — a
+                # single mixed batch corrupted every fingerprint while
+                # pure-image batches (the original unit tests) passed.
+                # Build the column as nullable Int64 explicitly.
+                out["dhash64"] = pd.array(
+                    [r[11] for r in rows], dtype="Int64"
+                )
+                yield out
 
     return stream_df.select(id_col, mime_col, payload_col).mapInPandas(
         _decode, out_schema

@@ -290,3 +290,44 @@ def test_build_media_ingest_with_image_screen(spark):
     }
     assert got[1] == (dhash64_from_pixels(known), True)
     assert got[2] == (dhash64_from_pixels(novel), False)
+
+
+def test_mixed_batch_preserves_dhash_precision(spark):
+    """Regression (round-12, found by the media bench): a batch mixing
+    image rows (int dhash64) with audio/KO rows (None) made pandas
+    infer float64 for the column, silently dropping the low ~11 bits
+    of every 2^63-scale fingerprint. All rows flow through ONE
+    partition here so the mixed-batch path is what executes."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_db_spark.functions.multimodal import (
+        dhash64_from_pixels,
+        png_encode_rgb8,
+        wav_encode_pcm16,
+    )
+    from scio_db_spark.streaming.media_ingest import decode_media_stream
+
+    px = np.random.RandomState(19).randint(0, 256, (16, 18, 3)).astype(
+        np.uint8
+    )
+    pcm = np.zeros(256, dtype=np.int16)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3],
+                "mime_type": ["image/png", "audio/wav", "image/png"],
+                "payload": [
+                    bytearray(png_encode_rgb8(px)),
+                    bytearray(wav_encode_pcm16(pcm, 8000)),
+                    bytearray(b"\x89PNGbad"),  # poison -> KO, None hash
+                ],
+            }
+        )
+    ).coalesce(1)
+    got = {
+        r.media_id: r.dhash64
+        for r in decode_media_stream(df, id_col="media_id").collect()
+    }
+    assert got[1] == dhash64_from_pixels(px)  # exact, every bit
+    assert got[2] is None and got[3] is None
