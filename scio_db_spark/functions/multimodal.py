@@ -265,7 +265,7 @@ def media_chunk_plan(
 # so it is fully decodable with numpy alone — no external audio
 # library. This upgrades the audio leg of the multimodal surface from
 # the capability-gated fake to a genuine encode → parse → DSP-feature
-# path; compressed codecs (MP3/AAC/JPEG/MP4) stay gated behind
+# path; compressed audio/video codecs (MP3/AAC/MP4) stay gated behind
 # NotImplementedError because they need libraries this environment
 # lacks.
 
@@ -533,7 +533,7 @@ def bmp_image_features(
 # image library), and the five per-scanline filters (None/Sub/Up/
 # Average/Paeth) implemented per the PNG 1.2 spec. This upgrades the
 # multimodal tier's honesty line: "compressed formats need absent
-# libraries" is true for JPEG/MP3/MP4 (DCT/entropy codecs), but PNG's
+# libraries" is true for MP3/MP4 (entropy codecs), but PNG's
 # compression IS zlib — so it gets a real decoder, not a gate.
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 

@@ -233,7 +233,7 @@ def mm_wav_pcm_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     "resize), and census exact integer features. Position-weighted "
     "sums put the layout itself on the hook: the oracle predicts "
     "every value from the formula without touching bytes. Compressed "
-    "formats needing real codec libraries (JPEG/MP3/MP4) stay "
+    "formats needing real codec libraries (MP3/MP4) stay "
     "capability-gated; PNG is decodable with stdlib zlib (see "
     "mm_png_rgb_roundtrip), and uncompressed BMP with numpy alone.",
 )
@@ -273,7 +273,7 @@ def mm_bmp_rgb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # REAL compressed-image codec leg: PNG's body is DEFLATE, and zlib is
-# Python stdlib — so unlike JPEG/MP3/MP4 (DCT/entropy codecs that
+# Python stdlib — so unlike MP3/MP4 (entropy codecs that
 # genuinely need absent libraries) PNG earns a real decoder
 # (functions/multimodal.py::png_decode_rgb8: CRC-checked chunks,
 # multi-IDAT inflate, all five scanline unfilters). The synthesized
@@ -322,8 +322,9 @@ def mm_bmp_rgb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     "position-weighted features the oracle predicts without touching "
     "bytes — a wrong unfilter, CRC skip, or channel mix-up cannot "
     "hash-match. Zero-shuffle Arrow map, embarrassingly parallel; "
-    "JPEG/MP3/MP4 remain capability-gated (their codecs genuinely "
-    "need absent libraries), PNG does not.",
+    "MP3/MP4 remain capability-gated (their codecs genuinely need "
+    "absent libraries); PNG does not, and round-12 gives baseline "
+    "JPEG a real codec too (jpegcodec.py).",
 )
 def mm_png_rgb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     import numpy as np
@@ -1057,3 +1058,106 @@ def mm_video_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return star.unionByName(
         cand.filter(F.col("n_frames_diff") == 1)
     ).orderBy("doc_a", "doc_b")
+
+
+# ------------------------------------------------- baseline JPEG leg
+# Round 12 closes the last image-format honesty gate: baseline
+# sequential JPEG (grayscale, tables embedded per T.81) is markers +
+# Huffman + DCT — implementable on numpy, so it gets a REAL codec
+# (functions/jpegcodec.py), not a capability gate. The oracle-checked
+# leg uses the codec's DC-exactness contract: an image of CONSTANT
+# 8x8 blocks under a flat quant table round-trips bit-exactly (all
+# block energy in DC; AC quantizes to zero), so every decoded pixel —
+# and therefore every position-weighted census sum — is analytically
+# predictable. Color (YCbCr + subsampling) and progressive stay
+# named-unsupported.
+
+_JPEG_BX, _JPEG_BY = 3, 2  # blocks per axis -> 24x16 pixels
+_JPEG_VAL_SQL = (
+    "(7 * doc_id + 11 * (x // 8) + 13 * (y // 8) * (y // 8)) % 256"
+)
+
+
+@register(
+    "mm_jpeg_dc_roundtrip",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, tx.x AS x, ty.y AS y, {_JPEG_VAL_SQL} AS g
+        FROM documents,
+            unnest(generate_series(0, {_JPEG_BX * 8 - 1})) AS tx(x),
+            unnest(generate_series(0, {_JPEG_BY * 8 - 1})) AS ty(y)
+    )
+    SELECT doc_id,
+        CAST({_JPEG_BX * 8} AS BIGINT) AS width,
+        CAST({_JPEG_BY * 8} AS BIGINT) AS height,
+        CAST(sum(g) AS BIGINT) AS sum_gray,
+        CAST(sum(g * x) AS BIGINT) AS wsum_gx,
+        CAST(sum(g * y) AS BIGINT) AS wsum_gy,
+        CAST(sum(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN g ELSE 0 END)
+             AS BIGINT) AS dec_sum_g
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="REAL baseline JPEG path: synthesize genuine grayscale JPEGs "
+    "(markers, embedded quant + canonical Huffman tables, DCT, "
+    "byte-stuffed entropy scan) from constant-8x8-block images, "
+    "decode them back with the real T.81 decoder, and census exact "
+    "position-weighted pixel sums the oracle predicts without "
+    "touching bytes — DC-exactness makes the lossy format "
+    "hash-verifiable. Zero-shuffle Arrow map; progressive/color "
+    "JPEG remain named-unsupported.",
+)
+def mm_jpeg_dc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from scio_db_spark.functions.jpegcodec import (
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
+
+    d = table(spark, sf, "documents").select("doc_id")
+    nbx, nby = _JPEG_BX, _JPEG_BY
+
+    def _rt(pdfs):
+        for pdf in pdfs:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                vals = np.empty((nby, nbx), dtype=np.int64)
+                for by in range(nby):
+                    for bx in range(nbx):
+                        vals[by, bx] = (
+                            7 * i + 11 * bx + 13 * by * by
+                        ) % 256
+                img = np.repeat(
+                    np.repeat(vals, 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                g = jpeg_decode_gray(jpeg_encode_gray(img)).astype(
+                    np.int64
+                )
+                h, w = g.shape
+                xs = np.arange(w)
+                ys = np.arange(h)
+                rows.append(
+                    (
+                        i, w, h,
+                        int(g.sum()),
+                        int((g * xs[None, :]).sum()),
+                        int((g * ys[:, None]).sum()),
+                        int(g[::2, ::2].sum()),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "width", "height", "sum_gray",
+                        "wsum_gx", "wsum_gy", "dec_sum_g",
+                    ],
+                )
+
+    return d.mapInPandas(
+        _rt,
+        "doc_id long, width long, height long, sum_gray long,"
+        " wsum_gx long, wsum_gy long, dec_sum_g long",
+    ).orderBy("doc_id")

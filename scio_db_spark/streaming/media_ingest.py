@@ -3,7 +3,8 @@ tier.
 
 Binary payloads (audio/image containers) arrive as a stream; each
 micro-batch runs the REAL codecs (functions/multimodal.py — WAV PCM16,
-BMP, PNG) through an Arrow-batched ``mapInPandas`` that decodes at the
+BMP, PNG; functions/jpegcodec.py — baseline grayscale JPEG) through an
+Arrow-batched ``mapInPandas`` that decodes at the
 RECORD level: a well-formed payload yields its exact integer feature
 row, a poison payload (truncated container, corrupt CRC, unsupported
 depth) yields a KO row carrying the codec's own error message — the
@@ -76,12 +77,23 @@ def decode_media_stream(
                 mime, True, None, 0, 0, 0, 0, len(s64), rate, peak,
                 None,
             )
-        if mime in ("image/bmp", "image/png"):
+        if mime == "image/jpeg":
+            from scio_db_spark.functions.jpegcodec import (
+                jpeg_decode_gray,
+            )
+
+            # REAL baseline decoder (grayscale; see jpegcodec.py) —
+            # the gray plane stands in for all three channels so the
+            # dHash/near-dup path is shared with PNG/BMP
+            g = jpeg_decode_gray(b).astype(np.int64)
+            px = np.stack([g, g, g], axis=-1)
+        elif mime in ("image/bmp", "image/png"):
             px = (
                 bmp_decode_rgb24(b)
                 if mime == "image/bmp"
                 else png_decode_rgb8(b)
             ).astype(np.int64)
+        if mime in ("image/bmp", "image/png", "image/jpeg"):
             h, w, ch = px.shape
             # perceptual fingerprint for the near-dup screen; images
             # below the 16x18 dHash grid carry NULL (screen ignores)

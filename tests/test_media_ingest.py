@@ -331,3 +331,39 @@ def test_mixed_batch_preserves_dhash_precision(spark):
     }
     assert got[1] == dhash64_from_pixels(px)  # exact, every bit
     assert got[2] is None and got[3] is None
+
+
+def test_jpeg_decodes_in_media_stream(spark):
+    """image/jpeg flows through the REAL baseline codec: a DC-exact
+    image (constant 8x8 blocks) yields exact features and the same
+    dHash as the PNG/BMP path would for identical pixels; a truncated
+    JPEG routes KO with the codec's named error."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_db_spark.functions.jpegcodec import jpeg_encode_gray
+    from scio_db_spark.functions.multimodal import dhash64_from_pixels
+    from scio_db_spark.streaming.media_ingest import decode_media_stream
+
+    vals = np.random.RandomState(23).randint(0, 256, (2, 3)).astype(
+        np.uint8
+    )
+    gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)  # 16x24
+    blob = jpeg_encode_gray(gray)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "mime_type": ["image/jpeg", "image/jpeg"],
+                "payload": [bytearray(blob), bytearray(blob[:-4])],
+            }
+        )
+    )
+    rows = {r.media_id: r for r in decode_media_stream(df, id_col="media_id").collect()}
+    ok = rows[1]
+    assert ok.ok and (ok.width, ok.height, ok.n_channels) == (24, 16, 3)
+    assert ok.sum_r == int(gray.astype(np.int64).sum())
+    px3 = np.stack([gray, gray, gray], axis=-1)
+    assert ok.dhash64 == dhash64_from_pixels(px3)
+    ko = rows[2]
+    assert not ko.ok and "EOI" in ko.err
