@@ -7,7 +7,9 @@ OK lane pays the near-dup screen. This lane measures records/min of
 the exact mapInPandas closure the stream executes (batch-mode, same
 code path), on a BENCH_MEDIA_DOCS-record corpus (default 250K):
 
-- 60% PNG (18x16 RGB, content id mod 1000 -> duplication-heavy),
+- 40% PNG (18x16 RGB, content id mod 1000 -> duplication-heavy),
+- 20% baseline JPEG (24x16 grayscale, constant 8x8 blocks — the
+  DC-exact regime, real T.81 decode per record),
 - 30% WAV (768-sample 3-tone PCM16),
 - 10% poison (truncated containers, bad magic, odd-length PCM) that
   must land KO with the codec's own error, never crash the batch.
@@ -44,6 +46,7 @@ def _media_corpus(spark, n):
     import numpy as np
     import pandas as pd
 
+    from scio_db_spark.functions.jpegcodec import jpeg_encode_gray
     from scio_db_spark.functions.multimodal import (
         png_encode_rgb8,
         wav_encode_pcm16,
@@ -52,13 +55,14 @@ def _media_corpus(spark, n):
     def _synth(pdfs):
         t = np.arange(256)
         png_memo: dict[int, bytes] = {}
+        jpg_memo: dict[int, bytes] = {}
         for pdf in pdfs:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
                 cid = i % N_CONTENT
                 m = i % 10
-                if m < 6:  # PNG: seeded-RNG pixels per content id, so
+                if m < 4:  # PNG: seeded-RNG pixels per content id, so
                     # dHashes are cid-distinct and band collisions are
                     # the realistic ~few-% rate (a formula-structured
                     # image made every hash band-collide); encode
@@ -73,6 +77,17 @@ def _media_corpus(spark, n):
                         )
                         png_memo[cid] = blob
                     rows.append((i, "image/png", blob))
+                elif m < 6:  # baseline JPEG, DC-exact constant blocks
+                    blob = jpg_memo.get(cid)
+                    if blob is None:
+                        vals = np.random.RandomState(10_000 + cid).randint(
+                            0, 256, (2, 3)
+                        ).astype(np.uint8)
+                        blob = jpeg_encode_gray(
+                            np.repeat(np.repeat(vals, 8, 0), 8, 1)
+                        )
+                        jpg_memo[cid] = blob
+                    rows.append((i, "image/jpeg", blob))
                 elif m < 9:  # WAV
                     segs = [
                         np.round(
