@@ -78,15 +78,18 @@ def decode_media_stream(
                 None,
             )
         if mime == "image/jpeg":
-            from scio_db_spark.functions.jpegcodec import (
-                jpeg_decode_gray,
-            )
+            from scio_db_spark.functions.jpegcodec import jpeg_decode
 
-            # REAL baseline decoder (grayscale; see jpegcodec.py) —
-            # the gray plane stands in for all three channels so the
-            # dHash/near-dup path is shared with PNG/BMP
-            g = jpeg_decode_gray(b).astype(np.int64)
-            px = np.stack([g, g, g], axis=-1)
+            # REAL baseline decoder (grayscale or 4:4:4 color; see
+            # jpegcodec.py) — a gray plane is replicated to three
+            # channels so the dHash/near-dup path is shared with
+            # PNG/BMP
+            dec = jpeg_decode(b).astype(np.int64)
+            px = (
+                dec
+                if dec.ndim == 3
+                else np.stack([dec, dec, dec], axis=-1)
+            )
         elif mime in ("image/bmp", "image/png"):
             px = (
                 bmp_decode_rgb24(b)

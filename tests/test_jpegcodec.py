@@ -86,3 +86,49 @@ def test_quant_table_validated():
     img = _const_block_image(1, 1, 2)
     with pytest.raises(ValueError, match="quant"):
         jpeg_encode_gray(img, quant=np.zeros((8, 8), dtype=np.int64))
+
+
+def test_color_roundtrip_bounded():
+    """4:4:4 YCbCr color: the float color transform is lossy even at
+    flat quant, so color asserts BOUNDED error (max <= 3 at flat
+    quant), never exactness — that contract stays grayscale-only."""
+    rng = np.random.RandomState(31)
+    from scio_db_spark.functions.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode_rgb,
+    )
+
+    img = rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+    rt = jpeg_decode(jpeg_encode_rgb(img))
+    assert rt.shape == img.shape
+    err = np.abs(rt.astype(int) - img.astype(int))
+    assert err.max() <= 3 and err.mean() < 1
+
+
+def test_color_odd_dims_and_structure():
+    from scio_db_spark.functions.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode_rgb,
+    )
+
+    rng = np.random.RandomState(33)
+    img = rng.randint(0, 256, (11, 19, 3)).astype(np.uint8)
+    blob = jpeg_encode_rgb(img)
+    rt = jpeg_decode(blob)
+    assert rt.shape == (11, 19, 3)
+    assert np.abs(rt.astype(int) - img.astype(int)).max() <= 3
+    # SOF declares 3 components; decode_gray refuses color by name
+    with pytest.raises(ValueError, match="color"):
+        from scio_db_spark.functions.jpegcodec import jpeg_decode_gray
+
+        jpeg_decode_gray(blob)
+
+
+def test_gray_decodes_via_general_entrypoint():
+    from scio_db_spark.functions.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode_gray,
+    )
+
+    img = _const_block_image(2, 3, 4)
+    assert np.array_equal(jpeg_decode(jpeg_encode_gray(img)), img)

@@ -367,3 +367,36 @@ def test_jpeg_decodes_in_media_stream(spark):
     assert ok.dhash64 == dhash64_from_pixels(px3)
     ko = rows[2]
     assert not ko.ok and "EOI" in ko.err
+
+
+def test_color_jpeg_decodes_in_media_stream(spark):
+    """Color (4:4:4 YCbCr) JPEG flows through the general decoder:
+    3 channels, plausible feature sums, and a dHash close to the
+    original red plane's (the codec is lossy; the perceptual hash is
+    the robust fingerprint)."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_db_spark.functions.jpegcodec import jpeg_encode_rgb
+    from scio_db_spark.functions.multimodal import dhash64_from_pixels
+    from scio_db_spark.streaming.media_ingest import decode_media_stream
+
+    rng = np.random.RandomState(29)
+    img = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1],
+                "mime_type": ["image/jpeg"],
+                "payload": [bytearray(jpeg_encode_rgb(img))],
+            }
+        )
+    )
+    row = decode_media_stream(df, id_col="media_id").collect()[0]
+    assert row.ok and (row.width, row.height, row.n_channels) == (24, 16, 3)
+    # lossy codec: red sum within the +-3/pixel roundtrip bound
+    assert abs(row.sum_r - int(img[:, :, 0].astype(np.int64).sum())) <= 3 * 16 * 24
+    ham = bin(
+        (row.dhash64 ^ dhash64_from_pixels(img)) & ((1 << 64) - 1)
+    ).count("1")
+    assert ham <= 6  # perceptual stability across the lossy roundtrip
