@@ -105,9 +105,23 @@ def asof_join(
         # carry the matched fact's own time inside the payload struct
         # so the horizon check can run AFTER the fill
         payload_struct_cols.append(F.col(right_time).alias("__rt"))
-    payload_type = right.select(
-        F.struct(*payload_struct_cols).alias("__payload")
-    ).schema["__payload"].dataType
+    # Struct types assembled in pure Python from the inputs' (already
+    # analyzed, object-cached) schemas: the previous
+    # ``right.select(struct(...)).schema`` probe ran a full analyzer
+    # pass per asof_join build just to learn a type it could compute
+    # locally (round-12 opt — plan-construction cost is part of every
+    # measured pass and of real driver latency).
+    from pyspark.sql.types import StructField, StructType
+
+    r_schema = right.schema
+    payload_fields = [r_schema[c] for c in payload_cols]
+    if tolerance_s is not None:
+        rt_f = r_schema[right_time]
+        payload_fields.append(
+            StructField("__rt", rt_f.dataType, rt_f.nullable)
+        )
+    payload_type = StructType(payload_fields)
+    left_type = StructType(list(left.schema.fields))
     l_tag = left.select(
         F.col(key).alias("__k"),
         F.col(left_time).alias("__t"),
@@ -119,9 +133,7 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
-        F.lit(None).cast(
-            l_tag.schema["__left"].dataType
-        ).alias("__left"),
+        F.lit(None).cast(left_type).alias("__left"),
         F.struct(*payload_struct_cols).alias("__payload"),
     )
     merged = l_tag.unionByName(r_tag)

@@ -62,10 +62,69 @@ def _pin_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Catalog-level table memo (round-12 optimization): one ANALYZED
+# DataFrame per (session, sf_dir, table, spread) for the life of the
+# session — the same contract ``spark.table`` gives via the session
+# catalog's relation/file-index cache. ``spark.read.parquet`` is NOT
+# cached by Spark: every call re-resolves the DataSource, re-lists the
+# path and re-reads the parquet footer (~0.2 s warm on this repo's
+# tables), and bench.py rebuilds every query per measured pass, so an
+# n-table query paid n re-resolutions per pass. Memoizing the LAZY
+# plan object removes that; no DATA is ever cached (no persist — every
+# action still scans parquet end to end), so bench/oracle runs keep
+# computing from the input files. The session object itself is kept in
+# the value, which both prevents id() reuse after GC and keeps the
+# memo valid for the session's lifetime.
+_TABLE_MEMO: dict[tuple[int, str, str, bool], tuple[SparkSession, DataFrame]] = {}
+
+#: Spread gate: repartition a scan for CPU-dense per-row compute only
+#: when the WHOLE table is smaller than this many bytes per available
+#: core — i.e. the input's own file/row-group layout cannot feed the
+#: cluster. Production tables (many files, row-group-sized splits)
+#: never trip the gate, so no full-data shuffle is ever added at
+#: scale; the driver's single-file bench inputs do (a 0.6 MB corpus
+#: on 32 cores otherwise tokenizes on ONE task). Parameterised per
+#: the scale-adaptivity rule; see OPTIMIZATION_r12.md.
+_SPREAD_BYTES_PER_CORE = int(
+    os.environ.get("SCIO_SPREAD_BYTES_PER_CORE", str(4 * 1024 * 1024))
+)
+
+
+def _table_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return os.path.getsize(path)
+
+
+def table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    spread_for_compute: bool = False,
+) -> DataFrame:
+    """Catalog read. ``spread_for_compute=True`` marks the caller as
+    CPU-dense per row (tokenization, vector math, codec work): when
+    the table's file layout yields fewer input splits than the session
+    has cores (single small file — the bench corpus shape), the scan
+    is round-robin repartitioned to ``defaultParallelism`` so the
+    expensive map work runs on every core instead of one. The
+    repartition only ever moves column-pruned rows (Catalyst pushes
+    the projection below the exchange), is deterministic under retry
+    (sort-before-repartition stays on), and is a no-op at production
+    scale via the byte gate above."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _pin_session(spark)
+    key = (id(spark), os.path.abspath(sf_dir), name, spread_for_compute)
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit[1]
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         # Older driver drops stored ts as parquet TIMESTAMP(NANOS),
         # which Spark's vectorized reader rejects; _pin_session set
@@ -73,15 +132,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # exactly what DuckDB does when it reads TIMESTAMP_NS. Newer
         # drops store timestamp[us] (NTZ); _normalize_timestamps handles
         # those uniformly for every table.
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return _normalize_timestamps(df)
-    return _normalize_timestamps(
-        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    )
+    df = _normalize_timestamps(df)
+    if spread_for_compute:
+        cores = spark.sparkContext.defaultParallelism
+        if _table_bytes(path) < cores * _SPREAD_BYTES_PER_CORE:
+            df = df.repartition(cores)
+    _TABLE_MEMO[key] = (spark, df)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

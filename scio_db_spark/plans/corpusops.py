@@ -55,7 +55,9 @@ _BIGRAMS_SQL = f"""
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
-    return table(spark, sf, "documents")
+    # spread_for_compute: tokenization-heavy consumers (see
+    # textops._docs / catalog.table for the gate rationale).
+    return table(spark, sf, "documents", spread_for_compute=True)
 
 
 def _exploded(spark: SparkSession, sf: str) -> DataFrame:

@@ -121,7 +121,7 @@ def tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from scio_db_spark.operators.relevance import tfidf_top_terms
 
     out = tfidf_top_terms(
-        table(spark, sf, "documents"), id_col="doc_id", text_col="text",
+        table(spark, sf, "documents", spread_for_compute=True), id_col="doc_id", text_col="text",
         k=_TFIDF_K,
     )
     return out.select(
@@ -176,7 +176,7 @@ def bm25(spark: SparkSession, sf: str) -> DataFrame:
     from scio_db_spark.operators.relevance import bm25_scores
 
     out = bm25_scores(
-        table(spark, sf, "documents"), list(_BM25_TERMS),
+        table(spark, sf, "documents", spread_for_compute=True), list(_BM25_TERMS),
         id_col="doc_id", text_col="text", k1=_BM25_K1, b=_BM25_B,
     )
     return out.select(
@@ -251,7 +251,7 @@ def quantize_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         quantized_dot,
     )
 
-    q = quantize(table(spark, sf, "embeddings"), "embedding")
+    q = quantize(table(spark, sf, "embeddings", spread_for_compute=True), "embedding")
     return q.select(
         "vec_id",
         "scale",
@@ -387,7 +387,7 @@ def _trained_cells(
     "expression the assignment ranked on (no recompute).",
 )
 def kmeans_trained_census(spark: SparkSession, sf: str) -> DataFrame:
-    e = table(spark, sf, "embeddings")
+    e = table(spark, sf, "embeddings", spread_for_compute=True)
     return (
         _trained_cells(e, keep=1)
         .groupBy("cid")
@@ -434,7 +434,7 @@ _SEMDEDUP_TRAINED_TAU = 0.18
     "exact operator composition that claim needs (round-4 verdict #3).",
 )
 def semantic_dedup_trained(spark: SparkSession, sf: str) -> DataFrame:
-    e = table(spark, sf, "embeddings")
+    e = table(spark, sf, "embeddings", spread_for_compute=True)
     assigned = _trained_cells(e, keep=1).select(
         "vec_id", "embedding", "nrm", F.col("cid").alias("c_id")
     )
@@ -491,7 +491,7 @@ def pca_projection(spark: SparkSession, sf: str) -> DataFrame:
         explained_variance_ratio=[],
         n_rows=0,
     )
-    e = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    e = table(spark, sf, "embeddings", spread_for_compute=True).select("vec_id", "embedding")
     return project(e, "embedding", model).select("vec_id", "pc1", "pc2")
 
 
@@ -743,7 +743,7 @@ def _ivf_probe_frame(
 ) -> DataFrame:
     from pyspark.sql import Window
 
-    e = table(spark, sf, "embeddings")
+    e = table(spark, sf, "embeddings", spread_for_compute=True)
     inv = _trained_cells(e, keep=1, cents=cents).select(
         "vec_id",
         "embedding",
@@ -1082,7 +1082,7 @@ if _KM_SQRTN is not None:
         "exact census is pinned in tests/test_ann_recall.py.",
     )
     def knn_ivf_label_census(spark: SparkSession, sf: str) -> DataFrame:
-        e = table(spark, sf, "embeddings")
+        e = table(spark, sf, "embeddings", spread_for_compute=True)
         inv = knn_ivf_index(e)
         qprobe = _trained_cells(
             e.filter(F.col("vec_id") < _KNN_IVF_QUERIES),
@@ -1336,7 +1336,7 @@ if _PQ is not None:
         "row_number argmin.",
     )
     def pq_assign_census(spark: SparkSession, sf: str) -> DataFrame:
-        e = table(spark, sf, "embeddings")
+        e = table(spark, sf, "embeddings", spread_for_compute=True)
         best = e.select(
             "vec_id",
             F.posexplode(F.expr(_pq_best_expr())).alias("subspace", "b"),
@@ -1440,7 +1440,7 @@ if _PQ is not None:
     def pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
         from pyspark.sql import Window
 
-        e = table(spark, sf, "embeddings")
+        e = table(spark, sf, "embeddings", spread_for_compute=True)
         qids = (0, 1, 2, 3, 4)
         # every vector is a candidate except the query ITSELF (the
         # join's != below) — query vectors can be neighbors of other
@@ -1566,7 +1566,7 @@ if _PQ is not None:
     ) -> DataFrame:
         from pyspark.sql import Window
 
-        e = table(spark, sf, "embeddings")
+        e = table(spark, sf, "embeddings", spread_for_compute=True)
         inv = _trained_cells(e, keep=1).select(
             "vec_id",
             "cid",
@@ -1648,7 +1648,7 @@ if _PQ is not None:
     def ivfpq_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
         from pyspark.sql import Window
 
-        e = table(spark, sf, "embeddings")
+        e = table(spark, sf, "embeddings", spread_for_compute=True)
         short = (
             _ivfpq_adc_frame(spark, sf, topk=_IVFPQ_RERANK_R)
             .select("q_id", "vec_id")
@@ -1759,7 +1759,7 @@ def hybrid_rrf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from scio_db_spark.operators.rank import global_rank
     from scio_db_spark.operators.relevance import bm25_scores
 
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents", spread_for_compute=True)
     bm25 = bm25_scores(
         d, list(_BM25_TERMS),
         id_col="doc_id", text_col="text", k1=_BM25_K1, b=_BM25_B,
@@ -1849,7 +1849,7 @@ if _PQ is not None:
     def ivfpq_recall_census(spark: SparkSession, sf: str) -> DataFrame:
         from pyspark.sql import Window
 
-        e = table(spark, sf, "embeddings")
+        e = table(spark, sf, "embeddings", spread_for_compute=True)
         q = e.filter(
             F.col("vec_id").isin(*_IVF_T_QUERY_IDS)
         ).select(

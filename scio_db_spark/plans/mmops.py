@@ -27,7 +27,11 @@ _FRAME = 32  # bytes per sampled frame
 
 
 def _docs_with_payload(spark: SparkSession, sf: str) -> DataFrame:
-    return with_binary_payload(table(spark, sf, "documents"))
+    # spread_for_compute: payload synthesis + codec decode is the most
+    # CPU-dense per-row work in the repo (see catalog.table's gate).
+    return with_binary_payload(
+        table(spark, sf, "documents", spread_for_compute=True)
+    )
 
 
 # n_bytes of the UTF-8 payload, in DuckDB terms (text is ASCII-checked

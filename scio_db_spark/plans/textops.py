@@ -62,7 +62,12 @@ _BPE_MERGES: list[list[str]] = _load_bpe_merges()
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
-    return table(spark, sf, "documents")
+    # spread_for_compute: every consumer tokenizes/shingles/hashes per
+    # row — orders of magnitude more CPU per byte than the scan — so a
+    # parallelism-starved input layout (single small file) must not
+    # serialize it (catalog.table gates the repartition on input size;
+    # a production many-file corpus never shuffles).
+    return table(spark, sf, "documents", spread_for_compute=True)
 
 
 def _shingles_of(toks: Column) -> Column:

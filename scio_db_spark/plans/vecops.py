@@ -30,7 +30,9 @@ _TOPK = 5
 
 
 def _emb(spark: SparkSession, sf: str) -> DataFrame:
-    return table(spark, sf, "embeddings")
+    # spread_for_compute: consumers run 64-term dot/norm expression
+    # chains per row (CPU-dense vs the scan); see catalog.table.
+    return table(spark, sf, "embeddings", spread_for_compute=True)
 
 
 # --------------------------------------------------------------------------

@@ -32,6 +32,20 @@ _SCALE_DEFAULTS: dict[str, str] = {
     "spark.driver.maxResultSize": "4g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE's coalescing floor decides post-shuffle parallelism by BYTES
+    # alone, but this engine's post-shuffle stages are often far more
+    # CPU-dense per byte than a scan (pair explosion, shingle hashing,
+    # vector math): at the 1m default a 5 MB shuffle collapses to ~5
+    # tasks and the compute serializes (measured: basket_part_pairs_
+    # topk 2.12 s -> 1.77 s at 64k, round-12 opt). Parameterised per
+    # the scale-adaptivity rule: on a production cluster sub-MB
+    # partitions waste scheduling, so deployments override via
+    # SCIO_AQE_MIN_PARTITION_SIZE (e.g. "1m" or larger); the local
+    # default keeps tiny-input benches parallel. See
+    # OPTIMIZATION_r12.md.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": (
+        os.environ.get("SCIO_AQE_MIN_PARTITION_SIZE", "64k")
+    ),
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",

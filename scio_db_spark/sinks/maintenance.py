@@ -316,15 +316,26 @@ def with_snapshot(
     action,
     max_attempts: int = 20,
     backoff_s: float = 0.25,
+    backoff_cap_s: float = 2.0,
 ):
     """Run ``action(df)`` against one snapshot version, retrying with
     a freshly resolved snapshot when the version's files vanish under
     the scan (a concurrent maintenance commit). Every successful
     return therefore reflects EXACTLY one published version — the
-    isolation property tests/test_maintenance_isolation.py pins."""
+    isolation property tests/test_maintenance_isolation.py pins.
+
+    Backoff is EXPONENTIAL (×1.5 per conflict, capped at
+    ``backoff_cap_s``): a fixed 0.25 s × 20 budget is ~5 s of grace,
+    which a single long maintenance commit (many-file rewrite on a
+    busy box) can outlast — observed as a spurious "no stable
+    version" on a loaded host. The growing backoff holds the same
+    20-attempt conflict bound while extending the time budget to
+    ~25 s, and an idle reader's first retries stay as fast as before.
+    """
     import time
 
     last: Exception | None = None
+    sleep_s = backoff_s
     for _ in range(max_attempts):
         try:
             # resolution INSIDE the retry: spark.read.parquet validates
@@ -342,7 +353,8 @@ def with_snapshot(
             ):
                 raise
             last = e
-            time.sleep(backoff_s)
+            time.sleep(sleep_s)
+            sleep_s = min(sleep_s * 1.5, backoff_cap_s)
     raise RuntimeError(
         f"with_snapshot: no stable version within {max_attempts} "
         f"attempts (writer holding the table?)"

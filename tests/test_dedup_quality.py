@@ -264,8 +264,8 @@ def test_ppjoin_collapse_handles_mass_duplication(spark, sf_dir):
 
     real_table = T.table
     try:
-        T.table = lambda _s, _sf, name: views.get(name) or real_table(
-            _s, _sf, name
+        T.table = lambda _s, _sf, name, **kw: views.get(name) or real_table(
+            _s, _sf, name, **kw
         )
         out = all_queries()["docs_ppjoin_similarity_pairs"].spark(
             spark, sf_dir
