@@ -15,8 +15,10 @@ That property is what makes it the scale path at 100 TB.
 
 Ties: a right row at exactly left.time matches (<=). Multiple right
 rows at the same (key, time) are resolved deterministically by
-``tie_col`` (max wins) BEFORE the merge — callers get one defined
-answer, same as deduping the build side of any join.
+``tie_col`` (max wins) INSIDE the merge's sort order — same-instant
+facts scan in tie order so the running last() carries the winner;
+callers get one defined answer, same as deduping the build side of
+any join, without a separate dedup shuffle.
 """
 
 from __future__ import annotations
@@ -86,15 +88,16 @@ def asof_join(
     right = right.filter(
         F.col(right_time).isNotNull() & F.col(key).isNotNull()
     )
-    if tie_col is not None:
-        w_dedup = Window.partitionBy(key, right_time).orderBy(
-            F.desc(tie_col)
-        )
-        right = (
-            right.withColumn("__rn", F.row_number().over(w_dedup))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+    # Tie resolution rides INSIDE the merge window's sort order instead
+    # of a separate row_number dedup pass (round-12 opt: the dedup
+    # window cost its own Exchange on (key, right_time) + sort + filter
+    # before the merge's Exchange on key — two shuffles of the right
+    # side where one suffices). Same-instant right rows sort by
+    # ``__tie`` ASC (nulls first), all BEFORE any left row at that
+    # instant (__side), so the running last(ignorenulls) a left row
+    # observes is exactly the max-tie row's payload — the row the old
+    # rn=1 filter kept; non-winning ties are overwritten before any
+    # left row can read them, in both scan directions.
 
     # The payload travels as ONE struct so last(ignorenulls) carries the
     # entire latest right ROW forward atomically — per-column fills
@@ -122,10 +125,17 @@ def asof_join(
         )
     payload_type = StructType(payload_fields)
     left_type = StructType(list(left.schema.fields))
+    tie_cols_l: list = []
+    tie_cols_r: list = []
+    if tie_col is not None:
+        tie_t = r_schema[tie_col].dataType
+        tie_cols_l = [F.lit(None).cast(tie_t).alias("__tie")]
+        tie_cols_r = [F.col(tie_col).alias("__tie")]
     l_tag = left.select(
         F.col(key).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),  # events sort AFTER same-instant facts
+        *tie_cols_l,
         F.struct(*left.columns).alias("__left"),
         F.lit(None).cast(payload_type).alias("__payload"),
     )
@@ -133,6 +143,7 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
+        *tie_cols_r,
         F.lit(None).cast(left_type).alias("__left"),
         F.struct(*payload_struct_cols).alias("__payload"),
     )
@@ -150,6 +161,13 @@ def asof_join(
         if direction == "backward"
         else [F.col("__t").desc_nulls_first(), F.asc("__side")]
     )
+    if tie_col is not None:
+        # max tie wins: ASC within the same-instant fact group makes
+        # the running last() carry the largest tie (nulls first, so a
+        # null tie loses to any non-null — the old desc NULLS LAST
+        # winner). Applies in both directions: the group's internal
+        # scan order is all that changes.
+        order.append(F.col("__tie").asc_nulls_first())
     w = (
         Window.partitionBy("__k")
         .orderBy(*order)

@@ -293,8 +293,27 @@ def khop_census(
     # against bigint edges would otherwise equi-join through implicit
     # double casts and mis-match ids beyond 2^53. createDataFrame with
     # an explicit StructType raises loudly on an unrepresentable seed.
+    # Eager driver-side seed check: the RDD form below defers schema
+    # verification to the executors, but callers rely on an immediate
+    # TypeError for an unrepresentable seed (the local-list
+    # createDataFrame used to provide it).
+    expected_py = {
+        "long": int, "integer": int, "short": int, "byte": int,
+        "string": str,
+    }.get(src_type.typeName())
+    if expected_py is not None and (
+        not isinstance(source, expected_py) or isinstance(source, bool)
+    ):
+        raise TypeError(
+            f"seed {source!r} is not representable as the edge key "
+            f"type {src_type.simpleString()}"
+        )
+    # One-partition seed (numSlices=1): the no-argument form
+    # parallelizes even a one-row list over defaultParallelism
+    # Python-RDD partitions, and the empty partitions ride through
+    # every frontier union/checkpoint round (round-12 opt).
     reached = spark.createDataFrame(
-        [(source, 0)],
+        spark.sparkContext.parallelize([(source, 0)], 1),
         T.StructType(
             [
                 T.StructField("node", src_type, False),

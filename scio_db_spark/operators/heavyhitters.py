@@ -108,8 +108,13 @@ def heavy_hitters_exact(
         ]
     )
     keys = df.select(key_col)
-    null_cand = keys.sparkSession.createDataFrame(
-        [(None,)], StructType([partial_schema[0]])
+    # Pure-JVM one-row relation: createDataFrame parallelizes even a
+    # ONE-ROW list over defaultParallelism Python-RDD partitions — 32
+    # task launches each paying a Python-worker round trip (round-12
+    # stage profile; and narrowing THAT with coalesce(1) is worse: one
+    # task then evaluates all 32 Python partitions serially).
+    null_cand = keys.sparkSession.range(0, 1, 1, 1).select(
+        F.lit(None).cast(key_field.dataType).alias(key_col)
     )
     candidates = (
         keys.mapInPandas(

@@ -89,6 +89,23 @@ _SPREAD_BYTES_PER_CORE = int(
     os.environ.get("SCIO_SPREAD_BYTES_PER_CORE", str(4 * 1024 * 1024))
 )
 
+#: Spread WIDTH is derived from the data, not pinned to the core
+#: count: width = clamp(table_bytes / this, 2, defaultParallelism).
+#: Rationale (round-12 measurement): every task costs a serialized
+#: launch overhead c on the driver (~15-25 ms on the bench boxes —
+#: a 32-task stage has a ~0.5 s wall floor with ZERO work in it), so
+#: for a stage doing W seconds of real compute the optimal task count
+#: is ~sqrt(W/c), not "all cores". 64 KiB of this corpus ≈ one task's
+#: worth of tokenize/shingle/hash work at that optimum (interleaved
+#: A/B: width 8 beat width 32 by 15-30% on the docs/emb headline
+#: queries at sf0.1). The clamp keeps it scale-adaptive: bigger
+#: inputs widen toward all cores, the cores cap keeps the driver's
+#: low-CPU scaling runs honest, and production tables never reach
+#: here (byte gate above).
+_SPREAD_TARGET_BYTES_PER_TASK = int(
+    os.environ.get("SCIO_SPREAD_TARGET_BYTES_PER_TASK", str(64 * 1024))
+)
+
 
 def _table_bytes(path: str) -> int:
     if os.path.isdir(path):
@@ -110,8 +127,9 @@ def table(
     CPU-dense per row (tokenization, vector math, codec work): when
     the table's file layout yields fewer input splits than the session
     has cores (single small file — the bench corpus shape), the scan
-    is round-robin repartitioned to ``defaultParallelism`` so the
-    expensive map work runs on every core instead of one. The
+    is round-robin repartitioned to a data-derived width (see
+    ``_SPREAD_TARGET_BYTES_PER_TASK``) so the expensive map work
+    spreads without paying all-cores task-launch overhead. The
     repartition only ever moves column-pruned rows (Catalyst pushes
     the projection below the exchange), is deterministic under retry
     (sort-before-repartition stays on), and is a no-op at production
@@ -139,8 +157,13 @@ def table(
     df = _normalize_timestamps(df)
     if spread_for_compute:
         cores = spark.sparkContext.defaultParallelism
-        if _table_bytes(path) < cores * _SPREAD_BYTES_PER_CORE:
-            df = df.repartition(cores)
+        nbytes = _table_bytes(path)
+        if nbytes < cores * _SPREAD_BYTES_PER_CORE:
+            width = max(
+                2,
+                min(cores, -(-nbytes // _SPREAD_TARGET_BYTES_PER_TASK)),
+            )
+            df = df.repartition(width)
     _TABLE_MEMO[key] = (spark, df)
     return df
 

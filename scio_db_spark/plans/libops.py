@@ -1956,10 +1956,22 @@ def orders_benford_digit_census(
     )
     obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
     tot = d.agg(F.count(F.lit(1)).alias("n"))
-    expected = spark.createDataFrame(
-        [(k, v) for k, v in _BENFORD_MICRO.items()],
-        "digit long, p_micro long",
-    )
+    # Pure-JVM one-partition literal frame: createDataFrame would
+    # parallelize these 9 rows over defaultParallelism Python-RDD
+    # partitions — dozens of empty-task launches (round-12 opt)
+    expected = spark.range(0, 1, 1, 1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(k)).cast("long").alias("digit"),
+                        F.lit(int(v)).cast("long").alias("p_micro"),
+                    )
+                    for k, v in _BENFORD_MICRO.items()
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.digit", "kv.p_micro")
     exp = expected.crossJoin(F.broadcast(tot)).select(
         "digit", F.expr("n * p_micro DIV 1000000").alias("n_exp")
     )

@@ -1515,8 +1515,14 @@ def graph_ppr_seed_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    seeds = spark.createDataFrame(
-        [(s,) for s in _PPR_SEEDS], "node string"
+    # Pure-JVM one-partition literal frame: createDataFrame would
+    # parallelize even this tiny list over defaultParallelism
+    # Python-RDD partitions — dozens of empty-task launches (each a
+    # Python-worker round trip) per reference (round-12 opt).
+    seeds = spark.range(0, 1, 1, 1).select(
+        F.explode(
+            F.array(*[F.lit(s) for s in _PPR_SEEDS])
+        ).alias("node")
     )
     ranks = pagerank_personalized(
         edges, seeds, iters=_PR_ITERS, scale=_PR_SCALE

@@ -2478,23 +2478,27 @@ _BENCH_SOURCE = "src0"
 )
 def contamination_screen(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
-    sh = d.select(
-        "doc_id", "source",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(length(text) - "
-                f"{_SHINGLE_LEN - 1}, 1), {_SHINGLE_STRIDE}), "
-                f"i -> substring(text, i, {_SHINGLE_LEN}))"
-            )
-        ).alias("sh"),
+    shingle_arr = F.expr(
+        f"transform(sequence(1, greatest(length(text) - "
+        f"{_SHINGLE_LEN - 1}, 1), {_SHINGLE_STRIDE}), "
+        f"i -> substring(text, i, {_SHINGLE_LEN}))"
     )
+    sh = d.select("doc_id", "source", shingle_arr.alias("__sh_arr"))
     bench = (
-        sh.filter(F.col("source") == _BENCH_SOURCE).select("sh").distinct()
+        sh.filter(F.col("source") == _BENCH_SOURCE)
+        .select(F.explode("__sh_arr").alias("sh"))
+        .distinct()
     )
+    # Per-doc distinctness dedups MAP-SIDE inside the array (exact
+    # string equality — identical to the oracle's DISTINCT doc_id, sh
+    # domain): the previous global .distinct() shuffled the full
+    # candidate shingle set just to drop duplicates no other document
+    # can contribute (round-12 opt: removes the largest Exchange; the
+    # array materializes in its own projection per the
+    # projection-boundary rule above).
     cand = (
         sh.filter(F.col("source") != _BENCH_SOURCE)
-        .select("doc_id", "sh")
-        .distinct()
+        .select("doc_id", F.explode(F.array_distinct("__sh_arr")).alias("sh"))
     )
     return (
         cand.join(bench.withColumn("__hit", F.lit(1)), "sh", "left")
