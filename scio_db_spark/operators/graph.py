@@ -107,18 +107,17 @@ def pagerank(
         .distinct()
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    ew = edges.join(outw, "src")
-    if redistribute_dangling:
-        # The per-iteration rank checkpoint below compiles every round
-        # into its own physical plan, so ReusedExchange cannot
-        # deduplicate the loop-invariant subtrees across rounds the way
-        # it does in the single-plan (non-redistribute) form — without
-        # this hoist the node-set distinct and the out-weight join were
-        # recomputed (one data-sized exchange each) EVERY iteration.
-        # Materializing them once is iters× fewer |V|/|E| shuffles
-        # (guide §2.4); measured 13.0→8.8 s at sf0.1 (round-12 opt).
-        nodes = checkpointed(nodes)
-        ew = checkpointed(ew)
+    # Loop-invariant hoist: the node-set distinct and the out-weight
+    # join were recomputed (one data-sized exchange each) EVERY
+    # iteration — in redistribute mode because each round's rank
+    # checkpoint compiles into its own physical plan, and even in the
+    # single-plan form the runtime showed no exchange reuse across the
+    # repeated subtrees (0 ReusedExchange in the compiled plan; warm
+    # interleaved A/B at sf0.1: 14.1→8.9 s plain, 13.0→8.8 s
+    # redistribute). Materializing both once is iters× fewer |V|/|E|
+    # shuffles (guide §2.4); rows proven identical at every SF.
+    nodes = checkpointed(nodes)
+    ew = checkpointed(edges.join(outw, "src"))
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
     base = scale * 15 // 100  # exact python int, matches oracles
     ncnt = nodes.agg(F.count(F.lit(1)).alias("n")) if (
@@ -208,7 +207,10 @@ def pagerank_personalized(
         ).select("node", F.coalesce(F.col("sd"), F.lit(0)).alias("sd"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    ew = edges.join(outw, "src")
+    # Same loop-invariant hoist as pagerank: the out-weight join was
+    # recomputed every iteration (no runtime exchange reuse observed);
+    # warm interleaved A/B at sf0.1: ~11% (all pairs), rows identical.
+    ew = checkpointed(edges.join(outw, "src"))
     base = scale * 15 // 100
     ranks = flagged.select(
         "node", (F.col("sd") * F.lit(scale)).cast("long").alias("r")
@@ -447,6 +449,12 @@ def _kcore_peel(
         .distinct(),
         eager=True,
     )
+    # Fixpoint test by carried count: each round's survivor count is
+    # the NEXT round's baseline, so one count action per round suffices
+    # — re-counting e (= last round's kept) and the isEmpty probe were
+    # two redundant full scans of the checkpointed edge frame per round
+    # (round-12 opt; counts identical by definition, rounds unchanged).
+    n_e = e.count()
     for rounds in range(max_iterations + 1):
         sym = e.select(F.col("u").alias("node")).unionAll(
             e.select(F.col("v").alias("node"))
@@ -467,10 +475,12 @@ def _kcore_peel(
             .select("u", "v"),
             eager=True,
         )
-        if kept.count() == e.count():
+        n_kept = kept.count()
+        if n_kept == n_e:
             return kept, rounds
         e = kept
-        if e.isEmpty():
+        n_e = n_kept
+        if n_kept == 0:
             return e, rounds + 1
     raise RuntimeError(
         f"k-core peel did not converge in {max_iterations} rounds"
