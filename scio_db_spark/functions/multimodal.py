@@ -565,35 +565,49 @@ def png_encode_rgb8(pixels, row_filters=None) -> bytes:
     color_type = 2 if ch == 3 else 6
     if row_filters is None:
         row_filters = [y % 5 for y in range(h)]
+    fts = np.asarray([int(f) for f in row_filters], dtype=np.int64)
+    bad = fts[(fts < 0) | (fts > 4)]
+    if bad.size:
+        raise ValueError(f"filter type {int(bad[0])} out of range")
     raw = px.reshape(h, w * ch).astype(np.int32)
-    out = bytearray()
-    prior = np.zeros(w * ch, dtype=np.int32)
-    for y in range(h):
-        ft = int(row_filters[y])
-        line = raw[y]
-        if ft == 0:
-            filt = line
-        elif ft == 1:  # Sub
-            left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
-            filt = line - left
-        elif ft == 2:  # Up
-            filt = line - prior
-        elif ft == 3:  # Average
-            left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
-            filt = line - (left + prior) // 2
-        elif ft == 4:  # Paeth
-            left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
-            ul = np.concatenate([np.zeros(ch, np.int32), prior[:-ch]])
-            filt = line.copy()
-            for i in range(w * ch):
-                filt[i] = line[i] - _paeth(
-                    int(left[i]), int(prior[i]), int(ul[i])
-                )
-        else:
-            raise ValueError(f"filter type {ft} out of range")
-        out.append(ft)
-        out.extend((filt % 256).astype(np.uint8).tobytes())
-        prior = line
+    stride = w * ch
+    # Every filter's predictor inputs are RAW neighbor pixels (unlike
+    # decode, where they are reconstructed output), so the whole
+    # image filters in one shot: build the left/up/upper-left planes
+    # once and apply each filter type to all of its rows together —
+    # including Paeth, whose predictor select vectorizes exactly.
+    left = np.zeros_like(raw)
+    left[:, ch:] = raw[:, :-ch]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    ul = np.zeros_like(raw)
+    ul[1:, ch:] = raw[:-1, :-ch]
+    filt = raw.copy()
+    m = fts == 1  # Sub
+    if m.any():
+        filt[m] = raw[m] - left[m]
+    m = fts == 2  # Up
+    if m.any():
+        filt[m] = raw[m] - up[m]
+    m = fts == 3  # Average
+    if m.any():
+        filt[m] = raw[m] - (left[m] + up[m]) // 2
+    m = fts == 4  # Paeth
+    if m.any():
+        p = left[m] + up[m] - ul[m]
+        pa = np.abs(p - left[m])
+        pb = np.abs(p - up[m])
+        pc = np.abs(p - ul[m])
+        pred = np.where(
+            (pa <= pb) & (pa <= pc),
+            left[m],
+            np.where(pb <= pc, up[m], ul[m]),
+        )
+        filt[m] = raw[m] - pred
+    body = np.empty((h, stride + 1), dtype=np.uint8)
+    body[:, 0] = fts.astype(np.uint8)
+    body[:, 1:] = (filt % 256).astype(np.uint8)
+    out = body.tobytes()
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -610,7 +624,7 @@ def png_encode_rgb8(pixels, row_filters=None) -> bytes:
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IDAT", zlib.compress(out))
         + chunk(b"IEND", b"")
     )
 
@@ -672,33 +686,52 @@ def png_decode_rgb8(b: bytes):
         raise ValueError(
             f"inflated size {len(raw)} != expected {h * (stride + 1)}"
         )
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    fts = arr[:, 0]
+    over = fts[fts > 4]
+    if over.size:
+        raise ValueError(f"filter type {int(over[0])} out of range")
+    lines = arr[:, 1:].astype(np.int32)
+    if not fts.any():  # all rows filter 0: the scanlines ARE the pixels
+        return lines.astype(np.uint8).reshape(h, w, ch)
     out = np.zeros((h, stride), dtype=np.int32)
     prior = np.zeros(stride, dtype=np.int32)
+    prior_l: list | None = None  # same row as ``prior``, as Python ints
     for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
+        ft = int(fts[y])
+        line = lines[y]
         if ft == 0:
             rec = line
+        elif ft == 1:  # Sub: rec[i] = line[i] + rec[i-ch] is a
+            # per-channel prefix sum — vectorized, mod-256 at the end
+            rec = (
+                np.cumsum(line.reshape(w, ch), axis=0).reshape(stride)
+                % 256
+            )
         elif ft == 2:  # Up
             rec = (line + prior) % 256
-        elif ft in (1, 3, 4):  # Sub/Average/Paeth need the left pixel
-            rec = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                left = rec[i - ch] if i >= ch else 0
-                up = int(prior[i])
-                ul = int(prior[i - ch]) if i >= ch else 0
-                if ft == 1:
-                    rec[i] = (line[i] + left) % 256
-                elif ft == 3:
-                    rec[i] = (line[i] + (left + up) // 2) % 256
-                else:
-                    rec[i] = (line[i] + _paeth(left, up, ul)) % 256
-        else:
-            raise ValueError(f"filter type {ft} out of range")
+        else:  # Average/Paeth: the left-pixel recurrence is truly
+            # sequential; plain-int list arithmetic beats NumPy
+            # scalar indexing several-fold on real scanline widths
+            ll = line.tolist()
+            pl = prior.tolist() if prior_l is None else prior_l
+            rl = [0] * stride
+            if ft == 3:
+                for i in range(stride):
+                    left = rl[i - ch] if i >= ch else 0
+                    rl[i] = (ll[i] + (left + pl[i]) // 2) % 256
+            else:
+                for i in range(stride):
+                    left = rl[i - ch] if i >= ch else 0
+                    up = pl[i]
+                    ulv = pl[i - ch] if i >= ch else 0
+                    rl[i] = (ll[i] + _paeth(left, up, ulv)) % 256
+            rec = np.asarray(rl, dtype=np.int32)
+            out[y] = rec
+            prior, prior_l = rec, rl
+            continue
         out[y] = rec
-        prior = rec
+        prior, prior_l = rec, None
     return out.astype(np.uint8).reshape(h, w, ch)
 
 
@@ -784,11 +817,11 @@ def dhash64_from_pixels(px) -> int:
     r = px[:16, :18, 0].astype(np.int64)
     pooled = r[0::2, :] + r[1::2, :]
     pooled = (pooled[:, 0::2] + pooled[:, 1::2]) // 4  # (8, 9) grid
-    h = 0
-    for y in range(8):
-        for x in range(8):
-            if pooled[y, x + 1] > pooled[y, x]:
-                h |= 1 << (y * 8 + x)
+    # bit y*8+x = pooled[y, x+1] > pooled[y, x]; little bit order
+    bits = (pooled[:, 1:] > pooled[:, :8]).reshape(64)
+    h = int.from_bytes(
+        np.packbits(bits, bitorder="little").tobytes(), "little"
+    )
     if h >= 1 << 63:
         h -= 1 << 64
     return h

@@ -1993,9 +1993,19 @@ def span_excise_to_fixpoint(
         total = nxt.select(
             F.sum(F.size("toks")).alias("t")
         ).collect()[0].t
-        if total == prev_total:
-            break
+        # Always adopt the computed round BEFORE testing the counter:
+        # a round can change frames without changing the total in
+        # exactly one way — null-token rows normalized to empty
+        # arrays (both contribute nothing to sum(size)) — and that
+        # normalization must survive into the returned frame for the
+        # capped form to stay frame-identical to the fixed unroll.
+        # Once adopted, an unchanged total still proves the fixpoint:
+        # no tokens were deleted, so the next round sees the same
+        # token streams, flags the same spans, and is the identity.
+        changed = total != prev_total
         cur, prev_total = nxt, total
+        if not changed:
+            break
         rounds += 1
     return (
         pre.join(cur, "doc_id").select(
@@ -2011,25 +2021,22 @@ def span_excise_to_fixpoint(
 def span_excise(d: DataFrame) -> DataFrame:
     """Rewrite an arbitrary ``(doc_id, text)`` frame with cross-doc
     duplicate spans excised, iterated to the pinned round count:
-    ``(doc_id, text_rewritten, n_tokens_pre, n_tokens_post)``."""
-    from scio_db_spark.operators.graph import checkpointed
+    ``(doc_id, text_rewritten, n_tokens_pre, n_tokens_post)``.
 
-    toks = d.select("doc_id", X.tokens(F.col("text")).alias("toks"))
-    pre = toks.select(
-        "doc_id", F.size("toks").cast("long").alias("n_tokens_pre")
-    )
-    cur = toks
-    for _ in range(_EXCISE_ROUNDS):
-        # lazy lineage truncation: each round reads its predecessor
-        # several times (dup set, flags, rebuild) — without this the
-        # logical tree grows multiplicatively across rounds
-        cur = checkpointed(_excise_round(cur))
-    return pre.join(cur, "doc_id").select(
-        "doc_id",
-        F.array_join("toks", " ").alias("text_rewritten"),
-        "n_tokens_pre",
-        F.size("toks").cast("long").alias("n_tokens_post"),
-    )
+    Evaluated as :func:`span_excise_to_fixpoint` CAPPED at
+    ``_EXCISE_ROUNDS`` — frame-identical to the literal fixed unroll
+    on every input: each round only deletes tokens, so an unchanged
+    total token count IS the fixpoint and every later unrolled round
+    is the identity; a corpus still changing at round 6 runs all 6
+    rounds exactly as before (the >6-round under-excision posture is
+    pinned by test_fixed_unroll_under_excises_the_onion). The
+    difference is purely that no-op rounds past the fixpoint are
+    skipped instead of recomputed: the measured fixpoint is 2-5
+    rounds across the SFs (module constant's note), so the unroll was
+    paying up to 4 full shingle+join+window corpus passes that
+    changed nothing — at one scalar count per executed round."""
+    out, _ = span_excise_to_fixpoint(d, max_rounds=_EXCISE_ROUNDS)
+    return out
 
 
 def _span_excise_round_sql(r: int) -> str:

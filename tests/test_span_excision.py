@@ -259,3 +259,49 @@ def test_fixpoint_agrees_with_fixed_unroll_within_budget(spark, sf_dir):
         }
         assert fixed == looped
         assert rounds <= 6
+
+
+def _literal_unroll(df):
+    """The pre-round-12 registered form, verbatim: a literal
+    _EXCISE_ROUNDS-round unroll with no early stop — the reference
+    the capped fixpoint loop must be frame-identical to."""
+    from pyspark.sql import functions as F
+
+    from scio_db_spark.functions import text as X
+    from scio_db_spark.operators.graph import checkpointed
+    from scio_db_spark.plans.textops import _excise_round, _EXCISE_ROUNDS
+
+    toks = df.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    pre = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens_pre")
+    )
+    cur = toks
+    for _ in range(_EXCISE_ROUNDS):
+        cur = checkpointed(_excise_round(cur))
+    return pre.join(cur, "doc_id").select(
+        "doc_id",
+        F.array_join("toks", " ").alias("text_rewritten"),
+        "n_tokens_pre",
+        F.size("toks").cast("long").alias("n_tokens_post"),
+    )
+
+
+def test_capped_early_stop_matches_literal_unroll(spark):
+    """Round-12 optimization pin: span_excise (now the fixpoint loop
+    capped at _EXCISE_ROUNDS) is row-identical to the literal 6-round
+    unroll on (a) the boilerplate corpus, (b) the 8-round onion where
+    BOTH must under-excise identically, and (c) a corpus with null and
+    empty text — the one shape where a round changes frames without
+    changing the token total."""
+    cases = [
+        _rows(),
+        _onion_rows(),
+        [(0, None), (1, ""), (2, "   "), (3, "solo unique words")],
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ref = {
+            tuple(r) for r in _literal_unroll(df).collect()
+        }
+        got = {tuple(r) for r in span_excise(df).collect()}
+        assert got == ref, rows[:1]
