@@ -242,6 +242,12 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     frame ``(u, v)`` with u < v (deduplicated). Degree-ordered wedge
     join: each triangle is found exactly once at its unique apex.
     Returns ``(node, n_triangles)`` for nodes in >= 1 triangle."""
+    # materialize the edge frame once: it feeds the degree census
+    # (twice, via the endpoint union) and the orientation join, and
+    # callers hand in derived frames (self-join + distinct) that are
+    # expensive to recompute per reference — the same discipline the
+    # k-core/LPA peels apply to their inputs
+    pairs = checkpointed(pairs)
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select("v"))
@@ -284,10 +290,19 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     tri = wedges.join(closing, ["b", "c"]).select(
         F.col("s").alias("a"), "b", "c"
     )
+    # one row per (triangle, corner) via explode of the THREE corner
+    # columns — NOT a 3-way union of projections of ``tri``, which
+    # compiles the wedge join + closing join into three sibling
+    # physical subtrees (one per union branch): exchange reuse across
+    # them is best-effort, and when it does not fire the most
+    # expensive joins in the operator run three times (measured: the
+    # sf0.1 census spent 502 of 556 task-seconds in one branch's
+    # closing-join stage). The explode keeps exactly one instance of
+    # the join subtree in the plan by construction.
     return (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select("b"))
-        .unionAll(tri.select("c"))
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
