@@ -425,8 +425,6 @@ def label_propagation(pairs: DataFrame, rounds: int) -> DataFrame:
     label frames are lazily localCheckpoint-ed so plan depth stays
     O(1) per round. Returns ``(node, lab)``.
     """
-    from pyspark.sql import Window
-
     adj = checkpointed(
         pairs.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(
@@ -436,9 +434,6 @@ def label_propagation(pairs: DataFrame, rounds: int) -> DataFrame:
     )
     labels = adj.select("node").distinct().withColumn(
         "lab", F.col("node")
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
     )
     for _ in range(rounds):
         cnt = (
@@ -451,10 +446,17 @@ def label_propagation(pairs: DataFrame, rounds: int) -> DataFrame:
             .groupBy("node", "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # per-node argmax as max_by over (c, -lab): largest count
+        # wins, ties take the smallest label — identical to the
+        # row_number window this replaces (desc c, asc lab, rn = 1)
+        # since (node, lab) rows are unique, but as an AGGREGATE it
+        # partial-aggregates map-side and needs no per-partition sort
+        # (guide §2.3 "aggregate before you shuffle"); labels are
+        # node ids >= 0, so -lab cannot overflow
         labels = checkpointed(
-            cnt.withColumn("rn", rn)
-            .filter(F.col("rn") == 1)
-            .select("node", "lab")
+            cnt.groupBy("node").agg(
+                F.expr("max_by(lab, struct(c, -lab))").alias("lab")
+            )
         )
     return labels
 
@@ -478,6 +480,15 @@ def _kcore_peel(
         sym = e.select(F.col("u").alias("node")).unionAll(
             e.select(F.col("v").alias("node"))
         )
+        # NOTE (round-12, measured and kept as-is): the compiled round
+        # plan evaluates this aggregation TWICE — once per semi-join
+        # leg — because exchange reuse does not fire across the legs.
+        # Checkpointing survivors to share one evaluation was measured
+        # 1.6x WORSE at sf0.1: the checkpoint scan's UnknownPartitioning
+        # forfeits the aggregation's hash(node) partitioning (each leg
+        # then re-exchanges the node set) and per-round survivor blocks
+        # churn the block manager. The duplicate aggregation keeps its
+        # partitioning aligned with each leg's join key.
         survivors = (
             sym.groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))

@@ -1708,9 +1708,24 @@ def graph_kcore_census(spark: SparkSession, sf: str) -> DataFrame:
     from scio_db_spark.operators.graph import checkpointed as _ckpt
 
     pairs = _ckpt(pairs, eager=True)  # shared by all three peels
+    # The three peels are independent fixpoint loops over the same
+    # (already materialized) edge frame, each a sequence of small
+    # driver-synchronized round jobs; run them from a thread pool so
+    # one peel's rounds back-fill the executor slots another peel's
+    # stage tail leaves idle (guide §2.6 — overlap independent jobs).
+    # Output is unaffected: each peel's result frame is deterministic
+    # and the census rows are assembled in _KCORE_KS order below.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_KCORE_KS)) as pool:
+        cores = list(
+            pool.map(
+                lambda k: kcore(pairs, k, max_iterations=_KCORE_UNROLL),
+                _KCORE_KS,
+            )
+        )
     out = None
-    for k in _KCORE_KS:
-        e = kcore(pairs, k, max_iterations=_KCORE_UNROLL)
+    for k, e in zip(_KCORE_KS, cores):
         nodes = (
             e.select(F.col("u").alias("node"))
             .unionAll(e.select("v"))
