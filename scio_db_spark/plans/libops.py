@@ -202,7 +202,15 @@ def bm25(spark: SparkSession, sf: str) -> DataFrame:
 def fuzzy_edit1(spark: SparkSession, sf: str) -> DataFrame:
     from scio_db_spark.operators.fuzzyjoin import edit1_pairs
 
-    cust = table(spark, sf, "customer").select("c_custkey", "c_name")
+    # spread: deletion-key generation (per-char substr+concat over
+    # every name) is CPU-dense per-row map work, and the single-file
+    # customer scan otherwise runs it on one task (profiled: 3.8 s in
+    # a 1-task stage = 78% of the query) — the same policy the _docs/
+    # _emb helpers apply, byte-gated so at-scale layouts never add a
+    # shuffle
+    cust = table(
+        spark, sf, "customer", spread_for_compute=True
+    ).select("c_custkey", "c_name")
     return edit1_pairs(cust, id_col="c_custkey", str_col="c_name").select(
         F.col("id_a"), F.col("id_b"), F.col("dist")
     )
