@@ -173,7 +173,13 @@ def mm_wav_pcm_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         wav_encode_pcm16,
     )
 
-    d = table(spark, sf, "documents").select("doc_id")
+    d = table(
+        # spread: codec synth + decode is CPU-dense per-row map
+        # work and the single-file scan otherwise caps its
+        # parallelism at the row-group count (byte-gated — see
+        # catalog.table; at-scale layouts never add a shuffle)
+        spark, sf, "documents", spread_for_compute=True
+    ).select("doc_id")
 
     def _synth(pdfs):
         for pdf in pdfs:
@@ -250,7 +256,13 @@ def mm_bmp_rgb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         bmp_image_features,
     )
 
-    d = table(spark, sf, "documents").select("doc_id")
+    d = table(
+        # spread: codec synth + decode is CPU-dense per-row map
+        # work and the single-file scan otherwise caps its
+        # parallelism at the row-group count (byte-gated — see
+        # catalog.table; at-scale layouts never add a shuffle)
+        spark, sf, "documents", spread_for_compute=True
+    ).select("doc_id")
 
     def _synth(pdfs):
         for pdf in pdfs:
@@ -339,7 +351,13 @@ def mm_png_rgb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         png_image_features,
     )
 
-    d = table(spark, sf, "documents").select("doc_id")
+    d = table(
+        # spread: codec synth + decode is CPU-dense per-row map
+        # work and the single-file scan otherwise caps its
+        # parallelism at the row-group count (byte-gated — see
+        # catalog.table; at-scale layouts never add a shuffle)
+        spark, sf, "documents", spread_for_compute=True
+    ).select("doc_id")
 
     def _synth(pdfs):
         for pdf in pdfs:
@@ -447,7 +465,13 @@ def _image_dhashes(spark: SparkSession, sf: str) -> DataFrame:
         png_image_dhash64,
     )
 
-    d = table(spark, sf, "documents").select("doc_id")
+    d = table(
+        # spread: codec synth + decode is CPU-dense per-row map
+        # work and the single-file scan otherwise caps its
+        # parallelism at the row-group count (byte-gated — see
+        # catalog.table; at-scale layouts never add a shuffle)
+        spark, sf, "documents", spread_for_compute=True
+    ).select("doc_id")
     w, h, ncont = _IMG_W, _IMG_H, _N_CONTENT
 
     def _synth(pdfs):
@@ -613,7 +637,13 @@ def _audio_peaks(spark: SparkSession, sf: str) -> DataFrame:
         wav_spectral_peaks,
     )
 
-    d = table(spark, sf, "documents").select("doc_id")
+    d = table(
+        # spread: codec synth + decode is CPU-dense per-row map
+        # work and the single-file scan otherwise caps its
+        # parallelism at the row-group count (byte-gated — see
+        # catalog.table; at-scale layouts never add a shuffle)
+        spark, sf, "documents", spread_for_compute=True
+    ).select("doc_id")
     frame, segs, sr, amp = _AUD_FRAME, _AUD_SEGS, _AUD_SR, _AUD_AMP
 
     def _synth(pdfs):
@@ -874,7 +904,13 @@ def _video_framehashes(spark: SparkSession, sf: str) -> DataFrame:
         png_encode_rgb8,
     )
 
-    d = table(spark, sf, "documents").select("doc_id")
+    d = table(
+        # spread: codec synth + decode is CPU-dense per-row map
+        # work and the single-file scan otherwise caps its
+        # parallelism at the row-group count (byte-gated — see
+        # catalog.table; at-scale layouts never add a shuffle)
+        spark, sf, "documents", spread_for_compute=True
+    ).select("doc_id")
     w, h, nf = _IMG_W, _IMG_H, _VID_FRAMES
 
     def _synth(pdfs):
@@ -1119,7 +1155,13 @@ def mm_jpeg_dc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         jpeg_encode_gray,
     )
 
-    d = table(spark, sf, "documents").select("doc_id")
+    d = table(
+        # spread: codec synth + decode is CPU-dense per-row map
+        # work and the single-file scan otherwise caps its
+        # parallelism at the row-group count (byte-gated — see
+        # catalog.table; at-scale layouts never add a shuffle)
+        spark, sf, "documents", spread_for_compute=True
+    ).select("doc_id")
     nbx, nby = _JPEG_BX, _JPEG_BY
 
     def _rt(pdfs):
