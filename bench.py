@@ -143,6 +143,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Scaling-contract visibility (round-12 verdict item 1): the
+        # driver re-runs this bench at a reduced core count; emit the
+        # EFFECTIVE parallelism so the artifact itself proves the
+        # $SPARK_GRAFT_CPUS contract was honored (the r12 driver
+        # flagged suspect_cpus_ignored on a bench that did honor it,
+        # because nothing in the JSON said so).
+        "cores": spark.sparkContext.defaultParallelism,
+        "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
         "passes": passes,
         "runs": runs,
         # noise-normalization block: raw + normalized + the index, so

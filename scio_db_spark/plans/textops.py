@@ -3157,39 +3157,58 @@ def ppjoin_similarity_pairs(spark: SparkSession, sf: str) -> DataFrame:
     groups = sets_.groupBy("__set").agg(
         F.min("doc_id").alias("rep"),
         F.collect_list("doc_id").alias("__members"),
-    )
-    # five consumers below (rep filter, cross a/b, intra a/b) with
-    # different pruning — cache (LAZY, so plan-only tooling and the
-    # driver's build step never materialize it), the cdc_apply_census
-    # reasoning; the frame is |docs|-sized ids, small by construction
+    ).cache()
+    # groups is THE multi-consumer frame (round-13 rework): the
+    # representative sets feed the prefix-filter candidates (3
+    # references inside _ppjoin_candidates_ds), the array-based
+    # verification (2 sides) and the member expansion (4 sides).
+    # Without the cache each reference recompiles the full
+    # tokenize+shingle+hash+two-aggregation subtree — the round-13
+    # baseline plan evaluated the document scan 35 TIMES (1456-line
+    # plan). The frame is |docs| rows of collapsed shingle-hash sets,
+    # small by construction (the exact-dup collapse is the point);
+    # .cache() is lazy so plan-only tooling never materializes it.
     members = groups.select(
         "rep", F.explode("__members").alias("doc_id")
-    ).cache()
-    rep_ds = ds.join(
-        members.filter(F.col("rep") == F.col("doc_id")).select("rep"),
-        ds["doc_id"] == F.col("rep"),
-        "left_semi",
+    )
+    # Verification on the COLLAPSED SET ARRAYS (round-13, guide §2.3
+    # "shuffle keys and metadata instead of payloads" + §2.5): the
+    # old verify exploded every representative's shingle set TWICE
+    # into a (doc, h)-keyed join and counted matches — 72.6 of the
+    # query's ~180 task-seconds sat in that one join stage, with the
+    # per-pair fan-out skew the prefix buckets induce. The sets are
+    # per-doc DISTINCT by construction (_doc_shingle_hashes), so
+    # |a ∩ b| = size(array_intersect(a, b)) EXACTLY — the candidate
+    # pair list (already pruned by prefix+length+positional filters)
+    # joins the two arrays in and one expression computes the
+    # intersection; no exploded shuffle, no per-pair row fan, and the
+    # per-pair cost is O(|a| + |b|) uniform — the skew surface is
+    # gone.
+    rep_sets = groups.select("rep", "__set")
+    rep_ds = rep_sets.select(
+        F.col("rep").alias("doc_id"), F.explode("__set").alias("h")
     )
     cand = _ppjoin_candidates_ds(rep_ds)
-    sizes = rep_ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = rep_ds.alias("a"), rep_ds.alias("b")
-    inter = (
-        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(
-            b,
-            (F.col("doc_b") == F.col("b.doc_id"))
-            & (F.col("a.h") == F.col("b.h")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    sa = rep_sets.select(
+        F.col("rep").alias("doc_a"), F.col("__set").alias("__sa")
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    sb = rep_sets.select(
+        F.col("rep").alias("doc_b"), F.col("__set").alias("__sb")
+    )
+    i = F.size(F.array_intersect("__sa", "__sb")).cast("long")
     jac = F.col("i").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("i")
+        F.col("na") + F.col("nb") - F.col("i")
     )
     rep_pairs = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            i.alias("i"),
+            F.size("__sa").cast("long").alias("na"),
+            F.size("__sb").cast("long").alias("nb"),
+        )
         .select(
             F.col("doc_a").alias("ra"),
             F.col("doc_b").alias("rb"),

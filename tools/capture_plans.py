@@ -19,7 +19,9 @@ import sys
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO_ROOT)
 
-OUT_DIR = os.path.join(_REPO_ROOT, "plans", "r12")
+OUT_DIR = os.path.join(
+    _REPO_ROOT, "plans", os.environ.get("SCIO_PLANS_ROUND", "r13")
+)
 
 
 def formatted_plan(spark, df) -> str:
